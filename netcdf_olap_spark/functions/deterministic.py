@@ -1,0 +1,39 @@
+"""Cross-engine-deterministic numeric aggregates.
+
+Floating-point sums are order-dependent; Spark's partial+final
+aggregation tree and DuckDB's sequential scan sum in different
+orders, so ``SUM(double)`` can differ in the last ulps — enough to
+flip a rounded digit and break a value-hash comparison. Casting each
+input to DECIMAL first makes the arithmetic exact and identical in
+both engines (IEEE754 → decimal rounding of a single value is
+deterministic and engine-agnostic), and casting the exact result
+back to DOUBLE yields a bitwise-stable float.
+
+At cluster scale this costs one widening cast per row inside the
+partial aggregate — still whole-stage-codegen'd, still partial+final.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def decimal_sum(col: Column | str, scale: int = 4) -> Column:
+    """Exact SUM: cast to decimal(30,scale), sum, back to double.
+
+    DuckDB twin: ``CAST(SUM(CAST(x AS DECIMAL(30,s))) AS DOUBLE)``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(30,{scale})")).cast("double")
+
+
+def decimal_avg(col: Column | str, scale: int = 6) -> Column:
+    """Exact-sum AVG: decimal sum divided by non-null count, in
+    double (one division on identical operands → identical result).
+
+    DuckDB twin:
+    ``CAST(SUM(CAST(x AS DECIMAL(30,s))) AS DOUBLE) / COUNT(x)``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return decimal_sum(c, scale) / F.count(c)

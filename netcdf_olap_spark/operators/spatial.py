@@ -1,0 +1,163 @@
+"""Spatial operators: bbox window, polygon mask, nearest-cell lookup.
+
+Reference semantics being re-expressed (SURVEY.md §2.2):
+
+- P4 nearest cell (Gddp.scala:25-38): argmin over the coordinate
+  arrays of **plain degree-space squared-Euclidean** distance — NOT
+  haversine (the reference declares ``earth_radius = 6371`` at
+  Gddp.scala:22 but never uses it). We preserve that semantic and
+  express it as ``min_by`` — a single partial+final aggregate, no
+  sort, no O(cells) driver scan (fixes the perf hazard at
+  BASELINE.md "known perf hazard").
+- P5 bbox window (Gddp.scala:73-94): the reference converts the
+  polygon envelope to index space with a hemisphere assumption
+  ("Probably only works in ... Northern and Western hemispheres",
+  Gddp.scala:87). We filter on lat/lon directly — hemisphere-safe,
+  and the predicate pushes down to parquet row-group stats.
+- P6 polygon mask (Gddp.scala:235, delegates to GeoTrellis
+  rasterization): coarse-to-fine — native bbox prefilter (pushed
+  down, O4 in SURVEY §4) then an Arrow-batched vectorized ray-cast
+  predicate over survivors only. No shapely dependency.
+
+Scale note: the polygon is tiny (a query constant) — it ships inside
+the UDF closure, never a join. The bbox prefilter means the Python
+boundary sees only the envelope's cells, not the full cube.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterable, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType
+
+Ring = Sequence[tuple[float, float]]
+
+
+def bbox_filter(df: DataFrame, lat_min: float, lat_max: float, lon_min: float, lon_max: float) -> DataFrame:
+    """P5: keep cells inside the lat/lon window (inclusive bounds,
+    matching the closed index ranges of Gddp.scala:223-226)."""
+    return df.where(
+        F.col("lat").between(F.lit(lat_min), F.lit(lat_max))
+        & F.col("lon").between(F.lit(lon_min), F.lit(lon_max))
+    )
+
+
+def ring_envelope(ring: Ring) -> tuple[float, float, float, float]:
+    """A6: (lat_min, lat_max, lon_min, lon_max) of a closed ring —
+    the ``polygon.envelope`` of Gddp.scala:149 without GeoTrellis."""
+    lats = [p[1] for p in ring]
+    lons = [p[0] for p in ring]
+    return min(lats), max(lats), min(lons), max(lons)
+
+
+def parse_geojson_polygon(text: str) -> list[tuple[float, float]]:
+    """S7: extract the first Polygon's outer ring from GeoJSON
+    (Feature, FeatureCollection, or bare geometry — the shapes the
+    reference round-trips through main.py:51-87 / Gddp.scala:143-148).
+    """
+    obj = json.loads(text)
+    if obj.get("type") == "FeatureCollection":
+        obj = obj["features"][0]
+    if obj.get("type") == "Feature":
+        obj = obj["geometry"]
+    if obj.get("type") != "Polygon":
+        raise ValueError(f"expected Polygon, got {obj.get('type')}")
+    ring = [(float(lon), float(lat)) for lon, lat in obj["coordinates"][0]]
+    if ring[0] != ring[-1]:
+        ring.append(ring[0])
+    return ring
+
+
+def _ray_cast(lon: np.ndarray, lat: np.ndarray, ring: Ring) -> np.ndarray:
+    """Vectorized even-odd point-in-polygon over numpy arrays."""
+    inside = np.zeros(lon.shape, dtype=bool)
+    for i in range(len(ring) - 1):
+        x1, y1 = ring[i]
+        x2, y2 = ring[i + 1]
+        cond = (y1 > lat) != (y2 > lat)
+        if not cond.any():
+            continue
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xcross = (x2 - x1) * (lat - y1) / (y2 - y1) + x1
+        inside ^= cond & (lon < xcross)
+    return inside
+
+
+def in_polygon_col(ring: Ring) -> Column:
+    """P6 fine stage: vectorized (Arrow-batched) point-in-polygon
+    predicate column. The ring is captured in the closure — a scalar
+    broadcast, not data motion.
+
+    The ray-cast is duplicated inside the UDF body (rather than
+    calling module-level ``_ray_cast``) so cloudpickle ships it **by
+    value**: executors never need this package on their PYTHONPATH —
+    a hard requirement once the driver isn't launched from the repo
+    root (and on any real cluster without --py-files)."""
+    ring_const = [tuple(p) for p in ring]
+
+    @F.pandas_udf(BooleanType())
+    def _pip(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        import numpy as _np
+        import pandas as _pd
+
+        lo = lon.to_numpy(dtype=_np.float64)
+        la = lat.to_numpy(dtype=_np.float64)
+        inside = _np.zeros(lo.shape, dtype=bool)
+        for i in range(len(ring_const) - 1):
+            x1, y1 = ring_const[i]
+            x2, y2 = ring_const[i + 1]
+            cond = (y1 > la) != (y2 > la)
+            if not cond.any():
+                continue
+            with _np.errstate(divide="ignore", invalid="ignore"):
+                xcross = (x2 - x1) * (la - y1) / (y2 - y1) + x1
+            inside ^= cond & (lo < xcross)
+        return _pd.Series(inside)
+
+    return _pip(F.col("lon"), F.col("lat"))
+
+
+def polygon_mask(df: DataFrame, ring: Ring) -> DataFrame:
+    """P6: coarse bbox prefilter (native, pushed down) then exact
+    ray-cast on survivors — the coarse-to-fine pattern of
+    Gddp.scala:206-210 + 235 (SURVEY §4 O4)."""
+    lat_min, lat_max, lon_min, lon_max = ring_envelope(ring)
+    return bbox_filter(df, lat_min, lat_max, lon_min, lon_max).where(in_polygon_col(ring))
+
+
+def sq_degree_dist(lat: float, lon: float) -> Column:
+    """The reference's distance metric (Gddp.scala:30): squared
+    Euclidean distance in degree space. Deliberately not haversine."""
+    return (F.col("lat") - F.lit(lat)) ** 2 + (F.col("lon") - F.lit(lon)) ** 2
+
+
+def nearest_cell(coords: DataFrame, lat: float, lon: float) -> DataFrame:
+    """P4/A4: the (y, x) of the grid cell nearest to a query point.
+
+    ``min_by(struct(y, x, lat, lon), (dist, y, x))`` — one
+    partial+final aggregate; ties broken by (y, x) for determinism
+    (the reference's linear scan keeps the first index, i.e. smallest
+    flattened y*W+x — same ordering).
+    """
+    d = sq_degree_dist(lat, lon).alias("dist")
+    best = coords.select(
+        F.min_by(
+            F.struct("y", "x", "lat", "lon"), F.struct(d, F.col("y"), F.col("x"))
+        ).alias("best")
+    )
+    return best.select("best.y", "best.x", "best.lat", "best.lon")
+
+
+def nearest_cells_topk(coords: DataFrame, lat: float, lon: float, k: int) -> DataFrame:
+    """Top-k nearest cells: orderBy + limit → Catalyst plans
+    TakeOrderedAndProject (per-partition heap, no full sort)."""
+    return (
+        coords.select("y", "x", "lat", "lon", sq_degree_dist(lat, lon).alias("dist"))
+        .orderBy(F.col("dist").asc(), F.col("y").asc(), F.col("x").asc())
+        .limit(k)
+    )

@@ -1,0 +1,341 @@
+"""Grid-cube queries: the reference's own query surface re-expressed.
+
+Covers SURVEY.md §2.1 S4-S6, §2.2 P1-P7, §2.4 A1-A5, §2.5 (rolling
+window), §2.6 (top-k). Oracle SQL reads the same fixture parquet by
+absolute path; the polygon-mask oracle uses the precomputed
+``in_poly`` flag on coords (FIXTURES.md §2) while the Spark side
+computes point-in-polygon live — so the ray-cast operator is what is
+actually being verified.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from netcdf_olap_spark.functions import decimal_avg
+from netcdf_olap_spark.operators import aggregates, slice as slice_ops, spatial
+from netcdf_olap_spark.plans import CubeQuery
+from netcdf_olap_spark.session import FIXTURES_DIR, load_coords, load_grid
+
+GRID = f"read_parquet('{FIXTURES_DIR}/grid.parquet')"
+COORDS = f"read_parquet('{FIXTURES_DIR}/coords.parquet')"
+
+# The canonical query polygon (fixtures/gen_fixtures.py POLYGON).
+POLYGON = [
+    (-83.60, 42.30),
+    (-82.90, 42.45),
+    (-82.75, 43.05),
+    (-83.30, 43.30),
+    (-83.70, 42.90),
+    (-83.60, 42.30),
+]
+
+DAVG = "CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(value)"
+
+
+def grid_polygon_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: per-variable stats of the polygon-masked, date-ranged
+    slice — the reference's whole product query (Gddp.scala:164-239)
+    minus PNG rendering. Polygon mask computed live via ray casting."""
+    q = CubeQuery(
+        start_date="1990-01-05",
+        end_date="1990-01-20",
+        variables=["LST_LWST_avg_daily", "avg_night_temp"],
+        polygon=POLYGON,
+    )
+    return q.aggregate(load_grid(spark))
+
+
+GRID_POLYGON_STATS_SQL = f"""
+SELECT g.variable,
+       COUNT(g.value) AS n_vals,
+       CAST(SUM(CAST(g.value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(g.value) AS avg_val,
+       MIN(g.value) AS min_val,
+       MAX(g.value) AS max_val
+FROM {GRID} g
+JOIN {COORDS} c ON g.y = c.y AND g.x = c.x
+WHERE c.in_poly
+  AND g.variable IN ('LST_LWST_avg_daily', 'avg_night_temp')
+  AND g.time >= TIMESTAMP '1990-01-05 00:00:00'
+  AND g.time < TIMESTAMP '1990-01-21 00:00:00'
+GROUP BY g.variable
+ORDER BY g.variable
+"""
+
+
+def grid_bbox_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 coarse window alone (pure native plan — fully pushed down):
+    per (variable, day) stats inside a lat/lon box."""
+    df = slice_ops.time_range(load_grid(spark), "1990-01-03", "1990-01-12")
+    df = spatial.bbox_filter(df, 42.4, 43.1, -83.5, -82.8)
+    return (
+        df.groupBy("variable", F.to_date("time").alias("day"))
+        .agg(
+            F.count("value").alias("n_vals"),
+            decimal_avg("value").alias("avg_val"),
+            F.min("value").alias("min_val"),
+            F.max("value").alias("max_val"),
+        )
+        .orderBy("variable", "day")
+    )
+
+
+GRID_BBOX_STATS_SQL = f"""
+SELECT variable,
+       CAST(time AS DATE) AS day,
+       COUNT(value) AS n_vals,
+       {DAVG} AS avg_val,
+       MIN(value) AS min_val,
+       MAX(value) AS max_val
+FROM {GRID}
+WHERE time >= TIMESTAMP '1990-01-03 00:00:00'
+  AND time < TIMESTAMP '1990-01-13 00:00:00'
+  AND lat BETWEEN 42.4 AND 43.1
+  AND lon BETWEEN -83.5 AND -82.8
+GROUP BY variable, CAST(time AS DATE)
+ORDER BY variable, day
+"""
+
+
+def grid_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: scalar at (t, y, x) (README.md:110-118)."""
+    return slice_ops.point_read(load_grid(spark), "LST_LWST_avg_day", "1990-01-07", 10, 21)
+
+
+GRID_POINT_READ_SQL = f"""
+SELECT value
+FROM {GRID}
+WHERE variable = 'LST_LWST_avg_day'
+  AND time = TIMESTAMP '1990-01-07 00:00:00'
+  AND y = 10 AND x = 21
+"""
+
+
+def grid_nearest_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4/A4: nearest grid cell to a query point under the
+    reference's degree-space L2 metric (Gddp.scala:25-38), as one
+    min_by aggregate."""
+    return spatial.nearest_cell(load_coords(spark), lat=43.05, lon=-83.20)
+
+
+GRID_NEAREST_CELL_SQL = f"""
+SELECT y, x, lat, lon
+FROM {COORDS}
+ORDER BY (lat - 43.05) * (lat - 43.05) + (lon - (-83.20)) * (lon - (-83.20)), y, x
+LIMIT 1
+"""
+
+
+def grid_nearest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 nearest cells (TakeOrderedAndProject, §2.6)."""
+    return spatial.nearest_cells_topk(load_coords(spark), lat=42.71, lon=-83.43, k=5).drop("dist")
+
+
+GRID_NEAREST_TOPK_SQL = f"""
+SELECT y, x, lat, lon
+FROM {COORDS}
+ORDER BY (lat - 42.71) * (lat - 42.71) + (lon - (-83.43)) * (lon - (-83.43)), y, x
+LIMIT 5
+"""
+
+
+def grid_hyperslab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: raw sub-cube [t0:t1, y0:y1, x0:x1] rows (closed ranges,
+    the hyperslab spec of Gddp.scala:225)."""
+    return slice_ops.hyperslab(
+        load_grid(spark), "avg_night_temp", "1990-01-10", "1990-01-14", 4, 11, 20, 27
+    ).select("time", "y", "x", "value")
+
+
+GRID_HYPERSLAB_SQL = f"""
+SELECT time, y, x, value
+FROM {GRID}
+WHERE variable = 'avg_night_temp'
+  AND time >= TIMESTAMP '1990-01-10 00:00:00'
+  AND time < TIMESTAMP '1990-01-15 00:00:00'
+  AND y BETWEEN 4 AND 11
+  AND x BETWEEN 20 AND 27
+"""
+
+
+def grid_whole_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: the full 2-D grid of one variable at day 0
+    (``variable.slice(0, 0)``, geopy.py:57)."""
+    return slice_ops.whole_slice(load_grid(spark), "LST_LWST_avg_daily", "1990-01-01").select(
+        "y", "x", "value"
+    )
+
+
+GRID_WHOLE_SLICE_SQL = f"""
+SELECT y, x, value
+FROM {GRID}
+WHERE variable = 'LST_LWST_avg_daily' AND time = TIMESTAMP '1990-01-01 00:00:00'
+"""
+
+
+def grid_time_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/S3: per-variable temporal extent — the metadata probe the
+    reference runs by opening every file (Gddp.scala:119-131); here
+    one aggregate over footer-prunable columns."""
+    return (
+        load_grid(spark)
+        .groupBy("variable")
+        .agg(F.min("time").alias("t_min"), F.max("time").alias("t_max"))
+        .orderBy("variable")
+    )
+
+
+GRID_TIME_EXTENT_SQL = f"""
+SELECT variable, MIN(time) AS t_min, MAX(time) AS t_max
+FROM {GRID}
+GROUP BY variable
+ORDER BY variable
+"""
+
+
+def grid_null_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: fill-value semantics — NULL counts and null fraction per
+    variable (the _FillValue cells of Gddp.scala:188-191)."""
+    g = load_grid(spark)
+    return (
+        g.groupBy("variable")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("value").alias("n_vals"),
+            (F.count(F.lit(1)) - F.count("value")).alias("n_nulls"),
+        )
+        .orderBy("variable")
+    )
+
+
+GRID_NULL_STATS_SQL = f"""
+SELECT variable,
+       COUNT(*) AS n_rows,
+       COUNT(value) AS n_vals,
+       COUNT(*) - COUNT(value) AS n_nulls
+FROM {GRID}
+GROUP BY variable
+ORDER BY variable
+"""
+
+
+def grid_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 exact analog: fixed-width histogram of the masked slice
+    (StreamingHistogram parity via groupBy(floor(value/w)))."""
+    df = slice_ops.time_range(load_grid(spark), "1990-01-01", "1990-01-15")
+    h = aggregates.histogram(df, width=2.0, group_cols=["variable"])
+    return h.select("variable", "bin_lo", "cnt").orderBy("variable", "bin_lo")
+
+
+GRID_HISTOGRAM_SQL = f"""
+SELECT variable,
+       FLOOR(value / 2.0) * 2.0 AS bin_lo,
+       COUNT(*) AS cnt
+FROM {GRID}
+WHERE value IS NOT NULL
+  AND time >= TIMESTAMP '1990-01-01 00:00:00'
+  AND time < TIMESTAMP '1990-01-16 00:00:00'
+GROUP BY variable, FLOOR(value / 2.0) * 2.0
+ORDER BY variable, bin_lo
+"""
+
+
+def grid_quantile_breaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: exact quantile breaks per variable (the reference's
+    quantileBreaks, Gddp.scala:231 — exact here; the approx sketch
+    variant is operators/aggregates.quantile_breaks, tested in
+    pytest against this). Decimal-snapped to absorb interpolation
+    ulp differences between engines."""
+    g = load_grid(spark).where(F.col("value").isNotNull())
+    res = g.groupBy("variable").agg(
+        *[
+            F.percentile("value", p).cast("decimal(20,4)").cast("double").alias(f"p{int(p*100):02d}")
+            for p in (0.25, 0.50, 0.75, 0.90)
+        ]
+    )
+    return res.orderBy("variable")
+
+
+GRID_QUANTILE_BREAKS_SQL = f"""
+SELECT variable,
+       CAST(CAST(QUANTILE_CONT(value, 0.25) AS DECIMAL(20,4)) AS DOUBLE) AS p25,
+       CAST(CAST(QUANTILE_CONT(value, 0.50) AS DECIMAL(20,4)) AS DOUBLE) AS p50,
+       CAST(CAST(QUANTILE_CONT(value, 0.75) AS DECIMAL(20,4)) AS DOUBLE) AS p75,
+       CAST(CAST(QUANTILE_CONT(value, 0.90) AS DECIMAL(20,4)) AS DOUBLE) AS p90
+FROM {GRID}
+WHERE value IS NOT NULL
+GROUP BY variable
+ORDER BY variable
+"""
+
+
+def grid_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5: 7-day rolling mean per cell — the idiomatic time-series
+    window this data model exists for. Exact decimal sum over the
+    frame / non-null count over the frame."""
+    g = load_grid(spark).where((F.col("variable") == "LST_LWST_avg_daily") & (F.col("x") < 8))
+    w = Window.partitionBy("y", "x").orderBy("time").rowsBetween(-6, 0)
+    return g.select(
+        "y",
+        "x",
+        "time",
+        (F.sum(F.col("value").cast("decimal(30,6)")).over(w).cast("double") / F.count("value").over(w)).alias(
+            "roll_avg"
+        ),
+    ).orderBy("y", "x", "time")
+
+
+GRID_ROLLING_MEAN_SQL = f"""
+SELECT y, x, time,
+       CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE)
+         / COUNT(value) OVER w AS roll_avg
+FROM {GRID}
+WHERE variable = 'LST_LWST_avg_daily' AND x < 8
+WINDOW w AS (PARTITION BY y, x ORDER BY time ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+ORDER BY y, x, time
+"""
+
+
+def grid_coords_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's canonical equi-join (SURVEY §2.3): grid ⋈ coords
+    on (y, x). coords is tiny → broadcast hint, no shuffle of the
+    fact side."""
+    g = load_grid(spark).where(F.col("variable") == "avg_night_temp")
+    c = F.broadcast(load_coords(spark).where(F.col("in_poly")))
+    j = g.join(c.select("y", "x", "in_poly"), on=["y", "x"], how="inner")
+    return (
+        j.groupBy(F.to_date("time").alias("day"))
+        .agg(F.count("value").alias("n_vals"), decimal_avg("value").alias("avg_val"))
+        .orderBy("day")
+    )
+
+
+GRID_COORDS_JOIN_SQL = f"""
+SELECT CAST(g.time AS DATE) AS day,
+       COUNT(g.value) AS n_vals,
+       CAST(SUM(CAST(g.value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(g.value) AS avg_val
+FROM {GRID} g
+JOIN (SELECT y, x FROM {COORDS} WHERE in_poly) c ON g.y = c.y AND g.x = c.x
+WHERE g.variable = 'avg_night_temp'
+GROUP BY CAST(g.time AS DATE)
+ORDER BY day
+"""
+
+
+QUERIES = {
+    "grid_polygon_stats": (grid_polygon_stats, GRID_POLYGON_STATS_SQL),
+    "grid_bbox_stats": (grid_bbox_stats, GRID_BBOX_STATS_SQL),
+    "grid_point_read": (grid_point_read, GRID_POINT_READ_SQL),
+    "grid_nearest_cell": (grid_nearest_cell, GRID_NEAREST_CELL_SQL),
+    "grid_nearest_topk": (grid_nearest_topk, GRID_NEAREST_TOPK_SQL),
+    "grid_hyperslab": (grid_hyperslab, GRID_HYPERSLAB_SQL),
+    "grid_whole_slice": (grid_whole_slice, GRID_WHOLE_SLICE_SQL),
+    "grid_time_extent": (grid_time_extent, GRID_TIME_EXTENT_SQL),
+    "grid_null_stats": (grid_null_stats, GRID_NULL_STATS_SQL),
+    "grid_histogram": (grid_histogram, GRID_HISTOGRAM_SQL),
+    "grid_quantile_breaks": (grid_quantile_breaks, GRID_QUANTILE_BREAKS_SQL),
+    "grid_rolling_mean": (grid_rolling_mean, GRID_ROLLING_MEAN_SQL),
+    "grid_coords_join": (grid_coords_join, GRID_COORDS_JOIN_SQL),
+}

@@ -1,0 +1,111 @@
+"""SparkSession factory + table registry.
+
+Replaces the reference's per-query ``spark-submit`` subprocess
+(main.py:106-110) and hand-tuned Kryo serializer config
+(Gddp.scala:153-159) with one long-lived session; Tungsten +
+whole-stage codegen + AQE make the manual tuning obsolete
+(SURVEY.md §4 O7).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Repo-local deterministic grid fixtures (see fixtures/gen_fixtures.py);
+# the long-format stand-in for the reference's NetCDF cube.
+FIXTURES_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures")
+
+
+def get_spark(app_name: str = "netcdf-olap-spark", cpus: int | None = None) -> SparkSession:
+    """Build (or get) a SparkSession tuned for this engine.
+
+    AQE on (runtime join re-planning + skew splitting + partition
+    coalescing), Arrow on (vectorized pandas_udf boundaries).
+    ``spark.sql.shuffle.partitions`` starts at 2*cores; AQE coalesces
+    down when partitions are small, and at real cluster scale this is
+    the knob to raise toward cores*executors.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(max(32, 2 * cpus)))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, register: bool = True) -> dict[str, DataFrame]:
+    """Load the driver's parquet tables and register them as temp views.
+
+    Mirrors the reference's source-discovery stage (Gddp.scala:117-140)
+    except schemas come from parquet footers (free) instead of opening
+    every file and decoding its time axis.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        if register:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def load_events(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+    reader rejects; read nanos as long (``ts_ns``) and derive a
+    microsecond ``ts`` timestamp. Checked queries output ``ts_ns`` or
+    integer buckets of it — pure integer math, identical across
+    engines and session timezones.
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return df.withColumnRenamed("ts", "ts_ns").withColumn(
+        "ts", F.timestamp_micros((F.col("ts_ns") / F.lit(1000)).cast("long"))
+    )
+
+
+def load_grid(spark: SparkSession, register: bool = True) -> DataFrame:
+    """Load the long-format grid cube fixture (the NetCDF stand-in)."""
+    df = spark.read.parquet(os.path.join(FIXTURES_DIR, "grid.parquet"))
+    if register:
+        df.createOrReplaceTempView("grid")
+    return df
+
+
+def load_coords(spark: SparkSession, register: bool = True) -> DataFrame:
+    """Coordinate dimension table (ds, y, x, lat, lon, in_poly)."""
+    df = spark.read.parquet(os.path.join(FIXTURES_DIR, "coords.parquet"))
+    if register:
+        df.createOrReplaceTempView("coords")
+    return df

@@ -1,0 +1,146 @@
+"""Local mirror of the driver's oracle-differential check.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin
+on DuckDB over the same sf directory, normalizes (sort columns by
+name, canonicalize cell values, sort rows), and compares exactly —
+stricter than any reasonable hash, so passing here implies passing
+the driver's CORRECTNESS gate.
+
+CLI: python tools/parity.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import decimal
+import math
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _canon(v):
+    """Canonicalize one cell for cross-engine comparison."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, (int, str)):
+        return v
+    if isinstance(v, dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon(x) for x in v)
+    if hasattr(v, "isoformat"):  # pandas Timestamp
+        return v.isoformat()
+    return str(v)
+
+
+def _sort_key(row):
+    return tuple((x is None, str(type(x)), str(x)) for x in row)
+
+
+def normalize(cols: list[str], rows: list[tuple]) -> tuple[list[str], list[tuple]]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    cols_sorted = [cols[i] for i in order]
+    out = [tuple(_canon(r[i]) for i in order) for r in rows]
+    out.sort(key=_sort_key)
+    return cols_sorted, out
+
+
+def run_duckdb(sql: str, sf_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    rows = cur.fetchall()
+    con.close()
+    return cols, rows
+
+
+def run_spark(fn, spark, sf_dir: str):
+    df = fn(spark, sf_dir)
+    rows = [tuple(r) for r in df.collect()]
+    return list(df.columns), rows
+
+
+def compare(name: str, spark, sf_dir: str, fn, sql: str) -> list[str]:
+    """Returns a list of problems (empty = parity)."""
+    problems: list[str] = []
+    s_cols, s_rows = run_spark(fn, spark, sf_dir)
+    d_cols, d_rows = run_duckdb(sql, sf_dir)
+    ns_cols, ns_rows = normalize(s_cols, s_rows)
+    nd_cols, nd_rows = normalize(d_cols, d_rows)
+    if ns_cols != nd_cols:
+        problems.append(f"{name}: column mismatch spark={ns_cols} duckdb={nd_cols}")
+        return problems
+    if len(ns_rows) != len(nd_rows):
+        problems.append(f"{name}: row count spark={len(ns_rows)} duckdb={len(nd_rows)}")
+        return problems
+    for i, (a, b) in enumerate(zip(ns_rows, nd_rows)):
+        if a != b:
+            problems.append(f"{name}: first row diff at {i}:\n  spark : {a}\n  duckdb: {b}")
+            break
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from netcdf_olap_spark.session import get_spark
+
+    spark = get_spark("parity")
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failed = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        if name not in oracles:
+            n = fn(spark, sf_dir).count()
+            print(f"  ~ {name}: rows-only ({n} rows)")
+            continue
+        probs = compare(name, spark, sf_dir, fn, oracles[name])
+        if probs:
+            failed += 1
+            for p in probs:
+                print(f"  ✗ {p}")
+        else:
+            print(f"  ✓ {name}")
+    print(f"{'PASS' if failed == 0 else 'FAIL'} ({failed} failing)")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
