@@ -1,0 +1,98 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {"q1": sec, ...}, "sf": <sf>}
+
+Each query is forced end-to-end with the ``noop`` sink (full
+computation, zero collect/serialization overhead) after a warm-up of
+the session. Timings are per-query wall clock.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import pandas as pd
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+# Headline set: the flagship cube query + the heaviest relational and
+# north-star operators. Names must exist in the registry.
+HEADLINE = [
+    "grid_polygon_stats",
+    "grid_rolling_mean",
+    "q1_pricing_summary",
+    "join_q3_revenue",
+    "join_q5_region_revenue",
+    "window_rank_topk",
+    "topk_orders",
+    "agg_cube",
+    "events_json_extract",
+]
+
+# North-star queries appended once implemented (kept separate so a
+# missing entry fails loudly below rather than silently shrinking).
+HEADLINE += [
+    "doc_minhash_dedup_pairs",
+    "emb_knn_brute",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+
+    from netcdf_olap_spark.queries import all_queries
+    from netcdf_olap_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = all_queries()
+
+    # Warm up JVM JIT, codegen, and the Python worker pool so one-time
+    # process startup isn't billed to the first timed query. No query
+    # results are cached — every timed run reads parquet fresh.
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DoubleType
+
+    warm = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    warm.groupBy("l_returnflag").agg(F.sum("l_quantity")).collect()
+
+    @F.pandas_udf(DoubleType())
+    def _warm_udf(v: pd.Series) -> pd.Series:
+        return v * 1.0
+
+    warm.limit(1000).select(_warm_udf(F.col("l_quantity"))).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in registry:
+            continue
+        fn = registry[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -20,12 +20,18 @@ from pyspark.sql import functions as F
 
 
 def decimal_sum(col: Column | str, scale: int = 4) -> Column:
-    """Exact SUM: cast to decimal(30,scale), sum, back to double.
+    """Exact SUM: cast to decimal(18,scale), sum, back to double.
 
-    DuckDB twin: ``CAST(SUM(CAST(x AS DECIMAL(30,s))) AS DOUBLE)``.
+    Precision 18 keeps the per-row value long-backed (Decimal128 ops
+    above 18 digits cost ~3x in the aggregate hot loop); Spark widens
+    the sum accumulator to decimal(28,scale) automatically, so no
+    overflow until |sum| > 10^(28-scale). The DuckDB twin may declare
+    any precision ≥ the values' magnitude — only the SCALE must match
+    (both engines round the double→decimal cast at the same scale):
+    ``CAST(SUM(CAST(x AS DECIMAL(30,s))) AS DOUBLE)``.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(f"decimal(30,{scale})")).cast("double")
+    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
 
 
 def decimal_avg(col: Column | str, scale: int = 6) -> Column:

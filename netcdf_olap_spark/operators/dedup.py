@@ -1,0 +1,246 @@
+"""Deduplication operators (SURVEY.md §2.11): exact, n-gram Jaccard,
+MinHash+LSH, SimHash.
+
+Scale design (the point of these at 100 TB):
+
+- **exact**: one shuffle on the fingerprint hash; keeper chosen by
+  min(id) — deterministic, no window-over-everything.
+- **jaccard pairs**: shingle-inverted-index self-join — pairs are
+  generated only for docs sharing a shingle (never an O(n²) cross
+  join); hot shingles are the skew risk → AQE skew-join handles it,
+  and ``max_shingle_df`` drops degenerate ultra-frequent shingles
+  exactly like search engines drop stopwords.
+- **MinHash+LSH**: k seeded xxhash64 min-hashes per doc (one
+  groupBy), banded into b buckets; candidate pairs only within a
+  (band, signature) bucket → the classic sub-quadratic near-dup path;
+  candidates then verified with exact Jaccard so the output is
+  precision-1.0 (recall bounded by the LSH curve).
+- **SimHash**: 64-bit signature from token hashes via bit-vote
+  aggregation; near-dup = Hamming distance ≤ k over 16-bit-chunk
+  blocked candidates (a chunk must match exactly → 4 blocking keys,
+  same sub-quadratic shape).
+
+Everything is native Spark expressions (xxhash64, bit ops,
+higher-order lambdas) — no Python in any per-row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from netcdf_olap_spark.operators.text import fingerprint, shingles
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup groups: fingerprint → (keeper, n_copies).
+    ``keeper_id = min(id)`` keeps the result deterministic where
+    ``dropDuplicates`` would be partition-order-dependent."""
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def _shingle_index(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, shingle) inverted index, one row per distinct shingle per
+    doc."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(shingles(text_col, n))).alias("sh"))
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs via inverted-index join.
+
+    Threshold test is the integer cross-multiplication
+    ``shared * (1+t_den) >= t_num * (|A| + |B| - shared)`` — exact
+    rational arithmetic, no float boundary flakiness. ``jaccard``
+    output column is a single double division (engine-deterministic).
+    """
+    idx = _shingle_index(df, id_col, text_col, n)
+    if max_shingle_df is not None:
+        hot = idx.groupBy("sh").count().where(F.col("count") > max_shingle_df).select("sh")
+        idx = idx.join(F.broadcast(hot), "sh", "left_anti")
+    sizes = idx.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+
+    a = idx.alias("a")
+    b = idx.alias("b")
+    shared = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sz1 = sizes.select(F.col("id").alias("id1"), F.col("sz").alias("sz1"))
+    sz2 = sizes.select(F.col("id").alias("id2"), F.col("sz").alias("sz2"))
+    j = shared.join(F.broadcast(sz1), "id1").join(F.broadcast(sz2), "id2")
+    union_sz = F.col("sz1") + F.col("sz2") - F.col("shared")
+    # threshold as exact rational: shared / union >= threshold
+    t_num, t_den = _as_fraction(threshold)
+    return (
+        j.where(F.col("shared") * t_den >= F.lit(t_num) * union_sz)
+        .select(
+            "id1",
+            "id2",
+            "shared",
+            union_sz.alias("union_sz"),
+            (F.col("shared").cast("double") / union_sz).alias("jaccard"),
+        )
+    )
+
+
+def _as_fraction(t: float, den: int = 1000) -> tuple[int, int]:
+    return round(t * den), den
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 32, n: int = 3
+) -> DataFrame:
+    """k MinHash values per doc: min over shingles of
+    xxhash64(seed_i, shingle). One explode + one groupBy — the
+    partial min runs map-side, so shuffle volume is k longs per doc
+    regardless of doc length."""
+    idx = _shingle_index(df, id_col, text_col, n)
+    aggs = [F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}") for i in range(k)]
+    return idx.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    verify_threshold: float | None = 0.5,
+) -> DataFrame:
+    """MinHash+LSH candidate pairs, optionally exact-verified.
+
+    b bands × r=k/b rows; docs collide in a band iff their r mins all
+    match → band signature = xxhash64(band, h_j..h_{j+r}). Candidates
+    are generated by a self-join on (band, sig) — sub-quadratic, no
+    cartesian product. With ``verify_threshold`` set, candidates are
+    confirmed with exact Jaccard (inverted-index, restricted to the
+    candidate set via semi-joins), so output precision is 1.0.
+    """
+    assert k % bands == 0
+    r = k // bands
+    sigs = minhash_signatures(df, id_col, text_col, k, n)
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.xxhash64(F.lit(bi), *[F.col(f"h{bi * r + j}") for j in range(r)]).alias("sig"),
+        )
+        for bi in range(bands)
+    ]
+    banded = sigs.select("id", F.explode(F.array(*band_cols)).alias("bs")).select(
+        "id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+    if verify_threshold is None:
+        return cand
+
+    # Exact-verify candidates: compute shared-shingle counts only for
+    # docs appearing in any candidate pair.
+    ids = cand.select(F.col("id1").alias("id")).union(cand.select("id2")).distinct()
+    idx = _shingle_index(df, id_col, text_col, n).join(F.broadcast(ids), "id", "left_semi")
+    sizes = idx.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    ai, bi_ = idx.alias("ai"), idx.alias("bi")
+    shared = (
+        ai.join(bi_, (F.col("ai.sh") == F.col("bi.sh")) & (F.col("ai.id") < F.col("bi.id")))
+        .groupBy(F.col("ai.id").alias("id1"), F.col("bi.id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .join(cand, ["id1", "id2"], "left_semi")
+    )
+    sz1 = sizes.select(F.col("id").alias("id1"), F.col("sz").alias("sz1"))
+    sz2 = sizes.select(F.col("id").alias("id2"), F.col("sz").alias("sz2"))
+    j = shared.join(F.broadcast(sz1), "id1").join(F.broadcast(sz2), "id2")
+    union_sz = F.col("sz1") + F.col("sz2") - F.col("shared")
+    t_num, t_den = _as_fraction(verify_threshold)
+    return j.where(F.col("shared") * t_den >= F.lit(t_num) * union_sz).select(
+        "id1", "id2", (F.col("shared").cast("double") / union_sz).alias("jaccard")
+    )
+
+
+def simhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per doc: per token hash, vote +1/-1 on each bit,
+    signature bit = sign of the vote sum. Expressed as 64 conditional
+    sums over the exploded token table (partial aggregation map-side)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+
+    def bitmask(bit: int) -> int:
+        # signed-long bit pattern (1 << 63 overflows LongType)
+        return (1 << bit) if bit < 63 else -(1 << 63)
+
+    votes = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(bitmask(bit))) != 0, 1).otherwise(-1)
+        ).alias(f"v{bit}")
+        for bit in range(64)
+    ]
+    voted = toks.groupBy("id").agg(*votes)
+    sig = None
+    for bit in range(64):
+        b = F.when(F.col(f"v{bit}") > 0, F.lit(bitmask(bit))).otherwise(F.lit(0).cast("long"))
+        sig = b if sig is None else sig.bitwiseOR(b)
+    return voted.select("id", sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 7
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Blocking: split the 64-bit signature into 8 × 8-bit chunks; by
+    pigeonhole, distance ≤ 7 guarantees an exact chunk match, so
+    recall is 1.0 up to max_hamming=7 (beyond that it degrades —
+    raise the chunk count if you raise the budget). Candidates join
+    on (chunk_idx, chunk), verified with bit_count(xor)."""
+    sigs = simhash_signatures(df, id_col, text_col)
+    chunks = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.shiftright("simhash", 8 * i).bitwiseAND(F.lit(0xFF)).alias("chunk"),
+                    )
+                    for i in range(8)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "simhash", F.col("c.ci").alias("ci"), F.col("c.chunk").alias("chunk"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,0 +1,120 @@
+"""Similarity search over embedding columns (SURVEY.md §2.11).
+
+- Brute-force cosine top-k: native higher-order functions
+  (zip_with + aggregate) — the dot product runs JVM-side inside
+  codegen; top-k is TakeOrderedAndProject. This is the exact
+  baseline and the right plan whenever the query side is 1 vector.
+- LSH (random hyperplane / signed random projection): deterministic
+  pseudo-random planes derived from a seeded numpy generator at plan
+  build time (plane constants are literals in the plan). Vectors
+  sharing a 16-bit sign signature land in the same bucket; queries
+  probe only their bucket → sub-linear candidate set at scale. This
+  is the scale path for vector-vs-corpus joins.
+
+Embeddings are array<float>; math is done in double (elements cast
+up) so results are stable and match the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ via zip_with + aggregate — sequential left-to-right
+    double fold, bitwise-reproducible across engines."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def knn_brute(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k against a constant query vector."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    sim = cosine(F.col(vec_col), q).alias("cos_sim")
+    return (
+        df.select(F.col(id_col), sim)
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _planes(n_planes: int, dim: int, seed: int = 7) -> np.ndarray:
+    """Deterministic random hyperplanes (fixed seed → identical plan
+    constants every run)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_bucket_col(vec_col: Column, planes: np.ndarray) -> Column:
+    """Signed-random-projection bucket id: bit i = sign(v · plane_i).
+    n_planes ≤ 30 so the bucket fits an int."""
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bucket = bucket + F.when(_dot(vec_col, p) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def knn_lsh(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's LSH
+    bucket. At corpus scale the bucketed table is written
+    partitioned by bucket → the probe prunes to ~corpus/2^n_planes
+    rows. Recall is tested against knn_brute in pytest."""
+    dim = len(query_vec)
+    planes = _planes(n_planes, dim)
+    qv = np.array(query_vec, dtype=np.float64)
+    qbucket = int(sum((1 << i) for i, p in enumerate(planes) if float(np.dot(qv, p)) >= 0))
+    bucketed = df.withColumn("bucket", lsh_bucket_col(F.col(vec_col), planes))
+    cand = bucketed.where(F.col("bucket") == F.lit(qbucket))
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        cand.select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def pairwise_topk_per_label(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Embedding-cosine near-dup within groups: all-pairs cosine
+    restricted to same-label blocks (the blocked form of
+    embedding-cosine dedup), top-k per left vector via window."""
+    from pyspark.sql.window import Window
+
+    a = df.select(F.col(id_col).alias("id1"), F.col(label_col).alias("lbl"), F.col(vec_col).alias("v1"))
+    b = df.select(F.col(id_col).alias("id2"), F.col(label_col).alias("lbl"), F.col(vec_col).alias("v2"))
+    pairs = a.join(b, "lbl").where(F.col("id1") < F.col("id2"))
+    scored = pairs.select("lbl", "id1", "id2", cosine(F.col("v1"), F.col("v2")).alias("cos_sim"))
+    w = Window.partitionBy("id1").orderBy(F.col("cos_sim").desc(), F.col("id2"))
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)

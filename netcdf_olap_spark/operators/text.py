@@ -1,0 +1,94 @@
+"""Text-analysis operators (SURVEY.md §2.11 north-star set).
+
+All hot-path expressions are native ``pyspark.sql.functions`` /
+higher-order lambdas — JVM-side, whole-stage-codegen'd, no Python
+boundary. The reference has no text surface; this is the
+training-data-pipeline extension the rebuild adds (BASELINE.json
+north star).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny deterministic stopword sets for the language-ID heuristic.
+LANG_STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "ein"),
+    "fr": ("le", "la", "et", "un", "une"),
+    "es": ("el", "la", "los", "y", "un"),
+}
+
+EN_STOPWORDS = LANG_STOPWORDS["en"]
+
+
+def tokens(col: Column | str = "text") -> Column:
+    """Whitespace tokenization: trim then split on runs of
+    whitespace. Empty string → single empty token is avoided by the
+    trim + filter."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != F.lit(""))
+
+
+def token_count(col: Column | str = "text") -> Column:
+    return F.size(tokens(col))
+
+
+def shingles(col: Column | str = "text", n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string> — built natively with
+    transform+sequence+slice (no UDF): shingle i = tokens[i..i+n-1]
+    joined by spaces. Docs shorter than n tokens → empty array."""
+    t = tokens(col)
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+    )
+    return F.when(F.size(t) >= n, sh).otherwise(F.array().cast("array<string>"))
+
+
+def stopword_count(col: Column | str = "text", stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    return F.size(F.filter(tokens(col), lambda t: t.isin(*stopwords)))
+
+
+def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality scoring: char length, token count, mean token length,
+    stopword ratio, punctuation count. All single-op or integer
+    exprs → engine-deterministic."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    n_stop = stopword_count(text_col)
+    return df.select(
+        "doc_id",
+        F.length(text_col).alias("len_chars"),
+        n_tok.alias("n_tokens"),
+        (
+            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("double") / n_tok
+        ).alias("mean_token_len"),
+        n_stop.alias("n_stopwords"),
+        (n_stop.cast("double") / n_tok).alias("stopword_ratio"),
+        F.length(F.regexp_replace(F.col(text_col), r"[^.,!?;:]", "")).alias("n_punct"),
+    )
+
+
+def lang_id_expr(text_col: str = "text") -> Column:
+    """n-gram/stopword heuristic language ID: pick the language whose
+    stopword set hits the most tokens; ties and zero-hits → 'und'.
+    Deterministic (greatest-count with fixed language order)."""
+    counts = {lang: stopword_count(text_col, sw) for lang, sw in LANG_STOPWORDS.items()}
+    best = F.lit("und")
+    best_n = F.lit(0)
+    # fixed iteration order; strictly-greater keeps first-wins ties
+    for lang in ("en", "de", "fr", "es"):
+        c = counts[lang]
+        take = c > best_n
+        best = F.when(take, F.lit(lang)).otherwise(best)
+        best_n = F.when(take, c).otherwise(best_n)
+    return best
+
+
+def fingerprint(col: Column | str = "text") -> Column:
+    """Document fingerprint: md5 of the casefolded,
+    whitespace-collapsed text — the exact-dedup key."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))

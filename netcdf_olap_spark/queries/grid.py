@@ -281,7 +281,7 @@ def grid_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y",
         "x",
         "time",
-        (F.sum(F.col("value").cast("decimal(30,6)")).over(w).cast("double") / F.count("value").over(w)).alias(
+        (F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double") / F.count("value").over(w)).alias(
             "roll_avg"
         ),
     ).orderBy("y", "x", "time")

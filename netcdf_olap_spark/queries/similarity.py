@@ -1,3 +1,148 @@
-"""Placeholder — populated in a later milestone."""
+"""Similarity-search queries over ``embeddings`` (array<float>).
 
-QUERIES: dict = {}
+Cosine math is a sequential double fold (zip_with + aggregate) that
+is bitwise-identical to DuckDB's list-comprehension + list_sum —
+verified empirically — so even top-k ordering on raw doubles is
+cross-engine exact. The LSH variant is rows-only (plan constants from
+a seeded generator); its recall vs brute force is asserted in
+tests/test_similarity.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from netcdf_olap_spark.functions import decimal_sum
+from netcdf_olap_spark.operators import similarity
+
+# DuckDB twin of the double-fold cosine between columns a and b.
+def _duck_cos(a: str, b: str) -> str:
+    dot = f"list_sum([CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) FOR i IN generate_series(1, len({a}))])"
+    na = f"sqrt(list_sum([CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE) FOR i IN generate_series(1, len({a}))]))"
+    nb = f"sqrt(list_sum([CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) FOR i IN generate_series(1, len({b}))]))"
+    return f"{dot} / ({na} * {nb})"
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def emb_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 neighbors of vec_id=0. The
+    query vector is a 1-row broadcast (no driver collect); scoring is
+    native JVM fold; top-k is TakeOrderedAndProject."""
+    e = _emb(spark, sf_dir)
+    q = F.broadcast(e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv")))
+    return (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(q)
+        .select("vec_id", similarity.cosine(F.col("embedding"), F.col("qv")).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+EMB_KNN_BRUTE_SQL = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, {_duck_cos('embedding', 'qv')} AS cos_sim
+FROM embeddings CROSS JOIN q
+WHERE vec_id != 0
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10
+"""
+
+
+def emb_threshold_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs-with-query above a similarity threshold (the
+    set-retrieval form of ANN; range query instead of top-k)."""
+    e = _emb(spark, sf_dir)
+    q = F.broadcast(e.where(F.col("vec_id") == 7).select(F.col("embedding").alias("qv")))
+    sim = similarity.cosine(F.col("embedding"), F.col("qv"))
+    return (
+        e.crossJoin(q)
+        .select("vec_id", "label", sim.alias("cos_sim"))
+        .where((F.col("cos_sim") > 0.1) & (F.col("vec_id") != 7))
+        .orderBy("vec_id")
+    )
+
+
+EMB_THRESHOLD_SQL = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7)
+SELECT vec_id, label, {_duck_cos('embedding', 'qv')} AS cos_sim
+FROM embeddings CROSS JOIN q
+WHERE {_duck_cos('embedding', 'qv')} > 0.1 AND vec_id != 7
+ORDER BY vec_id
+"""
+
+
+def emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid components: posexplode → decimal-exact mean
+    per (label, dim). The array-aggregation pattern multimodal
+    feature pipelines need."""
+    e = _emb(spark, sf_dir)
+    exploded = e.select("label", F.posexplode("embedding").alias("pos", "val"))
+    return (
+        exploded.groupBy("label", "pos")
+        .agg(
+            (decimal_sum(F.col("val").cast("double"), 8) / F.count("val")).alias("centroid_val"),
+            F.count("val").alias("n_vecs"),
+        )
+        .orderBy("label", "pos")
+    )
+
+
+EMB_CENTROIDS_SQL = """
+SELECT label, i - 1 AS pos,
+       CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*) AS centroid_val,
+       COUNT(*) AS n_vecs
+FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
+GROUP BY label, i
+ORDER BY label, pos
+"""
+
+
+def emb_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via signed-random-projection bucketing —
+    the scale path (probe ~corpus/2^planes instead of corpus).
+    rows-only: plane literals come from a seeded generator."""
+    e = _emb(spark, sf_dir)
+    qvec = [r[0] for r in e.where(F.col("vec_id") == 0).select(F.explode("embedding")).collect()]
+    return similarity.knn_lsh(e.where(F.col("vec_id") != 0), qvec, k=10, n_planes=8)
+
+
+def emb_label_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked all-pairs cosine (same-label blocks) with per-vector
+    top-3 — embedding-cosine near-dup detection shape. Subset to
+    labels 0-2 to bound the pair count."""
+    e = _emb(spark, sf_dir).where(F.col("label") < 3)
+    return similarity.pairwise_topk_per_label(e, k=3).select(
+        "lbl", "id1", "id2", "cos_sim", "rk"
+    ).orderBy("lbl", "id1", "rk")
+
+
+EMB_LABEL_TOPK_SQL = f"""
+WITH pairs AS (
+  SELECT a.label AS lbl, a.vec_id AS id1, b.vec_id AS id2,
+         {_duck_cos('a.embedding', 'b.embedding')} AS cos_sim
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE a.label < 3)
+SELECT lbl, id1, id2, cos_sim, rk FROM (
+  SELECT lbl, id1, id2, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY id1 ORDER BY cos_sim DESC, id2) AS rk
+  FROM pairs)
+WHERE rk <= 3
+ORDER BY lbl, id1, rk
+"""
+
+
+QUERIES = {
+    "emb_knn_brute": (emb_knn_brute, EMB_KNN_BRUTE_SQL),
+    "emb_threshold_neighbors": (emb_threshold_neighbors, EMB_THRESHOLD_SQL),
+    "emb_centroids": (emb_centroids, EMB_CENTROIDS_SQL),
+    "emb_knn_lsh": (emb_knn_lsh, None),
+    "emb_label_topk": (emb_label_topk, EMB_LABEL_TOPK_SQL),
+}

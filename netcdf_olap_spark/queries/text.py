@@ -1,3 +1,187 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis + dedup queries over ``documents``.
 
-QUERIES: dict = {}
+North-star operators (SURVEY.md §2.11 / BASELINE.json): token
+counting, quality scoring, language ID, fingerprinting, exact dedup,
+n-gram-Jaccard near-dup, MinHash+LSH, SimHash. The LSH/SimHash ops
+are not SQL-expressible (seeded xxhash64 banding) → rows-only checks
+here, exactness verified in tests/test_dedup.py against the
+brute-force Jaccard ground truth.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from netcdf_olap_spark.operators import dedup, text
+
+# DuckDB twins of the token/shingle expressions.
+DUCK_TOKS = r"list_filter(string_split_regex(trim(text), '\s+'), t -> t != '')"
+DUCK_SHINGLES = "[concat_ws(' ', t[i], t[i+1], t[i+2]) FOR i IN generate_series(1, len(t) - 2)]"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + distinct tokens per doc."""
+    d = _docs(spark, sf_dir)
+    t = text.tokens("text")
+    return d.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_uniq_tokens"),
+    ).orderBy("doc_id")
+
+
+DOC_TOKEN_STATS_SQL = f"""
+WITH toks AS (SELECT doc_id, {DUCK_TOKS} AS t FROM documents)
+SELECT doc_id,
+       len(t) AS n_tokens,
+       len(list_distinct(t)) AS n_uniq_tokens
+FROM toks
+ORDER BY doc_id
+"""
+
+
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality metrics: lengths, mean token length, stopword ratio,
+    punctuation count (length/punct/stopword-ratio scoring)."""
+    return text.quality_metrics(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+DOC_QUALITY_SQL = f"""
+WITH toks AS (SELECT doc_id, text, {DUCK_TOKS} AS t FROM documents)
+SELECT doc_id,
+       LENGTH(text) AS len_chars,
+       len(t) AS n_tokens,
+       CAST(list_sum(list_transform(t, x -> LENGTH(x))) AS DOUBLE) / len(t) AS mean_token_len,
+       len(list_filter(t, x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS n_stopwords,
+       CAST(len(list_filter(t, x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE) / len(t)
+         AS stopword_ratio,
+       LENGTH(REGEXP_REPLACE(text, '[^.,!?;:]', '', 'g')) AS n_punct
+FROM toks
+ORDER BY doc_id
+"""
+
+
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (stopword-hit argmax, first-wins ties)
+    aggregated to (guess, n_docs)."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(text.lang_id_expr("text").alias("lang_guess"))
+        .groupBy("lang_guess")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang_guess")
+    )
+
+
+# first-wins strictly-greater iteration == first language (in en, de,
+# fr, es order) whose count equals the running max; max 0 → 'und'.
+DOC_LANG_ID_SQL = f"""
+WITH toks AS (SELECT doc_id, {DUCK_TOKS} AS t FROM documents),
+counts AS (
+  SELECT doc_id,
+         len(list_filter(t, x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS c_en,
+         len(list_filter(t, x -> x IN ('der', 'die', 'das', 'und', 'ein'))) AS c_de,
+         len(list_filter(t, x -> x IN ('le', 'la', 'et', 'un', 'une'))) AS c_fr,
+         len(list_filter(t, x -> x IN ('el', 'la', 'los', 'y', 'un'))) AS c_es
+  FROM toks)
+SELECT lang_guess, COUNT(*) AS n_docs FROM (
+  SELECT CASE WHEN GREATEST(c_en, c_de, c_fr, c_es) = 0 THEN 'und'
+              WHEN c_en = GREATEST(c_en, c_de, c_fr, c_es) THEN 'en'
+              WHEN c_de = GREATEST(c_en, c_de, c_fr, c_es) THEN 'de'
+              WHEN c_fr = GREATEST(c_en, c_de, c_fr, c_es) THEN 'fr'
+              ELSE 'es' END AS lang_guess
+  FROM counts)
+GROUP BY lang_guess
+ORDER BY lang_guess
+"""
+
+
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 fingerprint of normalized text → keeper id +
+    copy count per group (deterministic, unlike dropDuplicates)."""
+    return dedup.exact_dedup(_docs(spark, sf_dir)).orderBy("keeper_id")
+
+
+DOC_EXACT_DEDUP_SQL = r"""
+SELECT md5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fp,
+       MIN(doc_id) AS keeper_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+ORDER BY keeper_id
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc fingerprint projection (rolling-hash analog, md5 of
+    normalized text)."""
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", text.fingerprint("text").alias("fp")).orderBy("doc_id")
+
+
+DOC_FINGERPRINT_SQL = r"""
+SELECT doc_id, md5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fp
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-Jaccard near-dup pairs (inverted-index join, no
+    cross product). Integer cross-multiplication threshold → no float
+    boundary between engines."""
+    return dedup.jaccard_pairs(_docs(spark, sf_dir), threshold=0.12, n=3).orderBy("id1", "id2")
+
+
+DOC_JACCARD_SQL = f"""
+WITH toks AS (SELECT doc_id, {DUCK_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id AS id, unnest(list_distinct({DUCK_SHINGLES})) AS sh FROM toks),
+sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+shared AS (
+  SELECT a.id AS id1, b.id AS id2, COUNT(*) AS shared
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY a.id, b.id)
+SELECT id1, id2, shared,
+       s1.sz + s2.sz - shared AS union_sz,
+       CAST(shared AS DOUBLE) / (s1.sz + s2.sz - shared) AS jaccard
+FROM shared
+JOIN sizes s1 ON s1.id = id1
+JOIN sizes s2 ON s2.id = id2
+WHERE shared * 1000 >= 120 * (s1.sz + s2.sz - shared)
+ORDER BY id1, id2
+"""
+
+
+def doc_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-Jaccard-verified at 0.12.
+    Seeded xxhash64 banding isn't SQL-expressible → rows-only check;
+    recall vs doc_jaccard_pairs asserted in tests/test_dedup.py."""
+    return dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), k=32, bands=16, verify_threshold=0.12
+    ).orderBy("id1", "id2")
+
+
+def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 7, recall-guaranteed by
+    8×8-bit chunk blocking). rows-only: bit-vote signatures aren't
+    SQL-expressible."""
+    return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=7).orderBy("id1", "id2")
+
+
+QUERIES = {
+    "doc_token_stats": (doc_token_stats, DOC_TOKEN_STATS_SQL),
+    "doc_quality_score": (doc_quality_score, DOC_QUALITY_SQL),
+    "doc_lang_id": (doc_lang_id, DOC_LANG_ID_SQL),
+    "doc_exact_dedup": (doc_exact_dedup, DOC_EXACT_DEDUP_SQL),
+    "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
+    "doc_jaccard_pairs": (doc_jaccard_pairs, DOC_JACCARD_SQL),
+    "doc_minhash_dedup_pairs": (doc_minhash_dedup_pairs, None),
+    "doc_simhash_pairs": (doc_simhash_pairs, None),
+}

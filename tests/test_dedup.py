@@ -1,0 +1,86 @@
+"""Dedup-operator tests: planted near-dups, MinHash/SimHash recall
+against exact-Jaccard ground truth."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from netcdf_olap_spark.operators import dedup
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "on the warm windowsill in the afternoon sun near the garden"
+)
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """12 docs: 0/1 near-identical, 2/3 near-identical, rest random-ish
+    distinct word soup."""
+    rows = [
+        (0, BASE),
+        (1, BASE.replace("lazy", "sleepy")),  # 1-token change → high jaccard
+        (2, BASE.replace("afternoon sun", "morning light")),
+        (3, BASE.replace("afternoon sun", "morning light").replace("quick", "swift")),
+        (4, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+        (5, "completely different words about spark clusters and shuffle partitions here"),
+        (6, "yet another unrelated document discussing parquet row groups and stats"),
+        (7, "one more distinct text with vectors embeddings and cosine distances"),
+        (8, "final filler document mentioning histograms quantiles and color ramps"),
+        (9, "grid cells latitudes longitudes and polygon masks for climate data"),
+        (10, "tokenizer stopwords fingerprints and rolling hashes for documents"),
+        (11, "watermarks sessions tumbling windows and late arriving events stream"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _pairs(df):
+    return {(r.id1, r.id2) for r in df.collect()}
+
+
+def test_exact_dedup_keeper(spark, planted):
+    dup = planted.union(planted.where(F.col("doc_id") == 0).select(F.lit(99).alias("doc_id"), "text"))
+    out = dedup.exact_dedup(dup).collect()
+    groups = {r.keeper_id: r.n_copies for r in out}
+    assert groups[0] == 2  # doc 99 deduped into keeper 0
+    assert sum(groups.values()) == 13
+
+
+def test_jaccard_finds_planted(spark, planted):
+    got = _pairs(dedup.jaccard_pairs(planted, threshold=0.5, n=3))
+    assert (0, 1) in got
+    assert (2, 3) in got
+    assert all(p in {(0, 1), (2, 3), (0, 2), (1, 3), (0, 3), (1, 2)} for p in got)
+
+
+def test_minhash_lsh_recall(spark, planted):
+    truth = _pairs(dedup.jaccard_pairs(planted, threshold=0.5, n=3))
+    got = _pairs(dedup.minhash_lsh_pairs(planted, k=32, bands=16, verify_threshold=0.5))
+    # verified output is a subset of truth (precision 1.0)…
+    assert got <= truth
+    # …and banding at r=2 catches these high-jaccard pairs
+    assert (0, 1) in got and (2, 3) in got
+
+
+def test_minhash_matches_bruteforce_on_documents(spark):
+    """On the driver's documents table, LSH+verify output must be a
+    subset of brute-force pairs at the same threshold, with recall
+    ≥ the planted expectation for r=2 banding."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    truth = _pairs(dedup.jaccard_pairs(docs, threshold=0.12, n=3))
+    got = _pairs(dedup.minhash_lsh_pairs(docs, k=32, bands=16, verify_threshold=0.12))
+    assert got <= truth
+
+
+def test_simhash_finds_planted(spark, planted):
+    # planted pair distances are ≤ 6 → inside the d≤7 recall guarantee
+    got = _pairs(dedup.simhash_pairs(planted, max_hamming=7))
+    assert (0, 1) in got
+    assert (2, 3) in got
+
+
+def test_simhash_signature_deterministic(spark, planted):
+    a = {r.id: r.simhash for r in dedup.simhash_signatures(planted).collect()}
+    b = {r.id: r.simhash for r in dedup.simhash_signatures(planted).collect()}
+    assert a == b

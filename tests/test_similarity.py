@@ -1,0 +1,76 @@
+"""Similarity-search tests: LSH vs brute-force recall, centroid
+sanity, aggregate-sketch accuracy (SURVEY.md §5.5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from netcdf_olap_spark.operators import aggregates, similarity
+
+SF = "/root/testdata/sf0.01"
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_knn_brute_self_similarity(spark):
+    e = _emb(spark)
+    q = [r[0] for r in e.where(F.col("vec_id") == 3).select(F.explode("embedding")).collect()]
+    top = similarity.knn_brute(e, q, k=1).collect()[0]
+    assert top.vec_id == 3
+    assert abs(top.cos_sim - 1.0) < 1e-9
+
+
+def test_knn_lsh_subset_of_brute(spark):
+    """LSH results are genuine cosine scores; every returned id must
+    appear in the brute-force ranking with the same score."""
+    e = _emb(spark)
+    q = [r[0] for r in e.where(F.col("vec_id") == 0).select(F.explode("embedding")).collect()]
+    corpus = e.where(F.col("vec_id") != 0)
+    brute = {r.vec_id: r.cos_sim for r in similarity.knn_brute(corpus, q, k=500).collect()}
+    lsh = similarity.knn_lsh(corpus, q, k=10, n_planes=8).collect()
+    assert len(lsh) >= 1
+    for r in lsh:
+        assert abs(brute[r.vec_id] - r.cos_sim) < 1e-12
+
+
+def test_lsh_bucket_prunes(spark):
+    """The probed bucket must be a strict subset of the corpus —
+    that's the entire point of the index."""
+    e = _emb(spark)
+    planes = similarity._planes(8, 64)
+    bucketed = e.withColumn("b", similarity.lsh_bucket_col(F.col("embedding"), planes))
+    counts = bucketed.groupBy("b").count().collect()
+    assert len(counts) > 10  # spread across many buckets
+    assert max(c["count"] for c in counts) < e.count()
+
+
+def test_centroid_norms_reasonable(spark):
+    e = _emb(spark)
+    cent = (
+        e.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.avg("val").alias("c"))
+    )
+    assert cent.count() == e.select("label").distinct().count() * 64
+
+
+def test_approx_quantile_within_error(spark):
+    """A1/A2: percentile_approx (the StreamingHistogram analog) within
+    sketch error of exact percentile."""
+    from netcdf_olap_spark.session import load_grid
+
+    g = load_grid(spark, register=False).where(F.col("value").isNotNull())
+    approx = g.agg(F.percentile_approx("value", 0.5, 10000).alias("m")).collect()[0].m
+    exact = g.agg(F.percentile("value", 0.5).alias("m")).collect()[0].m
+    assert abs(approx - exact) < 0.05  # generous vs value range ~30
+
+
+def test_histogram_total_equals_rows(spark):
+    from netcdf_olap_spark.session import load_grid
+
+    g = load_grid(spark, register=False)
+    h = aggregates.histogram(g, width=2.0, group_cols=["variable"])
+    total = h.agg(F.sum("cnt")).collect()[0][0]
+    assert total == g.where(F.col("value").isNotNull()).count()
