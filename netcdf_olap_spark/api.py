@@ -1,0 +1,104 @@
+"""HTTP API layer — the reference's Flask surface, engine-direct.
+
+Same routes and payloads as the reference server (main.py):
+
+- ``GET /getBoundary`` → dataset boundary bbox (main.py:93-96; the
+  reference hardcodes the Great Lakes bbox — we compute it from the
+  coords table, once, at app startup).
+- ``POST /fetchResult`` with JSON ``{geoJson, selectDate, variables}``
+  (main.py:22-24 / map.jsx:117-121) → ``application/zip`` of one PNG
+  per variable named ``gddp<var><start>-<end>.png`` (main.py:113-127).
+
+Differences by design (SURVEY.md §3.4): one long-lived SparkSession
+instead of a spark-submit subprocess per query (main.py:106-110), the
+polygon travels in-memory instead of through a geojson.json file on
+disk, and errors return proper JSON + status codes instead of the
+reference's ``'{message: "Server Error"}'`` string (main.py:131-132).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import zipfile
+
+from netcdf_olap_spark.operators.spatial import parse_geojson_polygon
+from netcdf_olap_spark.plans import CubeQuery
+from netcdf_olap_spark.session import get_spark, load_coords, load_grid
+from netcdf_olap_spark.sinks import png_filename, render_png
+
+
+def parse_query_payload(payload: dict) -> CubeQuery:
+    """JSON request → CubeQuery descriptor (the parse_json stage of
+    main.py:21-89, minus the disk round-trip)."""
+    date = payload.get("selectDate")
+    if isinstance(date, str):
+        parts = [p.strip() for p in date.split(",")]
+    else:
+        parts = list(date or [])
+    if len(parts) != 2 or not all(parts):
+        raise ValueError("selectDate must be 'start,end' or [start, end]")
+    variables = payload.get("variables") or []
+    if isinstance(variables, str):
+        variables = [v for v in variables.split(",") if v]
+    if not variables:
+        raise ValueError("variables must be non-empty")
+    polygon = None
+    geo = payload.get("geoJson")
+    if geo:
+        polygon = parse_geojson_polygon(geo if isinstance(geo, str) else json.dumps(geo))
+    return CubeQuery(start_date=parts[0], end_date=parts[1], variables=variables, polygon=polygon)
+
+
+def result_zip(spark, q: CubeQuery) -> bytes:
+    """Run the query and pack one PNG per variable into a zip
+    (in-memory twin of main.py:113-126)."""
+    rendered = render_png(q.apply(load_grid(spark, register=False)))
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        for row in rendered.collect():
+            z.writestr(png_filename(row.variable, q.start_date, q.end_date), bytes(row.png))
+    return buf.getvalue()
+
+
+def create_app(spark=None):
+    """Flask app factory. ``spark`` injectable for tests."""
+    from flask import Flask, jsonify, request, send_file
+
+    app = Flask("netcdf-olap-spark")
+    spark = spark or get_spark("api")
+
+    coords = load_coords(spark, register=False)
+    row = coords.selectExpr(
+        "min(lat) AS lat_min", "max(lat) AS lat_max", "min(lon) AS lon_min", "max(lon) AS lon_max"
+    ).collect()[0]
+    boundary = {
+        "lat_min": row.lat_min,
+        "lat_max": row.lat_max,
+        "lon_min": row.lon_min,
+        "lon_max": row.lon_max,
+    }
+
+    @app.get("/getBoundary")
+    def get_boundary():
+        return jsonify(boundary)
+
+    @app.post("/fetchResult")
+    def fetch_result():
+        try:
+            q = parse_query_payload(request.get_json(force=True) or {})
+        except (ValueError, KeyError, TypeError) as ex:
+            return jsonify({"message": f"bad request: {ex}"}), 400
+        data = result_zip(spark, q)
+        return send_file(
+            io.BytesIO(data),
+            mimetype="application/zip",
+            as_attachment=True,
+            download_name="result.zip",
+        )
+
+    return app
+
+
+if __name__ == "__main__":
+    create_app().run(host="127.0.0.1", port=5000)

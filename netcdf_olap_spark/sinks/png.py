@@ -1,0 +1,160 @@
+"""PNG render sink (SURVEY.md §2.1 S8).
+
+The reference masks a GeoTrellis tile to the query polygon, colors it
+with quantile breaks, and writes ``gddp<variable><start>-<end>.png``
+(Gddp.scala:230-236; filename contract shared with main.py:118). Here:
+
+- the *engine-internal* representation stays a long DataFrame — the
+  dense 2-D tile exists only inside this sink's ``applyInPandas``
+  batches (SURVEY §1.3 "tile only at the sink");
+- one group = one (variable) image → groups are small (H×W cells),
+  Arrow-batched, rendered in parallel per variable;
+- color mapping uses per-slice quantile breaks computed from the
+  group's own values (the reference's per-slice choice,
+  Gddp.scala:193-203 — "different areas will have different color
+  mappings"); masked / NODATA cells render transparent, the
+  ``FloatUserDefinedNoDataCellType`` analog;
+- the PNG bytes are produced by a dependency-free encoder (zlib +
+  struct, RGBA, 8-bit) since PIL/matplotlib aren't assumed;
+- vertical flip at render time only — the long format is
+  orientation-free, so the reference's ``rotate180.flipVertical``
+  fixup (README.md:82) is isolated here.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+RENDER_SCHEMA = StructType(
+    [
+        StructField("variable", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_cells", IntegerType()),
+        StructField("n_valid", IntegerType()),
+        StructField("png", BinaryType()),
+    ]
+)
+
+
+def png_filename(variable: str, start_date: str, end_date: str, prefix: str = "gddp") -> str:
+    """The reference's filename contract (Gddp.scala:236 /
+    main.py:118): ``gddp<variable><start>-<end>.png``."""
+    return f"{prefix}{variable}{start_date}-{end_date}.png"
+
+
+def render_png(df: DataFrame, n_breaks: int = 16) -> DataFrame:
+    """Render one PNG per variable from a long (variable, y, x, value)
+    DataFrame (already sliced/masked upstream). Returns a small
+    DataFrame of image artifacts — pure, no side effects.
+
+    The worker function is a self-contained closure (own PNG encoder,
+    no package imports) so executors need nothing on PYTHONPATH.
+    """
+
+    def _render(pdf):
+        import struct
+        import zlib
+
+        import numpy as np
+        import pandas as pd
+
+        def encode_png(rgba: "np.ndarray") -> bytes:
+            """Minimal RGBA8 PNG encoder (no deps)."""
+            h, w, _ = rgba.shape
+            raw = b"".join(b"\x00" + rgba[r].tobytes() for r in range(h))
+
+            def chunk(tag: bytes, payload: bytes) -> bytes:
+                return (
+                    struct.pack(">I", len(payload))
+                    + tag
+                    + payload
+                    + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+                )
+
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)  # 8-bit RGBA
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw, 6))
+                + chunk(b"IEND", b"")
+            )
+
+        variable = str(pdf["variable"].iloc[0])
+        ys = pdf["y"].to_numpy()
+        xs = pdf["x"].to_numpy()
+        vals = pdf["value"].to_numpy(dtype=np.float64)
+        y0, y1 = int(ys.min()), int(ys.max())
+        x0, x1 = int(xs.min()), int(xs.max())
+        h, w = y1 - y0 + 1, x1 - x0 + 1
+
+        tile = np.full((h, w), np.nan)
+        # average duplicate (y, x) cells (multiple timesteps per cell)
+        with np.errstate(invalid="ignore"):
+            sums = np.zeros((h, w))
+            cnts = np.zeros((h, w))
+            valid = ~np.isnan(vals)
+            np.add.at(sums, (ys[valid] - y0, xs[valid] - x0), vals[valid])
+            np.add.at(cnts, (ys[valid] - y0, xs[valid] - x0), 1)
+            tile = np.where(cnts > 0, sums / np.maximum(cnts, 1), np.nan)
+
+        finite = tile[~np.isnan(tile)]
+        rgba = np.zeros((h, w, 4), dtype=np.uint8)
+        if finite.size:
+            # per-slice quantile breaks (Gddp.scala:193-203 behavior)
+            breaks = np.quantile(finite, np.linspace(0, 1, n_breaks + 1)[1:])
+            klass = np.searchsorted(breaks, np.nan_to_num(tile, nan=0.0))
+            t = klass.astype(np.float64) / max(n_breaks - 1, 1)
+            # blue→red ramp
+            rgba[..., 0] = (255 * t).astype(np.uint8)
+            rgba[..., 2] = (255 * (1 - t)).astype(np.uint8)
+            rgba[..., 1] = (64 * np.sin(np.pi * t)).astype(np.uint8)
+            rgba[..., 3] = np.where(np.isnan(tile), 0, 255).astype(np.uint8)
+
+        rgba = rgba[::-1]  # vertical flip: row 0 = north (README.md:82 fixup)
+        return pd.DataFrame(
+            [
+                {
+                    "variable": variable,
+                    "width": w,
+                    "height": h,
+                    "n_cells": int(h * w),
+                    "n_valid": int(finite.size),
+                    "png": encode_png(np.ascontiguousarray(rgba)),
+                }
+            ]
+        )
+
+    return (
+        df.select("variable", "y", "x", "value")
+        .groupBy("variable")
+        .applyInPandas(_render, RENDER_SCHEMA)
+    )
+
+
+def save_pngs(
+    rendered: DataFrame, out_dir: str, start_date: str, end_date: str, prefix: str = "gddp"
+) -> list[str]:
+    """Materialize rendered images to files with the reference's
+    filename contract. The artifact rows are tiny (one per variable) —
+    collecting them is a sink action, not a driver-side loop over
+    data."""
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for row in rendered.collect():
+        p = os.path.join(out_dir, png_filename(row.variable, start_date, end_date, prefix))
+        with open(p, "wb") as f:
+            f.write(bytes(row.png))
+        paths.append(p)
+    return paths

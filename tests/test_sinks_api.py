@@ -1,0 +1,115 @@
+"""PNG sink + HTTP API tests (golden-artifact style, FIXTURES.md §5:
+dimensions + masked-cell counts, not byte equality)."""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+import zipfile
+import zlib
+
+import pytest
+
+from netcdf_olap_spark.plans import CubeQuery
+from netcdf_olap_spark.queries.grid import POLYGON
+from netcdf_olap_spark.session import load_grid
+from netcdf_olap_spark.sinks import png_filename, render_png
+
+
+def _png_size(data: bytes) -> tuple[int, int]:
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    w, h = struct.unpack(">II", data[16:24])
+    return w, h
+
+
+def _png_alpha_zero_count(data: bytes) -> int:
+    """Decode our own RGBA PNG (filter 0 rows) and count transparent
+    pixels."""
+    w, h = _png_size(data)
+    idat = b""
+    off = 8
+    while off < len(data):
+        (ln,) = struct.unpack(">I", data[off : off + 4])
+        tag = data[off + 4 : off + 8]
+        if tag == b"IDAT":
+            idat += data[off + 8 : off + 8 + ln]
+        off += 12 + ln
+    raw = zlib.decompress(idat)
+    n_zero = 0
+    stride = w * 4 + 1
+    for r in range(h):
+        row = raw[r * stride : (r + 1) * stride]
+        assert row[0] == 0  # filter byte
+        n_zero += sum(1 for i in range(1, len(row), 4) if row[i + 3] == 0)
+    return n_zero
+
+
+@pytest.fixture(scope="module")
+def query():
+    return CubeQuery(
+        start_date="1990-01-05",
+        end_date="1990-01-20",
+        variables=["LST_LWST_avg_daily", "avg_night_temp"],
+        polygon=POLYGON,
+    )
+
+
+def test_render_png_dimensions_and_mask(spark, query):
+    rendered = {r.variable: r for r in render_png(query.apply(load_grid(spark, register=False))).collect()}
+    assert set(rendered) == set(query.variables)
+    for var, row in rendered.items():
+        w, h = _png_size(bytes(row.png))
+        assert (w, h) == (row.width, row.height)
+        assert 0 < row.n_valid <= row.n_cells
+        # polygon-masked corners → some transparent pixels, not all
+        n_transparent = _png_alpha_zero_count(bytes(row.png))
+        assert 0 < n_transparent < w * h
+
+
+def test_render_to_files(spark, query, tmp_path):
+    paths = query.render(load_grid(spark, register=False), str(tmp_path))
+    assert sorted(p.split("/")[-1] for p in paths) == sorted(
+        png_filename(v, query.start_date, query.end_date) for v in query.variables
+    )
+
+
+def test_api_fetch_result_roundtrip(spark):
+    """Drive the real HTTP surface: POST the reference payload shape,
+    get a zip of PNGs back."""
+    from netcdf_olap_spark.api import create_app
+
+    app = create_app(spark)
+    client = app.test_client()
+
+    r = client.get("/getBoundary")
+    assert r.status_code == 200
+    b = r.get_json()
+    assert b["lat_min"] < b["lat_max"] and b["lon_min"] < b["lon_max"]
+
+    payload = {
+        "selectDate": "1990-01-05,1990-01-12",
+        "variables": ["LST_LWST_avg_daily"],
+        "geoJson": {
+            "type": "Feature",
+            "geometry": {"type": "Polygon", "coordinates": [[list(p) for p in POLYGON]]},
+        },
+    }
+    r = client.post("/fetchResult", data=json.dumps(payload), content_type="application/json")
+    assert r.status_code == 200
+    assert r.mimetype == "application/zip"
+    with zipfile.ZipFile(io.BytesIO(r.data)) as z:
+        names = z.namelist()
+        assert names == ["gddpLST_LWST_avg_daily1990-01-05-1990-01-12.png"]
+        w, h = _png_size(z.read(names[0]))
+        assert w > 0 and h > 0
+
+
+def test_api_bad_request(spark):
+    from netcdf_olap_spark.api import create_app
+
+    app = create_app(spark)
+    client = app.test_client()
+    r = client.post("/fetchResult", data=json.dumps({"selectDate": ""}), content_type="application/json")
+    assert r.status_code == 400
+    assert "bad request" in r.get_json()["message"]
