@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from netcdf_olap_spark.operators.text import fingerprint, shingles
+from netcdf_olap_spark.operators.text import fingerprint, shingles_from_tokens, tokens
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -45,9 +45,12 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 def _shingle_index(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, shingle) inverted index, one row per distinct shingle per
-    doc."""
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(shingles(text_col, n))).alias("sh"))
+    doc. Tokenization is materialized in its own projection so the
+    shingle lambda slices a computed array instead of re-running
+    split+filter per shingle position (O(tokens) vs O(tokens²))."""
+    toks = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("t"))
+    return toks.select(
+        "id", F.explode(F.array_distinct(shingles_from_tokens(F.col("t"), n))).alias("sh")
     )
 
 
@@ -105,11 +108,14 @@ def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 32, n: int = 3
 ) -> DataFrame:
     """k MinHash values per doc: min over shingles of
-    xxhash64(seed_i, shingle). One explode + one groupBy — the
+    xxhash64(seed_i, xxhash64(shingle)). The variable-length shingle
+    string is hashed ONCE; the k "permutations" re-hash the resulting
+    fixed 8-byte long — ~k× less string-hashing work in the hot loop
+    for identical collision behavior. One explode + one groupBy — the
     partial min runs map-side, so shuffle volume is k longs per doc
     regardless of doc length."""
-    idx = _shingle_index(df, id_col, text_col, n)
-    aggs = [F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}") for i in range(k)]
+    idx = _shingle_index(df, id_col, text_col, n).withColumn("h0_", F.xxhash64(F.col("sh")))
+    aggs = [F.min(F.xxhash64(F.lit(i), F.col("h0_"))).alias(f"h{i}") for i in range(k)]
     return idx.groupBy("id").agg(*aggs)
 
 
@@ -154,9 +160,12 @@ def minhash_lsh_pairs(
         return cand
 
     # Exact-verify candidates: compute shared-shingle counts only for
-    # docs appearing in any candidate pair.
+    # docs appearing in any candidate pair. The semi-join runs BEFORE
+    # shingling so non-candidate docs are never exploded (Catalyst
+    # won't push a semi-join below a Generate on its own).
     ids = cand.select(F.col("id1").alias("id")).union(cand.select("id2")).distinct()
-    idx = _shingle_index(df, id_col, text_col, n).join(F.broadcast(ids), "id", "left_semi")
+    docs_cand = df.join(F.broadcast(ids.withColumnRenamed("id", id_col)), id_col, "left_semi")
+    idx = _shingle_index(docs_cand, id_col, text_col, n)
     sizes = idx.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     ai, bi_ = idx.alias("ai"), idx.alias("bi")
     shared = (

@@ -35,16 +35,27 @@ def token_count(col: Column | str = "text") -> Column:
     return F.size(tokens(col))
 
 
-def shingles(col: Column | str = "text", n: int = 3) -> Column:
-    """Word n-gram shingles as an array<string> — built natively with
-    transform+sequence+slice (no UDF): shingle i = tokens[i..i+n-1]
-    joined by spaces. Docs shorter than n tokens → empty array."""
-    t = tokens(col)
+def shingles_from_tokens(t: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from an already-materialized token array
+    column: shingle i = t[i..i+n-1] joined by spaces. ``t`` MUST be a
+    plain column reference (not the ``tokens()`` expression tree):
+    referenced inside the ``transform`` lambda, an inlined
+    split+filter would re-tokenize the whole document once per
+    shingle position — O(tokens²) per doc."""
     sh = F.transform(
         F.sequence(F.lit(1), F.size(t) - (n - 1)),
         lambda i: F.concat_ws(" ", F.slice(t, i, n)),
     )
     return F.when(F.size(t) >= n, sh).otherwise(F.array().cast("array<string>"))
+
+
+def shingles(col: Column | str = "text", n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string> — built natively with
+    transform+sequence+slice (no UDF). Docs shorter than n tokens →
+    empty array. For hot paths prefer materializing ``tokens()`` in
+    its own projection and calling ``shingles_from_tokens`` (see
+    dedup._shingle_index)."""
+    return shingles_from_tokens(tokens(col), n)
 
 
 def stopword_count(col: Column | str = "text", stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
