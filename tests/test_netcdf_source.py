@@ -1,0 +1,130 @@
+"""NetCDF ingest source (sources/netcdf.py): the two semantic traps
+(1990-epoch time decode Gddp.scala:126, fill→NULL Gddp.scala:188-191),
+the distributed binaryFile+mapInPandas plumbing, the partitioned
+Parquet layout's pruning, and the metadata catalog's closed-interval
+overlap test (Gddp.scala:132-133)."""
+
+from __future__ import annotations
+
+import io
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from netcdf_olap_spark.sources import netcdf as src
+
+NT, NY, NX = 4, 5, 6
+FILL = -9999.0
+
+
+def _cube(seed: int = 7):
+    rng = np.random.default_rng(seed)
+    data = rng.normal(280.0, 5.0, (NT, NY, NX))
+    data[0, 0, 0] = FILL
+    data[2, 3, 4] = FILL
+    time_hours = np.arange(NT) * 24  # daily, hours since 1990
+    yy, xx = np.meshgrid(np.arange(NY), np.arange(NX), indexing="ij")
+    lat = 42.0 + 0.1 * yy + 0.01 * xx
+    lon = -84.0 + 0.1 * xx + 0.01 * yy
+    return data, time_hours, lat, lon
+
+
+def _npz_bytes(data, time_hours, lat, lon, var="tas") -> bytes:
+    buf = io.BytesIO()
+    np.savez(buf, time=time_hours, lat=lat, lon=lon, **{var: data, f"fill__{var}": np.float64(FILL)})
+    return buf.getvalue()
+
+
+def test_cube_to_df_time_decode_and_fill(spark):
+    data, time_hours, lat, lon = _cube()
+    df = src.cube_to_df(spark, "d1", "tas", data, time_hours, lat, lon, fill_value=FILL)
+
+    assert df.count() == NT * NY * NX
+    assert df.where(F.col("value").isNull()).count() == 2
+
+    # hours-since-1990 decode: hour 24 == 1990-01-02T00:00 (Gddp.scala:126-129)
+    t = sorted(r[0] for r in df.select("time").distinct().collect())
+    assert t[0].isoformat() == "1990-01-01T00:00:00"
+    assert t[1].isoformat() == "1990-01-02T00:00:00"
+
+    # curvilinear coords land on the right cells
+    row = df.where((F.col("y") == 3) & (F.col("x") == 4)).select("lat", "lon").first()
+    assert row["lat"] == pytest.approx(42.0 + 0.3 + 0.04)
+    assert row["lon"] == pytest.approx(-84.0 + 0.4 + 0.03)
+
+    # non-fill values survive exactly
+    got = (
+        df.where((F.col("y") == 1) & (F.col("x") == 2))
+        .orderBy("time")
+        .select("value")
+        .collect()
+    )
+    assert [r[0] for r in got] == pytest.approx(list(data[:, 1, 2]))
+
+
+def test_ingest_directory_distributed(spark, tmp_path):
+    """Two fake cube files through the real binaryFile+mapInPandas
+    path == union of the driver-side conversions."""
+    d1, th, lat, lon = _cube(1)
+    d2, _, _, _ = _cube(2)
+    (tmp_path / "a.npz").write_bytes(_npz_bytes(d1, th, lat, lon))
+    (tmp_path / "b.npz").write_bytes(_npz_bytes(d2, th + NT * 24, lat, lon))
+
+    df = src.ingest_directory(
+        spark, str(tmp_path), ds="d1", pattern="*.npz", decoder=src.npz_decoder
+    )
+    assert df.count() == 2 * NT * NY * NX
+    assert df.schema == src.GRID_SCHEMA
+    # file 2's time axis is shifted: distinct timestamps = 2*NT
+    assert df.select("time").distinct().count() == 2 * NT
+    assert df.where(F.col("value").isNull()).count() == 4
+
+
+def test_ingest_directory_requires_decoder(spark, tmp_path):
+    if src._netcdf4_available():
+        pytest.skip("netCDF4 installed; gate not reachable")
+    with pytest.raises(RuntimeError, match="netCDF4"):
+        src.ingest_directory(spark, str(tmp_path), ds="d1")
+
+
+def test_partitioned_roundtrip_and_pruning(spark, tmp_path):
+    data, th, lat, lon = _cube()
+    df = src.cube_to_df(spark, "d1", "tas", data, th, lat, lon, fill_value=FILL)
+    out = os.path.join(str(tmp_path), "cube")
+    src.write_cube_parquet(df, out)
+
+    back = src.read_cube_parquet(spark, out)
+    assert back.count() == NT * NY * NX
+    assert [f.name for f in back.schema.fields] == [f.name for f in src.GRID_SCHEMA.fields]
+
+    # date-derived partition column prunes the scan (the relational
+    # replacement of per-file time pruning, Gddp.scala:132-133)
+    day2 = back.where(F.to_date("time") == "1990-01-02")
+    assert day2.count() == NY * NX
+    plan = day2._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
+def test_catalog_and_overlap(spark):
+    data, th, lat, lon = _cube()
+    a = src.cube_to_df(spark, "d1", "tas", data, th, lat, lon, FILL)
+    b = src.cube_to_df(spark, "d1", "pr", data, th + 10 * 24, lat, lon, FILL)
+    cat = src.cube_catalog(a.unionByName(b))
+
+    rows = {r["variable"]: r for r in cat.collect()}
+    assert rows["tas"]["time_min"].isoformat() == "1990-01-01T00:00:00"
+    assert rows["tas"]["time_max"].isoformat() == "1990-01-04T00:00:00"
+    assert rows["tas"]["n_rows"] == NT * NY * NX
+    assert rows["tas"]["n_values"] == NT * NY * NX - 2
+
+    # closed-interval overlap (Gddp.scala:132-133): the request
+    # [1990-01-04, 1990-01-05] touches tas's last day but not pr
+    # (starts 01-11); [1990-01-11, ...] touches only pr.
+    hit = {r["variable"] for r in src.overlapping_variables(cat, "1990-01-04", "1990-01-05").collect()}
+    assert hit == {"tas"}
+    hit = {r["variable"] for r in src.overlapping_variables(cat, "1990-01-11", "1990-01-12").collect()}
+    assert hit == {"pr"}
+    hit = {r["variable"] for r in src.overlapping_variables(cat, "1990-01-01", "1990-01-20").collect()}
+    assert hit == {"tas", "pr"}
