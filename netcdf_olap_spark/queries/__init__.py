@@ -28,10 +28,11 @@ from netcdf_olap_spark.queries import relational as _relational
 from netcdf_olap_spark.queries import text as _text
 from netcdf_olap_spark.queries import similarity as _similarity
 from netcdf_olap_spark.queries import events as _events
+from netcdf_olap_spark.queries import streaming as _streaming
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-_MODULES = (_grid, _relational, _text, _similarity, _events)
+_MODULES = (_grid, _relational, _text, _similarity, _events, _streaming)
 
 
 def all_queries() -> dict[str, QueryFn]:

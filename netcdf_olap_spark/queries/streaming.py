@@ -1,0 +1,80 @@
+"""Streaming queries for the driver registry.
+
+Each entry stages the sf's events table into time-ordered parquet
+micro-batch files, runs the REAL Structured Streaming pipeline
+(readStream → watermark → stateful op → memory sink, availableNow),
+and returns the drained sink. Rows-only checks: seeded micro-batching
+and watermark state aren't SQL-expressible, but batch equivalence is
+proven in tests/test_streaming.py against the oracle-checked batch
+twins (queries/events.py).
+
+Output timestamps are emitted as integer microseconds (``unix_micros``
+of window bounds over a ts derived from the nanos-integer column) —
+window() bucket alignment is session-timezone-dependent for odd-offset
+zones, so the checked surface sticks to integers like queries/events.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from netcdf_olap_spark.session import load_events
+from netcdf_olap_spark.streaming import ops
+from netcdf_olap_spark.streaming.runner import events_file_stream, run_to_memory, stage_event_files
+from netcdf_olap_spark.streaming.stateful import running_user_totals
+
+
+def _staged_stream(spark: SparkSession, sf_dir: str, n_files: int = 4) -> tuple[DataFrame, str]:
+    directory = tempfile.mkdtemp(prefix="noss_stream_")
+    batch = load_events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    stage_event_files(batch, directory, n_files=n_files)
+    return events_file_stream(spark, directory), directory
+
+
+def stream_tumbling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute event-time windows computed by a real
+    micro-batched stream with a 30-minute watermark."""
+    stream, directory = _staged_stream(spark, sf_dir)
+    try:
+        out = run_to_memory(ops.tumbling_stats(stream, watermark="30 minutes"), "complete")
+        return (
+            out.select(
+                F.unix_micros("win_start").alias("win_start_us"),
+                "event_type",
+                "n_events",
+                "sum_value",
+            )
+            .orderBy("win_start_us", "event_type")
+            .localCheckpoint()  # materialize before the staging dir is removed
+        )
+    finally:
+        shutil.rmtree(directory, ignore_errors=True)
+
+
+def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): final
+    per-user running totals after replaying all micro-batches."""
+    stream, directory = _staged_stream(spark, sf_dir)
+    try:
+        out = run_to_memory(running_user_totals(stream), "update")
+        final = (
+            out.groupBy("user_id")
+            .agg(F.max(F.struct("n_events", "sum_value")).alias("s"))
+            .select("user_id", F.col("s.n_events").alias("n_events"))
+        )
+        return final.orderBy("user_id").localCheckpoint()
+    finally:
+        shutil.rmtree(directory, ignore_errors=True)
+
+
+QUERIES = {
+    "stream_tumbling_stats": (stream_tumbling_stats, None),
+    "stream_running_totals": (stream_running_totals, None),
+}

@@ -1,0 +1,96 @@
+"""Source-agnostic event-time transformations.
+
+Each function takes any events-shaped DataFrame — batch
+(``spark.read``) or streaming (``spark.readStream``) — with columns
+``(event_id, ts: timestamp, user_id, event_type, value)`` and returns
+the transformed DataFrame. Batch twins with DuckDB oracles live in
+queries/events.py (integer-µs bucket math); these are the
+Spark-native ``window``/``session_window`` forms, equal modulo
+representation (window struct vs µs bucket start) — proven equal in
+tests/test_streaming.py.
+
+Watermarks: callers pass ``watermark=None`` for batch runs (a
+watermark on a batch DataFrame is legal but pointless) or e.g.
+``"30 minutes"`` on streams — late rows beyond it are dropped from
+windowed state, bounding state size on an unbounded stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _maybe_watermark(df: DataFrame, watermark: str | None) -> DataFrame:
+    return df.withWatermark("ts", watermark) if watermark else df
+
+
+def tumbling_stats(df: DataFrame, size: str = "10 minutes", watermark: str | None = None) -> DataFrame:
+    """Tumbling event-time windows: count + sum(value) per
+    (window, event_type). Exact count-distinct is unsupported in
+    streaming aggs, so user reach is approx_count_distinct (the same
+    mergeable-sketch tradeoff the reference makes for its histogram,
+    Gddp.scala:230)."""
+    return (
+        _maybe_watermark(df, watermark)
+        .groupBy(F.window("ts", size).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "approx_users",
+        )
+    )
+
+
+def sliding_counts(
+    df: DataFrame,
+    size: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Sliding windows: every event lands in size/slide windows."""
+    return (
+        _maybe_watermark(df, watermark)
+        .groupBy(F.window("ts", size, slide).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n_events")
+    )
+
+
+def session_stats(df: DataFrame, gap: str = "30 minutes", watermark: str | None = None) -> DataFrame:
+    """Per-user session windows (a >gap silence closes the session) —
+    the built-in ``session_window`` form of the gaps-and-islands query
+    (queries/events.py ev_sessionize)."""
+    return (
+        _maybe_watermark(df, watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .select("user_id", "first_ts", "last_ts", "n_events")
+    )
+
+
+def keyed_dedup(df: DataFrame, watermark: str | None = None) -> DataFrame:
+    """First-arrival dedup per (user_id, event_type).
+
+    Streaming: ``dropDuplicatesWithinWatermark`` keeps per-key state
+    only until the watermark passes — bounded state, the
+    production-shape dedup for unbounded streams (batch twin:
+    queries/events.py ev_dedup_first, which is deterministic min-by
+    instead of arrival-order)."""
+    if watermark:
+        return df.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["user_id", "event_type"]
+        )
+    return df.dropDuplicates(["user_id", "event_type"])

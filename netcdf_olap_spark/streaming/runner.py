@@ -1,0 +1,89 @@
+"""Stream construction + micro-batch execution helpers.
+
+The file source is the cluster-shape stand-in for Kafka here: each
+parquet file is a micro-batch unit (``maxFilesPerTrigger=1`` →
+watermark advances between batches, which is what makes late-data
+semantics observable in tests). ``run_to_memory`` drives a stream to
+completion with ``trigger(availableNow=True)`` — process everything
+pending, then stop — and returns the collected sink table.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def events_file_stream(
+    spark: SparkSession, directory: str, max_files_per_trigger: int | None = 1
+) -> DataFrame:
+    """readStream over a directory of events parquet files (file
+    source requires a user schema — schema inference on an unbounded
+    source is a foot-gun Spark rightly disables by default)."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(directory)
+
+
+def stage_event_files(df: DataFrame, directory: str, n_files: int, order_col: str = "ts") -> list[str]:
+    """Split a batch events DataFrame into ``n_files`` parquet files in
+    time order (file i = i-th time-range slice) so the file stream
+    replays them as in-order micro-batches. Returns the file paths in
+    replay order (mtimes are staggered — the file source orders by
+    modification time)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(directory, exist_ok=True)
+    pdf = df.toPandas().sort_values([order_col, "event_id"]).reset_index(drop=True)
+    n = len(pdf)
+    paths = []
+    for i in range(n_files):
+        chunk = pdf.iloc[i * n // n_files : (i + 1) * n // n_files]
+        path = os.path.join(directory, f"part-{i:04d}.parquet")
+        # coerce to µs: pandas defaults to ns timestamps, which Spark's
+        # vectorized reader refuses against a TimestampType schema
+        pq.write_table(
+            pa.Table.from_pandas(chunk, preserve_index=False), path, coerce_timestamps="us"
+        )
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+        paths.append(path)
+    return paths
+
+
+def run_to_memory(stream_df: DataFrame, output_mode: str = "append") -> DataFrame:
+    """Execute a streaming DataFrame with availableNow + a memory sink;
+    block until drained; return the sink contents as a batch
+    DataFrame."""
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)

@@ -1,0 +1,204 @@
+"""Structured Streaming (netcdf_olap_spark/streaming/): every op is a
+source-agnostic transformation, so each streaming run (file source →
+micro-batches → memory sink) must equal the same transformation
+applied to the batch read of the same rows — plus watermark
+late-data-drop semantics and applyInPandasWithState state carryover.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from netcdf_olap_spark.session import load_events
+from netcdf_olap_spark.streaming import ops
+from netcdf_olap_spark.streaming.runner import (
+    EVENTS_SCHEMA,
+    events_file_stream,
+    run_to_memory,
+    stage_event_files,
+)
+from netcdf_olap_spark.streaming.stateful import running_user_totals
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def staged(spark, tmp_path_factory):
+    """events@sf0.001 split into 4 in-time-order parquet files, so the
+    file stream replays them as ordered micro-batches."""
+    directory = str(tmp_path_factory.mktemp("evstream"))
+    batch = load_events(spark, SF_DIR).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    stage_event_files(batch, directory, n_files=4)
+    # re-read the staged files so batch and stream see byte-identical input
+    rebatch = spark.read.schema(EVENTS_SCHEMA).parquet(directory)
+    return directory, rebatch
+
+
+def _rows(df, *order):
+    return [tuple(r) for r in df.orderBy(*order).collect()]
+
+
+def test_tumbling_stream_equals_batch(spark, staged):
+    directory, batch = staged
+    stream = events_file_stream(spark, directory)
+    got = run_to_memory(ops.tumbling_stats(stream, watermark="30 minutes"), "complete")
+    want = ops.tumbling_stats(batch)
+    assert _rows(got, "win_start", "event_type") == _rows(want, "win_start", "event_type")
+
+
+def test_sliding_stream_equals_batch(spark, staged):
+    directory, batch = staged
+    stream = events_file_stream(spark, directory)
+    got = run_to_memory(ops.sliding_counts(stream, watermark="30 minutes"), "complete")
+    want = ops.sliding_counts(batch)
+    assert _rows(got, "win_start", "event_type") == _rows(want, "win_start", "event_type")
+
+
+def test_session_stream_equals_batch(spark, staged):
+    directory, batch = staged
+    stream = events_file_stream(spark, directory)
+    got = run_to_memory(ops.session_stats(stream, watermark="2 hours"), "complete")
+    want = ops.session_stats(batch)
+    assert _rows(got, "user_id", "first_ts") == _rows(want, "user_id", "first_ts")
+
+
+def test_session_matches_gaps_and_islands(spark, staged):
+    """session_window == the relational gaps-and-islands formulation
+    (queries/events.py ev_sessionize shape): same session count and
+    total events per user. Boundary note: an exactly-gap-sized silence
+    starts a new session in both (window is [start, last+gap))."""
+    _, batch = staged
+    sw = (
+        ops.session_stats(batch, gap="30 minutes")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"), F.sum("n_events").alias("n_events"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gi = (
+        batch.withColumn("prev", F.lag("ts").over(w))
+        .withColumn(
+            "is_new",
+            F.when(F.col("prev").isNull(), 1)
+            .when(F.col("ts").cast("double") - F.col("prev").cast("double") >= 1800.0, 1)
+            .otherwise(0),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("is_new").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+    )
+    assert _rows(sw, "user_id") == _rows(gi, "user_id")
+
+
+def test_dedup_within_watermark(spark, staged):
+    directory, batch = staged
+    stream = events_file_stream(spark, directory)
+    # watermark larger than the whole data span → no key state is ever
+    # evicted → exactly one (first-arrival) row per key. With a short
+    # watermark re-emission after eviction is CORRECT behavior (that's
+    # the "within watermark" contract), checked below.
+    got = run_to_memory(ops.keyed_dedup(stream, watermark="365 days"), "append")
+    keys = {(r["user_id"], r["event_type"]) for r in got.collect()}
+    want = {
+        (r["user_id"], r["event_type"])
+        for r in batch.select("user_id", "event_type").distinct().collect()
+    }
+    assert keys == want
+    assert got.count() == len(want)
+
+    stream2 = events_file_stream(spark, directory)
+    got2 = run_to_memory(ops.keyed_dedup(stream2, watermark="30 minutes"), "append")
+    # short watermark: still covers every key, never more rows than the
+    # un-deduped input, and at least the one-per-key floor
+    assert {(r["user_id"], r["event_type"]) for r in got2.collect()} == want
+    assert len(want) <= got2.count() < batch.count()
+
+
+def test_stateful_running_totals(spark, staged):
+    directory, batch = staged
+    stream = events_file_stream(spark, directory)
+    got = run_to_memory(running_user_totals(stream), "update")
+    # update mode appends one row per (user, batch); the final state is
+    # the row with the max n_events per user
+    final = (
+        got.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "sum_value")).alias("s"))
+        .select("user_id", F.col("s.n_events").alias("n"), F.col("s.sum_value").alias("sv"))
+    )
+    want = batch.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv")
+    )
+    g = {r["user_id"]: (r["n"], r["sv"]) for r in final.collect()}
+    w = {r["user_id"]: (r["n"], r["sv"]) for r in want.collect()}
+    assert set(g) == set(w)
+    for uid in w:
+        assert g[uid][0] == w[uid][0]
+        assert g[uid][1] == pytest.approx(w[uid][1])
+    # state really carried across micro-batches: some user got updates
+    # in more than one batch
+    assert got.count() > final.count()
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode tumbling agg with a 10-minute watermark: a row
+    arriving two micro-batches late, with event time far behind the
+    watermark, must not be counted (SURVEY.md §2.9: 'late data beyond
+    watermark dropped')."""
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def f(i):
+        return str(tmp_path / f"part-{i:04d}.parquet")
+
+    def write(path, rows, mtime):
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path, coerce_timestamps="us")
+        os.utime(path, (mtime, mtime))
+
+    # batch 1: two rows in window [00:00, 10:00), one at 00:30 advancing
+    # max event time to 30 min (→ watermark 20 min once in effect)
+    write(
+        f(0),
+        [
+            (1, t0 + dt.timedelta(minutes=1), 1, "a", 1.0, "{}"),
+            (2, t0 + dt.timedelta(minutes=2), 1, "a", 1.0, "{}"),
+            (3, t0 + dt.timedelta(minutes=30), 1, "a", 1.0, "{}"),
+        ],
+        1_700_000_000,
+    )
+    # batch 2: fresh row only — ensures batch 1's watermark is in
+    # effect (and [00:00, 10:00) finalized+evicted) before the late row
+    # arrives. Spark's guarantee is one-sided: data later than the
+    # in-effect watermark MAY still be accepted in the very batch that
+    # advances it, so the late row must come ≥2 batches after the
+    # advance to be deterministically dropped.
+    write(f(1), [(4, t0 + dt.timedelta(minutes=55), 1, "a", 1.0, "{}")], 1_700_000_100)
+    # batch 3: the LATE row (event time 00:03, far behind the watermark)
+    # plus a fresh row
+    write(
+        f(2),
+        [
+            (5, t0 + dt.timedelta(minutes=3), 1, "a", 99.0, "{}"),
+            (6, t0 + dt.timedelta(minutes=65), 1, "a", 1.0, "{}"),
+        ],
+        1_700_000_200,
+    )
+
+    stream = events_file_stream(spark, str(tmp_path))
+    got = run_to_memory(ops.tumbling_stats(stream, watermark="10 minutes"), "append")
+    out = {r["win_start"]: (r["n_events"], r["sum_value"]) for r in got.collect()}
+    assert t0 in out, f"finalized window missing: {out}"
+    # 2 rows, not 3 — the late event_id=4 was dropped, its 99.0 not summed
+    assert out[t0] == (2, 2.0)
