@@ -1,0 +1,246 @@
+"""Multimodal (image/audio/video) columns over binary + typed metadata.
+
+Data model: media rows are ``(media_id, kind, content: binary,
+meta: struct)`` — the blob is OPAQUE to the relational layer (prune,
+join, filter on metadata; never decode in SQL). Decode /
+feature-extract / resize / frame-sample run as Arrow-batched
+``mapInPandas`` stages, the multimodal analog of the PNG sink
+(SURVEY.md §2.10; sinks/png.py).
+
+Codec stubbing: this container has no image/audio libraries, so real
+formats (PNG/JPEG/WAV/...) raise ``NotImplementedError`` at the
+clearly-marked decode seam, and a deterministic fake raw codec
+(``FAKE1`` header + seeded pixel bytes) exercises the REAL Spark-side
+plumbing — schema, binary Arrow transfer, batch iteration, explode of
+frames — end to end. Swapping in PIL/ffmpeg later touches only the
+bytes→ndarray function inside each closure.
+
+Scale notes (100 TB of blobs):
+
+- blobs ride Arrow batches; ``spark.sql.execution.arrow.maxRecordsPerBatch``
+  bounds per-batch memory (set it so batch_rows × blob_size fits the
+  executor; tests drive multiple batches with a tiny cap).
+- every stage is ``mapInPandas`` (no shuffle); only the small feature
+  rows ever get shuffled/aggregated downstream.
+- closures are self-contained (stdlib/numpy/pandas imports inside):
+  nothing here is pickled by reference, so executors never need this
+  package importable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MAGIC = b"FAKE1"  # deterministic fake raw format: magic, w, h, c, [nf], payload
+
+META_SCHEMA = StructType(
+    [
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("format", StringType()),
+    ]
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("content", BinaryType()),
+        StructField("meta", META_SCHEMA),
+    ]
+)
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("px_mean", DoubleType()),
+        StructField("px_std", DoubleType()),
+        StructField("px_min", IntegerType()),
+        StructField("px_max", IntegerType()),
+    ]
+)
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def synthesize_media(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    kind: str = "image",
+    width: int = 16,
+    height: int = 12,
+    channels: int = 3,
+    n_frames: int = 8,
+) -> DataFrame:
+    """Deterministic fake media table from any id column: blob bytes
+    are a pure function of (media_id, shape), so every run and every
+    engine agrees. Images: MAGIC + w,h,c + w*h*c pixel bytes; videos:
+    MAGIC + w,h,c,nf + nf frames of w*h*c bytes."""
+    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
+    k, w, h, c, nf = kind, width, height, channels, n_frames
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+        import pandas as pd  # noqa: F811 (self-contained closure)
+
+        frames = nf if k == "video" else 1
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                rng = np.random.default_rng(int(mid) + 7_777_777)
+                payload = rng.integers(0, 256, frames * h * w * c, dtype=np.uint8).tobytes()
+                if k == "video":
+                    head = b"FAKE1" + struct.pack("<iiii", w, h, c, frames)
+                else:
+                    head = b"FAKE1" + struct.pack("<iii", w, h, c)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "kind": k,
+                        "content": head + payload,
+                        "meta": {
+                            "width": w,
+                            "height": h,
+                            "channels": c,
+                            "n_frames": frames,
+                            "format": "fake-raw",
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return ids.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def image_features(media: DataFrame) -> DataFrame:
+    """Decode + per-image pixel statistics. The decode seam is the
+    ``_decode`` function inside the closure — real formats raise
+    NotImplementedError there until an image library exists in the
+    runtime; everything around it is production plumbing."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+        import pandas as pd  # noqa: F811
+
+        def _decode(blob: bytes) -> np.ndarray:
+            if blob[:5] == b"FAKE1":
+                w, h, c = struct.unpack("<iii", blob[5:17])
+                return np.frombuffer(blob[17:], dtype=np.uint8).reshape(h, w, c)
+            # CODEC STUB: PNG/JPEG decode needs PIL/cv2 (absent here)
+            raise NotImplementedError(f"no codec for magic {blob[:5]!r}")
+
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                px = _decode(bytes(blob))
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "n_bytes": len(blob),
+                        "px_mean": float(px.mean()),
+                        "px_std": float(px.std()),
+                        "px_min": int(px.min()),
+                        "px_max": int(px.max()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(feats, schema=FEATURES_SCHEMA)
+
+
+def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize, blob → blob (same fake-raw format,
+    updated meta). The index-grid subsample is exactly what a real
+    resize kernel does before interpolation."""
+
+    def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+        import pandas as pd  # noqa: F811
+
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(blob)
+                if blob[:5] != b"FAKE1":
+                    raise NotImplementedError(f"no codec for magic {blob[:5]!r}")
+                w, h, c = struct.unpack("<iii", blob[5:17])
+                px = np.frombuffer(blob[17:], dtype=np.uint8).reshape(h, w, c)
+                yi = (np.arange(out_h) * h) // out_h
+                xi = (np.arange(out_w) * w) // out_w
+                out = px[yi][:, xi]
+                head = b"FAKE1" + struct.pack("<iii", out_w, out_h, c)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "kind": "image",
+                        "content": head + out.tobytes(),
+                        "meta": {
+                            "width": out_w,
+                            "height": out_h,
+                            "channels": c,
+                            "n_frames": 1,
+                            "format": "fake-raw",
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(rs, schema=MEDIA_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
+    """Video frame sampling: blob → one row per kept frame (every k-th)
+    — the fan-out stage before per-frame featurization."""
+
+    def sf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import pandas as pd  # noqa: F811
+
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(blob)
+                if blob[:5] != b"FAKE1":
+                    raise NotImplementedError(f"no codec for magic {blob[:5]!r}")
+                w, h, c, nf = struct.unpack("<iiii", blob[5:21])
+                fsz = w * h * c
+                for i in range(0, nf, every_k):
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "frame_idx": i,
+                            "frame": blob[21 + i * fsz : 21 + (i + 1) * fsz],
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(sf, schema=FRAMES_SCHEMA)

@@ -29,10 +29,11 @@ from netcdf_olap_spark.queries import text as _text
 from netcdf_olap_spark.queries import similarity as _similarity
 from netcdf_olap_spark.queries import events as _events
 from netcdf_olap_spark.queries import streaming as _streaming
+from netcdf_olap_spark.queries import multimodal as _multimodal
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-_MODULES = (_grid, _relational, _text, _similarity, _events, _streaming)
+_MODULES = (_grid, _relational, _text, _similarity, _events, _streaming, _multimodal)
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -1,0 +1,54 @@
+"""Multimodal queries for the driver registry (rows-only: the blob
+payload is a seeded-RNG function of media_id — deterministic across
+runs, not expressible in SQL; correctness is pinned by
+tests/test_multimodal.py against independently regenerated pixels)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from netcdf_olap_spark.operators import multimodal as mm
+
+
+def _doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select("doc_id")
+
+
+def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize one fake image per document, decode, extract pixel
+    statistics — the full binary-column pipeline at sf scale."""
+    media = mm.synthesize_media(_doc_ids(spark, sf_dir))
+    return mm.image_features(media).orderBy("media_id")
+
+
+def media_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video path: synthesize, sample every 3rd frame, count + size
+    per video (explode fan-out then re-aggregate)."""
+    # doc_id < 500, not limit(500): limit without order is
+    # partition-order-dependent → nondeterministic media set
+    vids = mm.synthesize_media(
+        _doc_ids(spark, sf_dir).where(F.col("doc_id") < 500),
+        kind="video",
+        width=8,
+        height=8,
+        channels=1,
+        n_frames=12,
+    )
+    frames = mm.sample_frames(vids, every_k=3)
+    return (
+        frames.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames_kept"),
+            F.sum(F.length("frame")).alias("total_bytes"),
+        )
+        .orderBy("media_id")
+    )
+
+
+QUERIES = {
+    "media_image_features": (media_image_features, None),
+    "media_frame_stats": (media_frame_stats, None),
+}
