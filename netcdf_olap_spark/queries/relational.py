@@ -538,6 +538,94 @@ ORDER BY event_type
 """
 
 
+def join_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.3 as-of join: for every event, the customer's most recent
+    order at-or-before the event time (the reference's closest analog
+    is the nearest-neighbor lookup, Gddp.scala:25-38 — a spatial
+    as-of).
+
+    Spark has no ASOF JOIN operator; the scalable formulation is
+    union-the-streams + one window: tag orders/events, sort each key's
+    timeline, carry the last non-null order forward with
+    ``last(..., ignorenulls)``, keep event rows. ONE shuffle on the
+    key — at 100 TB this co-partitions both inputs once, vs. a range
+    join's quadratic per-key blowup. Ties: an order exactly at the
+    event time matches (orders sort before events at equal ts);
+    duplicate (custkey, orderdate) orders are deduped to the max
+    orderkey first, mirroring the oracle's deterministic CTE.
+    """
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id").alias("k"), F.col("ts").alias("t")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"), F.col("o_orderdate").alias("t"))
+        .agg(F.max(F.struct("o_orderkey", "o_totalprice")).alias("ord"))
+    )
+    u = o.select("k", "t", F.lit(0).alias("src"), F.lit(None).cast("long").alias("event_id"), "ord").unionByName(
+        e.select("k", "t", F.lit(1).alias("src"), "event_id", F.lit(None).cast(o.schema["ord"].dataType).alias("ord"))
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "src", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        u.withColumn("last_ord", F.last("ord", ignorenulls=True).over(w))
+        .where(F.col("src") == 1)
+        .select(
+            "event_id",
+            F.col("k").alias("user_id"),
+            F.col("last_ord.o_orderkey").alias("o_orderkey"),
+            F.col("last_ord.o_totalprice").alias("o_totalprice"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# DuckDB has a native ASOF JOIN; the deduped-orders CTE makes the
+# equal-timestamp winner deterministic on both engines.
+JOIN_ASOF_SQL = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate,
+         MAX({'o_orderkey': o_orderkey, 'o_totalprice': o_totalprice}) AS ord
+  FROM orders GROUP BY o_custkey, o_orderdate)
+SELECT e.event_id, e.user_id,
+       (o.ord).o_orderkey AS o_orderkey,
+       (o.ord).o_totalprice AS o_totalprice
+FROM events e
+ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+ORDER BY event_id
+"""
+
+
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 A7: explicit GROUPING SETS (by status, by priority, grand
+    total) — SQL-only surface in Spark, same Expand-based plan as
+    cube/rollup."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("noss_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM noss_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus, o_orderpriority
+        """
+    )
+
+
+AGG_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "agg_distinct": (agg_distinct, AGG_DISTINCT_SQL),
@@ -559,4 +647,6 @@ QUERIES = {
     "scalar_string_funcs": (scalar_string_funcs, SCALAR_STRING_SQL),
     "scalar_date_funcs": (scalar_date_funcs, SCALAR_DATE_SQL),
     "events_json_extract": (events_json_extract, EVENTS_JSON_SQL),
+    "join_asof_last_order": (join_asof_last_order, JOIN_ASOF_SQL),
+    "agg_grouping_sets": (agg_grouping_sets, AGG_GROUPING_SETS_SQL),
 }
