@@ -58,6 +58,19 @@ def shingles(col: Column | str = "text", n: int = 3) -> Column:
     return shingles_from_tokens(tokens(col), n)
 
 
+# BPE-style pre-tokenizer classes: letter runs, digit runs, single
+# non-alnum marks — the split shape byte-pair vocabularies train over.
+# Kept to portable character classes so Java (Spark) and RE2-flavored
+# (DuckDB) engines agree byte-for-byte.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_tokens(col: Column | str = "text") -> Column:
+    """BPE-ish tokenization as an array<string> (F6: regex surface)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0)
+
+
 def stopword_count(col: Column | str = "text", stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
     return F.size(F.filter(tokens(col), lambda t: t.isin(*stopwords)))
 

@@ -113,6 +113,17 @@ def emb_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_lsh(e.where(F.col("vec_id") != 0), qvec, k=10, n_planes=8)
 
 
+def emb_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10: deterministic distributed k-means
+    coarse quantizer, probe the 3 nearest of 8 inverted lists, exact
+    cosine within. rows-only: the Lloyd-iteration index build isn't
+    SQL-expressible; nprobe=n_lists ≡ brute force is asserted in
+    tests/test_similarity.py."""
+    e = _emb(spark, sf_dir)
+    qvec = [r[0] for r in e.where(F.col("vec_id") == 0).select(F.explode("embedding")).collect()]
+    return similarity.knn_ivf(e.where(F.col("vec_id") != 0), qvec, k=10, n_lists=8, nprobe=3)
+
+
 def emb_label_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked all-pairs cosine (same-label blocks) with per-vector
     top-3 — embedding-cosine near-dup detection shape. Subset to
@@ -144,5 +155,6 @@ QUERIES = {
     "emb_threshold_neighbors": (emb_threshold_neighbors, EMB_THRESHOLD_SQL),
     "emb_centroids": (emb_centroids, EMB_CENTROIDS_SQL),
     "emb_knn_lsh": (emb_knn_lsh, None),
+    "emb_knn_ivf": (emb_knn_ivf, None),
     "emb_label_topk": (emb_label_topk, EMB_LABEL_TOPK_SQL),
 }

@@ -47,6 +47,34 @@ ORDER BY doc_id
 """
 
 
+def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (letter runs / digit runs /
+    punctuation marks): total, distinct, and letter-token counts per
+    doc — the pre-tokenizer statistics a vocabulary-training pipeline
+    computes."""
+    d = _docs(spark, sf_dir)
+    t = text.bpe_ish_tokens("text")
+    return d.select(
+        "doc_id",
+        F.size(t).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(t)).alias("n_uniq_bpe"),
+        F.size(F.filter(t, lambda x: x.rlike("^[A-Za-z]+$"))).alias("n_word_tokens"),
+    ).orderBy("doc_id")
+
+
+DOC_BPE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS t
+  FROM documents)
+SELECT doc_id,
+       len(t) AS n_bpe_tokens,
+       len(list_distinct(t)) AS n_uniq_bpe,
+       len(list_filter(t, x -> regexp_full_match(x, '[A-Za-z]+'))) AS n_word_tokens
+FROM toks
+ORDER BY doc_id
+"""
+
+
 def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality metrics: lengths, mean token length, stopword ratio,
     punctuation count (length/punct/stopword-ratio scoring)."""
@@ -177,6 +205,7 @@ def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "doc_token_stats": (doc_token_stats, DOC_TOKEN_STATS_SQL),
+    "doc_bpe_token_stats": (doc_bpe_token_stats, DOC_BPE_SQL),
     "doc_quality_score": (doc_quality_score, DOC_QUALITY_SQL),
     "doc_lang_id": (doc_lang_id, DOC_LANG_ID_SQL),
     "doc_exact_dedup": (doc_exact_dedup, DOC_EXACT_DEDUP_SQL),

@@ -3,6 +3,7 @@ sanity, aggregate-sketch accuracy (SURVEY.md §5.5)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from netcdf_olap_spark.operators import aggregates, similarity
@@ -74,3 +75,46 @@ def test_histogram_total_equals_rows(spark):
     h = aggregates.histogram(g, width=2.0, group_cols=["variable"])
     total = h.agg(F.sum("cnt")).collect()[0][0]
     assert total == g.where(F.col("value").isNotNull()).count()
+
+
+def test_ivf_all_probes_equals_brute(spark):
+    """nprobe == n_lists degenerates to exact brute force: same ids,
+    same scores."""
+    e = _emb(spark)
+    qvec = [r[0] for r in e.where(F.col("vec_id") == 0).select(F.explode("embedding")).collect()]
+    corpus = e.where(F.col("vec_id") != 0)
+    brute = similarity.knn_brute(corpus, qvec, k=10).collect()
+    ivf = similarity.knn_ivf(corpus, qvec, k=10, n_lists=4, nprobe=4).collect()
+    assert [(r["vec_id"], round(r["cos_sim"], 12)) for r in ivf] == [
+        (r["vec_id"], round(r["cos_sim"], 12)) for r in brute
+    ]
+
+
+def test_ivf_partial_probe_recall_and_exactness(spark):
+    """Probing a subset of lists: still k rows, every score exact
+    (IVF only restricts the candidate set), reasonable recall."""
+    e = _emb(spark)
+    qvec = [r[0] for r in e.where(F.col("vec_id") == 0).select(F.explode("embedding")).collect()]
+    corpus = e.where(F.col("vec_id") != 0)
+    brute = {r["vec_id"]: r["cos_sim"] for r in similarity.knn_brute(corpus, qvec, k=10).collect()}
+    ivf = similarity.knn_ivf(corpus, qvec, k=10, n_lists=8, nprobe=3).collect()
+    assert len(ivf) == 10
+    exact_all = {
+        r["vec_id"]: r["cos_sim"]
+        for r in corpus.select(
+            "vec_id", similarity.cosine(F.col("embedding"), F.array(*[F.lit(v) for v in qvec])).alias("cos_sim")
+        ).collect()
+    }
+    for r in ivf:
+        assert r["cos_sim"] == pytest.approx(exact_all[r["vec_id"]], abs=1e-12)
+    overlap = len(set(brute) & {r["vec_id"] for r in ivf})
+    assert overlap >= 3  # recall floor for nprobe=3/8 on random data
+
+
+def test_ivf_train_deterministic(spark):
+    e = _emb(spark)
+    c1 = similarity.ivf_train(e, n_lists=4, n_iters=2)
+    c2 = similarity.ivf_train(e, n_lists=4, n_iters=2)
+    import numpy as np
+
+    assert all(np.array_equal(a, b) for a, b in zip(c1, c2))
