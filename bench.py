@@ -41,6 +41,8 @@ HEADLINE = [
 HEADLINE += [
     "doc_minhash_dedup_pairs",
     "emb_knn_brute",
+    "join_asof_last_order",
+    "doc_bpe_token_stats",
 ]
 
 

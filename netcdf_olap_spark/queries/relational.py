@@ -626,6 +626,25 @@ ORDER BY o_orderstatus, o_orderpriority
 """
 
 
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 A1/A2 at relational scale: mergeable-sketch aggregates
+    (HLL count-distinct + KLL-style percentile_approx), the reference's
+    StreamingHistogram pattern (Gddp.scala:230) as Catalyst
+    partial+final sketch merges. rows-only: sketch internals differ
+    across engines by design; error bounds are asserted in
+    tests/test_properties.py / test_similarity.py."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+            F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10_000).alias("price_quartiles"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "agg_distinct": (agg_distinct, AGG_DISTINCT_SQL),
@@ -649,4 +668,5 @@ QUERIES = {
     "events_json_extract": (events_json_extract, EVENTS_JSON_SQL),
     "join_asof_last_order": (join_asof_last_order, JOIN_ASOF_SQL),
     "agg_grouping_sets": (agg_grouping_sets, AGG_GROUPING_SETS_SQL),
+    "agg_approx_sketches": (agg_approx_sketches, None),
 }

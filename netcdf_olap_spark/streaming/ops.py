@@ -81,6 +81,16 @@ def session_stats(df: DataFrame, gap: str = "30 minutes", watermark: str | None 
     )
 
 
+def enrich_with_dim(events: DataFrame, dim: DataFrame, on: str = "user_id", how: str = "left") -> DataFrame:
+    """Stream-static join: each micro-batch joins against the (static,
+    re-read per batch) dimension — broadcast by hint since dimensions
+    are small relative to the stream. Works identically on a batch
+    frame (tests prove equivalence)."""
+    from pyspark.sql.functions import broadcast
+
+    return events.join(broadcast(dim), on, how)
+
+
 def keyed_dedup(df: DataFrame, watermark: str | None = None) -> DataFrame:
     """First-arrival dedup per (user_id, event_type).
 

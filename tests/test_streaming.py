@@ -120,6 +120,23 @@ def test_dedup_within_watermark(spark, staged):
     assert len(want) <= got2.count() < batch.count()
 
 
+def test_stream_static_join_equals_batch(spark, staged):
+    """Stream-static dimension enrichment: the stream side joins the
+    static customer dim per micro-batch; totals equal the batch join."""
+    directory, batch = staged
+    dim = spark.read.parquet("/root/testdata/sf0.001/customer.parquet").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    stream = events_file_stream(spark, directory)
+    enriched = ops.enrich_with_dim(stream, dim)
+    agg = enriched.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+    got = run_to_memory(agg, "complete")
+    want = ops.enrich_with_dim(batch, dim).groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    assert _rows(got, "c_mktsegment") == _rows(want, "c_mktsegment")
+
+
 def test_stateful_running_totals(spark, staged):
     directory, batch = staged
     stream = events_file_stream(spark, directory)
