@@ -271,6 +271,37 @@ ORDER BY variable
 """
 
 
+def grid_slice_breaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O9's other half: PER-SLICE quantile breaks — the mode the
+    reference actually ships ("different areas will have different
+    color mappings ... for better performance", Gddp.scala:193-203),
+    vs grid_quantile_breaks' global mode (the commented-out
+    whole-tile histogram). Per (variable, date) median/p90; at scale
+    this is one shuffle on (variable, date) with no global pass."""
+    g = load_grid(spark).where(F.col("value").isNotNull())
+    return (
+        g.groupBy("variable", F.to_date("time").alias("date"))
+        .agg(
+            *[
+                F.percentile("value", p).cast("decimal(20,4)").cast("double").alias(f"p{int(p * 100):02d}")
+                for p in (0.50, 0.90)
+            ]
+        )
+        .orderBy("variable", "date")
+    )
+
+
+GRID_SLICE_BREAKS_SQL = f"""
+SELECT variable, CAST(time AS DATE) AS date,
+       CAST(CAST(QUANTILE_CONT(value, 0.50) AS DECIMAL(20,4)) AS DOUBLE) AS p50,
+       CAST(CAST(QUANTILE_CONT(value, 0.90) AS DECIMAL(20,4)) AS DOUBLE) AS p90
+FROM {GRID}
+WHERE value IS NOT NULL
+GROUP BY variable, CAST(time AS DATE)
+ORDER BY variable, date
+"""
+
+
 def grid_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.5: 7-day rolling mean per cell — the idiomatic time-series
     window this data model exists for. Exact decimal sum over the
@@ -336,6 +367,7 @@ QUERIES = {
     "grid_null_stats": (grid_null_stats, GRID_NULL_STATS_SQL),
     "grid_histogram": (grid_histogram, GRID_HISTOGRAM_SQL),
     "grid_quantile_breaks": (grid_quantile_breaks, GRID_QUANTILE_BREAKS_SQL),
+    "grid_slice_breaks": (grid_slice_breaks, GRID_SLICE_BREAKS_SQL),
     "grid_rolling_mean": (grid_rolling_mean, GRID_ROLLING_MEAN_SQL),
     "grid_coords_join": (grid_coords_join, GRID_COORDS_JOIN_SQL),
 }
