@@ -203,6 +203,68 @@ def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=7).orderBy("id1", "id2")
 
 
+def doc_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation via Python UDTF (§2.10): per-doc sentence
+    count + mean sentence length. The UDTF is a Generate in the plan;
+    the oracle replays the same regex in DuckDB."""
+    from netcdf_olap_spark.functions.extensions import split_sentences
+
+    sent = split_sentences(_docs(spark, sf_dir))
+    return (
+        sent.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sentences"),
+            F.sum(F.length("sentence")).alias("total_sent_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOC_SENTENCE_SQL = r"""
+WITH sent AS (
+  SELECT doc_id,
+         list_filter(list_transform(regexp_extract_all(text, '[^.!?]+[.!?]?'), s -> trim(s)),
+                     s -> s != '') AS ss
+  FROM documents)
+SELECT doc_id,
+       len(ss) AS n_sentences,
+       list_sum(list_transform(ss, s -> LENGTH(s))) AS total_sent_chars
+FROM sent
+WHERE len(ss) > 0
+ORDER BY doc_id
+"""
+
+
+def grid_midhinge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom grouped-agg pandas_udf statistic (§2.10): per-variable
+    midhinge (Q1+Q3)/2, decimal-snapped for cross-engine hashing."""
+    from netcdf_olap_spark.functions import extensions
+    from netcdf_olap_spark.session import load_grid
+
+    out = extensions.grid_midhinge(load_grid(spark, register=False))
+    return out.select(
+        "variable",
+        F.col("midhinge").cast("decimal(20,4)").cast("double").alias("midhinge"),
+    ).orderBy("variable")
+
+
+def _grid_path() -> str:
+    from netcdf_olap_spark.session import FIXTURES_DIR
+
+    return f"read_parquet('{FIXTURES_DIR}/grid.parquet')"
+
+
+GRID_MIDHINGE_SQL = f"""
+SELECT variable,
+       CAST(CAST((QUANTILE_CONT(value, 0.25) + QUANTILE_CONT(value, 0.75)) / 2
+            AS DECIMAL(20,4)) AS DOUBLE) AS midhinge
+FROM {_grid_path()}
+WHERE value IS NOT NULL
+GROUP BY variable
+ORDER BY variable
+"""
+
+
 QUERIES = {
     "doc_token_stats": (doc_token_stats, DOC_TOKEN_STATS_SQL),
     "doc_bpe_token_stats": (doc_bpe_token_stats, DOC_BPE_SQL),
@@ -213,4 +275,6 @@ QUERIES = {
     "doc_jaccard_pairs": (doc_jaccard_pairs, DOC_JACCARD_SQL),
     "doc_minhash_dedup_pairs": (doc_minhash_dedup_pairs, None),
     "doc_simhash_pairs": (doc_simhash_pairs, None),
+    "doc_sentence_stats": (doc_sentence_stats, DOC_SENTENCE_SQL),
+    "grid_midhinge": (grid_midhinge, GRID_MIDHINGE_SQL),
 }

@@ -1,0 +1,57 @@
+"""UDTF + grouped-agg pandas_udf extension points
+(functions/extensions.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from netcdf_olap_spark.functions.extensions import grid_midhinge, split_sentences
+from netcdf_olap_spark.session import load_grid
+
+
+def test_udtf_sentence_split(spark):
+    df = spark.createDataFrame(
+        [(1, "One. Two! Three?"), (2, "No terminator here"), (3, None)],
+        ["doc_id", "text"],
+    )
+    out = split_sentences(df).orderBy("doc_id", "sent_idx").collect()
+    got = [(r["doc_id"], r["sent_idx"], r["sentence"]) for r in out]
+    assert got == [
+        (1, 0, "One."),
+        (1, 1, "Two!"),
+        (1, 2, "Three?"),
+        (2, 0, "No terminator here"),
+    ]
+    # offsets point into the source string
+    assert all(
+        r["sentence"].startswith(
+            {1: "One. Two! Three?", 2: "No terminator here"}[r["doc_id"]][r["start_off"]:][:1].strip() or r["sentence"][0]
+        )
+        for r in out
+    )
+
+
+def test_udtf_on_documents(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sent = split_sentences(docs)
+    n_docs_with_sentences = sent.select("doc_id").distinct().count()
+    assert n_docs_with_sentences == docs.where(F.trim("text") != "").count()
+    assert sent.count() >= n_docs_with_sentences
+
+
+def test_grouped_agg_midhinge(spark):
+    g = load_grid(spark, register=False)
+    got = {r["variable"]: r["midhinge"] for r in grid_midhinge(g).collect()}
+    # ground truth per variable from exact percentiles
+    want = {
+        r["variable"]: (r["q1"] + r["q3"]) / 2.0
+        for r in g.where(F.col("value").isNotNull())
+        .groupBy("variable")
+        .agg(F.percentile("value", 0.25).alias("q1"), F.percentile("value", 0.75).alias("q3"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        # pandas 'linear' interpolation == Spark percentile interpolation
+        assert got[k] == pytest.approx(want[k], rel=1e-9)
