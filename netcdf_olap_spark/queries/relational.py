@@ -67,6 +67,34 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + scalar aggregate — the canonical
+    predicate-pushdown benchmark. All three predicates reach the
+    parquet scan (PushedFilters); no shuffle at all (partial sums →
+    single final row)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        decimal_sum(F.col("l_extendedprice") * F.col("l_discount"), 6).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+Q6_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
 def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.4 A7: exact distinct aggregation (expand+two-phase under
     Catalyst)."""
@@ -669,4 +697,5 @@ QUERIES = {
     "join_asof_last_order": (join_asof_last_order, JOIN_ASOF_SQL),
     "agg_grouping_sets": (agg_grouping_sets, AGG_GROUPING_SETS_SQL),
     "agg_approx_sketches": (agg_approx_sketches, None),
+    "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
 }
