@@ -109,3 +109,29 @@ def load_coords(spark: SparkSession, register: bool = True) -> DataFrame:
     if register:
         df.createOrReplaceTempView("coords")
     return df
+
+
+def datasets_catalog(spark: SparkSession) -> DataFrame:
+    """Dataset registry (SURVEY §1.2): per dataset — spatial boundary,
+    variable dictionary, temporal extent. The relational form of the
+    UI's ``Dataset(id, boundary, ..., headerAttributes)`` entries
+    (reference map.jsx:15-23, 35-44) and of ``/getBoundary``
+    (main.py:93-96) — computed from the data instead of hardcoded.
+    """
+    from pyspark.sql import functions as F
+
+    coords = load_coords(spark, register=False)
+    grid = load_grid(spark, register=False)
+    bbox = coords.groupBy("ds").agg(
+        F.min("lat").alias("lat_min"),
+        F.max("lat").alias("lat_max"),
+        F.min("lon").alias("lon_min"),
+        F.max("lon").alias("lon_max"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+    meta = grid.groupBy("ds").agg(
+        F.sort_array(F.collect_set("variable")).alias("variables"),
+        F.min("time").alias("time_min"),
+        F.max("time").alias("time_max"),
+    )
+    return bbox.join(meta, "ds")

@@ -54,14 +54,27 @@ def png_filename(variable: str, start_date: str, end_date: str, prefix: str = "g
     return f"{prefix}{variable}{start_date}-{end_date}.png"
 
 
-def render_png(df: DataFrame, n_breaks: int = 16) -> DataFrame:
+def render_png(df: DataFrame, n_breaks: int = 16, global_breaks: bool = False) -> DataFrame:
     """Render one PNG per variable from a long (variable, y, x, value)
     DataFrame (already sliced/masked upstream). Returns a small
     DataFrame of image artifacts — pure, no side effects.
 
+    ``global_breaks`` resolves the reference's consistency-vs-speed
+    tradeoff (SURVEY §4 O9) the other way: one extra approxQuantile
+    pass over ALL variables' values gives every image the same color
+    scale (the whole-tile histogram the reference commented out at
+    Gddp.scala:193-203); default False = per-slice breaks, the
+    reference's shipped behavior.
+
     The worker function is a self-contained closure (own PNG encoder,
     no package imports) so executors need nothing on PYTHONPATH.
     """
+    shared_breaks = None
+    if global_breaks:
+        probs = [i / n_breaks for i in range(1, n_breaks + 1)]
+        shared_breaks = df.where(F.col("value").isNotNull()).approxQuantile(
+            "value", probs, 0.001
+        )
 
     def _render(pdf):
         import struct
@@ -112,8 +125,12 @@ def render_png(df: DataFrame, n_breaks: int = 16) -> DataFrame:
         finite = tile[~np.isnan(tile)]
         rgba = np.zeros((h, w, 4), dtype=np.uint8)
         if finite.size:
-            # per-slice quantile breaks (Gddp.scala:193-203 behavior)
-            breaks = np.quantile(finite, np.linspace(0, 1, n_breaks + 1)[1:])
+            if shared_breaks is not None:
+                # global mode: identical color scale across variables
+                breaks = np.asarray(shared_breaks)
+            else:
+                # per-slice quantile breaks (Gddp.scala:193-203 behavior)
+                breaks = np.quantile(finite, np.linspace(0, 1, n_breaks + 1)[1:])
             klass = np.searchsorted(breaks, np.nan_to_num(tile, nan=0.0))
             t = klass.astype(np.float64) / max(n_breaks - 1, 1)
             # blue→red ramp

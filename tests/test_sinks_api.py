@@ -113,3 +113,36 @@ def test_api_bad_request(spark):
     r = client.post("/fetchResult", data=json.dumps({"selectDate": ""}), content_type="application/json")
     assert r.status_code == 400
     assert "bad request" in r.get_json()["message"]
+
+
+def test_render_global_vs_slice_breaks(spark, query):
+    """O9 both modes: global breaks give all variables one color
+    scale; per-slice breaks differ per variable — so the PNG bytes of
+    at least one variable differ between modes, while geometry and
+    valid-cell counts are identical."""
+    sliced = query.apply(load_grid(spark, register=False))
+    per_slice = {r["variable"]: r for r in render_png(sliced).collect()}
+    global_ = {r["variable"]: r for r in render_png(sliced, global_breaks=True).collect()}
+    assert set(per_slice) == set(global_)
+    for v in per_slice:
+        assert (per_slice[v]["width"], per_slice[v]["height"]) == (
+            global_[v]["width"],
+            global_[v]["height"],
+        )
+        assert per_slice[v]["n_valid"] == global_[v]["n_valid"]
+    assert any(bytes(per_slice[v]["png"]) != bytes(global_[v]["png"]) for v in per_slice)
+
+
+def test_datasets_catalog(spark):
+    from netcdf_olap_spark.session import datasets_catalog
+
+    cat = datasets_catalog(spark).collect()
+    assert len(cat) == 1
+    row = cat[0]
+    assert row["ds"] == "five_lakes"
+    assert row["n_cells"] == 32 * 32
+    assert row["variables"] == sorted(
+        ["LST_LWST_avg_daily", "LST_LWST_avg_day", "avg_night_temp"]
+    )
+    assert row["lat_min"] < 42.1 < row["lat_max"]
+    assert row["time_min"].isoformat().startswith("1990-01-01")
