@@ -673,6 +673,32 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide reshape): order counts by priority, one column
+    per order status. Explicit pivot values keep the plan a single
+    pass (no distinct-values pre-query); oracle = conditional
+    aggregation, which is exactly how Catalyst lowers pivot."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .withColumnsRenamed({"F": "n_f", "O": "n_o", "P": "n_p"})
+        .orderBy("o_orderpriority")
+    )
+
+
+PIVOT_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "agg_distinct": (agg_distinct, AGG_DISTINCT_SQL),
@@ -698,4 +724,5 @@ QUERIES = {
     "agg_grouping_sets": (agg_grouping_sets, AGG_GROUPING_SETS_SQL),
     "agg_approx_sketches": (agg_approx_sketches, None),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
+    "pivot_status_priority": (pivot_status_priority, PIVOT_SQL),
 }
