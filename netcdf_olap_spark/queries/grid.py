@@ -329,6 +329,90 @@ ORDER BY y, x, time
 """
 
 
+def grid_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling: per-cell forward-fill of NODATA values over time
+    (``last(value) IGNORE NULLS`` over the cell's ordered history) —
+    the idiomatic time-series repair for sensor dropouts, which the
+    reference can't express at all (its NODATA cells stay NODATA,
+    Gddp.scala:188-191). One shuffle on the cell key; at 100 TB this
+    partitions by cell and streams each history in time order."""
+    g = load_grid(spark).where((F.col("variable") == "avg_night_temp") & (F.col("x") < 4))
+    w = (
+        Window.partitionBy("y", "x")
+        .orderBy("time")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        g.select(
+            "y",
+            "x",
+            F.to_date("time").alias("day"),
+            "value",
+            F.last("value", ignorenulls=True).over(w).alias("filled"),
+        )
+        .orderBy("y", "x", "day")
+    )
+
+
+GRID_FORWARD_FILL_SQL = f"""
+SELECT y, x, CAST(time AS DATE) AS day, value,
+       LAST_VALUE(value IGNORE NULLS) OVER (
+         PARTITION BY y, x ORDER BY time
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+FROM {GRID}
+WHERE variable = 'avg_night_temp' AND x < 4
+ORDER BY y, x, day
+"""
+
+
+def grid_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densification: rebuild the full daily calendar per cell from a
+    sparse series (every-5th-day sample) via sequence+explode date
+    spine ⟕ observations — the resample/upsample half of gap filling
+    (grid_forward_fill is the repair half). Gap rows carry NULL and
+    are flagged. At scale the spine is generated, not stored, and the
+    join is co-partitioned on the cell key."""
+    g = load_grid(spark).where(
+        (F.col("variable") == "LST_LWST_avg_daily")
+        & (F.col("x") < 2)
+        & (F.dayofmonth("time") % 5 == 0)
+    )
+    obs = g.select("y", "x", F.to_date("time").alias("day"), "value")
+    cells = obs.select("y", "x").distinct()
+    spine = cells.select(
+        "y",
+        "x",
+        F.explode(
+            F.sequence(
+                F.to_date(F.lit("1990-01-01")),
+                F.to_date(F.lit("1990-01-30")),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day"),
+    )
+    return (
+        spine.join(obs, ["y", "x", "day"], "left")
+        .select("y", "x", "day", "value", F.col("value").isNull().alias("is_gap"))
+        .orderBy("y", "x", "day")
+    )
+
+
+GRID_DATE_SPINE_SQL = f"""
+WITH obs AS (
+  SELECT y, x, CAST(time AS DATE) AS day, value
+  FROM {GRID}
+  WHERE variable = 'LST_LWST_avg_daily' AND x < 2
+    AND day(time) % 5 = 0),
+cells AS (SELECT DISTINCT y, x FROM obs),
+spine AS (
+  SELECT y, x, CAST(d AS DATE) AS day
+  FROM cells CROSS JOIN generate_series(DATE '1990-01-01', DATE '1990-01-30', INTERVAL 1 DAY) AS t(d))
+SELECT s.y, s.x, s.day, o.value, o.value IS NULL AS is_gap
+FROM spine s LEFT JOIN obs o ON s.y = o.y AND s.x = o.x AND s.day = o.day
+ORDER BY s.y, s.x, s.day
+"""
+
+
 def grid_coords_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The engine's canonical equi-join (SURVEY §2.3): grid ⋈ coords
     on (y, x). coords is tiny → broadcast hint, no shuffle of the
@@ -368,6 +452,8 @@ QUERIES = {
     "grid_histogram": (grid_histogram, GRID_HISTOGRAM_SQL),
     "grid_quantile_breaks": (grid_quantile_breaks, GRID_QUANTILE_BREAKS_SQL),
     "grid_slice_breaks": (grid_slice_breaks, GRID_SLICE_BREAKS_SQL),
+    "grid_forward_fill": (grid_forward_fill, GRID_FORWARD_FILL_SQL),
+    "grid_date_spine": (grid_date_spine, GRID_DATE_SPINE_SQL),
     "grid_rolling_mean": (grid_rolling_mean, GRID_ROLLING_MEAN_SQL),
     "grid_coords_join": (grid_coords_join, GRID_COORDS_JOIN_SQL),
 }
