@@ -413,6 +413,42 @@ ORDER BY s.y, s.x, s.day
 """
 
 
+def grid_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (§2.4 beyond the reference): per-variable
+    sample stddev/variance and the value↔latitude correlation (the
+    spatial-gradient check a climate analyst actually runs). Snapped
+    to 6 decimals: both engines stream the same moments but in
+    different orders, so the last ulps differ."""
+    g = load_grid(spark).where(F.col("value").isNotNull())
+
+    def snap(c: F.Column) -> F.Column:
+        return c.cast("decimal(20,6)").cast("double")
+
+    return (
+        g.groupBy("variable")
+        .agg(
+            snap(F.stddev_samp("value")).alias("sd_val"),
+            snap(F.var_samp("value")).alias("var_val"),
+            snap(F.corr("value", "lat")).alias("corr_lat"),
+            snap(F.covar_samp("value", "lon")).alias("covar_lon"),
+        )
+        .orderBy("variable")
+    )
+
+
+GRID_DISPERSION_SQL = f"""
+SELECT variable,
+       CAST(CAST(STDDEV_SAMP(value) AS DECIMAL(20,6)) AS DOUBLE) AS sd_val,
+       CAST(CAST(VAR_SAMP(value) AS DECIMAL(20,6)) AS DOUBLE) AS var_val,
+       CAST(CAST(CORR(value, lat) AS DECIMAL(20,6)) AS DOUBLE) AS corr_lat,
+       CAST(CAST(COVAR_SAMP(value, lon) AS DECIMAL(20,6)) AS DOUBLE) AS covar_lon
+FROM {GRID}
+WHERE value IS NOT NULL
+GROUP BY variable
+ORDER BY variable
+"""
+
+
 def grid_coords_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The engine's canonical equi-join (SURVEY §2.3): grid ⋈ coords
     on (y, x). coords is tiny → broadcast hint, no shuffle of the
@@ -454,6 +490,7 @@ QUERIES = {
     "grid_slice_breaks": (grid_slice_breaks, GRID_SLICE_BREAKS_SQL),
     "grid_forward_fill": (grid_forward_fill, GRID_FORWARD_FILL_SQL),
     "grid_date_spine": (grid_date_spine, GRID_DATE_SPINE_SQL),
+    "grid_dispersion": (grid_dispersion, GRID_DISPERSION_SQL),
     "grid_rolling_mean": (grid_rolling_mean, GRID_ROLLING_MEAN_SQL),
     "grid_coords_join": (grid_coords_join, GRID_COORDS_JOIN_SQL),
 }
