@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from netcdf_olap_spark.queries import grid as _grid
 from netcdf_olap_spark.queries import relational as _relational
+from netcdf_olap_spark.queries import relational_ext as _relational_ext
 from netcdf_olap_spark.queries import text as _text
 from netcdf_olap_spark.queries import similarity as _similarity
 from netcdf_olap_spark.queries import events as _events
@@ -33,7 +34,7 @@ from netcdf_olap_spark.queries import multimodal as _multimodal
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-_MODULES = (_grid, _relational, _text, _similarity, _events, _streaming, _multimodal)
+_MODULES = (_grid, _relational, _relational_ext, _text, _similarity, _events, _streaming, _multimodal)
 
 
 def all_queries() -> dict[str, QueryFn]:

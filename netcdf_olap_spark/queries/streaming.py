@@ -74,7 +74,29 @@ def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(directory, ignore_errors=True)
 
 
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join run as a real two-stream pipeline:
+    clicks ⋈ views within a 2-hour lookback, both sides
+    watermarked (4 h) so join state is bounded; availableNow
+    replay, append-mode memory sink, then the same per-user rollup as
+    the oracle-checked batch twin (ev_interval_join — equality proven
+    in tests/test_streaming.py)."""
+    stream, directory = _staged_stream(spark, sf_dir)
+    try:
+        pairs = run_to_memory(ops.interval_join(stream, watermark="4 hours"), "append")
+        gap_us = F.unix_micros("c_ts") - F.unix_micros("v_ts")
+        return (
+            pairs.groupBy(F.col("c_user").alias("user_id"))
+            .agg(F.count(F.lit(1)).alias("n_pairs"), F.max(gap_us).alias("max_gap_us"))
+            .orderBy("user_id")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(directory, ignore_errors=True)
+
+
 QUERIES = {
     "stream_tumbling_stats": (stream_tumbling_stats, None),
     "stream_running_totals": (stream_running_totals, None),
+    "stream_interval_join": (stream_interval_join, None),
 }

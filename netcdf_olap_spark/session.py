@@ -90,8 +90,12 @@ def load_events(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    # integer DIV, not `/`: double division of 19-digit nanos rounds the
+    # low microsecond digit, drifting ±1 µs from DuckDB's epoch_us
+    # truncation of the same parquet column (bit once via a µs-precision
+    # gap in ev_interval_join)
     return df.withColumnRenamed("ts", "ts_ns").withColumn(
-        "ts", F.timestamp_micros((F.col("ts_ns") / F.lit(1000)).cast("long"))
+        "ts", F.timestamp_micros(F.expr("ts_ns DIV 1000"))
     )
 
 

@@ -104,3 +104,39 @@ def keyed_dedup(df: DataFrame, watermark: str | None = None) -> DataFrame:
             ["user_id", "event_type"]
         )
     return df.dropDuplicates(["user_id", "event_type"])
+
+
+def interval_join(df: DataFrame, gap: str = "2 hours", watermark: str | None = None) -> DataFrame:
+    """Stream-stream interval join: for every click, the same user's
+    views within the preceding ``gap``. The canonical two-stream join
+    (SURVEY.md §2.3 interval-join family on the streaming axis).
+
+    Both sides carry the watermark on streams; together with the
+    time-bound join condition Spark derives a state-retention horizon
+    per side (a view is held only until watermark > view.ts + gap),
+    so join state is bounded on an unbounded stream — the property
+    that makes this run forever on a cluster. Inner-join matches emit
+    immediately in append mode (no watermark hold on output).
+
+    Works identically on batch frames with ``watermark=None`` (the
+    DuckDB-checked twin: queries/events.py ev_interval_join).
+    """
+    clicks = df.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    views = df.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    if watermark:
+        clicks = clicks.withWatermark("c_ts", watermark)
+        views = views.withWatermark("v_ts", watermark)
+    cond = (
+        (F.col("c_user") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("c_ts"))
+        & (F.col("v_ts") >= F.col("c_ts") - F.expr(f"INTERVAL {gap}"))
+    )
+    return clicks.join(views, cond)

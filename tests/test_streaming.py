@@ -219,3 +219,12 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert t0 in out, f"finalized window missing: {out}"
     # 2 rows, not 3 — the late event_id=4 was dropped, its 99.0 not summed
     assert out[t0] == (2, 2.0)
+
+
+def test_interval_join_stream_equals_batch(spark, staged):
+    directory, batch = staged
+    stream = events_file_stream(spark, directory)
+    got = run_to_memory(ops.interval_join(stream, watermark="4 hours"), "append")
+    want = ops.interval_join(batch)
+    assert got.count() > 0
+    assert _rows(got, "click_id", "view_id") == _rows(want, "click_id", "view_id")
