@@ -211,6 +211,84 @@ ORDER BY n_name, c_acctbal DESC, c_custkey
 """
 
 
+def q21_lone_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + correlated NOT EXISTS self-joins on
+    the fact table — suppliers who were the *only* late shipper
+    (>90 days after order date) on a multi-supplier order, counted by
+    nation. The testdata lacks receipt/commit dates, so lateness is
+    ship-vs-order delay (same join topology as the original).
+
+    Catalyst plans both correlated predicates as semi/anti joins on
+    l_orderkey — three passes over lineitem co-partitioned on the same
+    key, so at 100 TB this is one shuffle-key family, not three
+    independent shuffles (AQE reuses the exchange)."""
+    for t in ("lineitem", "orders", "supplier"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"ext_{t}")
+    return spark.sql(
+        """
+        SELECT s_nationkey, COUNT(*) AS n_lone_late
+        FROM (
+          SELECT DISTINCT l1.l_suppkey, l1.l_orderkey
+          FROM ext_lineitem l1 JOIN ext_orders o ON l1.l_orderkey = o.o_orderkey
+          WHERE datediff(l1.l_shipdate, o.o_orderdate) > 90
+            AND EXISTS (SELECT 1 FROM ext_lineitem l2
+                        WHERE l2.l_orderkey = l1.l_orderkey
+                          AND l2.l_suppkey <> l1.l_suppkey)
+            AND NOT EXISTS (SELECT 1 FROM ext_lineitem l3
+                            WHERE l3.l_orderkey = l1.l_orderkey
+                              AND l3.l_suppkey <> l1.l_suppkey
+                              AND datediff(l3.l_shipdate, o.o_orderdate) > 90))
+        JOIN ext_supplier ON l_suppkey = s_suppkey
+        GROUP BY s_nationkey
+        ORDER BY n_lone_late DESC, s_nationkey
+        """
+    )
+
+
+Q21_SQL = """
+SELECT s_nationkey, COUNT(*) AS n_lone_late
+FROM (
+  SELECT DISTINCT l1.l_suppkey, l1.l_orderkey
+  FROM lineitem l1 JOIN orders o ON l1.l_orderkey = o.o_orderkey
+  WHERE DATE_DIFF('day', o.o_orderdate, l1.l_shipdate) > 90
+    AND EXISTS (SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey
+                      AND DATE_DIFF('day', o.o_orderdate, l3.l_shipdate) > 90))
+JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey
+ORDER BY n_lone_late DESC, s_nationkey
+"""
+
+
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: uncorrelated scalar subquery (above-average
+    balance, decimal-exact so the comparison can't flip on ulps) +
+    NOT EXISTS anti join (no recent orders), grouped by segment. The
+    scalar subquery is a broadcast single-row cross; the anti join
+    shuffles on custkey."""
+    return _sql_on_views(spark, sf_dir, Q22_SQL, ["customer", "orders"])
+
+
+Q22_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_custs,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS total_bal
+FROM customer
+WHERE c_acctbal > (
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) / COUNT(c_acctbal)
+    FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 # --- outer joins ------------------------------------------------------------
 
 
@@ -458,6 +536,8 @@ QUERIES = {
     "q17_small_qty_revenue": (q17_small_qty_revenue, Q17_SQL),
     "q18_large_orders": (q18_large_orders, Q18_SQL),
     "q19_disjunctive_revenue": (q19_disjunctive_revenue, Q19_SQL),
+    "q21_lone_late_supplier": (q21_lone_late_supplier, Q21_SQL),
+    "q22_dormant_customers": (q22_dormant_customers, Q22_SQL),
     "notin_nations": (notin_nations, NOTIN_SQL),
     "join_outer_custdist": (join_outer_custdist, JOIN_OUTER_SQL),
     "join_full_outer_nations": (join_full_outer_nations, JOIN_FULL_OUTER_SQL),

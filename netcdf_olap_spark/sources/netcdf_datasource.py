@@ -1,0 +1,151 @@
+"""Spark 4 Python DataSource for NetCDF-style cube directories.
+
+SURVEY.md §2.1 S1 names two rebuild strategies for the reference's
+NetCDF scan (Gddp.scala:53-56): an ingest-to-Parquet job
+(sources/netcdf.py ingest_directory — the 100 TB default) and "a
+custom PySpark DataSource (pyspark.sql.datasource, Spark 4)". This is
+the second: ``spark.read.format("netcdf_cube")`` over a directory,
+querying the cubes live with no ingest step — the reference's
+query-time file-open model, but distributed.
+
+Partitioning model: **one input partition per (file, variable)** —
+exactly the reference's unit of parallelism (one RDD task per
+requested variable, Gddp.scala:164-165), except file-granular, so a
+1000-executor cluster scales with files × variables instead of
+variables alone. Spark schedules each partition's ``read()`` on a
+Python worker; rows stream out as Arrow batches (the pandas →
+Arrow conversion batches ~10k rows), never through the driver.
+
+Column pruning/pushdown status: the long-cube schema is fixed and
+small (8 cols); variable pruning — the projection that matters
+(SURVEY P1) — is an option (``variables=a,b``) that drops whole
+partitions at planning time, which is strictly stronger than
+column-level pruning after decode. Time/space predicate pushdown
+stays with the Parquet path (O3: "v1 avoids this by ingesting to
+Parquet"); this source is the live-query escape hatch, not the
+scale path.
+
+Deploy note: the class is pickled by reference to Python workers, so
+the package must be importable there (in a real cluster: ship the
+wheel via ``spark.submit.pyFiles``). The in-container tests run
+local-mode where the driver's sys.path suffices.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from netcdf_olap_spark.sources.netcdf import GRID_SCHEMA
+
+
+class CubeFilePartition(InputPartition):
+    """One (file, variable) decode unit."""
+
+    def __init__(self, path: str, ds: str, variable: str):
+        self.path = path
+        self.ds = ds
+        self.variable = variable
+
+
+class NetCDFCubeDataSource(DataSource):
+    """``spark.read.format("netcdf_cube").options(...).load(dir)``.
+
+    Options:
+      - ``path`` (or the ``load()`` argument): directory of cube files
+      - ``pattern``: glob within the directory (default ``*.npz``;
+        ``*.nc`` with netCDF4 installed)
+      - ``ds``: dataset id stamped on every row (default: dir name)
+      - ``variables``: comma-separated measure-variable allowlist —
+        partition-level pruning (SURVEY P1)
+      - ``decoder``: ``npz`` (default) or ``netcdf4``
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "netcdf_cube"
+
+    def schema(self):
+        return GRID_SCHEMA
+
+    def reader(self, schema) -> "NetCDFCubeReader":
+        return NetCDFCubeReader(self.options)
+
+
+def _list_variables(path: str, decoder: str) -> list[str]:
+    """Cheap metadata probe (driver-side, once per file at planning —
+    the reference does the same per-file variable listing,
+    Gddp.scala:119-131). npz reads the zip directory only; arrays are
+    lazy."""
+    if decoder == "netcdf4":
+        import netCDF4
+
+        nc = netCDF4.Dataset(path)
+        try:
+            out = []
+            for name, v in nc.variables.items():
+                if name in ("time", "lat", "lon", "x", "y"):
+                    continue
+                if v.ndim == 3:
+                    out.append(name)
+            return out
+        finally:
+            nc.close()
+    import numpy as np
+
+    with np.load(path) as z:
+        return [
+            n
+            for n in z.files
+            if n not in ("time", "lat", "lon") and not n.startswith("fill__")
+        ]
+
+
+class NetCDFCubeReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("netcdf_cube: path is required")
+        self.pattern = options.get("pattern", "*.npz")
+        self.ds = options.get("ds") or os.path.basename(self.path.rstrip("/"))
+        self.decoder = options.get("decoder", "npz")
+        raw = options.get("variables")
+        self.variables: Sequence[str] | None = (
+            [v.strip() for v in raw.split(",") if v.strip()] if raw else None
+        )
+
+    def partitions(self) -> list[CubeFilePartition]:
+        files = sorted(glob.glob(os.path.join(self.path, self.pattern)))
+        if not files:
+            raise FileNotFoundError(f"netcdf_cube: no {self.pattern} in {self.path}")
+        parts = []
+        for f in files:
+            for v in _list_variables(f, self.decoder):
+                if self.variables is not None and v not in self.variables:
+                    continue  # partition-level variable pruning
+                parts.append(CubeFilePartition(f, self.ds, v))
+        return parts
+
+    def read(self, partition: CubeFilePartition) -> Iterator:
+        """Decode one (file, variable) on the Python worker and yield
+        Arrow batches. Reuses the shared cube→long-rows conversion
+        (fill→NULL, 1990-epoch hours decode — the two semantic traps,
+        Gddp.scala:126, 188-191)."""
+        import pyarrow as pa
+
+        from netcdf_olap_spark.sources.netcdf import netcdf4_decoder, npz_decoder
+
+        dec = netcdf4_decoder if self.decoder == "netcdf4" else npz_decoder
+        with open(partition.path, "rb") as fh:
+            content = fh.read()
+        for pdf in dec(content, partition.ds, [partition.variable]):
+            table = pa.Table.from_pandas(pdf, preserve_index=False)
+            yield from table.to_batches(max_chunksize=10_000)
+
+
+def register(spark) -> None:
+    """Idempotent format registration for the current session."""
+    spark.dataSource.register(NetCDFCubeDataSource)

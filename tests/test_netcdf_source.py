@@ -128,3 +128,40 @@ def test_catalog_and_overlap(spark):
     assert hit == {"pr"}
     hit = {r["variable"] for r in src.overlapping_variables(cat, "1990-01-01", "1990-01-20").collect()}
     assert hit == {"tas", "pr"}
+
+
+def test_python_datasource_matches_mapinpandas_ingest(spark, tmp_path):
+    """The Spark-4 Python DataSource path (one input partition per
+    (file, variable)) must yield exactly the rows the
+    binaryFile+mapInPandas path yields."""
+    from netcdf_olap_spark.sources import netcdf_datasource as nds
+
+    d1, th, lat, lon = _cube(1)
+    d2, _, _, _ = _cube(2)
+    buf1 = io.BytesIO()
+    np.savez(buf1, time=th, lat=lat, lon=lon, tas=d1, **{"fill__tas": np.float64(FILL)}, pr=d2)
+    (tmp_path / "a.npz").write_bytes(buf1.getvalue())
+    (tmp_path / "b.npz").write_bytes(_npz_bytes(d2, th + NT * 24, lat, lon))
+
+    nds.register(spark)
+    got = (
+        spark.read.format("netcdf_cube")
+        .option("ds", "dtest")
+        .load(str(tmp_path))
+    )
+    want = src.ingest_directory(
+        spark, str(tmp_path), ds="dtest", pattern="*.npz", decoder=src.npz_decoder
+    )
+    key = ["variable", "time", "y", "x"]
+    assert got.count() == want.count() == 2 * NT * NY * NX + NT * NY * NX
+    g = [tuple(r) for r in got.orderBy(*key).collect()]
+    w = [tuple(r) for r in want.orderBy(*key).collect()]
+    assert g == w
+    # variable allowlist prunes whole partitions at planning time
+    pruned = (
+        spark.read.format("netcdf_cube")
+        .option("ds", "dtest")
+        .option("variables", "tas")
+        .load(str(tmp_path))
+    )
+    assert pruned.select("variable").distinct().collect() == [("tas",)]
