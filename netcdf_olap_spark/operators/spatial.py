@@ -122,12 +122,48 @@ def in_polygon_col(ring: Ring) -> Column:
     return _pip(F.col("lon"), F.col("lat"))
 
 
-def polygon_mask(df: DataFrame, ring: Ring) -> DataFrame:
+def in_polygon_expr(ring: Ring) -> Column:
+    """P6 fine stage, JVM-native: the same even-odd ray cast unrolled
+    into one whole-stage-codegen'd boolean expression — one XOR term
+    per polygon edge (`a != b` is boolean XOR in Spark SQL). Query
+    polygons are small (the reference's UI draws rectangles → 5-point
+    rings, map.jsx:174-185), so the unrolled expression stays tiny.
+
+    Bit-identical to the pandas_udf variant (`in_polygon_col`): both
+    evaluate ``lon < (x2-x1)·(lat-y1)/(y2-y1) + x1`` in float64 in the
+    same edge order, and horizontal edges (y1 == y2) contribute a
+    constant-false crossing term in both (numpy: cond masks the inf;
+    here: the edge is skipped).
+
+    Preferred at scale: no Arrow boundary, no Python workers in the
+    flagship path — the whole slice-mask-aggregate plan is one codegen
+    span over the parquet scan."""
+    lat, lon = F.col("lat"), F.col("lon")
+    inside: Column = F.lit(False)
+    for i in range(len(ring) - 1):
+        x1, y1 = float(ring[i][0]), float(ring[i][1])
+        x2, y2 = float(ring[i + 1][0]), float(ring[i + 1][1])
+        if y1 == y2:
+            continue  # crossing condition (y1>lat) != (y2>lat) is constant-false
+        cond = (F.lit(y1) > lat) != (F.lit(y2) > lat)
+        xcross = F.lit(x2 - x1) * (lat - F.lit(y1)) / F.lit(y2 - y1) + F.lit(x1)
+        inside = inside != (cond & (lon < xcross))
+    return inside
+
+
+def polygon_mask(df: DataFrame, ring: Ring, method: str = "native") -> DataFrame:
     """P6: coarse bbox prefilter (native, pushed down) then exact
     ray-cast on survivors — the coarse-to-fine pattern of
-    Gddp.scala:206-210 + 235 (SURVEY §4 O4)."""
+    Gddp.scala:206-210 + 235 (SURVEY §4 O4).
+
+    ``method="native"`` (default) keeps the fine stage in whole-stage
+    codegen; ``"pandas"`` routes it through the Arrow-batched UDF
+    (kept as the §2.10 scalar-pandas_udf surface and as the template
+    for masks too complex to unroll — equality of the two is pinned
+    in tests/test_spatial.py)."""
     lat_min, lat_max, lon_min, lon_max = ring_envelope(ring)
-    return bbox_filter(df, lat_min, lat_max, lon_min, lon_max).where(in_polygon_col(ring))
+    fine = in_polygon_expr(ring) if method == "native" else in_polygon_col(ring)
+    return bbox_filter(df, lat_min, lat_max, lon_min, lon_max).where(fine)
 
 
 def sq_degree_dist(lat: float, lon: float) -> Column:

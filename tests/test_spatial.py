@@ -96,3 +96,13 @@ def test_fill_value_nulls_skipped(spark):
     ).collect()[0]
     assert row.rows > row.vals > 0  # ~7% nulls exist
     assert row.avg is not None
+
+
+def test_native_expr_equals_pandas_udf_raycast(spark):
+    """The unrolled JVM expression and the Arrow UDF must agree on
+    every grid cell (same float64 arithmetic, same edge order)."""
+    coords = load_coords(spark, register=False)
+    diff = coords.select(
+        (spatial.in_polygon_expr(POLYGON) != spatial.in_polygon_col(POLYGON)).alias("d")
+    ).where("d").count()
+    assert diff == 0
