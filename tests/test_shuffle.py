@@ -84,3 +84,70 @@ def test_salt_spreads_hot_key(spark):
         .count()
     )
     assert salts > 1
+
+
+def test_dynamic_partition_pruning_on_cube(spark, tmp_path):
+    """DPP (SURVEY §4 O1's join-driven form): joining the
+    date-partitioned cube against a filtered date dim must prune
+    partitions at runtime — the scan carries a dynamicpruning
+    subquery expression instead of reading every date directory."""
+    from netcdf_olap_spark.session import load_grid
+    from netcdf_olap_spark.sources.netcdf import write_cube_parquet
+
+    from pyspark.sql import Row
+
+    out = str(tmp_path / "cube")
+    write_cube_parquet(load_grid(spark, register=False), out)
+    cube = spark.read.parquet(out)
+    # dim must be independent of the fact scan (a dim derived from the
+    # same scan is planned as a self-join and skips DPP) and carry its
+    # own filter — the classic star-schema shape
+    dim = spark.createDataFrame(
+        [Row(date="1990-01-05", tag="a"), Row(date="1990-01-06", tag="a"), Row(date="1990-02-01", tag="b")]
+    )
+    j = (
+        cube.join(F.broadcast(dim.where(F.col("tag") == "a")), "date")
+        .groupBy("variable")
+        .count()
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Runtime bloom-filter join pruning (Spark 3.3+): a selective dim
+    filter should inject a bloom filter on the fact side's join key so
+    non-matching fact rows drop at the scan, before the shuffle."""
+    old = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "true"
+        ),
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB"
+        ),
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+    }
+    old["spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"] = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "10GB"
+    )
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "500MB")
+    # test data is far below the production 10GB application-side bar
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    # force a shuffle join: bloom filters only help non-broadcast plans
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        lineitem = spark.read.parquet(f"{SF}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF}/orders.parquet").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in plan.lower(), plan[:2000]
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
