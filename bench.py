@@ -45,6 +45,15 @@ HEADLINE += [
     "doc_bpe_token_stats",
 ]
 
+# Round-1 additions (settled before the first recorded BENCH so the
+# baseline covers them): the hardest subquery topology, the rollup
+# merge, and the binned range join.
+HEADLINE += [
+    "q21_lone_late_supplier",
+    "ev_rollup_hybrid",
+    "ev_range_join_binned",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
