@@ -150,8 +150,65 @@ ORDER BY lbl, id1, rk
 """
 
 
+def doc_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection over *documents*
+    (the dedup-family member using the embedding modality): label-
+    blocked pairwise cosine, thresholded, joined back to the
+    documents table for metadata (same-language flag). doc_id ≡
+    vec_id in the testdata. The synthetic corpus has no true
+    near-dups (max intra-label cosine ≈ 0.47), so the threshold sits
+    at the p99 tail — the operator shape, blocking strategy, and
+    metadata join are what scale: at 100 TB, blocks come from
+    LSH/IVF buckets instead of labels (operators/similarity.py)."""
+    e = _emb(spark, sf_dir)
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "lang"
+    )
+    a, b = e.alias("a"), e.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id1"),
+            F.col("b.vec_id").alias("id2"),
+            similarity.cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") > 0.3)
+    )
+    d1 = d.select(F.col("doc_id").alias("id1"), F.col("lang").alias("lang1"))
+    d2 = d.select(F.col("doc_id").alias("id2"), F.col("lang").alias("lang2"))
+    return (
+        pairs.join(F.broadcast(d1), "id1")
+        .join(F.broadcast(d2), "id2")
+        .select(
+            "id1", "id2", "cos_sim",
+            (F.col("lang1") == F.col("lang2")).alias("same_lang"),
+        )
+        .orderBy("id1", "id2")
+    )
+
+
+DOC_NEAR_DUP_SQL = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         {_duck_cos('a.embedding', 'b.embedding')} AS cos_sim
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id)
+SELECT id1, id2, cos_sim, d1.lang = d2.lang AS same_lang
+FROM pairs
+JOIN documents d1 ON d1.doc_id = id1
+JOIN documents d2 ON d2.doc_id = id2
+WHERE cos_sim > 0.3
+ORDER BY id1, id2
+"""
+
+
 QUERIES = {
     "emb_knn_brute": (emb_knn_brute, EMB_KNN_BRUTE_SQL),
+    "doc_embedding_near_dup": (doc_embedding_near_dup, DOC_NEAR_DUP_SQL),
     "emb_threshold_neighbors": (emb_threshold_neighbors, EMB_THRESHOLD_SQL),
     "emb_centroids": (emb_centroids, EMB_CENTROIDS_SQL),
     "emb_knn_lsh": (emb_knn_lsh, None),
