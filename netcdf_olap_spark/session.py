@@ -55,6 +55,15 @@ def get_spark(app_name: str = "netcdf-olap-spark", cpus: int | None = None) -> S
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Split size tuned to the data:cores ratio of this harness —
+        # test-scale parquet files are ≤ ~100 MB, so the 128 MB default
+        # packs a whole table into 1-3 input partitions and leaves 29+
+        # cores idle during scans (measured 2.2× on TPC-H Q1 at sf0.1).
+        # On a real cluster with TB-scale tables, raise this back toward
+        # the default: tiny splits there just multiply scheduling and
+        # footer-read overhead.
+        .config("spark.sql.files.maxPartitionBytes", "8m")
+        .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
