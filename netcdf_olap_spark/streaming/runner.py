@@ -87,3 +87,31 @@ def run_to_memory(stream_df: DataFrame, output_mode: str = "append") -> DataFram
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def run_to_parquet(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+) -> None:
+    """Execute a streaming DataFrame with availableNow into a parquet
+    sink with a durable checkpoint — the production write path.
+
+    The checkpoint (WAL + source offsets + sink commit log) is what
+    makes the pipeline exactly-once end-to-end: a resumed query
+    replays nothing already committed and picks up only files that
+    arrived since (proven in tests/test_streaming.py by re-running
+    against the same checkpoint). On a cluster, put both dirs on
+    shared storage; the parquet sink's _spark_metadata commit log is
+    what readers trust, so partially-written files from a crash are
+    invisible."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

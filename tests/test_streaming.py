@@ -228,3 +228,38 @@ def test_interval_join_stream_equals_batch(spark, staged):
     want = ops.interval_join(batch)
     assert got.count() > 0
     assert _rows(got, "click_id", "view_id") == _rows(want, "click_id", "view_id")
+
+
+def test_parquet_sink_checkpoint_is_exactly_once(spark, tmp_path):
+    """Resuming against the same checkpoint must process nothing
+    already committed; a file arriving between runs must be processed
+    exactly once."""
+    from netcdf_olap_spark.streaming.runner import run_to_parquet
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    batch = load_events(spark, SF_DIR).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    first, second = batch.where("event_id % 2 = 0"), batch.where("event_id % 2 = 1")
+    stage_event_files(first, src, n_files=2)
+
+    def run():
+        run_to_parquet(events_file_stream(spark, src), out, ckpt)
+        return spark.read.parquet(out).count()
+
+    n1 = run()
+    assert n1 == first.count()
+    # resume with nothing new: no reprocessing, no duplicates
+    assert run() == n1
+    # stage the second half into the same dir; only IT is processed
+    import os as _os
+    stage_event_files(second, src + "_tmp", n_files=1)
+    for f in _os.listdir(src + "_tmp"):
+        _os.rename(_os.path.join(src + "_tmp", f), _os.path.join(src, "late_" + f))
+    n3 = run()
+    assert n3 == batch.count()
+    # every event id appears exactly once end-to-end
+    ids = spark.read.parquet(out).groupBy("event_id").count().where("count > 1").count()
+    assert ids == 0
