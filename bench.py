@@ -22,6 +22,11 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
+# Harness-scale split size (files ≤ ~100 MB; default 128 MB splits
+# leave most cores idle on scans). Library default stays untouched —
+# see session.get_spark.
+os.environ.setdefault("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m")
+
 # Headline set: the flagship cube query + the heaviest relational and
 # north-star operators. Names must exist in the registry.
 HEADLINE = [

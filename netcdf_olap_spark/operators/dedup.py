@@ -16,9 +16,10 @@ Scale design (the point of these at 100 TB):
   candidates then verified with exact Jaccard so the output is
   precision-1.0 (recall bounded by the LSH curve).
 - **SimHash**: 64-bit signature from token hashes via bit-vote
-  aggregation; near-dup = Hamming distance ≤ k over 16-bit-chunk
-  blocked candidates (a chunk must match exactly → 4 blocking keys,
-  same sub-quadratic shape).
+  aggregation; near-dup = Hamming distance ≤ k over 8 × 8-bit-chunk
+  blocked candidates (a chunk must match exactly → 8 blocking keys;
+  pigeonhole gives recall 1.0 up to Hamming distance 7, same
+  sub-quadratic shape).
 
 Everything is native Spark expressions (xxhash64, bit ops,
 higher-order lambdas) — no Python in any per-row path.
@@ -84,7 +85,10 @@ def jaccard_pairs(
     )
     sz1 = sizes.select(F.col("id").alias("id1"), F.col("sz").alias("sz1"))
     sz2 = sizes.select(F.col("id").alias("id2"), F.col("sz").alias("sz2"))
-    j = shared.join(F.broadcast(sz1), "id1").join(F.broadcast(sz2), "id2")
+    # No broadcast hint: `sizes` is one row PER DOCUMENT — forcing a
+    # broadcast is a driver OOM at corpus scale. AQE picks broadcast
+    # at runtime whenever the side actually is small.
+    j = shared.join(sz1, "id1").join(sz2, "id2")
     union_sz = F.col("sz1") + F.col("sz2") - F.col("shared")
     # threshold as exact rational: shared / union >= threshold
     t_num, t_den = _as_fraction(threshold)
@@ -110,13 +114,44 @@ def minhash_signatures(
     """k MinHash values per doc: min over shingles of
     xxhash64(seed_i, xxhash64(shingle)). The variable-length shingle
     string is hashed ONCE; the k "permutations" re-hash the resulting
-    fixed 8-byte long — ~k× less string-hashing work in the hot loop
-    for identical collision behavior. One explode + one groupBy — the
-    partial min runs map-side, so shuffle volume is k longs per doc
-    regardless of doc length."""
-    idx = _shingle_index(df, id_col, text_col, n).withColumn("h0_", F.xxhash64(F.col("sh")))
+    fixed 8-byte long — ~k× less string-hashing work for identical
+    collision behavior.
+
+    Shingle hashes are built WITHOUT materializing shingle strings:
+    each token is hashed once (O(tokens) string work), then a shingle
+    hash is xxhash64 over its n token-hashes — no concat_ws, no
+    n-word string allocation, no string array_distinct. Explode +
+    groupBy(k mins) keeps the whole stage codegen'd with map-side
+    partial aggregation, so shuffle volume is k longs per doc
+    regardless of doc length. (An array-only ``array_min(transform)``
+    formulation was measured 60% SLOWER here: higher-order lambdas
+    are interpreted, not codegen'd — see PLANS.md.)
+    Docs with < n tokens have no shingles and produce no signature
+    row, matching the string-shingle formulation."""
+    idx = _hashed_shingle_index(df, id_col, text_col, n)
     aggs = [F.min(F.xxhash64(F.lit(i), F.col("h0_"))).alias(f"h{i}") for i in range(k)]
     return idx.groupBy("id").agg(*aggs)
+
+
+def _hashed_shingle_index(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, h0_) inverted index of 64-bit shingle HASHES — the
+    string-free twin of ``_shingle_index``: one xxhash64 per token,
+    shingle hash = xxhash64 of its n token-hashes. Used by MinHash
+    signatures and verification, where distinct-shingle IDENTITY is
+    all that matters (a 64-bit collision merging two shingles of one
+    doc is vanishingly rare and only perturbs a near-dup score by one
+    shingle). ``jaccard_pairs`` keeps true string shingles — its
+    oracle computes exact string Jaccard."""
+    toks = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("t"))
+    th = toks.select("id", F.transform("t", lambda x: F.xxhash64(x)).alias("th"))
+    shingle_h = F.transform(
+        F.sequence(F.lit(1), F.size("th") - (n - 1)),
+        lambda i: F.xxhash64(*[F.element_at(F.col("th"), i + j) for j in range(n)]),
+    )
+    return (
+        th.where(F.size("th") >= n)
+        .select("id", F.explode(F.array_distinct(shingle_h)).alias("h0_"))
+    )
 
 
 def minhash_lsh_pairs(
@@ -159,24 +194,38 @@ def minhash_lsh_pairs(
     if verify_threshold is None:
         return cand
 
+    # `cand` feeds three consumers (the ids union, the docs semi-join,
+    # and the final pair semi-join) — without a cut, Catalyst re-derives
+    # the whole MinHash signature subtree for each. localCheckpoint
+    # materializes the candidate set once (it is tiny relative to the
+    # corpus: near-dup pairs only) and truncates lineage.
+    cand = cand.localCheckpoint(eager=True)
+
     # Exact-verify candidates: compute shared-shingle counts only for
     # docs appearing in any candidate pair. The semi-join runs BEFORE
     # shingling so non-candidate docs are never exploded (Catalyst
     # won't push a semi-join below a Generate on its own).
     ids = cand.select(F.col("id1").alias("id")).union(cand.select("id2")).distinct()
-    docs_cand = df.join(F.broadcast(ids.withColumnRenamed("id", id_col)), id_col, "left_semi")
-    idx = _shingle_index(docs_cand, id_col, text_col, n)
+    docs_cand = df.join(ids.withColumnRenamed("id", id_col), id_col, "left_semi")
+    # Same cut for the candidate shingle index: it is read by the sizes
+    # agg AND both sides of the shared self-join (3 scans of the same
+    # explode). Restricted to candidate docs it is small by construction.
+    # Hashed shingles (no string building) — identity is all the
+    # Jaccard arithmetic needs.
+    idx = _hashed_shingle_index(docs_cand, id_col, text_col, n).localCheckpoint(eager=True)
     sizes = idx.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     ai, bi_ = idx.alias("ai"), idx.alias("bi")
     shared = (
-        ai.join(bi_, (F.col("ai.sh") == F.col("bi.sh")) & (F.col("ai.id") < F.col("bi.id")))
+        ai.join(bi_, (F.col("ai.h0_") == F.col("bi.h0_")) & (F.col("ai.id") < F.col("bi.id")))
         .groupBy(F.col("ai.id").alias("id1"), F.col("bi.id").alias("id2"))
         .agg(F.count(F.lit(1)).alias("shared"))
         .join(cand, ["id1", "id2"], "left_semi")
     )
     sz1 = sizes.select(F.col("id").alias("id1"), F.col("sz").alias("sz1"))
     sz2 = sizes.select(F.col("id").alias("id2"), F.col("sz").alias("sz2"))
-    j = shared.join(F.broadcast(sz1), "id1").join(F.broadcast(sz2), "id2")
+    # No broadcast hint on per-doc size tables (AQE decides; see
+    # jaccard_pairs above).
+    j = shared.join(sz1, "id1").join(sz2, "id2")
     union_sz = F.col("sz1") + F.col("sz2") - F.col("shared")
     t_num, t_den = _as_fraction(verify_threshold)
     return j.where(F.col("shared") * t_den >= F.lit(t_num) * union_sz).select(

@@ -556,9 +556,12 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB SUM(BIGINT) yields HUGEINT (int128) — hashes differently from
+# Spark's bigint even when values are identical (round-1 red row), so the
+# outer CAST back to BIGINT is load-bearing.
 EVENTS_JSON_SQL = """
 SELECT event_type,
-       SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
        COUNT(CAST(props->>'$.k' AS BIGINT)) AS n_k
 FROM events
 GROUP BY event_type
@@ -660,13 +663,20 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     StreamingHistogram pattern (Gddp.scala:230) as Catalyst
     partial+final sketch merges. rows-only: sketch internals differ
     across engines by design; error bounds are asserted in
-    tests/test_properties.py / test_similarity.py."""
+    tests/test_properties.py / test_similarity.py.
+
+    Quartiles are three scalar columns (not one array column): the
+    driver's canonicalizer can't hash array cells (round-1 err row),
+    and three percentile_approx calls over the same column collapse
+    into one shared sketch pass under Catalyst anyway."""
     l = _t(spark, sf_dir, "lineitem")
     return (
         l.groupBy("l_returnflag")
         .agg(
             F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-            F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10_000).alias("price_quartiles"),
+            F.percentile_approx("l_extendedprice", F.lit(0.25), F.lit(10_000)).alias("q25"),
+            F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10_000)).alias("q50"),
+            F.percentile_approx("l_extendedprice", F.lit(0.75), F.lit(10_000)).alias("q75"),
             F.count(F.lit(1)).alias("n_rows"),
         )
         .orderBy("l_returnflag")

@@ -489,7 +489,7 @@ def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SCALAR_MAP_SQL = """
 SELECT k AS map_key, COUNT(*) AS n_entries,
-       SUM(CAST(json_extract_string(props, '$.' || k) AS BIGINT)) AS sum_val,
+       CAST(SUM(CAST(json_extract_string(props, '$.' || k) AS BIGINT)) AS BIGINT) AS sum_val,
        MIN(CAST(json_extract_string(props, '$.' || k) AS BIGINT)) AS min_val,
        MAX(CAST(json_extract_string(props, '$.' || k) AS BIGINT)) AS max_val
 FROM (SELECT unnest(json_keys(props)) AS k, props FROM events)

@@ -228,7 +228,7 @@ WITH sent AS (
   FROM documents)
 SELECT doc_id,
        len(ss) AS n_sentences,
-       list_sum(list_transform(ss, s -> LENGTH(s))) AS total_sent_chars
+       CAST(list_sum(list_transform(ss, s -> LENGTH(s))) AS BIGINT) AS total_sent_chars
 FROM sent
 WHERE len(ss) > 0
 ORDER BY doc_id

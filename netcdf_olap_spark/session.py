@@ -55,17 +55,20 @@ def get_spark(app_name: str = "netcdf-olap-spark", cpus: int | None = None) -> S
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # Split size tuned to the data:cores ratio of this harness —
-        # test-scale parquet files are ≤ ~100 MB, so the 128 MB default
-        # packs a whole table into 1-3 input partitions and leaves 29+
-        # cores idle during scans (measured 2.2× on TPC-H Q1 at sf0.1).
-        # On a real cluster with TB-scale tables, raise this back toward
-        # the default: tiny splits there just multiply scheduling and
-        # footer-read overhead.
-        .config("spark.sql.files.maxPartitionBytes", "8m")
-        .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.ui.enabled", "false")
     )
+    # Split-size tuning is OPT-IN via env (bench.py / tests/conftest.py
+    # set 8m): test-scale parquet files are ≤ ~100 MB, so the 128 MB
+    # default packs a whole table into 1-3 input partitions and leaves
+    # 29+ cores idle during scans (measured 2.2× on TPC-H Q1 at sf0.1).
+    # The library default stays Spark's default — on a real cluster with
+    # TB-scale tables, tiny splits just multiply scheduling and
+    # footer-read overhead.
+    split = os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "")
+    if split:
+        builder = builder.config("spark.sql.files.maxPartitionBytes", split).config(
+            "spark.sql.files.openCostInBytes", os.environ.get("SPARK_GRAFT_OPEN_COST_BYTES", "1m")
+        )
     return builder.getOrCreate()
 
 

@@ -9,6 +9,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
+# Test-scale split size (opt-in; see session.get_spark).
+os.environ.setdefault("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m")
+
 SF_SMALL = "/root/testdata/sf0.001"
 SF_ORACLE = "/root/testdata/sf0.01"
 

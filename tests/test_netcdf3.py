@@ -1,0 +1,186 @@
+"""Vendored NetCDF-3 classic reader/writer (sources/netcdf3.py) and
+the real `.nc` ingest path (sources/netcdf.netcdf3_decoder): spec-level
+byte layout, round-trips, and end-to-end distributed ingest of genuine
+classic-format bytes (the reference's input format, Gddp.scala:53-56).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from netcdf_olap_spark.sources import netcdf as src
+from netcdf_olap_spark.sources.netcdf3 import (
+    NC_DOUBLE,
+    NC_FLOAT,
+    NC_INT,
+    read_netcdf3,
+    write_netcdf3,
+)
+
+NT, NY, NX = 4, 3, 5
+FILL = -9999.0
+
+
+def _cube(seed: int = 7):
+    rng = np.random.default_rng(seed)
+    data = rng.normal(280.0, 5.0, (NT, NY, NX)).astype(np.float64)
+    data[0, 0, 0] = FILL
+    data[2, 2, 4] = FILL
+    time_hours = (np.arange(NT) * 24).astype(np.int32)
+    lat = (42.0 + 0.5 * np.arange(NY)).astype(np.float64)
+    lon = (-84.0 + 0.5 * np.arange(NX)).astype(np.float64)
+    return data, time_hours, lat, lon
+
+
+def _nc_bytes(data, time_hours, lat, lon, var="tas", record_time=True) -> bytes:
+    """A rectilinear cube in classic CDF-1 layout, shaped like the
+    reference's GDDP inputs: time (record dim) × lat × lon."""
+    return write_netcdf3(
+        dimensions={"time": None if record_time else len(time_hours), "lat": NY, "lon": NX},
+        variables={
+            "time": (("time",), time_hours, {"units": "hours since 1990-01-01"}),
+            "lat": (("lat",), lat, {"long_name": "latitude coordinate"}),
+            "lon": (("lon",), lon, {"long_name": "longitude coordinate"}),
+            var: (("time", "lat", "lon"), data, {"_FillValue": FILL}),
+        },
+        global_attrs={"title": "unit-test cube"},
+    )
+
+
+# ---------------------------------------------------------------------------
+# spec-level layout (hand-checked against the published classic format)
+# ---------------------------------------------------------------------------
+
+
+def test_header_bytes_match_spec():
+    """Golden check of the first header fields of a minimal file —
+    independently derivable from the NetCDF classic spec, so the
+    writer and reader can't just share a bug."""
+    x = np.arange(3, dtype=np.int32)
+    content = write_netcdf3({"d": 3}, {"v": (("d",), x, {})})
+
+    assert content[:4] == b"CDF\x01"  # magic + version 1
+    assert struct.unpack_from(">I", content, 4)[0] == 0  # numrecs = 0
+    # dim_list: NC_DIMENSION tag (0x0A), 1 dim
+    assert struct.unpack_from(">II", content, 8) == (0x0A, 1)
+    # dim name "d": nelems=1, 'd' + 3 pad bytes; then length 3
+    assert struct.unpack_from(">I", content, 16)[0] == 1
+    assert content[20:24] == b"d\x00\x00\x00"
+    assert struct.unpack_from(">I", content, 24)[0] == 3
+    # gatt_list ABSENT = (0, 0)
+    assert struct.unpack_from(">II", content, 28) == (0, 0)
+    # var_list: NC_VARIABLE tag (0x0B), 1 var
+    assert struct.unpack_from(">II", content, 36) == (0x0B, 1)
+    # var name "v", ndims=1, dimid 0, vatts ABSENT, nc_type INT,
+    # vsize = 12 (3 × 4 bytes), begin = header length
+    assert struct.unpack_from(">I", content, 44)[0] == 1
+    assert content[48:52] == b"v\x00\x00\x00"
+    assert struct.unpack_from(">II", content, 52) == (1, 0)  # ndims, dimid
+    assert struct.unpack_from(">II", content, 60) == (0, 0)  # vatt ABSENT
+    nc_type, vsize, begin = struct.unpack_from(">III", content, 68)
+    assert (nc_type, vsize) == (NC_INT, 12)
+    assert begin == 80  # header ends exactly here
+    assert len(content) == 80 + 12
+    # payload is big-endian 0,1,2
+    assert content[80:92] == b"\x00\x00\x00\x00\x00\x00\x00\x01\x00\x00\x00\x02"
+
+
+def test_roundtrip_fixed_and_record_vars():
+    data, time_hours, lat, lon = _cube()
+    nc = read_netcdf3(_nc_bytes(data, time_hours, lat, lon))
+
+    assert nc.dimensions == {"time": None, "lat": NY, "lon": NX}
+    assert nc.attributes["title"] == "unit-test cube"
+    v = nc.variables["tas"]
+    assert v.shape == (NT, NY, NX)
+    assert v.nc_type == NC_DOUBLE
+    assert v.attributes["_FillValue"] == FILL
+    np.testing.assert_array_equal(np.asarray(v.data, dtype=np.float64), data)
+    np.testing.assert_array_equal(np.asarray(nc.variables["time"].data), time_hours)
+    assert nc.variables["lat"].attributes["long_name"] == "latitude coordinate"
+
+
+def test_roundtrip_no_record_dim():
+    data, time_hours, lat, lon = _cube()
+    nc = read_netcdf3(_nc_bytes(data, time_hours, lat, lon, record_time=False))
+    assert nc.dimensions["time"] == NT
+    np.testing.assert_array_equal(
+        np.asarray(nc.variables["tas"].data, dtype=np.float64), data
+    )
+
+
+def test_roundtrip_multiple_record_vars_padding():
+    """Two record vars exercise the per-record interleaved layout;
+    a float32 var checks NC_FLOAT handling."""
+    a = np.arange(6, dtype=np.float32).reshape(3, 2)
+    b = np.arange(60, dtype=np.float64).reshape(3, 20) / 7.0
+    content = write_netcdf3(
+        {"t": None, "p": 2, "q": 20},
+        {"a": (("t", "p"), a, {}), "b": (("t", "q"), b, {})},
+    )
+    nc = read_netcdf3(content)
+    assert nc.variables["a"].nc_type == NC_FLOAT
+    np.testing.assert_array_equal(np.asarray(nc.variables["a"].data, np.float32), a)
+    np.testing.assert_array_equal(np.asarray(nc.variables["b"].data, np.float64), b)
+
+
+def test_single_short_record_var_unpadded():
+    """Spec special case: a lone short record var packs records with
+    NO padding (record stride 2×3=6 bytes, not padded to 8)."""
+    s = np.arange(12, dtype=np.int16).reshape(4, 3)
+    content = write_netcdf3({"t": None, "k": 3}, {"s": (("t", "k"), s, {})})
+    nc = read_netcdf3(content)
+    np.testing.assert_array_equal(np.asarray(nc.variables["s"].data, np.int16), s)
+    # total data bytes = 4 records × 6 bytes, unpadded
+    begin = len(content) - 24
+    assert nc.variables["s"].shape == (4, 3)
+
+
+def test_rejects_non_classic():
+    with pytest.raises(ValueError, match="CDF magic"):
+        read_netcdf3(b"\x89HDF\r\n")
+    with pytest.raises(ValueError, match="version"):
+        read_netcdf3(b"CDF\x05" + b"\x00" * 16)
+
+
+# ---------------------------------------------------------------------------
+# decoder + distributed ingest on genuine .nc bytes
+# ---------------------------------------------------------------------------
+
+
+def test_netcdf3_decoder_matches_reference_semantics():
+    """Fill→NaN, 1990-epoch hours, rectilinear axes meshed to 2-D —
+    the same frame cube_to_pandas produces from raw arrays."""
+    data, time_hours, lat, lon = _cube()
+    frames = list(src.netcdf3_decoder(_nc_bytes(data, time_hours, lat, lon), ds="d1"))
+    assert len(frames) == 1
+    got = frames[0]
+
+    lon2, lat2 = np.meshgrid(lon, lat)
+    want = src.cube_to_pandas("d1", "tas", data, time_hours, lat2, lon2, FILL)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )
+    assert got["value"].isna().sum() == 2  # the two FILL cells
+    assert got["time"].min() == pd.Timestamp("1990-01-01")
+
+
+def test_ingest_directory_real_nc_files(spark, tmp_path):
+    """End-to-end S1: genuine classic-format .nc files through the
+    default decoder path (no decoder= injection) — binaryFile →
+    mapInPandas → GRID_SCHEMA rows."""
+    d1, th, lat, lon = _cube(1)
+    d2, _, _, _ = _cube(2)
+    (tmp_path / "a.nc").write_bytes(_nc_bytes(d1, th, lat, lon))
+    (tmp_path / "b.nc").write_bytes(_nc_bytes(d2, (th + NT * 24).astype(np.int32), lat, lon))
+
+    df = src.ingest_directory(spark, str(tmp_path), ds="gddp")
+    assert df.schema == src.GRID_SCHEMA
+    assert df.count() == 2 * NT * NY * NX
+    assert df.select("time").distinct().count() == 2 * NT
+    # 2 fill cells per file became NULL
+    assert df.where(df.value.isNull()).count() == 4

@@ -82,11 +82,17 @@ def test_ingest_directory_distributed(spark, tmp_path):
     assert df.where(F.col("value").isNull()).count() == 4
 
 
-def test_ingest_directory_requires_decoder(spark, tmp_path):
+def test_ingest_directory_default_decoder_is_real_nc(spark, tmp_path):
+    """Without netCDF4, the default decoder is the vendored classic
+    reader — genuine .nc bytes decode with no decoder= injection
+    (full end-to-end coverage in tests/test_netcdf3.py)."""
     if src._netcdf4_available():
-        pytest.skip("netCDF4 installed; gate not reachable")
-    with pytest.raises(RuntimeError, match="netCDF4"):
-        src.ingest_directory(spark, str(tmp_path), ds="d1")
+        pytest.skip("netCDF4 installed; fallback not reachable")
+    bad = tmp_path / "x.nc"
+    bad.write_bytes(b"not a netcdf file")
+    df = src.ingest_directory(spark, str(tmp_path), ds="d1")
+    with pytest.raises(Exception, match="CDF magic"):
+        df.count()
 
 
 def test_partitioned_roundtrip_and_pruning(spark, tmp_path):

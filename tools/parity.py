@@ -93,6 +93,38 @@ def run_spark(fn, spark, sf_dir: str):
     return list(df.columns), rows
 
 
+def hazard_audit(name: str, spark, sf_dir: str, fn, sql: str | None) -> list[str]:
+    """Flag output types the DRIVER's canonicalizer mishandles even
+    when local parity passes (round-1 lessons):
+
+    - DuckDB HUGEINT/UHUGEINT output (bare SUM over integers) hashes
+      differently from Spark's bigint → silent hash_match=false.
+    - array/list result cells → pandas factorize TypeError (row errs).
+    """
+    problems: list[str] = []
+    df = fn(spark, sf_dir)
+    for f in df.schema.fields:
+        if f.dataType.typeName() in ("array", "map", "struct"):
+            problems.append(f"{name}: Spark output column {f.name} is {f.dataType.simpleString()} (driver canonicalizer cannot hash it)")
+    if sql is not None:
+        import duckdb
+
+        con = duckdb.connect()
+        for t in TABLES:
+            path = os.path.join(sf_dir, f"{t}.parquet")
+            if os.path.exists(path):
+                con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+        cur = con.execute(f"DESCRIBE {sql}")
+        for col, typ, *_ in cur.fetchall():
+            tu = str(typ).upper()
+            if "HUGEINT" in tu:
+                problems.append(f"{name}: oracle column {col} is {typ} — CAST the aggregate to BIGINT")
+            if tu.endswith("[]") or tu.startswith(("STRUCT", "MAP", "LIST")):
+                problems.append(f"{name}: oracle column {col} is {typ} (driver canonicalizer cannot hash it)")
+        con.close()
+    return problems
+
+
 def compare(name: str, spark, sf_dir: str, fn, sql: str) -> list[str]:
     """Returns a list of problems (empty = parity)."""
     problems: list[str] = []
@@ -123,10 +155,15 @@ def main() -> int:
     spark = get_spark("parity")
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    checked_window = set(list(qs)[:50])  # the driver's correctness window
     failed = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        if name in checked_window:
+            for p in hazard_audit(name, spark, sf_dir, fn, oracles.get(name)):
+                failed += 1
+                print(f"  ✗ HAZARD {p}")
         if name not in oracles:
             n = fn(spark, sf_dir).count()
             print(f"  ~ {name}: rows-only ({n} rows)")
