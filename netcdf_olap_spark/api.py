@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import io
 import json
+import os
 import zipfile
 
 from netcdf_olap_spark.operators.spatial import parse_geojson_polygon
@@ -67,6 +68,14 @@ def create_app(spark=None):
 
     app = Flask("netcdf-olap-spark")
     spark = spark or get_spark("api")
+
+    client = os.path.join(os.path.dirname(os.path.abspath(__file__)), "webclient", "index.html")
+
+    @app.get("/")
+    def index():
+        # the reference ships a React map UI (react-demo/src/components/
+        # map.jsx); this serves the dependency-free static counterpart
+        return send_file(client, mimetype="text/html")
 
     coords = load_coords(spark, register=False)
     row = coords.selectExpr(

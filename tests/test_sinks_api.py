@@ -105,6 +105,19 @@ def test_api_fetch_result_roundtrip(spark):
         assert w > 0 and h > 0
 
 
+def test_api_serves_map_client(spark):
+    """The static map client (webclient/index.html — the reference's
+    react-demo counterpart) is served at /."""
+    from netcdf_olap_spark.api import create_app
+
+    client = create_app(spark).test_client()
+    r = client.get("/")
+    assert r.status_code == 200
+    html = r.data.decode()
+    assert "/fetchResult" in html and "/getBoundary" in html
+    assert "DecompressionStream" in html  # client-side unzip present
+
+
 def test_api_bad_request(spark):
     from netcdf_olap_spark.api import create_app
 
