@@ -61,7 +61,8 @@ class NetCDFCubeDataSource(DataSource):
       - ``ds``: dataset id stamped on every row (default: dir name)
       - ``variables``: comma-separated measure-variable allowlist —
         partition-level pruning (SURVEY P1)
-      - ``decoder``: ``npz`` (default) or ``netcdf4``
+      - ``decoder``: ``npz`` (default), ``nc3`` (vendored classic-
+        format reader, no native deps), or ``netcdf4``
     """
 
     @classmethod
@@ -94,6 +95,14 @@ def _list_variables(path: str, decoder: str) -> list[str]:
             return out
         finally:
             nc.close()
+    if decoder == "nc3":
+        from netcdf_olap_spark.sources.netcdf3 import read_netcdf3
+
+        # data arrays are zero-copy frombuffer views, so this costs one
+        # file read; at real scale, probe a header-only byte range
+        with open(path, "rb") as fh:
+            nc3 = read_netcdf3(fh.read())
+        return [n for n, v in nc3.variables.items() if len(v.shape) == 3]
     import numpy as np
 
     with np.load(path) as z:
@@ -136,9 +145,13 @@ class NetCDFCubeReader(DataSourceReader):
         Gddp.scala:126, 188-191)."""
         import pyarrow as pa
 
-        from netcdf_olap_spark.sources.netcdf import netcdf4_decoder, npz_decoder
+        from netcdf_olap_spark.sources.netcdf import (
+            netcdf3_decoder,
+            netcdf4_decoder,
+            npz_decoder,
+        )
 
-        dec = netcdf4_decoder if self.decoder == "netcdf4" else npz_decoder
+        dec = {"netcdf4": netcdf4_decoder, "nc3": netcdf3_decoder}.get(self.decoder, npz_decoder)
         with open(partition.path, "rb") as fh:
             content = fh.read()
         for pdf in dec(content, partition.ds, [partition.variable]):
