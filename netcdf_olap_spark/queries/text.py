@@ -265,6 +265,137 @@ ORDER BY variable
 """
 
 
+def doc_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing (training-data pipeline): sequential
+    fill per source, budget 2000 whitespace tokens. The running sum is
+    per-source — parallel across keys, never a global single-partition
+    window (operators/packing.py)."""
+    from netcdf_olap_spark.operators.packing import pack_shards
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.size(text.tokens("text")).alias("n_tokens")
+    )
+    return pack_shards(d, budget=2000).orderBy("doc_id")
+
+
+DOC_SHARD_PACK_SQL = f"""
+WITH toks AS (SELECT doc_id, source, len({DUCK_TOKS}) AS n_tokens FROM documents)
+SELECT doc_id, source, n_tokens,
+       CAST(FLOOR(CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+                   AS DOUBLE) / 2000) AS BIGINT) AS shard_id
+FROM toks
+ORDER BY doc_id
+"""
+
+
+def doc_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard manifest (doc count, token total, id range) over the
+    packed corpus — the index a training loader consumes."""
+    from netcdf_olap_spark.operators.packing import pack_shards, shard_manifest
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.size(text.tokens("text")).alias("n_tokens")
+    )
+    m = shard_manifest(pack_shards(d, budget=2000))
+    return m.select(
+        "source",
+        "shard_id",
+        "n_docs",
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        "first_doc",
+        "last_doc",
+    ).orderBy("source", "shard_id")
+
+
+DOC_SHARD_MANIFEST_SQL = f"""
+WITH toks AS (SELECT doc_id, source, len({DUCK_TOKS}) AS n_tokens FROM documents),
+packed AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(FLOOR(CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+                     AS DOUBLE) / 2000) AS BIGINT) AS shard_id
+  FROM toks)
+SELECT source, shard_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM packed
+GROUP BY source, shard_id
+ORDER BY source, shard_id
+"""
+
+
+def doc_term_stats_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term statistics (the trained IDF model): top 20 terms by
+    document frequency, term tie-break — one explode + one groupBy
+    (operators/retrieval.py corpus_term_stats)."""
+    from netcdf_olap_spark.operators.retrieval import corpus_term_stats
+
+    return (
+        corpus_term_stats(_docs(spark, sf_dir))
+        .orderBy(F.desc("doc_freq"), "term")
+        .limit(20)
+    )
+
+
+DOC_TERM_STATS_SQL = f"""
+WITH posting AS (
+  SELECT doc_id, unnest({DUCK_TOKS}) AS term FROM documents)
+SELECT term, COUNT(DISTINCT doc_id) AS doc_freq, COUNT(*) AS term_freq
+FROM posting
+GROUP BY term
+ORDER BY doc_freq DESC, term
+LIMIT 20
+"""
+
+
+# Fixed query bag for the checked BM25 query (stopwords hit most docs,
+# so the ranking exercises idf discrimination + length normalization).
+BM25_QUERY = ("data", "model", "the", "of")
+_BM25_IN = ", ".join(f"'{t}'" for t in BM25_QUERY)
+
+
+def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval: top 10 docs for a fixed query bag.
+    The per-doc score (a sum of ≤ |query| double contributions) is
+    decimal-snapped at 8 dp: engine/partition summation-order drift is
+    a few ulps (~1e-15), far below the snap grain, so hashes agree."""
+    from netcdf_olap_spark.operators.retrieval import bm25_scores
+
+    raw = bm25_scores(_docs(spark, sf_dir), BM25_QUERY)
+    return (
+        raw.select(
+            F.col("id").alias("doc_id"),
+            F.col("score").cast("decimal(20,8)").cast("double").alias("score"),
+            "n_hit_terms",
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(10)
+    )
+
+
+DOC_BM25_SQL = f"""
+WITH toks AS (SELECT doc_id, {DUCK_TOKS} AS t FROM documents),
+wd AS (SELECT doc_id, len(t) AS dl, t FROM toks),
+posting AS (
+  SELECT doc_id, dl, unnest(list_filter(t, x -> x IN ({_BM25_IN}))) AS term FROM wd),
+tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM posting GROUP BY 1, 2, 3),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(len(t)) AS avgdl FROM toks),
+dfreq AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY term)
+SELECT doc_id,
+       CAST(CAST(SUM(ln(1 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+                     * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+            AS DECIMAL(20,8)) AS DOUBLE) AS score,
+       COUNT(*) AS n_hit_terms
+FROM tf
+JOIN dfreq USING (term)
+CROSS JOIN stats
+GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT 10
+"""
+
+
 QUERIES = {
     "doc_token_stats": (doc_token_stats, DOC_TOKEN_STATS_SQL),
     "doc_bpe_token_stats": (doc_bpe_token_stats, DOC_BPE_SQL),
@@ -277,4 +408,8 @@ QUERIES = {
     "doc_simhash_pairs": (doc_simhash_pairs, None),
     "doc_sentence_stats": (doc_sentence_stats, DOC_SENTENCE_SQL),
     "grid_midhinge": (grid_midhinge, GRID_MIDHINGE_SQL),
+    "doc_shard_pack": (doc_shard_pack, DOC_SHARD_PACK_SQL),
+    "doc_shard_manifest": (doc_shard_manifest, DOC_SHARD_MANIFEST_SQL),
+    "doc_term_stats_topk": (doc_term_stats_topk, DOC_TERM_STATS_SQL),
+    "doc_bm25_topk": (doc_bm25_topk, DOC_BM25_SQL),
 }

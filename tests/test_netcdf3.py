@@ -140,6 +140,51 @@ def test_single_short_record_var_unpadded():
     assert nc.variables["s"].shape == (4, 3)
 
 
+@pytest.mark.parametrize("dtype", [np.int8, np.int16, np.int32, np.float32, np.float64])
+def test_roundtrip_dtypes(dtype):
+    a = (np.arange(24) % 100).astype(dtype).reshape(2, 3, 4)
+    nc = read_netcdf3(write_netcdf3({"t": 2, "y": 3, "x": 4}, {"v": (("t", "y", "x"), a, {})}))
+    np.testing.assert_array_equal(np.asarray(nc.variables["v"].data, dtype), a)
+
+
+def test_roundtrip_property():
+    """Randomized round-trip: arbitrary dim sizes, dtype mix, record
+    and fixed vars, numeric + string attributes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    dtypes = [np.int16, np.int32, np.float32, np.float64]
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.data())
+    def run(data):
+        nrec = data.draw(st.integers(0, 4))
+        fix = data.draw(st.integers(1, 5))
+        nvars = data.draw(st.integers(1, 4))
+        rng = np.random.default_rng(data.draw(st.integers(0, 2**31 - 1)))
+        dims = {"rec": None, "fix": fix}
+        variables = {}
+        arrays = {}
+        for i in range(nvars):
+            dt = data.draw(st.sampled_from(dtypes))
+            is_rec = data.draw(st.booleans())
+            shape = (nrec, fix) if is_rec else (fix,)
+            arr = (rng.integers(-1000, 1000, shape)).astype(dt)
+            attrs = {"note": f"v{i}", "scale": 2.5} if data.draw(st.booleans()) else {}
+            variables[f"v{i}"] = (("rec", "fix") if is_rec else ("fix",), arr, attrs)
+            arrays[f"v{i}"] = arr
+        content = write_netcdf3(dims, variables, global_attrs={"gen": "hyp"})
+        nc = read_netcdf3(content)
+        for name, arr in arrays.items():
+            got = np.asarray(nc.variables[name].data, arr.dtype)
+            if got.shape[0] != arr.shape[0] and len(arr.shape) == 2:
+                # writer pads shorter record vars with zero records
+                got = got[: arr.shape[0]]
+            np.testing.assert_array_equal(got, arr)
+
+    run()
+
+
 def test_rejects_non_classic():
     with pytest.raises(ValueError, match="CDF magic"):
         read_netcdf3(b"\x89HDF\r\n")
