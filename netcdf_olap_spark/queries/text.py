@@ -396,6 +396,70 @@ LIMIT 10
 """
 
 
+def doc_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus preparation — the composed pipeline
+    every stage above exists for: quality gate (≥10 tokens, ≥50
+    chars) → language filter (en) → exact dedup (first doc per
+    fingerprint) → token-budget shard packing per source.
+
+    Shuffle inventory at corpus scale: one on the fingerprint (dedup
+    window), one on source (packing window) — the quality/lang gates
+    are pure map-side column expressions that Catalyst pushes below
+    both, so filtered docs never shuffle at all.
+    """
+    from pyspark.sql import Window
+
+    from netcdf_olap_spark.operators.packing import pack_shards
+
+    d = _docs(spark, sf_dir)
+    enriched = d.select(
+        "doc_id",
+        "source",
+        F.size(text.tokens("text")).alias("n_tokens"),
+        F.length("text").alias("len_chars"),
+        text.lang_id_expr("text").alias("lang_guess"),
+        text.fingerprint("text").alias("fp"),
+    )
+    kept = enriched.where(
+        (F.col("n_tokens") >= 10) & (F.col("len_chars") >= 50) & (F.col("lang_guess") == "en")
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    keeper = kept.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return pack_shards(keeper.select("doc_id", "source", "n_tokens"), budget=2000).orderBy(
+        "doc_id"
+    )
+
+
+DOC_CORPUS_PREP_SQL = rf"""
+WITH enr AS (
+  SELECT doc_id, source,
+         len({DUCK_TOKS}) AS n_tokens,
+         LENGTH(text) AS len_chars,
+         len(list_filter({DUCK_TOKS}, x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS c_en,
+         len(list_filter({DUCK_TOKS}, x -> x IN ('der', 'die', 'das', 'und', 'ein'))) AS c_de,
+         len(list_filter({DUCK_TOKS}, x -> x IN ('le', 'la', 'et', 'un', 'une'))) AS c_fr,
+         len(list_filter({DUCK_TOKS}, x -> x IN ('el', 'la', 'los', 'y', 'un'))) AS c_es,
+         md5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fp
+  FROM documents),
+kept AS (
+  SELECT * FROM enr
+  -- lang_guess == 'en' under first-wins strictly-greater iteration:
+  -- en hits > 0 and no later language strictly exceeds it
+  WHERE n_tokens >= 10 AND len_chars >= 50
+    AND c_en > 0 AND c_de <= c_en AND c_fr <= c_en AND c_es <= c_en),
+keeper AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM kept)
+  WHERE rn = 1)
+SELECT doc_id, source, n_tokens,
+       CAST(FLOOR(CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+                   AS DOUBLE) / 2000) AS BIGINT) AS shard_id
+FROM keeper
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "doc_token_stats": (doc_token_stats, DOC_TOKEN_STATS_SQL),
     "doc_bpe_token_stats": (doc_bpe_token_stats, DOC_BPE_SQL),
@@ -408,6 +472,7 @@ QUERIES = {
     "doc_simhash_pairs": (doc_simhash_pairs, None),
     "doc_sentence_stats": (doc_sentence_stats, DOC_SENTENCE_SQL),
     "grid_midhinge": (grid_midhinge, GRID_MIDHINGE_SQL),
+    "doc_corpus_prep": (doc_corpus_prep, DOC_CORPUS_PREP_SQL),
     "doc_shard_pack": (doc_shard_pack, DOC_SHARD_PACK_SQL),
     "doc_shard_manifest": (doc_shard_manifest, DOC_SHARD_MANIFEST_SQL),
     "doc_term_stats_topk": (doc_term_stats_topk, DOC_TERM_STATS_SQL),
