@@ -187,6 +187,49 @@ ORDER BY id1, id2
 """
 
 
+def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → dedup CLUSTERS via distributed connected
+    components (iterative min-label propagation,
+    operators/components.py): every document mapped to its group's
+    keeper (min doc_id of the component; singletons keep themselves).
+    The oracle replays the same reachability with a recursive CTE —
+    converged min-labels are order-independent, so the iterative and
+    recursive formulations agree exactly."""
+    from netcdf_olap_spark.operators.components import dedup_clusters
+
+    d = _docs(spark, sf_dir)
+    pairs = dedup.jaccard_pairs(d, threshold=0.12, n=3)
+    return dedup_clusters(pairs, d).orderBy("doc_id")
+
+
+DOC_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE
+toks AS (SELECT doc_id, {DUCK_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id AS id, unnest(list_distinct({DUCK_SHINGLES})) AS sh FROM toks),
+sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+shared AS (
+  SELECT a.id AS id1, b.id AS id2, COUNT(*) AS shared
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY a.id, b.id),
+edges AS (
+  SELECT id1, id2
+  FROM shared JOIN sizes s1 ON s1.id = id1 JOIN sizes s2 ON s2.id = id2
+  WHERE shared * 1000 >= 120 * (s1.sz + s2.sz - shared)),
+sym AS (SELECT id1 AS a, id2 AS b FROM edges
+        UNION SELECT id2, id1 FROM edges),
+walk(id, comp) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+  UNION
+  SELECT s.a, w.comp FROM sym s JOIN walk w ON s.b = w.id),
+comp AS (SELECT id, MIN(comp) AS comp FROM walk GROUP BY id)
+SELECT d.doc_id,
+       COALESCE(c.comp, d.doc_id) AS keeper_id,
+       COALESCE(c.comp, d.doc_id) = d.doc_id AS is_keeper
+FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def doc_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-Jaccard-verified at 0.12.
     Seeded xxhash64 banding isn't SQL-expressible → rows-only check;
@@ -472,6 +515,7 @@ QUERIES = {
     "doc_simhash_pairs": (doc_simhash_pairs, None),
     "doc_sentence_stats": (doc_sentence_stats, DOC_SENTENCE_SQL),
     "grid_midhinge": (grid_midhinge, GRID_MIDHINGE_SQL),
+    "doc_dedup_clusters": (doc_dedup_clusters, DOC_DEDUP_CLUSTERS_SQL),
     "doc_corpus_prep": (doc_corpus_prep, DOC_CORPUS_PREP_SQL),
     "doc_shard_pack": (doc_shard_pack, DOC_SHARD_PACK_SQL),
     "doc_shard_manifest": (doc_shard_manifest, DOC_SHARD_MANIFEST_SQL),
