@@ -95,8 +95,55 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(directory, ignore_errors=True)
 
 
+def stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming training-corpus ingestion: documents replayed as
+    micro-batches (synthetic arrival ts, one minute per doc), quality
+    gate + bounded-state fingerprint dedup
+    (streaming/corpus.corpus_ingest). Output is the deterministic
+    projection (fp, n_tokens) — which doc of a duplicate group arrives
+    first is replay-dependent, the surviving fingerprint set is not.
+    Batch equivalence proven in tests/test_streaming.py."""
+    from netcdf_olap_spark.streaming.corpus import corpus_ingest
+    from netcdf_olap_spark.streaming.runner import stage_files
+
+    directory = tempfile.mkdtemp(prefix="noss_docstream_")
+    try:
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+            "doc_id",
+            F.timestamp_micros(F.col("doc_id") * 60_000_000).alias("ts"),
+            "text",
+        )
+        stage_files(docs, directory, n_files=4, order_cols=["doc_id"])
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+            TimestampType,
+        )
+
+        schema = StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("ts", TimestampType()),
+                StructField("text", StringType()),
+            ]
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(directory)
+        )
+        out = run_to_memory(corpus_ingest(stream, watermark="2 hours"), "append")
+        return out.select("fp", "n_tokens").orderBy("fp").localCheckpoint()
+    finally:
+        shutil.rmtree(directory, ignore_errors=True)
+
+
 QUERIES = {
     "stream_tumbling_stats": (stream_tumbling_stats, None),
     "stream_running_totals": (stream_running_totals, None),
     "stream_interval_join": (stream_interval_join, None),
+    "stream_corpus_ingest": (stream_corpus_ingest, None),
 }

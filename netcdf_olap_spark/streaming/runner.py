@@ -48,8 +48,13 @@ def events_file_stream(
 
 
 def stage_event_files(df: DataFrame, directory: str, n_files: int, order_col: str = "ts") -> list[str]:
-    """Split a batch events DataFrame into ``n_files`` parquet files in
-    time order (file i = i-th time-range slice) so the file stream
+    """Events-shaped wrapper over ``stage_files``."""
+    return stage_files(df, directory, n_files, [order_col, "event_id"])
+
+
+def stage_files(df: DataFrame, directory: str, n_files: int, order_cols: list[str]) -> list[str]:
+    """Split a batch DataFrame into ``n_files`` parquet files in
+    ``order_cols`` order (file i = i-th slice) so the file stream
     replays them as in-order micro-batches. Returns the file paths in
     replay order (mtimes are staggered — the file source orders by
     modification time)."""
@@ -57,7 +62,7 @@ def stage_event_files(df: DataFrame, directory: str, n_files: int, order_col: st
     import pyarrow.parquet as pq
 
     os.makedirs(directory, exist_ok=True)
-    pdf = df.toPandas().sort_values([order_col, "event_id"]).reset_index(drop=True)
+    pdf = df.toPandas().sort_values(order_cols).reset_index(drop=True)
     n = len(pdf)
     paths = []
     for i in range(n_files):

@@ -230,6 +230,58 @@ def test_interval_join_stream_equals_batch(spark, staged):
     assert _rows(got, "click_id", "view_id") == _rows(want, "click_id", "view_id")
 
 
+def test_corpus_ingest_stream_equals_batch(spark, tmp_path):
+    """Streaming corpus ingestion (quality gate + bounded-state
+    fingerprint dedup) keeps exactly the fingerprint set the batch
+    operator keeps; duplicate docs collapse to one survivor."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from netcdf_olap_spark.streaming.corpus import corpus_ingest
+    from netcdf_olap_spark.streaming.runner import stage_files
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base),                     # exact duplicate of 1 (same batch)
+        (3, base.upper()),             # casefolds to same fingerprint
+        (4, "a distinct document with more than ten whitespace tokens in it"),
+        (5, "too short"),              # fails the quality gate
+        (6, base + " tail"),           # distinct fingerprint
+        (7, base),                     # duplicate arriving micro-batches later
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", F.timestamp_micros(F.col("doc_id") * 60_000_000).alias("ts"), "text"
+    )
+    directory = str(tmp_path / "docstream")
+    stage_files(docs, directory, n_files=3, order_cols=["doc_id"])
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("text", StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(directory)
+    )
+    got = run_to_memory(corpus_ingest(stream, watermark="2 hours"), "append")
+    want = corpus_ingest(spark.read.schema(schema).parquet(directory))
+    assert _rows(got.select("fp", "n_tokens"), "fp") == _rows(
+        want.select("fp", "n_tokens"), "fp"
+    )
+    # 1/2/3/7 share one fingerprint; 5 is gated out -> 3 survivors
+    assert got.count() == 3
+
+
 def test_parquet_sink_checkpoint_is_exactly_once(spark, tmp_path):
     """Resuming against the same checkpoint must process nothing
     already committed; a file arriving between runs must be processed
