@@ -181,6 +181,55 @@ def knn_ivf(
     )
 
 
+def write_ivf_index(
+    df: DataFrame,
+    out_dir: str,
+    centroids: list[np.ndarray],
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the corpus AT REST partitioned by IVF list — the
+    100 TB layout ``knn_ivf``'s docstring promises: assignment is a
+    pure map against plan-constant centroids, one writer task per
+    list, and every future probe becomes a partition-pruned scan of
+    nprobe/n_lists of the files (demonstrated in
+    tests/test_similarity.py by inputFiles + PartitionFilters
+    assertions). The same layout works for LSH buckets — partition by
+    ``lsh_bucket_col`` instead."""
+    (
+        df.withColumn("list_id", ivf_assign_col(F.col(vec_col), centroids))
+        .repartition("list_id")  # one writer per list -> no tiny files
+        .write.partitionBy("list_id")
+        .mode("overwrite")
+        .parquet(out_dir)
+    )
+
+
+def probe_ivf_index(
+    spark,
+    index_dir: str,
+    query_vec: list[float],
+    centroids: list[np.ndarray],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k against the at-rest index: the ``list_id IN probes``
+    predicate is a partition filter, so only nprobe/n_lists of the
+    files are opened; exact cosine ranks within the probed lists.
+    Equal to the fused ``knn_ivf`` for the same centroids."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    order = np.argsort([float(np.sum((qv - c) ** 2)) for c in centroids], kind="stable")
+    probe = [int(i) for i in order[:nprobe]]
+    cand = spark.read.parquet(index_dir).where(F.col("list_id").isin(probe))
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        cand.select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def pairwise_topk_per_label(
     df: DataFrame,
     k: int = 3,

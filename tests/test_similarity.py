@@ -118,3 +118,35 @@ def test_ivf_train_deterministic(spark):
     import numpy as np
 
     assert all(np.array_equal(a, b) for a, b in zip(c1, c2))
+
+
+def test_ivf_at_rest_index_prunes_partitions(spark, tmp_path):
+    """The 100 TB layout, executed: corpus written partitioned by IVF
+    list, probe scans only nprobe lists' files (inputFiles +
+    PartitionFilters prove the pruning), results equal the fused
+    knn_ivf."""
+    import re
+
+    e = _emb(spark)
+    qvec = [r[0] for r in e.where(F.col("vec_id") == 0).select(F.explode("embedding")).collect()]
+    corpus = e.where(F.col("vec_id") != 0)
+    cents = similarity.ivf_train(corpus, n_lists=8, n_iters=2)
+
+    idx = str(tmp_path / "ivf_index")
+    similarity.write_ivf_index(corpus, idx, cents)
+
+    probed = similarity.probe_ivf_index(spark, idx, qvec, cents, k=10, nprobe=3)
+    fused = similarity.knn_ivf(corpus, qvec, k=10, n_lists=8, nprobe=3)
+    assert [(r.vec_id, round(r.cos_sim, 12)) for r in probed.collect()] == [
+        (r.vec_id, round(r.cos_sim, 12)) for r in fused.collect()
+    ]
+
+    # partition pruning: the files ACTUALLY READ (input_file_name at
+    # execution time) are a strict subset, all from the probed lists
+    all_files = {r[0] for r in spark.read.parquet(idx).select(F.input_file_name()).distinct().collect()}
+    cand = spark.read.parquet(idx).where(F.col("list_id").isin([0, 1, 2]))
+    read_files = {r[0] for r in cand.select(F.input_file_name()).distinct().collect()}
+    assert read_files < all_files
+    assert all(any(f"list_id={i}/" in f for i in (0, 1, 2)) for f in read_files)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[(?!\])", plan), plan[:500]
