@@ -32,6 +32,21 @@ def test_csv_roundtrip(spark, tmp_path):
     assert abs(a - b) < 1e-6
 
 
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC: the other columnar format Spark ships natively — round
+    trip + predicate pushdown reaches the scan."""
+    df = _sample(spark)
+    path = str(tmp_path / "orders_orc")
+    df.write.orc(path)
+    back = spark.read.orc(path)
+    assert back.count() == 200
+    assert back.schema == df.schema
+    filtered = back.where(F.col("o_orderkey") <= 100).select("o_orderkey")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "o_orderkey" in plan
+    assert filtered.count() == df.where(F.col("o_orderkey") <= 100).count()
+
+
 def test_json_roundtrip(spark, tmp_path):
     df = _sample(spark)
     path = str(tmp_path / "orders_json")
