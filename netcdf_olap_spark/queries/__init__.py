@@ -26,7 +26,9 @@ from pyspark.sql import DataFrame, SparkSession
 from netcdf_olap_spark.queries import grid as _grid
 from netcdf_olap_spark.queries import relational as _relational
 from netcdf_olap_spark.queries import relational_ext as _relational_ext
+from netcdf_olap_spark.queries import relational_ext2 as _relational_ext2
 from netcdf_olap_spark.queries import text as _text
+from netcdf_olap_spark.queries import pipeline as _pipeline
 from netcdf_olap_spark.queries import similarity as _similarity
 from netcdf_olap_spark.queries import events as _events
 from netcdf_olap_spark.queries import streaming as _streaming
@@ -34,7 +36,18 @@ from netcdf_olap_spark.queries import multimodal as _multimodal
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-_MODULES = (_grid, _relational, _relational_ext, _text, _similarity, _events, _streaming, _multimodal)
+_MODULES = (
+    _grid,
+    _relational,
+    _relational_ext,
+    _relational_ext2,
+    _text,
+    _pipeline,
+    _similarity,
+    _events,
+    _streaming,
+    _multimodal,
+)
 
 # The driver's correctness sweep checks the FIRST 50 registry entries
 # (round-1 lesson: everything after slot 50 got no hard signal).  This
