@@ -1,0 +1,208 @@
+"""Corpus-hygiene pipeline queries: decontamination, reproducible
+stratified sampling, policy scrubbing, token-commonness scoring.
+
+These are the remaining standard steps of an LLM training-data
+pipeline (alongside dedup/quality/lang-id/packing in queries/text.py):
+
+- ``doc_decontaminate`` — benchmark n-gram overlap (test-set leakage
+  detection). Benchmark side broadcasts; the corpus never shuffles.
+- ``doc_stratified_sample`` — deterministic per-language Bernoulli
+  sampling via a portable md5 key (engine-reproducible, unlike
+  ``DataFrame.sample``'s private RNG). Map-side only: one scan, one
+  tiny aggregate.
+- ``doc_policy_scrub`` — denylist-term redaction with hit counting
+  (the regexp_replace/global-flag surface a PII scrub uses; the
+  synthetic corpus has no digits, so the denylist stands in for
+  email/phone patterns — same machinery, word-boundary regex kept to
+  the Java∩RE2 portable subset).
+- ``doc_commonness`` — per-document mean document-frequency of its
+  tokens: the zero-dependency stand-in for an LM perplexity quality
+  filter (rare-token-heavy docs rank low). Uses integer DFs through
+  decimal casts, not log-space floats — log10 is libm-dependent and
+  would drift across engines.
+
+All heavy expressions are native/codegen'd; no Python boundary.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from netcdf_olap_spark.functions import decimal_sum
+from netcdf_olap_spark.operators import decontam, text
+from netcdf_olap_spark.queries.text import DUCK_SHINGLES, DUCK_TOKS
+
+BENCH_MOD = 97  # doc_id % 97 == 0 → the pseudo-benchmark eval slice
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+# --- decontamination --------------------------------------------------------
+
+
+def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source contamination report: how many corpus docs share a
+    3-gram with the benchmark slice. Plan: benchmark shingle set is
+    distinct'd small-side and broadcast; the corpus explodes once and
+    semi-joins map-side; the per-source rollup is the only corpus
+    shuffle (on `source`, after reduction to one row per doc)."""
+    d = _docs(spark, sf_dir)
+    bench = d.where(F.col("doc_id") % BENCH_MOD == 0)
+    corpus = d.where(F.col("doc_id") % BENCH_MOD != 0)
+    flagged = decontam.contamination_flag(
+        corpus.select("doc_id", "source", "text"),
+        decontam.benchmark_shingles(bench),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("contaminated"), F.lit(1))).alias("n_contaminated"),
+        )
+        .orderBy("source")
+    )
+
+
+DECONTAM_SQL = f"""
+WITH toks AS (SELECT doc_id, {DUCK_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, unnest({DUCK_SHINGLES}) AS shingle FROM toks WHERE len(t) >= 3),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {BENCH_MOD} = 0),
+hits AS (SELECT DISTINCT s.doc_id FROM sh s JOIN bench USING (shingle)
+         WHERE s.doc_id % {BENCH_MOD} <> 0)
+SELECT source, COUNT(*) AS n_docs, COUNT(hits.doc_id) AS n_contaminated
+FROM documents LEFT JOIN hits USING (doc_id)
+WHERE doc_id % {BENCH_MOD} <> 0
+GROUP BY source
+ORDER BY source
+"""
+
+
+# --- reproducible stratified sampling ---------------------------------------
+
+# per-language keep rates in md5-hex space: en 20% (0x3333/0x10000),
+# everything else 10% (0x1999/0x10000)
+EN_THRESH, OTHER_THRESH = "3333", "1999"
+
+
+def _sampled() -> Column:
+    thresh = F.when(F.col("lang") == "en", F.lit(EN_THRESH)).otherwise(F.lit(OTHER_THRESH))
+    return decontam.portable_sample_key("doc_id") < thresh
+
+
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling audit: per language, how many
+    docs (and chars) the portable-hash Bernoulli filter keeps. One
+    scan, one 5-group aggregate — the filter itself is a map-side
+    predicate usable verbatim at 100 TB."""
+    d = _docs(spark, sf_dir)
+    s = _sampled()
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(s, F.lit(1))).alias("n_sampled"),
+            F.sum(F.when(s, F.col("n_chars")).otherwise(F.lit(0))).alias("sampled_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+STRATIFIED_SQL = f"""
+WITH k AS (
+  SELECT lang, n_chars,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+           < (CASE WHEN lang = 'en' THEN '{EN_THRESH}' ELSE '{OTHER_THRESH}' END) AS sampled
+  FROM documents)
+SELECT lang, COUNT(*) AS n_total,
+       COUNT(CASE WHEN sampled THEN 1 END) AS n_sampled,
+       CAST(SUM(CASE WHEN sampled THEN n_chars ELSE 0 END) AS BIGINT) AS sampled_chars
+FROM k GROUP BY lang ORDER BY lang
+"""
+
+
+# --- policy scrub -----------------------------------------------------------
+
+# portable word-boundary denylist (Java regex ∩ RE2)
+DENY_PAT = r"\b(customer|spark)\b"
+
+
+def doc_policy_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denylist redaction report per source: docs hit, total hits, and
+    the post-redaction char volume (proves the rewrite ran). Pure
+    regexp map work — no shuffle before the per-source rollup."""
+    d = _docs(spark, sf_dir)
+    hits = F.size(F.regexp_extract_all("text", F.lit(DENY_PAT), 0))
+    scrubbed_len = F.length(F.regexp_replace("text", DENY_PAT, "[REDACTED]"))
+    per_doc = d.select("source", hits.alias("hits"), scrubbed_len.alias("scrubbed_len"))
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.when(F.col("hits") > 0, F.lit(1))).alias("n_docs_hit"),
+            F.sum("hits").alias("total_hits"),
+            F.sum("scrubbed_len").alias("scrubbed_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+SCRUB_SQL = rf"""
+WITH h AS (
+  SELECT source,
+         len(regexp_extract_all(text, '{DENY_PAT}')) AS hits,
+         length(regexp_replace(text, '{DENY_PAT}', '[REDACTED]', 'g')) AS scrubbed_len
+  FROM documents)
+SELECT source, COUNT(CASE WHEN hits > 0 THEN 1 END) AS n_docs_hit,
+       CAST(SUM(hits) AS BIGINT) AS total_hits,
+       CAST(SUM(scrubbed_len) AS BIGINT) AS scrubbed_chars
+FROM h GROUP BY source ORDER BY source
+"""
+
+
+# --- token-commonness score -------------------------------------------------
+
+
+def doc_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean document-frequency of each doc's tokens (repeats count):
+    the perplexity-proxy quality signal. Two shuffles at any scale —
+    DF aggregation on token (vocabulary-sized), then the per-doc
+    rollup; the doc⋈vocab join shuffles on token unless the vocabulary
+    broadcasts (it does here; at web scale it still fits executors
+    after a min-DF cut)."""
+    d = _docs(spark, sf_dir)
+    exploded = d.select("doc_id", text.tokens("text").alias("_t")).select(
+        "doc_id", F.explode("_t").alias("token")
+    )
+    dfreq = exploded.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    return (
+        exploded.join(dfreq, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (decimal_sum("df", 6) / F.count("df")).alias("avg_token_df"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+COMMONNESS_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest({DUCK_TOKS}) AS token FROM documents),
+dfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY token)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(CAST(df AS DECIMAL(18,6))) AS DOUBLE) / COUNT(df) AS avg_token_df
+FROM toks JOIN dfreq USING (token)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "doc_decontaminate": (doc_decontaminate, DECONTAM_SQL),
+    "doc_stratified_sample": (doc_stratified_sample, STRATIFIED_SQL),
+    "doc_policy_scrub": (doc_policy_scrub, SCRUB_SQL),
+    "doc_commonness": (doc_commonness, COMMONNESS_SQL),
+}
