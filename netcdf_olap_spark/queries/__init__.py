@@ -65,7 +65,6 @@ _PRIORITY: tuple[str, ...] = (
     "grid_nearest_cell",
     "grid_hyperslab",
     "grid_whole_slice",
-    "grid_point_read",
     "grid_time_extent",
     "grid_null_stats",
     "grid_histogram",
@@ -76,7 +75,6 @@ _PRIORITY: tuple[str, ...] = (
     "agg_conditional_extrema",
     "agg_approx_sketches",
     "join_q5_region_revenue",
-    "join_semi",
     "join_anti",
     "join_theta_ship_delay",
     "join_asof_last_order",
@@ -97,6 +95,9 @@ _PRIORITY: tuple[str, ...] = (
     "scalar_array_funcs",
     "scalar_map_funcs",
     "agg_exact_quantiles",
+    # extended TPC-H shapes (EXISTS→semi with residual; covers J4's plan
+    # since join_semi's slot moved here)
+    "q4_priority_exists",
     # text / dedup (N1, N3, UDF2, UDTF)
     "doc_token_stats",
     "doc_quality_score",
@@ -106,6 +107,10 @@ _PRIORITY: tuple[str, ...] = (
     "doc_minhash_dedup_pairs",
     "doc_sentence_stats",
     "grid_midhinge",
+    # corpus-hygiene pipeline (decontamination: the broadcast
+    # shingle-overlap family's representative; point-read's slot —
+    # S6 remains covered by grid_nearest_cell's point lookup)
+    "doc_decontaminate",
     # similarity / ANN (N2)
     "emb_knn_brute",
     "emb_centroids",
