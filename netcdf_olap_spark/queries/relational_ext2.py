@@ -405,6 +405,81 @@ ORDER BY s_suppkey
 """
 
 
+# --- recursive CTE ----------------------------------------------------------
+
+
+def rcte_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE): generate the monthly
+    calendar spine by recursion (80 iterations, driver-side tiny) and
+    left-join monthly order revenue onto it — the SQL-standard
+    formulation of the date-spine densification that grid_date_spine
+    expresses with sequence()/explode. Spark supports UNION ALL
+    recursion only (acyclic, depth-bounded here); the spine is O(1)
+    rows so the join hashes it against a single shuffle of orders."""
+    return _sql_on_views(spark, sf_dir, RCTE_SPINE_SQL, ["orders"])
+
+
+RCTE_SPINE_SQL = """
+WITH RECURSIVE months(m) AS (
+  SELECT DATE '1995-01-01' AS m
+  UNION ALL
+  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months WHERE m < DATE '2001-08-01')
+SELECT m AS month_start,
+       COUNT(o_orderkey) AS n_orders,
+       CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(30,2))), 0) AS DOUBLE) AS revenue
+FROM months LEFT JOIN orders
+  ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+GROUP BY m
+ORDER BY month_start
+"""
+
+
+# --- analytic window suite --------------------------------------------------
+
+
+def window_analytic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution + navigation window functions in one pass:
+    percent_rank / cume_dist (rational arithmetic on ranks — exact),
+    first_value / last_value / nth_value with explicit ROWS frames.
+    The ordering key (c_acctbal, c_custkey) is unique, so every
+    navigation result is deterministic. One shuffle on c_nationkey;
+    all five functions share the same Window exchange+sort."""
+    from pyspark.sql.window import Window
+
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        c.select(
+            "c_nationkey",
+            "c_custkey",
+            "c_acctbal",
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+            F.first("c_custkey").over(w_run).alias("poorest_cust"),
+            F.last("c_custkey").over(w_full).alias("richest_cust"),
+            F.nth_value("c_custkey", 2).over(w_full).alias("second_cust"),
+        )
+        .orderBy("c_nationkey", "c_custkey")
+    )
+
+
+WINDOW_ANALYTIC_SQL = """
+SELECT c_nationkey, c_custkey, c_acctbal,
+       percent_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS pct_rank,
+       cume_dist()    OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS cume,
+       first_value(c_custkey) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS poorest_cust,
+       last_value(c_custkey) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS richest_cust,
+       nth_value(c_custkey, 2) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_cust
+FROM customer
+ORDER BY c_nationkey, c_custkey
+"""
+
+
 QUERIES = {
     "q4_priority_exists": (q4_priority_exists, Q4_SQL),
     "q7_volume_shipping": (q7_volume_shipping, Q7_SQL),
@@ -415,4 +490,6 @@ QUERIES = {
     "q15_top_supplier": (q15_top_supplier, Q15_SQL),
     "q16_supplier_variety": (q16_supplier_variety, Q16_SQL),
     "q20_heavy_suppliers": (q20_heavy_suppliers, Q20_SQL),
+    "rcte_month_spine": (rcte_month_spine, RCTE_SPINE_SQL),
+    "window_analytic_suite": (window_analytic_suite, WINDOW_ANALYTIC_SQL),
 }
