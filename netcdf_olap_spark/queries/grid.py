@@ -475,6 +475,84 @@ ORDER BY day
 """
 
 
+def grid_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial downsampling (factor-4 average pooling): the raster
+    resample every map-tile pyramid level needs. Pure integer binning
+    (y DIV 4, x DIV 4) → one partial+final aggregate; at 100 TB this
+    is a map-side-combining group-by with (cells/16) output rows, no
+    join, no window."""
+    g = load_grid(spark).where(
+        (F.col("variable") == "LST_LWST_avg_daily") & (F.col("time") == F.lit("1990-01-05"))
+    )
+    return (
+        g.groupBy(F.expr("y DIV 4").alias("y4"), F.expr("x DIV 4").alias("x4"))
+        .agg(
+            F.count("value").alias("n_cells"),
+            (F.sum(F.col("value").cast("decimal(30,6)")).cast("double") / F.count("value")).alias("avg_val"),
+            F.min("value").alias("min_val"),
+            F.max("value").alias("max_val"),
+        )
+        .orderBy("y4", "x4")
+    )
+
+
+GRID_DOWNSAMPLE_SQL = f"""
+SELECT y // 4 AS y4, x // 4 AS x4,
+       COUNT(value) AS n_cells,
+       {DAVG} AS avg_val,
+       MIN(value) AS min_val,
+       MAX(value) AS max_val
+FROM {GRID}
+WHERE variable = 'LST_LWST_avg_daily' AND time = TIMESTAMP '1990-01-05'
+GROUP BY 1, 2
+ORDER BY y4, x4
+"""
+
+
+def grid_climatology_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Climatology anomaly: each cell's deviation from its own
+    across-time mean (the standard climate-cube normalization),
+    rolled up per (variable, day). The climatology is a window
+    aggregate over (variable, y, x) — one shuffle on the cell key,
+    no self-join; the per-day rollup is the second (tiny) shuffle.
+    Decimal-exact means keep the per-row anomaly bit-identical
+    across engines."""
+    g = load_grid(spark)
+    w = Window.partitionBy("variable", "y", "x")
+    clim = (
+        F.sum(F.col("value").cast("decimal(30,6)")).over(w).cast("double")
+        / F.count("value").over(w)
+    )
+    anom = F.col("value") - clim
+    return (
+        g.select("variable", "time", anom.alias("anom"))
+        .groupBy("variable", "time")
+        .agg(
+            (F.sum(F.col("anom").cast("decimal(30,6)")).cast("double") / F.count("anom")).alias("mean_anom"),
+            F.max(F.abs(F.col("anom"))).alias("max_abs_anom"),
+            F.count("anom").alias("n_cells"),
+        )
+        .orderBy("variable", "time")
+    )
+
+
+GRID_CLIMATOLOGY_SQL = f"""
+WITH c AS (
+  SELECT variable, time, value,
+         CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER (PARTITION BY variable, y, x) AS DOUBLE)
+           / COUNT(value) OVER (PARTITION BY variable, y, x) AS clim
+  FROM {GRID}),
+a AS (SELECT variable, time, value - clim AS anom FROM c)
+SELECT variable, time,
+       CAST(SUM(CAST(anom AS DECIMAL(30,6))) AS DOUBLE) / COUNT(anom) AS mean_anom,
+       MAX(ABS(anom)) AS max_abs_anom,
+       COUNT(anom) AS n_cells
+FROM a
+GROUP BY variable, time
+ORDER BY variable, time
+"""
+
+
 QUERIES = {
     "grid_polygon_stats": (grid_polygon_stats, GRID_POLYGON_STATS_SQL),
     "grid_bbox_stats": (grid_bbox_stats, GRID_BBOX_STATS_SQL),
@@ -493,4 +571,6 @@ QUERIES = {
     "grid_dispersion": (grid_dispersion, GRID_DISPERSION_SQL),
     "grid_rolling_mean": (grid_rolling_mean, GRID_ROLLING_MEAN_SQL),
     "grid_coords_join": (grid_coords_join, GRID_COORDS_JOIN_SQL),
+    "grid_downsample": (grid_downsample, GRID_DOWNSAMPLE_SQL),
+    "grid_climatology_anomaly": (grid_climatology_anomaly, GRID_CLIMATOLOGY_SQL),
 }

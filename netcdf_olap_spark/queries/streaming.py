@@ -95,6 +95,28 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(directory, ignore_errors=True)
 
 
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST2: native ``session_window`` (30-minute gap) over a real
+    micro-batched stream with watermark — the streaming form of the
+    gaps-and-islands query (batch twin: ev_sessionize, oracle-checked;
+    equivalence proven in tests/test_streaming.py). Session state
+    merges across micro-batches and is bounded by the watermark."""
+    stream, directory = _staged_stream(spark, sf_dir)
+    try:
+        out = run_to_memory(ops.session_stats(stream, gap="30 minutes", watermark="2 hours"), "complete")
+        return (
+            out.select(
+                "user_id",
+                F.unix_micros("first_ts").alias("session_start_us"),
+                "n_events",
+            )
+            .orderBy("user_id", "session_start_us")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(directory, ignore_errors=True)
+
+
 def stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming training-corpus ingestion: documents replayed as
     micro-batches (synthetic arrival ts, one minute per doc), quality
@@ -145,5 +167,6 @@ QUERIES = {
     "stream_tumbling_stats": (stream_tumbling_stats, None),
     "stream_running_totals": (stream_running_totals, None),
     "stream_interval_join": (stream_interval_join, None),
+    "stream_sessionize": (stream_sessionize, None),
     "stream_corpus_ingest": (stream_corpus_ingest, None),
 }
