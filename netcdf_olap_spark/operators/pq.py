@@ -1,0 +1,172 @@
+"""Product quantization (PQ): compressed-vector ANN for 100 TB-scale
+embedding corpora.
+
+The scale problem IVF alone doesn't solve: even with partition-pruned
+probes, candidate lists still hold full float vectors (dim × 4 bytes).
+PQ splits each vector into ``m`` subspaces, trains a tiny k-entry
+codebook per subspace, and stores each vector as ``m`` small codes
+(dim×4 bytes → m bytes; 64-dim float → 8 bytes at m=8, a 32×
+compression). Queries score candidates with an asymmetric distance
+computation (ADC): per subspace, a k-entry lookup table of exact
+query-to-centroid distances — the approximate distance is ``m`` table
+lookups + adds per candidate, never a float-vector read.
+
+Spark-first design (mirrors operators/similarity.py IVF):
+
+- **Training** is distributed Lloyd over ALL subspaces at once: one
+  assignment map + ONE groupBy per iteration keyed on
+  (subspace, code, dim-position) — only m×k×subdim scalars ever reach
+  the driver. No per-subspace passes over the corpus.
+- **Codebooks become plan constants**: encoding and ADC scoring are
+  pure map expressions (zip_with/aggregate over array literals) —
+  whole-stage-codegen'd, no UDF, no shuffle, no join.
+- **At rest**, the encoded table is (id, codes: array<tinyint-scale
+  ints>) — combined with the IVF layout (write_ivf_index) this is the
+  standard IVF-PQ index: partition-pruned probe, then ADC over codes.
+
+Deterministic throughout: init = the k smallest-id vectors per
+subspace, no RNG; ties in argmin resolve to the lowest code via
+array_position's first-match semantics.
+
+The reference has no vector surface; this extends the rebuild's
+similarity family (SURVEY.md §2.11 north star).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+Codebooks = list[list[np.ndarray]]  # [subspace][code] -> subdim vector
+
+
+def _sub(vec_col: Column, s: int, subdim: int) -> Column:
+    """Subvector s (1-based slice; plan-constant bounds)."""
+    return F.slice(vec_col, s * subdim + 1, subdim)
+
+
+def _sq_l2_to_const(sub_col: Column, c: np.ndarray) -> Column:
+    carr = F.array(*[F.lit(float(x)) for x in c])
+    diff = F.zip_with(sub_col, carr, lambda x, y: x.cast("double") - y)
+    return F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v * v)
+
+
+def _assign_code(sub_col: Column, codebook: list[np.ndarray]) -> Column:
+    dists = F.array(*[_sq_l2_to_const(sub_col, c) for c in codebook])
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def pq_codes_col(vec_col: Column, codebooks: Codebooks) -> Column:
+    """array<int> of m codes — the encoded vector, as one native
+    expression (plan-constant codebooks → pure map)."""
+    subdim = len(codebooks[0][0])
+    return F.array(
+        *[_assign_code(_sub(vec_col, s, subdim), cb) for s, cb in enumerate(codebooks)]
+    )
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> Codebooks:
+    """Distributed Lloyd over all m subspaces simultaneously.
+
+    Per iteration: one assignment map (codes for every subspace) +
+    one posexplode→groupBy((subspace, code, pos)) mean — a single
+    shuffle of m×k×subdim running sums regardless of corpus size.
+    Empty codes keep their previous centroid (same policy as
+    ivf_train)."""
+    first = df.orderBy(id_col).limit(k).select(vec_col).collect()
+    dim = len(first[0][0])
+    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+    subdim = dim // m
+    seeds = [np.asarray(r[0], dtype=np.float64) for r in first]
+    codebooks: Codebooks = [
+        [seeds[j % len(seeds)][s * subdim : (s + 1) * subdim].copy() for j in range(k)]
+        for s in range(m)
+    ]
+    for _ in range(n_iters):
+        codes = pq_codes_col(F.col(vec_col), codebooks)
+        exploded = (
+            df.select(codes.alias("codes"), F.col(vec_col).alias("v"))
+            .select(F.posexplode("v").alias("pos", "val"), "codes")
+            .select(
+                (F.col("pos") / subdim).cast("int").alias("s"),
+                (F.col("pos") % subdim).alias("p"),
+                F.element_at("codes", (F.col("pos") / subdim).cast("int") + 1).alias("code"),
+                F.col("val").cast("double").alias("val"),
+            )
+        )
+        means = exploded.groupBy("s", "code", "p").agg(F.avg("val").alias("mean")).collect()
+        fresh: dict[tuple[int, int], np.ndarray] = {}
+        for r in means:
+            key = (r["s"], r["code"])
+            if key not in fresh:
+                fresh[key] = codebooks[key[0]][key[1]].copy()
+            fresh[key][r["p"]] = r["mean"]
+        for (s, j), c in fresh.items():
+            codebooks[s][j] = c
+    return codebooks
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: Codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes) — the compressed index table (m ints per vector;
+    cast to BYTE at rest when k ≤ 256)."""
+    return df.select(F.col(id_col), pq_codes_col(F.col(vec_col), codebooks).alias("codes"))
+
+
+def adc_topk(
+    encoded: DataFrame,
+    query_vec: list[float],
+    codebooks: Codebooks,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k over the encoded table: the per-
+    subspace lookup tables are exact query→centroid distances computed
+    driver-side (m×|codebook| scalars) and inlined as array literals;
+    each candidate costs m element_at lookups + adds. TakeOrdered
+    top-k, no global sort."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    subdim = len(codebooks[0][0])
+    luts = [
+        [float(np.sum((q[s * subdim : (s + 1) * subdim] - c) ** 2)) for c in cb]
+        for s, cb in enumerate(codebooks)
+    ]
+    score = None
+    for s, lut in enumerate(luts):
+        term = F.element_at(
+            F.array(*[F.lit(v) for v in lut]), F.element_at("codes", s + 1) + 1
+        )
+        score = term if score is None else score + term
+    return (
+        encoded.select(F.col(id_col), score.alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def knn_pq(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train + encode + ADC top-k fused (benchmark form; at corpus
+    scale train/encode happen at ingest and only ADC runs per
+    query)."""
+    cbs = pq_train(df, m=m, k=n_codes, id_col=id_col, vec_col=vec_col)
+    return adc_topk(pq_encode(df, cbs, id_col, vec_col), query_vec, cbs, k=k, id_col=id_col)

@@ -124,6 +124,20 @@ def emb_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_ivf(e.where(F.col("vec_id") != 0), qvec, k=10, n_lists=8, nprobe=3)
 
 
+def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-10 (operators/pq.py): 16 subspaces
+    × 16-entry codebooks (64 floats → 16 small codes, 16× at rest),
+    asymmetric-distance scoring against plan-constant lookup tables.
+    rows-only: Lloyd codebook training isn't SQL-expressible;
+    distributed-vs-local training exactness and ADC recall vs exact
+    L2 are pinned in tests/test_pq.py."""
+    from netcdf_olap_spark.operators import pq
+
+    e = _emb(spark, sf_dir)
+    qvec = [r[0] for r in e.where(F.col("vec_id") == 0).select(F.explode("embedding")).collect()]
+    return pq.knn_pq(e.where(F.col("vec_id") != 0), qvec, k=10, m=16, n_codes=16)
+
+
 def emb_label_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked all-pairs cosine (same-label blocks) with per-vector
     top-3 — embedding-cosine near-dup detection shape. Subset to
@@ -213,5 +227,6 @@ QUERIES = {
     "emb_centroids": (emb_centroids, EMB_CENTROIDS_SQL),
     "emb_knn_lsh": (emb_knn_lsh, None),
     "emb_knn_ivf": (emb_knn_ivf, None),
+    "emb_pq_topk": (emb_pq_topk, None),
     "emb_label_topk": (emb_label_topk, EMB_LABEL_TOPK_SQL),
 }

@@ -1,0 +1,106 @@
+"""Product-quantization semantics: determinism, code validity,
+compression contract, ADC recall vs exact L2, plan purity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from netcdf_olap_spark.operators import pq
+from tests.conftest import SF_SMALL
+
+M, K, ITERS = 16, 16, 3
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def codebooks(emb):
+    return pq.pq_train(emb, m=M, k=K, n_iters=ITERS)
+
+
+def test_codebook_shape(codebooks):
+    assert len(codebooks) == M
+    assert all(len(cb) == K for cb in codebooks)
+    assert all(len(c) == 64 // M for cb in codebooks for c in cb)
+
+
+def test_training_is_deterministic(emb, codebooks):
+    again = pq.pq_train(emb, m=M, k=K, n_iters=ITERS)
+    for cb1, cb2 in zip(codebooks, again):
+        for c1, c2 in zip(cb1, cb2):
+            np.testing.assert_allclose(c1, c2, rtol=0, atol=0)
+
+
+def test_distributed_lloyd_equals_local(emb, codebooks):
+    """The distributed trainer (posexplode → grouped means, one
+    shuffle per iteration) must reproduce a local numpy Lloyd run
+    bit-for-bit: same init, same assignment, same update rule. This
+    pins the exactness of the scale formulation — only m×k×subdim
+    scalars ever reach the driver, yet the result is identical to
+    having all vectors in memory."""
+    rows = emb.orderBy("vec_id").collect()
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    subdim = X.shape[1] // M
+    seeds = X[:K]
+    local = [[seeds[j % K, s * subdim:(s + 1) * subdim].copy() for j in range(K)] for s in range(M)]
+    for _ in range(ITERS):
+        new = [[c.copy() for c in cb] for cb in local]
+        for s in range(M):
+            sub = X[:, s * subdim:(s + 1) * subdim]
+            d = ((sub[:, None, :] - np.array(local[s])[None, :, :]) ** 2).sum(2)
+            code = d.argmin(1)
+            for j in range(K):
+                sel = sub[code == j]
+                if len(sel):
+                    new[s][j] = sel.mean(0)
+        local = new
+    for s in range(M):
+        for j in range(K):
+            np.testing.assert_allclose(codebooks[s][j], local[s][j], rtol=0, atol=0)
+
+
+def test_codes_valid_and_compressed(emb, codebooks):
+    enc = pq.pq_encode(emb, codebooks)
+    rows = enc.collect()
+    assert len(rows) == emb.count()
+    for r in rows:
+        assert len(r.codes) == M  # 64 floats -> 8 small ints
+        assert all(0 <= c < K for c in r.codes)
+
+
+def test_adc_recall_vs_exact(emb, codebooks, spark):
+    """ADC top-10 must substantially agree with exact L2 top-10 —
+    the embeddings are label-clustered, so a working quantizer keeps
+    most true neighbors."""
+    qv = [float(x) for x in emb.orderBy("vec_id").first().embedding]
+    enc = pq.pq_encode(emb, codebooks)
+    got = [r.vec_id for r in pq.adc_topk(enc, qv, codebooks, k=10).collect()]
+
+    q = F.array(*[F.lit(v) for v in qv])
+    d = F.aggregate(
+        F.zip_with("embedding", q, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    exact = [
+        r.vec_id
+        for r in emb.select("vec_id", d.alias("d")).orderBy("d", "vec_id").limit(10).collect()
+    ]
+    recall = len(set(got) & set(exact)) / 10
+    assert recall >= 0.5, f"ADC recall {recall} vs exact {exact} got {got}"
+
+
+def test_adc_is_pure_map_plan(emb, codebooks):
+    """Encoding + ADC scoring must stay map-side: no join, no
+    aggregate exchange before the top-k (the codebooks are plan
+    constants)."""
+    qv = [0.0] * 64
+    out = pq.adc_topk(pq.pq_encode(emb, codebooks), qv, codebooks, k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
