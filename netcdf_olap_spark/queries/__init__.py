@@ -29,6 +29,7 @@ from netcdf_olap_spark.queries import relational_ext as _relational_ext
 from netcdf_olap_spark.queries import relational_ext2 as _relational_ext2
 from netcdf_olap_spark.queries import text as _text
 from netcdf_olap_spark.queries import pipeline as _pipeline
+from netcdf_olap_spark.queries import maintenance as _maintenance
 from netcdf_olap_spark.queries import similarity as _similarity
 from netcdf_olap_spark.queries import events as _events
 from netcdf_olap_spark.queries import streaming as _streaming
@@ -43,6 +44,7 @@ _MODULES = (
     _relational_ext2,
     _text,
     _pipeline,
+    _maintenance,
     _similarity,
     _events,
     _streaming,

@@ -1,0 +1,155 @@
+"""Data-maintenance surfaces: CDC upsert (MERGE shape) and SCD2
+validity-interval history.
+
+A table-format layer (Delta/Iceberg) is out of scope offline, but the
+EXECUTION shapes a maintenance pipeline needs are engine work and are
+covered here:
+
+- ``cdc_merge_orders`` — apply a changeset (inserts/updates/deletes,
+  one row per key, delete-wins precedence) to a base table via one
+  FULL OUTER join + conditional projection: exactly the physical plan
+  MERGE INTO lowers to. The changeset is derived deterministically
+  from the base so the query is self-contained and oracle-checkable.
+- ``scd2_user_history`` — slowly-changing-dimension type 2: collapse
+  each user's consecutive same-value runs into versioned rows with
+  [valid_from, valid_to) intervals via lag/lead — the
+  value-change-run twin of the gap-based sessionize query.
+
+Scale: the merge shuffles base and changes once on the key (changes
+are usually ≪ base → AQE broadcasts them); SCD2 is one shuffle on the
+entity key with two window passes over the same sort. Decimal casts
+keep the money sums engine-exact.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from netcdf_olap_spark.functions import decimal_sum
+from netcdf_olap_spark.session import load_events
+
+INSERT_OFFSET = 100_000_000
+
+
+def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+
+
+def cdc_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO execution shape. Changeset (per base key, delete
+    wins): D where key%37=0; U (+100 price) where key%10=3 and not D;
+    I (new key = key+1e8, price 42, status 'N') seeded from key%53=0.
+    Plan: one full-outer hash join on the key + a CASE projection —
+    no second pass over the base; final rollup by status proves the
+    applied state."""
+    k = F.col("o_orderkey")
+    base = _orders(spark, sf_dir).select(
+        k.alias("key"), "o_orderstatus", "o_totalprice"
+    )
+    d = base.where(F.col("key") % 37 == 0).select(
+        "key", F.lit(None).cast("string").alias("c_status"),
+        F.lit(None).cast("double").alias("c_price"), F.lit("D").alias("op"))
+    u = base.where((F.col("key") % 10 == 3) & (F.col("key") % 37 != 0)).select(
+        "key", F.lit(None).cast("string").alias("c_status"),
+        (F.col("o_totalprice") + 100.0).alias("c_price"), F.lit("U").alias("op"))
+    i = base.where(F.col("key") % 53 == 0).select(
+        (F.col("key") + INSERT_OFFSET).alias("key"), F.lit("N").alias("c_status"),
+        F.lit(42.0).alias("c_price"), F.lit("I").alias("op"))
+    changes = d.unionByName(u).unionByName(i)
+    merged = (
+        base.join(changes, "key", "full_outer")
+        .where(F.col("op").isNull() | (F.col("op") != "D"))
+        .select(
+            F.coalesce("c_status", "o_orderstatus").alias("status"),
+            F.when(F.col("op") == "U", F.col("c_price"))
+            .when(F.col("op") == "I", F.col("c_price"))
+            .otherwise(F.col("o_totalprice"))
+            .alias("price"),
+        )
+    )
+    return (
+        merged.groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_rows"), decimal_sum("price", 2).alias("total_price"))
+        .orderBy("status")
+    )
+
+
+CDC_MERGE_SQL = f"""
+WITH base AS (SELECT o_orderkey AS key, o_orderstatus, o_totalprice FROM orders),
+changes AS (
+  SELECT key, CAST(NULL AS VARCHAR) AS c_status, CAST(NULL AS DOUBLE) AS c_price, 'D' AS op
+  FROM base WHERE key % 37 = 0
+  UNION ALL
+  SELECT key, NULL, o_totalprice + 100.0, 'U' FROM base WHERE key % 10 = 3 AND key % 37 <> 0
+  UNION ALL
+  SELECT key + {INSERT_OFFSET}, 'N', 42.0, 'I' FROM base WHERE key % 53 = 0),
+merged AS (
+  SELECT COALESCE(c.c_status, b.o_orderstatus) AS status,
+         CASE WHEN c.op IN ('U', 'I') THEN c.c_price ELSE b.o_totalprice END AS price
+  FROM base b FULL OUTER JOIN changes c USING (key)
+  WHERE c.op IS NULL OR c.op <> 'D')
+SELECT status, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(price AS DECIMAL(30,2))) AS DOUBLE) AS total_price
+FROM merged GROUP BY status ORDER BY status
+"""
+
+
+def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history build: one versioned row per run of consecutive
+    identical event_types per user, valid over [valid_from_us,
+    valid_to_us) (NULL = current). lag marks run starts, a running
+    sum numbers versions, lead over run starts closes intervals —
+    all three windows share one (user_id, ts) sort."""
+    e = load_events(spark, sf_dir).withColumn("ts_us", F.expr("ts_ns DIV 1000"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    is_new = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type")),
+        1,
+    ).otherwise(0)
+    runs = e.select("user_id", "event_id", "ts_us", "event_type", is_new.alias("is_new"))
+    runs = runs.withColumn(
+        "version_n", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ).where(F.col("is_new") == 1)
+    w2 = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return (
+        runs.select(
+            "user_id",
+            "version_n",
+            "event_type",
+            F.col("ts_us").alias("valid_from_us"),
+            F.lead("ts_us").over(w2).alias("valid_to_us"),
+        )
+        .orderBy("user_id", "version_n")
+    )
+
+
+SCD2_SQL = """
+WITH marked AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+runs AS (
+  SELECT user_id, event_id, ts_us, event_type, is_new,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version_n
+  FROM marked)
+SELECT user_id, CAST(version_n AS BIGINT) AS version_n, event_type,
+       ts_us AS valid_from_us,
+       lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to_us
+FROM runs
+WHERE is_new = 1
+ORDER BY user_id, version_n
+"""
+
+
+QUERIES = {
+    "cdc_merge_orders": (cdc_merge_orders, CDC_MERGE_SQL),
+    "scd2_user_history": (scd2_user_history, SCD2_SQL),
+}
