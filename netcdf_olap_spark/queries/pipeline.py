@@ -200,9 +200,87 @@ ORDER BY doc_id
 """
 
 
+# --- vocabulary induction: bigram merge counting ----------------------------
+
+
+def doc_bigram_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE merge round at word level: corpus-wide counts of
+    adjacent token pairs, top 20 merge candidates. Tokens materialize
+    in their own projection (higher-order lambdas re-evaluate inlined
+    expression trees per element — the O(tokens²) trap), then the
+    bigram build is a zip_with of the two shifted slices. One shuffle
+    on the pair; top-k is TakeOrdered."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(text.tokens("text").alias("t")).where(F.size("t") >= 2)
+    bigrams = F.zip_with(
+        F.slice(F.col("t"), 1, F.size("t") - 1),
+        F.slice(F.col("t"), 2, F.size("t") - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        toks.select(F.explode(bigrams).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(20)
+    )
+
+
+BIGRAM_SQL = f"""
+WITH toks AS (SELECT {DUCK_TOKS} AS t FROM documents),
+pairs AS (
+  SELECT unnest([t[i] || ' ' || t[i+1] FOR i IN generate_series(1, len(t) - 1)]) AS pair
+  FROM toks WHERE len(t) >= 2)
+SELECT pair, COUNT(*) AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT 20
+"""
+
+
+# --- quality-budgeted selection ---------------------------------------------
+
+
+def doc_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source byte-budgeted selection: keep the largest docs of
+    each source while the running char total stays within 60% of the
+    source's corpus — the budgeted-subset step of a data-mixing
+    recipe. Pure integer window arithmetic (exact on both engines);
+    one shuffle on source, two window aggregates over the same
+    sort."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    run = F.sum("n_chars").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    total = F.sum("n_chars").over(Window.partitionBy("source"))
+    return (
+        d.select("source", "doc_id", "n_chars", run.alias("run_chars"), total.alias("total_chars"))
+        .where(F.col("run_chars") * 100 <= F.col("total_chars") * 60)
+        .select("source", "doc_id", "n_chars", "run_chars")
+        .orderBy("source", "doc_id")
+    )
+
+
+BUDGET_SQL = """
+WITH r AS (
+  SELECT source, doc_id, n_chars,
+         SUM(n_chars) OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_chars,
+         SUM(n_chars) OVER (PARTITION BY source) AS total_chars
+  FROM documents)
+SELECT source, doc_id, n_chars, CAST(run_chars AS BIGINT) AS run_chars
+FROM r
+WHERE run_chars * 100 <= total_chars * 60
+ORDER BY source, doc_id
+"""
+
+
 QUERIES = {
     "doc_decontaminate": (doc_decontaminate, DECONTAM_SQL),
     "doc_stratified_sample": (doc_stratified_sample, STRATIFIED_SQL),
     "doc_policy_scrub": (doc_policy_scrub, SCRUB_SQL),
     "doc_commonness": (doc_commonness, COMMONNESS_SQL),
+    "doc_bigram_merges": (doc_bigram_merges, BIGRAM_SQL),
+    "doc_budget_select": (doc_budget_select, BUDGET_SQL),
 }

@@ -311,13 +311,29 @@ LIMIT 20
 
 def q11_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: groups whose aggregate exceeds a fraction of
-    the global aggregate — grouped HAVING against an uncorrelated
-    scalar subquery. The threshold is 1.5× the average per-part
+    the global aggregate. The threshold is 1.5× the average per-part
     revenue (scale-invariant: total/COUNT(DISTINCT part) moves with
-    the data). Catalyst evaluates the scalar subquery once and
-    broadcasts the single row; both sides reuse the same decimal-exact
-    total so the comparison cannot flip on ulps."""
-    return _sql_on_views(spark, sf_dir, Q11_SQL, ["lineitem"])
+    the data).
+
+    Formulated over the per-part aggregate REUSED for both sides:
+    the global total is the exact decimal sum of the per-part decimal
+    sums (same scale → associative), and COUNT(DISTINCT l_partkey) is
+    COUNT(*) of the per-part rows — so lineitem is scanned ONCE (the
+    naive HAVING-subquery SQL, kept as the oracle, scans it three
+    times) and the one-row threshold broadcasts into the filter."""
+    l = _t(spark, sf_dir, "lineitem")
+    parts = l.groupBy("l_partkey").agg(
+        F.sum(_rev().cast("decimal(30,6)")).alias("rev_dec")
+    )
+    thresh = parts.agg(
+        (F.lit(1.5) * F.sum("rev_dec").cast("double") / F.count(F.lit(1))).alias("thresh")
+    )
+    return (
+        parts.join(F.broadcast(thresh))
+        .where(F.col("rev_dec").cast("double") > F.col("thresh"))
+        .select("l_partkey", F.col("rev_dec").cast("double").alias("part_rev"))
+        .orderBy(F.col("part_rev").desc(), "l_partkey")
+    )
 
 
 Q11_SQL = f"""
@@ -402,6 +418,40 @@ WHERE s_acctbal > 0.0
     GROUP BY l_suppkey, l_partkey
     HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 45)
 ORDER BY s_suppkey
+"""
+
+
+# --- skew-resistant salted join ---------------------------------------------
+
+
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salting as a first-class query: lineitem ⋈ supplier executed
+    through operators/shuffle.salted_join (8-way salt on the fact
+    side, build side replicated 8×), then the per-nation rollup. The
+    oracle is the PLAIN join — identical results prove salting is
+    semantics-free; the payoff is that any single hot supplier key
+    spreads over 8 reducers instead of one (the AQE-independent skew
+    remedy for when runtime skew-splitting can't kick in, e.g.
+    pre-shuffle aggregates)."""
+    from netcdf_olap_spark.operators.shuffle import salted_join
+
+    l = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_orderkey", "l_linenumber",
+                                             "l_extendedprice", "l_discount")
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey")
+    j = salted_join(l, s, ["l_suppkey"], entropy_col="l_orderkey", n=8)
+    return (
+        j.groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_lines"), decimal_sum(_rev(), 6).alias("revenue"))
+        .orderBy("s_nationkey")
+    )
+
+
+SALTED_SQL = f"""
+SELECT s_nationkey, COUNT(*) AS n_lines, {_REV_SQL} AS revenue
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey
+ORDER BY s_nationkey
 """
 
 
@@ -490,6 +540,7 @@ QUERIES = {
     "q15_top_supplier": (q15_top_supplier, Q15_SQL),
     "q16_supplier_variety": (q16_supplier_variety, Q16_SQL),
     "q20_heavy_suppliers": (q20_heavy_suppliers, Q20_SQL),
+    "join_salted_skew": (join_salted_skew, SALTED_SQL),
     "rcte_month_spine": (rcte_month_spine, RCTE_SPINE_SQL),
     "window_analytic_suite": (window_analytic_suite, WINDOW_ANALYTIC_SQL),
 }
