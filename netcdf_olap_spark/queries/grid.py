@@ -553,6 +553,60 @@ ORDER BY variable, time
 """
 
 
+def grid_regrid_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regridding: bilinear interpolation onto the half-cell-shifted
+    target grid (each target = the exact midpoint of a 2×2 source
+    block → equal ¼ weights, decimal-exact). Formulated as ONE
+    shuffle: every source cell explodes to the ≤4 targets it
+    influences and the target group aggregates — versus the naive
+    four self-joins (4 shuffles of the full cube). Targets missing
+    any of their 4 sources (edges, fill-NULLs) are dropped, the
+    conservative regrid policy."""
+    g = load_grid(spark).where(
+        (F.col("variable") == "avg_night_temp") & (F.col("time") == F.lit("1990-01-07"))
+    )
+    off = F.explode(
+        F.array(
+            F.struct(F.lit(0).alias("dy"), F.lit(0).alias("dx")),
+            F.struct(F.lit(0).alias("dy"), F.lit(1).alias("dx")),
+            F.struct(F.lit(1).alias("dy"), F.lit(0).alias("dx")),
+            F.struct(F.lit(1).alias("dy"), F.lit(1).alias("dx")),
+        )
+    ).alias("o")
+    contrib = g.select("y", "x", "value", off).select(
+        (F.col("y") - F.col("o.dy")).alias("ty"),
+        (F.col("x") - F.col("o.dx")).alias("tx"),
+        "value",
+    )
+    return (
+        contrib.where((F.col("ty") >= 0) & (F.col("tx") >= 0))
+        .groupBy("ty", "tx")
+        .agg(
+            F.count("value").alias("n_src"),
+            (F.sum(F.col("value").cast("decimal(30,6)")).cast("double") / 4).alias("interp"),
+        )
+        .where(F.col("n_src") == 4)
+        .orderBy("ty", "tx")
+    )
+
+
+GRID_REGRID_SQL = f"""
+WITH src AS (
+  SELECT y, x, value FROM {GRID}
+  WHERE variable = 'avg_night_temp' AND time = TIMESTAMP '1990-01-07'),
+contrib AS (
+  SELECT y - dy AS ty, x - dx AS tx, value
+  FROM src CROSS JOIN (VALUES (0, 0), (0, 1), (1, 0), (1, 1)) AS o(dy, dx)
+  WHERE y - dy >= 0 AND x - dx >= 0)
+SELECT ty, tx, COUNT(value) AS n_src,
+       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / 4 AS interp
+FROM contrib
+GROUP BY ty, tx
+HAVING COUNT(value) = 4
+ORDER BY ty, tx
+"""
+
+
 QUERIES = {
     "grid_polygon_stats": (grid_polygon_stats, GRID_POLYGON_STATS_SQL),
     "grid_bbox_stats": (grid_bbox_stats, GRID_BBOX_STATS_SQL),
@@ -573,4 +627,5 @@ QUERIES = {
     "grid_coords_join": (grid_coords_join, GRID_COORDS_JOIN_SQL),
     "grid_downsample": (grid_downsample, GRID_DOWNSAMPLE_SQL),
     "grid_climatology_anomaly": (grid_climatology_anomaly, GRID_CLIMATOLOGY_SQL),
+    "grid_regrid_bilinear": (grid_regrid_bilinear, GRID_REGRID_SQL),
 }
