@@ -156,6 +156,56 @@ def adc_topk(
     )
 
 
+def write_ivfpq_index(
+    df: DataFrame,
+    out_dir: str,
+    centroids: list[np.ndarray],
+    codebooks: Codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """The full IVF-PQ layout at rest: rows partitioned by coarse IVF
+    list, payload reduced to (id, m PQ codes) — float vectors never
+    stored. A probe is a partition-pruned scan of nprobe/n_lists of
+    files whose rows are m small ints each: both the I/O *selectivity*
+    (IVF) and the I/O *density* (PQ, ~16×) legs of billion-scale ANN.
+    Assignment and encoding are pure maps against plan constants; one
+    writer per list avoids tiny files."""
+    from netcdf_olap_spark.operators.similarity import ivf_assign_col
+
+    (
+        df.select(
+            F.col(id_col),
+            pq_codes_col(F.col(vec_col), codebooks).alias("codes"),
+            ivf_assign_col(F.col(vec_col), centroids).alias("list_id"),
+        )
+        .repartition("list_id")
+        .write.partitionBy("list_id")
+        .mode("overwrite")
+        .parquet(out_dir)
+    )
+
+
+def probe_ivfpq_index(
+    spark,
+    index_dir: str,
+    query_vec: list[float],
+    centroids: list[np.ndarray],
+    codebooks: Codebooks,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k against the at-rest IVF-PQ index: `list_id IN probes`
+    prunes partitions, then each surviving row costs m lookup-adds —
+    no float vector is ever read."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    order = np.argsort([float(np.sum((qv - c) ** 2)) for c in centroids], kind="stable")
+    probe = [int(i) for i in order[:nprobe]]
+    cand = spark.read.parquet(index_dir).where(F.col("list_id").isin(probe))
+    return adc_topk(cand, query_vec, codebooks, k=k, id_col=id_col)
+
+
 def knn_pq(
     df: DataFrame,
     query_vec: list[float],

@@ -95,6 +95,47 @@ def test_adc_recall_vs_exact(emb, codebooks, spark):
     assert recall >= 0.5, f"ADC recall {recall} vs exact {exact} got {got}"
 
 
+def test_ivfpq_at_rest_prunes_and_matches(emb, codebooks, spark, tmp_path):
+    """IVF-PQ layout executed end-to-end: codes-only rows partitioned
+    by coarse list; the probe reads a strict file subset (partition
+    pruning) drawn from the probed lists, and its ADC results equal
+    ADC over an unpartitioned encode restricted to the same lists."""
+    import re
+
+    from netcdf_olap_spark.operators import similarity
+
+    qv = [float(x) for x in emb.orderBy("vec_id").first().embedding]
+    corpus = emb.where(F.col("vec_id") != 0)
+    cents = similarity.ivf_train(corpus, n_lists=8, n_iters=2)
+
+    idx = str(tmp_path / "ivfpq_index")
+    pq.write_ivfpq_index(corpus, idx, cents, codebooks)
+
+    probed = pq.probe_ivfpq_index(spark, idx, qv, cents, codebooks, k=10, nprobe=3)
+    got = [(r.vec_id, round(r.adc_dist, 9)) for r in probed.collect()]
+
+    # reference: ADC over the in-memory encode restricted to the same lists
+    probe_ids = similarity.ivf_assign_col(F.col("embedding"), cents)
+    enc = pq.pq_encode(corpus, codebooks, id_col="vec_id")
+    # recompute the probe set the same way probe_ivfpq_index does
+    qarr = np.asarray(qv)
+    probe = [int(i) for i in np.argsort([float(((qarr - c) ** 2).sum()) for c in cents], kind="stable")[:3]]
+    keep = corpus.select("vec_id", probe_ids.alias("_l")).where(F.col("_l").isin(probe)).select("vec_id")
+    want = [
+        (r.vec_id, round(r.adc_dist, 9))
+        for r in pq.adc_topk(enc.join(keep, "vec_id"), qv, codebooks, k=10).collect()
+    ]
+    assert got == want
+
+    all_files = {r[0] for r in spark.read.parquet(idx).select(F.input_file_name()).distinct().collect()}
+    cand = spark.read.parquet(idx).where(F.col("list_id").isin(probe))
+    read_files = {r[0] for r in cand.select(F.input_file_name()).distinct().collect()}
+    assert read_files < all_files
+    assert all(any(f"list_id={i}/" in f for i in probe) for f in read_files)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[(?!\])", plan), plan[:500]
+
+
 def test_adc_is_pure_map_plan(emb, codebooks):
     """Encoding + ADC scoring must stay map-side: no join, no
     aggregate exchange before the top-k (the codebooks are plan
