@@ -421,6 +421,74 @@ ORDER BY s_suppkey
 """
 
 
+# --- Q2: correlated MIN subquery --------------------------------------------
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each part (of one size class), the
+    supplier(s) achieving the minimum cost — a correlated scalar MIN
+    subquery over the part's candidate suppliers. No partsupp table
+    exists, so the part↔supplier relation comes from lineitem and
+    s_acctbal proxies the supply cost; the plan shape — decorrelate
+    the MIN into a per-part aggregate, join back on (part, cost) — is
+    Q2's exactly. Both sides aggregate the same DISTINCT pairs, so the
+    equality join cannot drift."""
+    return _sql_on_views(spark, sf_dir, Q2_SQL, ["part", "supplier", "lineitem"])
+
+
+Q2_SQL = """
+WITH ps AS (
+  SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey FROM lineitem)
+SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal
+FROM part
+JOIN ps ON partkey = p_partkey
+JOIN supplier ON s_suppkey = suppkey
+WHERE p_size = 5
+  AND s_acctbal = (
+    SELECT MIN(s2.s_acctbal)
+    FROM ps ps2 JOIN supplier s2 ON s2.s_suppkey = ps2.suppkey
+    WHERE ps2.partkey = p_partkey)
+ORDER BY p_partkey, s_suppkey
+"""
+
+
+# --- Q12: two-way conditional counts ----------------------------------------
+
+
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per line status, late shipments (>60 days
+    after order) split by high vs low order priority — the two-way
+    conditional-count pivot over a fact⋈fact join. One shuffle pair
+    on the order key, then a 2-group aggregate."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    late = F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(late & high, F.lit(1))).alias("high_late"),
+            F.count(F.when(late & ~high, F.lit(1))).alias("low_late"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+       COUNT(CASE WHEN DATE_DIFF('day', o_orderdate, l_shipdate) > 60
+                   AND o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS high_late,
+       COUNT(CASE WHEN DATE_DIFF('day', o_orderdate, l_shipdate) > 60
+                   AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END) AS low_late,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
 # --- skew-resistant salted join ---------------------------------------------
 
 
@@ -540,6 +608,8 @@ QUERIES = {
     "q15_top_supplier": (q15_top_supplier, Q15_SQL),
     "q16_supplier_variety": (q16_supplier_variety, Q16_SQL),
     "q20_heavy_suppliers": (q20_heavy_suppliers, Q20_SQL),
+    "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
+    "q12_shipmode_priority": (q12_shipmode_priority, Q12_SQL),
     "join_salted_skew": (join_salted_skew, SALTED_SQL),
     "rcte_month_spine": (rcte_month_spine, RCTE_SPINE_SQL),
     "window_analytic_suite": (window_analytic_suite, WINDOW_ANALYTIC_SQL),
