@@ -315,3 +315,31 @@ def test_parquet_sink_checkpoint_is_exactly_once(spark, tmp_path):
     # every event id appears exactly once end-to-end
     ids = spark.read.parquet(out).groupBy("event_id").count().where("count > 1").count()
     assert ids == 0
+
+
+def test_incremental_rollup_maintenance_equals_batch(spark, staged, tmp_path):
+    """foreachBatch continuous-aggregate upkeep: partials appended per
+    micro-batch, merged on read, must equal the one-shot batch rollup;
+    compaction must not change any answer."""
+    from netcdf_olap_spark.operators.rollup import build_rollup
+    from netcdf_olap_spark.streaming.rollup_maint import (
+        compact_rollup_store,
+        read_rollup_store,
+        start_rollup_maintenance,
+    )
+
+    directory, rebatch = staged
+    with_us = lambda df: df.withColumn("ts_us", F.unix_micros("ts"))  # noqa: E731
+    stream = events_file_stream(spark, directory)
+    out = str(tmp_path / "rollup_store")
+    q = start_rollup_maintenance(with_us(stream), out, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    want = _rows(build_rollup(with_us(rebatch)), "bucket_us", "event_type")
+    got = _rows(read_rollup_store(spark, out), "bucket_us", "event_type")
+    assert got == want
+    # fragments exist (incremental appends), then compaction preserves answers
+    n_files = len(spark.read.parquet(out).inputFiles())
+    compact_rollup_store(spark, out)
+    assert _rows(read_rollup_store(spark, out), "bucket_us", "event_type") == want
+    assert len(spark.read.parquet(out).inputFiles()) <= n_files
