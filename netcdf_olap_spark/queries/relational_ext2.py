@@ -523,6 +523,36 @@ ORDER BY s_nationkey
 """
 
 
+# --- mergeable sketches -----------------------------------------------------
+
+
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (the re-aggregatable A1 form): per-
+    nation HLL sketches of customer keys, UNIONED up to regions
+    without re-touching raw rows — the two-level pattern a 100 TB
+    pre-aggregation store relies on (sketches are the only way
+    count-distinct survives partial aggregation). Exact distincts ride
+    along (keys are unique per customer, so per-nation exacts sum to
+    the region exact) to expose the sketch error. rows-only: DuckDB
+    cannot replay Spark's DataSketches binary; the ≤5% error bound is
+    asserted in tests/test_extensions.py."""
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    per_nation = c.groupBy("c_nationkey").agg(
+        F.hll_sketch_agg("c_custkey").alias("sk"),
+        F.countDistinct("c_custkey").alias("exact_n"),
+    )
+    return (
+        per_nation.join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_regionkey")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_custs"),
+            F.sum("exact_n").alias("exact_custs"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
 # --- recursive CTE ----------------------------------------------------------
 
 
@@ -609,6 +639,7 @@ QUERIES = {
     "q16_supplier_variety": (q16_supplier_variety, Q16_SQL),
     "q20_heavy_suppliers": (q20_heavy_suppliers, Q20_SQL),
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
+    "agg_hll_mergeable": (agg_hll_mergeable, None),
     "q12_shipmode_priority": (q12_shipmode_priority, Q12_SQL),
     "join_salted_skew": (join_salted_skew, SALTED_SQL),
     "rcte_month_spine": (rcte_month_spine, RCTE_SPINE_SQL),

@@ -55,3 +55,15 @@ def test_grouped_agg_midhinge(spark):
     for k in want:
         # pandas 'linear' interpolation == Spark percentile interpolation
         assert got[k] == pytest.approx(want[k], rel=1e-9)
+
+
+def test_hll_mergeable_rollup_error_bound(spark):
+    """Region estimates from UNIONED per-nation sketches must sit
+    within 5% of the exact distinct counts (HLL lgK=12 standard error
+    is ~1.6%; 5% is a safe determinism-free bound)."""
+    from netcdf_olap_spark.queries.relational_ext2 import agg_hll_mergeable
+
+    rows = agg_hll_mergeable(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert abs(r.est_custs - r.exact_custs) <= max(2, 0.05 * r.exact_custs), r
