@@ -216,6 +216,98 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(rs, schema=MEDIA_SCHEMA)
 
 
+AUDIO_MAGIC = b"FAKA1"  # fake raw PCM: magic, sample_rate, n_samples, int16 LE
+
+AUDIO_FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("rms", DoubleType()),
+        StructField("zcr", DoubleType()),
+        StructField("peak", IntegerType()),
+    ]
+)
+
+
+def synthesize_audio(df: DataFrame, id_col: str = "doc_id", sample_rate: int = 16000, n_samples: int = 4096) -> DataFrame:
+    """Deterministic fake PCM clips (int16 mono), one per id — the
+    audio analog of synthesize_media: bytes are a pure function of
+    (media_id, shape), so every run and engine agrees."""
+    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
+    sr, n = sample_rate, n_samples
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+        import pandas as pd  # noqa: F811
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                rng = np.random.default_rng(int(mid) + 424_242)
+                pcm = rng.integers(-(2**15), 2**15, n, dtype=np.int64).astype("<i2")
+                head = b"FAKA1" + struct.pack("<ii", sr, n)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "kind": "audio",
+                        "content": head + pcm.tobytes(),
+                        "meta": {
+                            "width": None,
+                            "height": None,
+                            "channels": 1,
+                            "n_frames": n,
+                            "format": "fake-pcm",
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return ids.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def audio_frame_features(media: DataFrame, frame: int = 1024, hop: int = 512) -> DataFrame:
+    """Windowed audio features (RMS energy, zero-crossing rate, peak)
+    per overlapping frame — the fan-out stage before any acoustic
+    model. The decode seam raises NotImplementedError for real codecs
+    (WAV/MP3 need audio libs absent here); the framing/feature
+    plumbing around it is production-shaped: Arrow-batched
+    mapInPandas, vectorized numpy per clip, small feature rows out."""
+    fr, hp = frame, hop
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+        import pandas as pd  # noqa: F811
+
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(blob)
+                if blob[:5] != b"FAKA1":
+                    # CODEC STUB: WAV/MP3 decode needs soundfile/ffmpeg
+                    raise NotImplementedError(f"no audio codec for magic {blob[:5]!r}")
+                _sr, n = struct.unpack("<ii", blob[5:13])
+                pcm = np.frombuffer(blob[13 : 13 + 2 * n], dtype="<i2").astype(np.float64)
+                for i, start in enumerate(range(0, n - fr + 1, hp)):
+                    w = pcm[start : start + fr]
+                    signs = np.signbit(w)
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "frame_idx": i,
+                            "rms": float(np.sqrt(np.mean(w * w))),
+                            "zcr": float(np.mean(signs[1:] != signs[:-1])),
+                            "peak": int(np.max(np.abs(w))),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(feats, schema=AUDIO_FRAMES_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
     """Video frame sampling: blob → one row per kept frame (every k-th)
     — the fan-out stage before per-frame featurization."""

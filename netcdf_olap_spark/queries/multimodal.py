@@ -48,7 +48,27 @@ def media_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio path: synthesize PCM clips, window into overlapping
+    frames (1024/512), per-clip rollup of RMS/ZCR/peak — the
+    feature-extraction stage of an audio training pipeline. Blob →
+    frame fan-out stays inside Arrow-batched mapInPandas; only small
+    feature rows reach the shuffle."""
+    clips = mm.synthesize_audio(_doc_ids(spark, sf_dir).where(F.col("doc_id") < 500))
+    frames = mm.audio_frame_features(clips, frame=1024, hop=512)
+    return (
+        frames.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.max("peak").alias("max_peak"),
+            F.sum(F.col("rms").cast("decimal(18,4)")).cast("double").alias("sum_rms"),
+        )
+        .orderBy("media_id")
+    )
+
+
 QUERIES = {
     "media_image_features": (media_image_features, None),
     "media_frame_stats": (media_frame_stats, None),
+    "media_audio_stats": (media_audio_stats, None),
 }

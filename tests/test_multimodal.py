@@ -100,3 +100,41 @@ def test_unknown_codec_raises(spark):
     )
     with pytest.raises(Exception, match="no codec|NotImplementedError"):
         mm.image_features(bad).collect()
+
+
+def test_audio_frame_features_match_regenerated(spark):
+    """Frame RMS/ZCR/peak for one clip must equal an independent
+    numpy recomputation from the same seeded PCM."""
+    import struct
+
+    import numpy as np
+
+    from netcdf_olap_spark.operators import multimodal as mm
+
+    ids = spark.createDataFrame([(7,)], "doc_id long")
+    clips = mm.synthesize_audio(ids, n_samples=4096)
+    got = (
+        mm.audio_frame_features(clips, frame=1024, hop=512)
+        .orderBy("frame_idx")
+        .collect()
+    )
+    rng = np.random.default_rng(7 + 424_242)
+    pcm = rng.integers(-(2**15), 2**15, 4096, dtype=np.int64).astype("<i2").astype(np.float64)
+    starts = list(range(0, 4096 - 1024 + 1, 512))
+    assert len(got) == len(starts)
+    for r, s in zip(got, starts):
+        w = pcm[s : s + 1024]
+        signs = np.signbit(w)
+        assert r.rms == pytest.approx(float(np.sqrt(np.mean(w * w))), rel=1e-12)
+        assert r.zcr == pytest.approx(float(np.mean(signs[1:] != signs[:-1])), rel=1e-12)
+        assert r.peak == int(np.max(np.abs(w)))
+
+
+def test_audio_codec_stub_raises(spark):
+    from netcdf_olap_spark.operators import multimodal as mm
+
+    bad = spark.createDataFrame(
+        [(1, "audio", bytearray(b"RIFF....WAVE"), None)], mm.MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception, match="NotImplementedError|no audio codec"):
+        mm.audio_frame_features(bad).collect()
