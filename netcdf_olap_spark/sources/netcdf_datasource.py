@@ -37,7 +37,12 @@ import glob
 import os
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from netcdf_olap_spark.sources.netcdf import GRID_SCHEMA
 
@@ -74,6 +79,9 @@ class NetCDFCubeDataSource(DataSource):
 
     def reader(self, schema) -> "NetCDFCubeReader":
         return NetCDFCubeReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "NetCDFCubeStreamReader":
+        return NetCDFCubeStreamReader(self.options)
 
 
 def _list_variables(path: str, decoder: str) -> list[str]:
@@ -157,6 +165,85 @@ class NetCDFCubeReader(DataSourceReader):
         for pdf in dec(content, partition.ds, [partition.variable]):
             table = pa.Table.from_pandas(pdf, preserve_index=False)
             yield from table.to_batches(max_chunksize=10_000)
+
+
+class NetCDFCubeStreamReader(SimpleDataSourceStreamReader):
+    """Live cube-arrival stream: ``spark.readStream.format("netcdf_cube")``
+    over a directory, each micro-batch = the cube files that appeared
+    since the last offset. This is the reference's "new day of data
+    lands as a new .nc file" operational model (SURVEY §2.1 S2's
+    directory scan) turned into a Structured Streaming source — the
+    rows flow into the same watermark/window/rollup machinery as the
+    events stream (e.g. streaming/rollup_maint.py for continuous
+    cube aggregates).
+
+    Offset model: the sorted list of files already ingested —
+    deterministic replay (``readBetweenOffsets``) re-decodes exactly
+    the delta, so checkpoint recovery is exactly-once. The simple
+    (non-partitioned) reader API decodes on the driver: right for the
+    arrival rates of daily cube drops; bulk backfills use the batch
+    path's (file, variable) partitions instead."""
+
+    def __init__(self, options: dict):
+        self.inner = NetCDFCubeReader(options)
+
+    def initialOffset(self) -> dict:
+        return {"files": []}
+
+    def _list(self) -> list[str]:
+        import glob as _glob
+
+        return sorted(_glob.glob(os.path.join(self.inner.path, self.inner.pattern)))
+
+    def _rows_for(self, files: list[str]):
+        from netcdf_olap_spark.sources.netcdf import (
+            netcdf3_decoder,
+            netcdf4_decoder,
+            npz_decoder,
+        )
+
+        import numpy as np
+        import pandas as pd
+
+        dec = {"netcdf4": netcdf4_decoder, "nc3": netcdf3_decoder}.get(
+            self.inner.decoder, npz_decoder
+        )
+
+        def _py(x):
+            # the batch path gets these conversions free from Arrow:
+            # NaN→NULL (fill semantics) and numpy→Python scalars
+            if x is None or (isinstance(x, float) and x != x):
+                return None
+            if isinstance(x, np.integer):
+                return int(x)
+            if isinstance(x, np.floating):
+                return None if np.isnan(x) else float(x)
+            if isinstance(x, pd.Timestamp):
+                return x.to_pydatetime()
+            return x
+
+        out = []
+        for f in files:
+            with open(f, "rb") as fh:
+                content = fh.read()
+            want = self.inner.variables
+            for v in _list_variables(f, self.inner.decoder):
+                if want is not None and v not in want:
+                    continue
+                for pdf in dec(content, self.inner.ds, [v]):
+                    for t in pdf.itertuples(index=False, name=None):
+                        out.append(tuple(_py(x) for x in t))
+        return iter(out)
+
+    def read(self, start: dict):
+        seen = set(start.get("files", []))
+        now = self._list()
+        new = [f for f in now if f not in seen]
+        return self._rows_for(new), {"files": now}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        seen = set(start.get("files", []))
+        return self._rows_for([f for f in end.get("files", []) if f not in seen])
 
 
 def register(spark) -> None:

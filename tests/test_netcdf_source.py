@@ -171,3 +171,46 @@ def test_python_datasource_matches_mapinpandas_ingest(spark, tmp_path):
         .load(str(tmp_path))
     )
     assert pruned.select("variable").distinct().collect() == [("tas",)]
+
+
+def test_cube_stream_ingests_arriving_files(spark, tmp_path):
+    """Streaming form of the directory scan: files landing in the
+    watched directory appear as micro-batches; rows equal the batch
+    read of the same files (incl. fill→NULL), and a file added after
+    the first drain arrives in the next one."""
+    from netcdf_olap_spark.sources.netcdf_datasource import register
+
+    register(spark)
+    d = tmp_path / "arrivals"
+    d.mkdir()
+    data, th, lat, lon = _cube()
+    (d / "day1.npz").write_bytes(_npz_bytes(data, th, lat, lon))
+
+    stream = (
+        spark.readStream.format("netcdf_cube")
+        .options(path=str(d), pattern="*.npz", ds="live")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("cube_arrivals")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = spark.sql("SELECT COUNT(*) AS n FROM cube_arrivals").first().n
+        assert got1 == data.size
+
+        data2 = _cube(seed=8)[0]  # fresh values, same two FILL cells
+        (d / "day2.npz").write_bytes(_npz_bytes(data2, th + len(th) * 24, lat, lon))
+        q.processAllAvailable()
+        out = spark.table("cube_arrivals")
+        assert out.count() == 2 * data.size
+        # fill→NULL preserved on the tuple path (2 fills per file)
+        assert out.where(F.col("value").isNull()).count() == 4
+        # second file's time axis is disjoint and later
+        assert out.select(F.countDistinct("time")).first()[0] == 2 * len(th)
+    finally:
+        q.stop()
