@@ -166,6 +166,43 @@ def polygon_mask(df: DataFrame, ring: Ring, method: str = "native") -> DataFrame
     return bbox_filter(df, lat_min, lat_max, lon_min, lon_max).where(fine)
 
 
+def zonal_flags(zones: dict[str, Ring]) -> Column:
+    """Multi-region membership in one pass: an array of (zone_id,
+    in_zone) structs, one ray-cast expression per zone — all plan
+    constants, all codegen'd. Explode + filter turns it into the
+    (cell, zone) pairs a zonal-statistics rollup aggregates; rows
+    fan out ×|zones| map-side BEFORE the filter, so keep zone sets
+    per-query small (for thousands of zones, switch to a broadcast
+    zone-envelope join + per-envelope fine mask)."""
+    from pyspark.sql import functions as F
+
+    return F.array(
+        *[
+            F.struct(F.lit(zid).alias("zone_id"), in_polygon_expr(ring).alias("in_zone"))
+            for zid, ring in sorted(zones.items())
+        ]
+    )
+
+
+def zonal_stats(df: DataFrame, zones: dict[str, Ring], value_col: str = "value") -> DataFrame:
+    """Per-zone aggregate statistics of the masked raster — the
+    classic zonal-statistics operator, single scan for all zones."""
+    from pyspark.sql import functions as F
+
+    z = F.explode(zonal_flags(zones)).alias("z")
+    return (
+        df.select(F.col(value_col).alias("_v"), z)
+        .where(F.col("z.in_zone"))
+        .groupBy(F.col("z.zone_id").alias("zone_id"))
+        .agg(
+            F.count("_v").alias("n_cells"),
+            (F.sum(F.col("_v").cast("decimal(30,6)")).cast("double") / F.count("_v")).alias("avg_val"),
+            F.min("_v").alias("min_val"),
+            F.max("_v").alias("max_val"),
+        )
+    )
+
+
 def sq_degree_dist(lat: float, lon: float) -> Column:
     """The reference's distance metric (Gddp.scala:30): squared
     Euclidean distance in degree space. Deliberately not haversine."""

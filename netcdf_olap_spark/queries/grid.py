@@ -607,6 +607,54 @@ ORDER BY ty, tx
 """
 
 
+# Rectangular zones (closed 5-point rings, counter-clockwise) whose
+# bounds sit at 3 decimals — grid lats/lons are 2-decimal combinations,
+# so no point ever lands ON a zone edge and the ray-cast interior
+# equals the oracle's strict bbox comparison exactly.
+ZONES = {
+    "z_south": [(-83.995, 42.005), (-82.405, 42.005), (-82.405, 42.495),
+                (-83.995, 42.495), (-83.995, 42.005)],
+    "z_mid": [(-83.795, 42.505), (-82.605, 42.505), (-82.605, 43.095),
+              (-83.795, 43.095), (-83.795, 42.505)],
+    "z_north": [(-83.595, 43.105), (-82.805, 43.105), (-82.805, 43.605),
+                (-83.595, 43.605), (-83.595, 43.105)],
+}
+
+
+def grid_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics: per-region stats for a 3-zone FeatureCollection
+    in ONE scan (operators/spatial.zonal_stats — membership for all
+    zones computed as plan-constant ray-casts, explode + rollup). The
+    zones are rectangles so the DuckDB oracle can verify the live
+    ray-cast against an independent containment formulation (strict
+    bbox compares); the Spark side still runs the full even-odd
+    polygon machinery."""
+    g = load_grid(spark).where(
+        (F.col("variable") == "LST_LWST_avg_daily") & (F.col("time") == F.lit("1990-01-10"))
+    )
+    return spatial.zonal_stats(g, ZONES).orderBy("zone_id")
+
+
+_ZONE_VALUES = ", ".join(
+    f"('{zid}', {min(p[1] for p in ring)}, {max(p[1] for p in ring)}, "
+    f"{min(p[0] for p in ring)}, {max(p[0] for p in ring)})"
+    for zid, ring in sorted(ZONES.items())
+)
+
+GRID_ZONAL_SQL = f"""
+SELECT zone_id, COUNT(value) AS n_cells,
+       {DAVG} AS avg_val,
+       MIN(value) AS min_val,
+       MAX(value) AS max_val
+FROM {GRID}
+JOIN (VALUES {_ZONE_VALUES}) AS zones(zone_id, la1, la2, lo1, lo2)
+  ON lat > la1 AND lat < la2 AND lon > lo1 AND lon < lo2
+WHERE variable = 'LST_LWST_avg_daily' AND time = TIMESTAMP '1990-01-10'
+GROUP BY zone_id
+ORDER BY zone_id
+"""
+
+
 QUERIES = {
     "grid_polygon_stats": (grid_polygon_stats, GRID_POLYGON_STATS_SQL),
     "grid_bbox_stats": (grid_bbox_stats, GRID_BBOX_STATS_SQL),
@@ -628,4 +676,5 @@ QUERIES = {
     "grid_downsample": (grid_downsample, GRID_DOWNSAMPLE_SQL),
     "grid_climatology_anomaly": (grid_climatology_anomaly, GRID_CLIMATOLOGY_SQL),
     "grid_regrid_bilinear": (grid_regrid_bilinear, GRID_REGRID_SQL),
+    "grid_zonal_stats": (grid_zonal_stats, GRID_ZONAL_SQL),
 }
