@@ -523,6 +523,38 @@ ORDER BY s_nationkey
 """
 
 
+# --- ordered string aggregation ---------------------------------------------
+
+
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG/string_agg surface: nations per region as one sorted,
+    comma-joined string. collect_list is unordered across partitions,
+    so determinism comes from array_sort before the join — the Spark
+    idiom for ordered string aggregation (one shuffle; the collected
+    groups are dimension-sized, never fact-sized)."""
+    n = _t(spark, sf_dir, "nation")
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        n.join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+        .orderBy("r_name")
+    )
+
+
+STRING_CONCAT_SQL = """
+SELECT r_name,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       COUNT(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+"""
+
+
 # --- mergeable sketches -----------------------------------------------------
 
 
@@ -640,6 +672,7 @@ QUERIES = {
     "q20_heavy_suppliers": (q20_heavy_suppliers, Q20_SQL),
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
     "agg_hll_mergeable": (agg_hll_mergeable, None),
+    "agg_string_concat": (agg_string_concat, STRING_CONCAT_SQL),
     "q12_shipmode_priority": (q12_shipmode_priority, Q12_SQL),
     "join_salted_skew": (join_salted_skew, SALTED_SQL),
     "rcte_month_spine": (rcte_month_spine, RCTE_SPINE_SQL),
