@@ -34,6 +34,7 @@ from netcdf_olap_spark.queries import similarity as _similarity
 from netcdf_olap_spark.queries import events as _events
 from netcdf_olap_spark.queries import streaming as _streaming
 from netcdf_olap_spark.queries import multimodal as _multimodal
+from netcdf_olap_spark.queries import analytics as _analytics
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -49,6 +50,7 @@ _MODULES = (
     _events,
     _streaming,
     _multimodal,
+    _analytics,
 )
 
 # The driver's correctness sweep checks the FIRST 50 registry entries

@@ -1,0 +1,254 @@
+"""Behavioral / data-quality analytics: blocked fuzzy matching,
+deterministic robust statistics, gaps-and-islands streaks, cohort
+retention.
+
+These are the standard corpus- and product-analytics shapes a
+training-data pipeline runs next to dedup (SURVEY.md §2.11): fuzzy
+record linkage is the edit-distance cousin of the Jaccard/MinHash
+family in operators/dedup.py, and the streak/cohort queries are the
+canonical sessionization-adjacent window patterns over ``events``.
+
+Scale notes inline per query; all time math follows the registry's
+determinism rules (integer µs buckets, never session-timezone casts).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from netcdf_olap_spark.session import load_events
+
+US_PER_DAY = 86_400_000_000
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --- blocked fuzzy-match join ----------------------------------------------
+
+
+def part_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance record linkage with blocking: part-name pairs
+    within the same brand at Levenshtein distance ≤ 2.
+
+    Scale: the brand equi-join is the blocking key — candidates are
+    Σ block² not corpus², one shuffle, sort-merge at scale (or
+    broadcast if one side is a small delta). The length-band
+    predicate (|len a − len b| ≤ 2 is a *necessary* condition for
+    distance ≤ 2) runs first inside codegen, so the O(len²)
+    levenshtein only evaluates on band survivors. At billions of
+    rows, swap the blocking key for (brand, length-bucket) or a
+    phonetic/prefix key — the plan shape is unchanged.
+    """
+    p = _t(spark, sf_dir, "part")
+    a = p.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("a_key"),
+        F.col("p_name").alias("a_name"),
+    )
+    b = p.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("b_key"),
+        F.col("p_name").alias("b_name"),
+    )
+    return (
+        a.join(b, "brand")
+        .where(
+            (F.col("a_key") < F.col("b_key"))
+            & (F.abs(F.length("a_name") - F.length("b_name")) <= 2)
+            & (F.levenshtein("a_name", "b_name") <= 2)
+        )
+        .select(
+            "brand",
+            "a_key",
+            "b_key",
+            F.levenshtein("a_name", "b_name").alias("edit_dist"),
+        )
+        .orderBy("a_key", "b_key")
+    )
+
+
+PART_FUZZY_SQL = """
+SELECT a.p_brand AS brand,
+       a.p_partkey AS a_key,
+       b.p_partkey AS b_key,
+       levenshtein(a.p_name, b.p_name) AS edit_dist
+FROM part a
+JOIN part b
+  ON a.p_brand = b.p_brand
+ AND a.p_partkey < b.p_partkey
+ AND abs(length(a.p_name) - length(b.p_name)) <= 2
+ AND levenshtein(a.p_name, b.p_name) <= 2
+ORDER BY a_key, b_key
+"""
+
+
+# --- deterministic robust statistics ---------------------------------------
+
+
+def agg_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group statistics: deterministic mode (most frequent
+    value, ties → smallest value), exact interpolated median and p90
+    of l_quantity per return flag.
+
+    Mode is computed as a two-level aggregate (value counts, then a
+    rank-1 pick with a total ordering) rather than ``F.mode`` —
+    Spark's and DuckDB's built-in mode both leave tie-breaks
+    unspecified, which is a cross-engine hash hazard. Scale: counts
+    shrink to (groups × distinct values) map-side; the rank window
+    runs on that tiny aggregate. Median/percentile are exact
+    single-pass sorts per group — at 100 TB swap for
+    percentile_approx and this stays one shuffle.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("cnt").desc(), F.col("l_quantity").asc()
+    )
+    mode = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("l_returnflag", F.col("l_quantity").alias("mode_qty"))
+    )
+    quant = li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("median_qty"),
+        F.percentile("l_quantity", F.lit(0.9)).alias("p90_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return quant.join(mode, "l_returnflag").orderBy("l_returnflag")
+
+
+ROBUST_STATS_SQL = """
+WITH counts AS (
+  SELECT l_returnflag, l_quantity, COUNT(*) AS cnt
+  FROM lineitem GROUP BY 1, 2
+),
+mode_pick AS (
+  SELECT l_returnflag, l_quantity AS mode_qty,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY cnt DESC, l_quantity ASC) AS rn
+  FROM counts
+),
+quant AS (
+  SELECT l_returnflag,
+         median(l_quantity) AS median_qty,
+         quantile_cont(l_quantity, 0.9) AS p90_qty,
+         COUNT(*) AS n_rows
+  FROM lineitem GROUP BY 1
+)
+SELECT q.l_returnflag, q.median_qty, q.p90_qty, q.n_rows, m.mode_qty
+FROM quant q JOIN mode_pick m ON q.l_returnflag = m.l_returnflag AND m.rn = 1
+ORDER BY q.l_returnflag
+"""
+
+
+# --- gaps-and-islands: activity streaks ------------------------------------
+
+
+def ev_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user
+    (gaps-and-islands): distinct active UTC days, island id =
+    day − row_number, run lengths aggregated per user.
+
+    Day buckets are integer µs arithmetic (ts_us DIV day), never a
+    timezone-dependent DATE cast. Scale: the distinct and both
+    window/group steps all partition on user_id — one shuffle key
+    family end to end; state per user is O(active days).
+    """
+    e = load_events(spark, sf_dir).withColumn(
+        "day", F.expr(f"(ts_ns DIV 1000) DIV {US_PER_DAY}")
+    )
+    days = e.select("user_id", "day").distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    runs = (
+        days.withColumn("island", F.col("day") - F.row_number().over(w))
+        .groupBy("user_id", "island")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return (
+        runs.groupBy("user_id")
+        .agg(
+            F.sum("run_len").alias("n_active_days"),
+            F.count(F.lit(1)).alias("n_streaks"),
+            F.max("run_len").alias("max_streak"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EV_STREAKS_SQL = f"""
+WITH days AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {US_PER_DAY} AS day FROM events
+),
+islands AS (
+  SELECT user_id, day,
+         day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS island
+  FROM days
+),
+runs AS (
+  SELECT user_id, island, COUNT(*) AS run_len
+  FROM islands GROUP BY 1, 2
+)
+SELECT user_id,
+       SUM(run_len) AS n_active_days,
+       COUNT(*) AS n_streaks,
+       MAX(run_len) AS max_streak
+FROM runs GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+# --- cohort retention -------------------------------------------------------
+
+
+def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-active UTC
+    week, distinct actives per (cohort_week, weeks-since-cohort).
+
+    Scale: first-active week is a min-aggregate on user_id; the join
+    back to activity shares that key (AQE broadcasts the cohort side
+    when small, co-shuffles otherwise); the final rollup keys on the
+    tiny (cohort, offset) pair. No window over the raw stream.
+    """
+    e = load_events(spark, sf_dir).withColumn(
+        "week", F.expr(f"(ts_ns DIV 1000) DIV {US_PER_DAY * 7}")
+    )
+    acts = e.select("user_id", "week").distinct()
+    cohort = acts.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        acts.join(cohort, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+EV_COHORTS_SQL = f"""
+WITH acts AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {US_PER_DAY * 7} AS week FROM events
+),
+cohort AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM acts GROUP BY 1
+)
+SELECT c.cohort_week,
+       a.week - c.cohort_week AS week_offset,
+       COUNT(DISTINCT a.user_id) AS n_users
+FROM acts a JOIN cohort c ON a.user_id = c.user_id
+GROUP BY 1, 2
+ORDER BY cohort_week, week_offset
+"""
+
+
+QUERIES = {
+    "part_fuzzy_pairs": (part_fuzzy_pairs, PART_FUZZY_SQL),
+    "agg_robust_stats": (agg_robust_stats, ROBUST_STATS_SQL),
+    "ev_user_streaks": (ev_user_streaks, EV_STREAKS_SQL),
+    "ev_retention_cohorts": (ev_retention_cohorts, EV_COHORTS_SQL),
+}
