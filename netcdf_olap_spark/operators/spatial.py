@@ -34,6 +34,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType
+from pyspark.sql.window import Window
 
 Ring = Sequence[tuple[float, float]]
 
@@ -233,4 +234,68 @@ def nearest_cells_topk(coords: DataFrame, lat: float, lon: float, k: int) -> Dat
         coords.select("y", "x", "lat", "lon", sq_degree_dist(lat, lon).alias("dist"))
         .orderBy(F.col("dist").asc(), F.col("y").asc(), F.col("x").asc())
         .limit(k)
+    )
+
+
+def blocked_nearest_join(
+    points: DataFrame, stations: DataFrame, block: int
+) -> DataFrame:
+    """Grid-partitioned nearest-neighbor JOIN: for every point, the
+    nearest station (degree-space L2, the reference's metric), found
+    among stations in the point's (y DIV block, x DIV block) block
+    and its 8 neighbors.
+
+    This is the scale answer to the reference's known perf hazard —
+    an O(cells) linear argmin PER QUERY POINT (Gddp.scala:25-38,
+    ~1.39 M cells scanned twice): each point explodes map-side into
+    its 9 candidate block keys (×9 rows, no shuffle), meets stations
+    in ONE equi-join on the block key, and a per-point rank-1 window
+    picks the winner. Cost is O(points × stations-per-neighborhood)
+    instead of O(points × stations). Result is the true nearest
+    whenever station spacing ≤ block (a station always exists within
+    one block in index space); ties broken by (s_y, s_x).
+
+    ``points`` needs (y, x, lat, lon); ``stations`` needs the same.
+    At scale: the join co-shuffles both sides on the block key (AQE
+    broadcasts the station side when small); the window shuffles on
+    the point key. Pre-bucketing both tables by block key at rest
+    removes the join exchange entirely (operators/shuffle.py).
+    """
+    st = stations.select(
+        F.col("y").alias("s_y"),
+        F.col("x").alias("s_x"),
+        F.col("lat").alias("s_lat"),
+        F.col("lon").alias("s_lon"),
+        F.expr(f"y DIV {block}").alias("nby"),
+        F.expr(f"x DIV {block}").alias("nbx"),
+    )
+    nb = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    (F.expr(f"y DIV {block}") + F.lit(dy)).alias("nby"),
+                    (F.expr(f"x DIV {block}") + F.lit(dx)).alias("nbx"),
+                )
+                for dy in (-1, 0, 1)
+                for dx in (-1, 0, 1)
+            ]
+        )
+    )
+    probes = points.select("y", "x", "lat", "lon", nb.alias("nb")).select(
+        "y", "x", "lat", "lon", F.col("nb.nby").alias("nby"), F.col("nb.nbx").alias("nbx")
+    )
+    # products/sums only (IEEE-exact on identical inputs) — no pow.
+    d2 = (F.col("lat") - F.col("s_lat")) * (F.col("lat") - F.col("s_lat")) + (
+        F.col("lon") - F.col("s_lon")
+    ) * (F.col("lon") - F.col("s_lon"))
+    cand = probes.join(st, ["nby", "nbx"]).select(
+        "y", "x", "s_y", "s_x", d2.alias("d2")
+    )
+    w = Window.partitionBy("y", "x").orderBy(
+        F.col("d2").asc(), F.col("s_y").asc(), F.col("s_x").asc()
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
     )

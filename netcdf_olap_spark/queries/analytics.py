@@ -246,8 +246,100 @@ ORDER BY cohort_week, week_offset
 """
 
 
+# --- single-pass column profiling ------------------------------------------
+
+_NUM_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_STR_COLS = ("l_returnflag", "l_linestatus")
+
+
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profiling (the pipeline-health report a corpus
+    build runs before training): per column — non-null count, null
+    count, exact distinct count, min/max — for numeric and string
+    columns of ``lineitem``, in ONE scan.
+
+    All per-column metrics are aggregates of a single groupBy-less
+    aggregation (Catalyst computes the 6×N aggregates partial+final
+    in one pass); the row-per-column shape is a map-side explode of
+    the 1-row result. At 100 TB this is exactly one read of the
+    table; swap exact ``count_distinct`` for
+    ``approx_count_distinct`` to collapse the multi-distinct
+    expansion. Min/max stay typed per column family (doubles for
+    numerics, strings for strings) — no double→string formatting,
+    which is engine-dependent.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _NUM_COLS + _STR_COLS:
+        aggs += [
+            F.count(c).alias(f"{c}__n"),
+            F.countDistinct(c).alias(f"{c}__d"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+        ]
+    one = li.agg(*aggs)
+    rows = []
+    for c in _NUM_COLS:
+        rows.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"{c}__n").alias("n_nonnull"),
+                (F.col("n_rows") - F.col(f"{c}__n")).alias("n_null"),
+                F.col(f"{c}__d").alias("n_distinct"),
+                F.col(f"{c}__min").cast("double").alias("min_num"),
+                F.col(f"{c}__max").cast("double").alias("max_num"),
+                F.lit(None).cast("string").alias("min_str"),
+                F.lit(None).cast("string").alias("max_str"),
+            )
+        )
+    for c in _STR_COLS:
+        rows.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"{c}__n").alias("n_nonnull"),
+                (F.col("n_rows") - F.col(f"{c}__n")).alias("n_null"),
+                F.col(f"{c}__d").alias("n_distinct"),
+                F.lit(None).cast("double").alias("min_num"),
+                F.lit(None).cast("double").alias("max_num"),
+                F.col(f"{c}__min").alias("min_str"),
+                F.col(f"{c}__max").alias("max_str"),
+            )
+        )
+    return (
+        one.select(F.explode(F.array(*rows)).alias("p"))
+        .select("p.*")
+        .orderBy("col_name")
+    )
+
+
+def _profile_sql() -> str:
+    num = "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS col_name, COUNT({c}) AS n_nonnull,
+       COUNT(*) - COUNT({c}) AS n_null,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(MIN({c}) AS DOUBLE) AS min_num, CAST(MAX({c}) AS DOUBLE) AS max_num,
+       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+FROM lineitem"""
+        for c in _NUM_COLS
+    )
+    s = "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS col_name, COUNT({c}) AS n_nonnull,
+       COUNT(*) - COUNT({c}) AS n_null,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+       MIN({c}) AS min_str, MAX({c}) AS max_str
+FROM lineitem"""
+        for c in _STR_COLS
+    )
+    return f"{num}\nUNION ALL\n{s}\nORDER BY col_name"
+
+
+PROFILE_SQL = _profile_sql()
+
+
 QUERIES = {
     "part_fuzzy_pairs": (part_fuzzy_pairs, PART_FUZZY_SQL),
+    "profile_lineitem": (profile_lineitem, PROFILE_SQL),
     "agg_robust_stats": (agg_robust_stats, ROBUST_STATS_SQL),
     "ev_user_streaks": (ev_user_streaks, EV_STREAKS_SQL),
     "ev_retention_cohorts": (ev_retention_cohorts, EV_COHORTS_SQL),

@@ -655,8 +655,46 @@ ORDER BY zone_id
 """
 
 
+def grid_nearest_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 at scale: nearest station for EVERY grid cell via the
+    grid-partitioned NN join (operators/spatial.py
+    blocked_nearest_join) — one equi-join on the block key replaces
+    the reference's per-point O(cells) argmin scan (Gddp.scala:25-38).
+    Stations are the cells at (y % 8 == 0, x % 8 == 0); spacing 8 =
+    block size, so the 3×3 neighborhood always holds the true
+    nearest."""
+    coords = load_coords(spark)
+    stations = coords.where((F.col("y") % 8 == 0) & (F.col("x") % 8 == 0))
+    return spatial.blocked_nearest_join(coords, stations, block=8).orderBy("y", "x")
+
+
+GRID_NEAREST_BLOCKED_SQL = f"""
+WITH stations AS (
+  SELECT y AS s_y, x AS s_x, lat AS s_lat, lon AS s_lon,
+         y // 8 AS nby, x // 8 AS nbx
+  FROM {COORDS} WHERE y % 8 = 0 AND x % 8 = 0
+),
+probes AS (
+  SELECT c.y, c.x, c.lat, c.lon,
+         (c.y // 8) + dy.g AS nby, (c.x // 8) + dx.g AS nbx
+  FROM {COORDS} c, generate_series(-1, 1) dy(g), generate_series(-1, 1) dx(g)
+),
+cand AS (
+  SELECT p.y, p.x, s.s_y, s.s_x,
+         (p.lat - s.s_lat) * (p.lat - s.s_lat)
+           + (p.lon - s.s_lon) * (p.lon - s.s_lon) AS d2
+  FROM probes p JOIN stations s ON p.nby = s.nby AND p.nbx = s.nbx
+)
+SELECT y, x, s_y, s_x, d2
+FROM cand
+QUALIFY ROW_NUMBER() OVER (PARTITION BY y, x ORDER BY d2, s_y, s_x) = 1
+ORDER BY y, x
+"""
+
+
 QUERIES = {
     "grid_polygon_stats": (grid_polygon_stats, GRID_POLYGON_STATS_SQL),
+    "grid_nearest_blocked": (grid_nearest_blocked, GRID_NEAREST_BLOCKED_SQL),
     "grid_bbox_stats": (grid_bbox_stats, GRID_BBOX_STATS_SQL),
     "grid_point_read": (grid_point_read, GRID_POINT_READ_SQL),
     "grid_nearest_cell": (grid_nearest_cell, GRID_NEAREST_CELL_SQL),

@@ -106,3 +106,29 @@ def test_native_expr_equals_pandas_udf_raycast(spark):
         (spatial.in_polygon_expr(POLYGON) != spatial.in_polygon_col(POLYGON)).alias("d")
     ).where("d").count()
     assert diff == 0
+
+
+def test_blocked_nearest_matches_brute_force(spark):
+    """Blocked NN join == per-point brute-force argmin for EVERY grid
+    cell (station spacing == block size guarantees the 3x3 block
+    neighborhood holds the true nearest), and the plan is an
+    equi-join, never a cartesian/nested-loop product."""
+    coords = load_coords(spark, register=False)
+    stations = coords.where((F.col("y") % 8 == 0) & (F.col("x") % 8 == 0))
+    got = {
+        (r.y, r.x): (r.s_y, r.s_x)
+        for r in spatial.blocked_nearest_join(coords, stations, block=8).collect()
+    }
+    st = [(r.s_y, r.s_x, r.s_lat, r.s_lon) for r in stations.select(
+        F.col("y").alias("s_y"), F.col("x").alias("s_x"),
+        F.col("lat").alias("s_lat"), F.col("lon").alias("s_lon")).collect()]
+    pts = coords.select("y", "x", "lat", "lon").collect()
+    assert len(got) == len(pts)
+    for p in pts:
+        best = min(
+            ((plat := p.lat - slat) * plat + (plon := p.lon - slon) * plon, sy, sx)
+            for sy, sx, slat, slon in st
+        )
+        assert got[(p.y, p.x)] == (best[1], best[2]), (p.y, p.x)
+    plan = spatial.blocked_nearest_join(coords, stations, block=8)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
