@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from netcdf_olap_spark.queries.text import DUCK_TOKS
 from netcdf_olap_spark.session import load_events
 
 US_PER_DAY = 86_400_000_000
@@ -337,9 +338,106 @@ FROM lineitem"""
 PROFILE_SQL = _profile_sql()
 
 
+# --- repetition quality metrics (Gopher-style) ------------------------------
+
+
+def doc_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (the Gopher/RefinedWeb
+    quality-filter family): per doc, total vs distinct bigram counts,
+    the most-frequent-bigram share, and the duplicate-trigram count.
+
+    Plan: tokens materialized once, n-grams exploded map-side, then
+    two-level aggregation — (doc, gram) counts, then per-doc rollup.
+    Never a per-doc O(n²) array fold: the group-by path gets map-side
+    partial aggregation and scales with total tokens, not tokens².
+    Integer outputs only — no float drift surface.
+    """
+    d = _t(spark, sf_dir, "documents")
+    from netcdf_olap_spark.operators.text import tokens
+
+    toks = d.select("doc_id", tokens("text").alias("t")).where(F.size("t") >= 3)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.struct(
+                        F.lit(2).alias("n"),
+                        F.concat_ws(" ", F.element_at("t", i), F.element_at("t", i + 1)).alias("g"),
+                    ),
+                ),
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 2),
+                    lambda i: F.struct(
+                        F.lit(3).alias("n"),
+                        F.concat_ws(
+                            " ",
+                            F.element_at("t", i),
+                            F.element_at("t", i + 1),
+                            F.element_at("t", i + 2),
+                        ).alias("g"),
+                    ),
+                ),
+            )
+        ).alias("gr"),
+    )
+    per_gram = grams.groupBy("doc_id", F.col("gr.n").alias("n"), F.col("gr.g").alias("g")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_doc = per_gram.groupBy("doc_id", "n").agg(
+        F.sum("c").alias("total"),
+        F.count(F.lit(1)).alias("distinct_"),
+        F.max("c").alias("top_c"),
+    )
+    two = per_doc.where(F.col("n") == 2).select(
+        "doc_id",
+        F.col("total").alias("n_bigrams"),
+        F.col("distinct_").alias("n_uniq_bigrams"),
+        F.col("top_c").alias("top_bigram_n"),
+    )
+    three = per_doc.where(F.col("n") == 3).select(
+        "doc_id", (F.col("total") - F.col("distinct_")).alias("n_dup_trigrams")
+    )
+    return two.join(three, "doc_id").orderBy("doc_id")
+
+
+DOC_REPETITION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {DUCK_TOKS.replace("text", "text")} AS t FROM documents
+),
+ok AS (SELECT * FROM toks WHERE len(t) >= 3),
+bi AS (
+  SELECT doc_id, concat_ws(' ', t[i], t[i+1]) AS g
+  FROM ok, unnest(generate_series(1, len(t) - 1)) u(i)
+),
+tri AS (
+  SELECT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS g
+  FROM ok, unnest(generate_series(1, len(t) - 2)) u(i)
+),
+bi_c AS (SELECT doc_id, g, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+tri_c AS (SELECT doc_id, g, COUNT(*) AS c FROM tri GROUP BY 1, 2),
+bi_d AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_bigrams,
+         COUNT(*) AS n_uniq_bigrams,
+         CAST(MAX(c) AS BIGINT) AS top_bigram_n
+  FROM bi_c GROUP BY 1
+),
+tri_d AS (
+  SELECT doc_id, CAST(SUM(c) - COUNT(*) AS BIGINT) AS n_dup_trigrams
+  FROM tri_c GROUP BY 1
+)
+SELECT b.doc_id, b.n_bigrams, b.n_uniq_bigrams, b.top_bigram_n, t.n_dup_trigrams
+FROM bi_d b JOIN tri_d t ON b.doc_id = t.doc_id
+ORDER BY b.doc_id
+"""
+
+
 QUERIES = {
     "part_fuzzy_pairs": (part_fuzzy_pairs, PART_FUZZY_SQL),
     "profile_lineitem": (profile_lineitem, PROFILE_SQL),
+    "doc_repetition_metrics": (doc_repetition_metrics, DOC_REPETITION_SQL),
     "agg_robust_stats": (agg_robust_stats, ROBUST_STATS_SQL),
     "ev_user_streaks": (ev_user_streaks, EV_STREAKS_SQL),
     "ev_retention_cohorts": (ev_retention_cohorts, EV_COHORTS_SQL),

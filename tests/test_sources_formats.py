@@ -67,3 +67,23 @@ def test_json_lines_projection_pushdown(spark, tmp_path):
     two = spark.read.schema(df.schema).json(path).select("o_orderkey", "o_totalprice")
     plan = two._jdf.queryExecution().executedPlan().toString()
     assert "o_orderstatus" not in plan.split("ReadSchema")[-1]
+
+
+def test_xml_roundtrip(spark, tmp_path):
+    """XML: Spark 4 ships the reader natively (spark-xml merged
+    upstream). Round trip with an explicit schema — XML has no
+    embedded types, so schema-on-read is the contract, exactly like
+    the reference's self-describing NetCDF attributes (SURVEY §1.1)."""
+    df = _sample(spark)
+    path = str(tmp_path / "orders_xml")
+    df.write.format("xml").option("rootTag", "orders").option("rowTag", "order").save(path)
+    back = (
+        spark.read.format("xml")
+        .schema(df.schema)
+        .option("rowTag", "order")
+        .load(path)
+    )
+    assert back.count() == 200
+    assert sorted(r["o_orderkey"] for r in back.collect()) == sorted(
+        r["o_orderkey"] for r in df.collect()
+    )
