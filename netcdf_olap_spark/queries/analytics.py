@@ -213,18 +213,19 @@ def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention: users grouped by first-active UTC
     week, distinct actives per (cohort_week, weeks-since-cohort).
 
-    Scale: first-active week is a min-aggregate on user_id; the join
-    back to activity shares that key (AQE broadcasts the cohort side
-    when small, co-shuffles otherwise); the final rollup keys on the
-    tiny (cohort, offset) pair. No window over the raw stream.
+    Scale: first-active week is a MIN window over user_id — the
+    activity set is scanned once (an aggregate + join-back
+    formulation re-derives it and adds a join); the distinct and the
+    window share the user-prefixed shuffle key, and the final rollup
+    keys on the tiny (cohort, offset) pair.
     """
     e = load_events(spark, sf_dir).withColumn(
         "week", F.expr(f"(ts_ns DIV 1000) DIV {US_PER_DAY * 7}")
     )
     acts = e.select("user_id", "week").distinct()
-    cohort = acts.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    cohort_w = F.min("week").over(Window.partitionBy("user_id"))
     return (
-        acts.join(cohort, "user_id")
+        acts.withColumn("cohort_week", cohort_w)
         .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
         .agg(F.countDistinct("user_id").alias("n_users"))
         .orderBy("cohort_week", "week_offset")
@@ -235,13 +236,15 @@ EV_COHORTS_SQL = f"""
 WITH acts AS (
   SELECT DISTINCT user_id, epoch_us(ts) // {US_PER_DAY * 7} AS week FROM events
 ),
-cohort AS (
-  SELECT user_id, MIN(week) AS cohort_week FROM acts GROUP BY 1
+tagged AS (
+  SELECT user_id, week,
+         MIN(week) OVER (PARTITION BY user_id) AS cohort_week
+  FROM acts
 )
-SELECT c.cohort_week,
-       a.week - c.cohort_week AS week_offset,
-       COUNT(DISTINCT a.user_id) AS n_users
-FROM acts a JOIN cohort c ON a.user_id = c.user_id
+SELECT cohort_week,
+       week - cohort_week AS week_offset,
+       COUNT(DISTINCT user_id) AS n_users
+FROM tagged
 GROUP BY 1, 2
 ORDER BY cohort_week, week_offset
 """
@@ -385,21 +388,22 @@ def doc_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_gram = grams.groupBy("doc_id", F.col("gr.n").alias("n"), F.col("gr.g").alias("g")).agg(
         F.count(F.lit(1)).alias("c")
     )
-    per_doc = per_gram.groupBy("doc_id", "n").agg(
-        F.sum("c").alias("total"),
-        F.count(F.lit(1)).alias("distinct_"),
-        F.max("c").alias("top_c"),
+    # One conditional rollup instead of per-n branches + self-join:
+    # the (doc, n, g) aggregate is scanned ONCE (2 shuffles end to
+    # end, both on doc-prefixed keys).
+    is2, is3 = F.col("n") == 2, F.col("n") == 3
+    return (
+        per_gram.groupBy("doc_id")
+        .agg(
+            F.sum(F.when(is2, F.col("c"))).alias("n_bigrams"),
+            F.count(F.when(is2, F.lit(1))).alias("n_uniq_bigrams"),
+            F.max(F.when(is2, F.col("c"))).alias("top_bigram_n"),
+            (F.sum(F.when(is3, F.col("c"))) - F.count(F.when(is3, F.lit(1)))).alias(
+                "n_dup_trigrams"
+            ),
+        )
+        .orderBy("doc_id")
     )
-    two = per_doc.where(F.col("n") == 2).select(
-        "doc_id",
-        F.col("total").alias("n_bigrams"),
-        F.col("distinct_").alias("n_uniq_bigrams"),
-        F.col("top_c").alias("top_bigram_n"),
-    )
-    three = per_doc.where(F.col("n") == 3).select(
-        "doc_id", (F.col("total") - F.col("distinct_")).alias("n_dup_trigrams")
-    )
-    return two.join(three, "doc_id").orderBy("doc_id")
 
 
 DOC_REPETITION_SQL = f"""
@@ -415,22 +419,21 @@ tri AS (
   SELECT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS g
   FROM ok, unnest(generate_series(1, len(t) - 2)) u(i)
 ),
-bi_c AS (SELECT doc_id, g, COUNT(*) AS c FROM bi GROUP BY 1, 2),
-tri_c AS (SELECT doc_id, g, COUNT(*) AS c FROM tri GROUP BY 1, 2),
-bi_d AS (
-  SELECT doc_id,
-         CAST(SUM(c) AS BIGINT) AS n_bigrams,
-         COUNT(*) AS n_uniq_bigrams,
-         CAST(MAX(c) AS BIGINT) AS top_bigram_n
-  FROM bi_c GROUP BY 1
+grams AS (
+  SELECT doc_id, 2 AS n, g FROM bi
+  UNION ALL
+  SELECT doc_id, 3 AS n, g FROM tri
 ),
-tri_d AS (
-  SELECT doc_id, CAST(SUM(c) - COUNT(*) AS BIGINT) AS n_dup_trigrams
-  FROM tri_c GROUP BY 1
-)
-SELECT b.doc_id, b.n_bigrams, b.n_uniq_bigrams, b.top_bigram_n, t.n_dup_trigrams
-FROM bi_d b JOIN tri_d t ON b.doc_id = t.doc_id
-ORDER BY b.doc_id
+per_gram AS (SELECT doc_id, n, g, COUNT(*) AS c FROM grams GROUP BY 1, 2, 3)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN n = 2 THEN c END) AS BIGINT) AS n_bigrams,
+       COUNT(CASE WHEN n = 2 THEN 1 END) AS n_uniq_bigrams,
+       CAST(MAX(CASE WHEN n = 2 THEN c END) AS BIGINT) AS top_bigram_n,
+       CAST(SUM(CASE WHEN n = 3 THEN c END) - COUNT(CASE WHEN n = 3 THEN 1 END) AS BIGINT)
+         AS n_dup_trigrams
+FROM per_gram
+GROUP BY doc_id
+ORDER BY doc_id
 """
 
 
