@@ -248,3 +248,74 @@ def pairwise_topk_per_label(
     scored = pairs.select("lbl", "id1", "id2", cosine(F.col("v1"), F.col("v2")).alias("cos_sim"))
     w = Window.partitionBy("id1").orderBy(F.col("cos_sim").desc(), F.col("id2"))
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+
+
+def mmr_rerank(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    pool: int = 50,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversity re-ranking.
+
+    Greedy MMR (Carbonell & Goldstein '98): repeatedly pick
+    argmax_d [ λ·sim(d, q) − (1−λ)·max_{s∈selected} sim(d, s) ].
+
+    The greedy loop is inherently sequential, so the scalable shape
+    is retrieve-then-rerank: the NATIVE cosine top-``pool`` narrows
+    the corpus (TakeOrderedAndProject — distributed, JVM-side), and
+    only the tiny candidate pool crosses into one Arrow-batched
+    ``applyInPandas`` task that runs the O(pool²·dim) greedy pass.
+    At 100 TB the pool is still ``pool`` rows — driver and Python
+    costs are constant; ties break on id so the result is
+    deterministic under any partitioning.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q = np.asarray(query_vec, dtype=np.float64)
+
+    cand = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .withColumn("cos_sim", cosine(F.col(vec_col), F.array(*[F.lit(float(v)) for v in query_vec])))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(pool)
+        .withColumn("g", F.lit(1))
+    )
+
+    out_schema = f"{id_col} long, cos_sim double, mmr_score double, rank int"
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([id_col]).reset_index(drop=True)
+        vecs = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+        norms = np.linalg.norm(vecs, axis=1)
+        rel = pdf["cos_sim"].to_numpy()
+        n = len(pdf)
+        sim = (vecs @ vecs.T) / np.outer(norms, norms)
+        chosen: list[int] = []
+        scores: list[float] = []
+        avail = np.ones(n, dtype=bool)
+        for _ in range(min(k, n)):
+            if chosen:
+                div = sim[:, chosen].max(axis=1)
+            else:
+                div = np.zeros(n)
+            mmr = lam * rel - (1.0 - lam) * div
+            mmr[~avail] = -np.inf
+            best = int(np.argmax(mmr))  # argmax takes first max → id-ordered tie-break
+            chosen.append(best)
+            scores.append(float(mmr[best]))
+            avail[best] = False
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].iloc[chosen].to_numpy(),
+                "cos_sim": rel[chosen],
+                "mmr_score": scores,
+                "rank": np.arange(1, len(chosen) + 1, dtype=np.int32),
+            }
+        )
+
+    return cand.groupBy("g").applyInPandas(_greedy, out_schema)

@@ -692,6 +692,71 @@ ORDER BY y, x
 """
 
 
+def grid_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap repair by LINEAR interpolation between a cell's bracketing
+    observations (the refinement of grid_forward_fill's
+    carry-forward): filled = prev + (next−prev)·Δt_frac, edges fall
+    back to the available neighbor. Four IGNORE NULLS window scans
+    over one shuffle on the cell key — same single-exchange shape as
+    forward fill, so the 100 TB partitioning story is unchanged."""
+    g = load_grid(spark).where((F.col("variable") == "avg_night_temp") & (F.col("x") < 4))
+    wp = (
+        Window.partitionBy("y", "x")
+        .orderBy("time")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("y", "x")
+        .orderBy("time")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    v = F.col("value")
+    day = F.to_date("time")
+    pv = F.last(F.when(v.isNotNull(), v), ignorenulls=True).over(wp).cast("double")
+    pt = F.last(F.when(v.isNotNull(), day), ignorenulls=True).over(wp)
+    nv = F.first(F.when(v.isNotNull(), v), ignorenulls=True).over(wn).cast("double")
+    nt = F.first(F.when(v.isNotNull(), day), ignorenulls=True).over(wn)
+    frac = F.datediff(day, pt).cast("double") / F.datediff(nt, pt).cast("double")
+    filled = (
+        F.when(v.isNotNull(), v.cast("double"))
+        .when(pv.isNull(), nv)
+        .when(nv.isNull(), pv)
+        .otherwise(pv + (nv - pv) * frac)
+    )
+    return (
+        g.select("y", "x", day.alias("day"), "value", filled.alias("filled"))
+        .orderBy("y", "x", "day")
+    )
+
+
+GRID_INTERPOLATE_SQL = f"""
+WITH b AS (
+  SELECT y, x, CAST(time AS DATE) AS day, value,
+         CAST(LAST_VALUE(CASE WHEN value IS NOT NULL THEN value END IGNORE NULLS)
+              OVER wp AS DOUBLE) AS pv,
+         LAST_VALUE(CASE WHEN value IS NOT NULL THEN CAST(time AS DATE) END IGNORE NULLS)
+              OVER wp AS pt,
+         CAST(FIRST_VALUE(CASE WHEN value IS NOT NULL THEN value END IGNORE NULLS)
+              OVER wn AS DOUBLE) AS nv,
+         FIRST_VALUE(CASE WHEN value IS NOT NULL THEN CAST(time AS DATE) END IGNORE NULLS)
+              OVER wn AS nt
+  FROM {GRID}
+  WHERE variable = 'avg_night_temp' AND x < 4
+  WINDOW wp AS (PARTITION BY y, x ORDER BY time
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY y, x ORDER BY time
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT y, x, day, value,
+       CASE WHEN value IS NOT NULL THEN CAST(value AS DOUBLE)
+            WHEN pv IS NULL THEN nv
+            WHEN nv IS NULL THEN pv
+            ELSE pv + (nv - pv) * (CAST(day - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+       END AS filled
+FROM b
+ORDER BY y, x, day
+"""
+
+
 QUERIES = {
     "grid_polygon_stats": (grid_polygon_stats, GRID_POLYGON_STATS_SQL),
     "grid_nearest_blocked": (grid_nearest_blocked, GRID_NEAREST_BLOCKED_SQL),
@@ -715,4 +780,5 @@ QUERIES = {
     "grid_climatology_anomaly": (grid_climatology_anomaly, GRID_CLIMATOLOGY_SQL),
     "grid_regrid_bilinear": (grid_regrid_bilinear, GRID_REGRID_SQL),
     "grid_zonal_stats": (grid_zonal_stats, GRID_ZONAL_SQL),
+    "grid_interpolate_linear": (grid_interpolate_linear, GRID_INTERPOLATE_SQL),
 }

@@ -220,6 +220,20 @@ ORDER BY id1, id2
 """
 
 
+def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity re-ranking: retrieve-then-rerank — native cosine
+    top-50 pool (distributed TakeOrderedAndProject), then one
+    Arrow-batched greedy MMR pass over the 50-row pool (λ=0.7,
+    k=10). rows-only: the greedy argmax loop isn't SQL-expressible;
+    equality to a pure-numpy reference is asserted in
+    tests/test_similarity.py."""
+    e = _emb(spark, sf_dir)
+    qvec = [r[0] for r in e.where(F.col("vec_id") == 0).select(F.explode("embedding")).collect()]
+    return similarity.mmr_rerank(
+        e.where(F.col("vec_id") != 0), qvec, k=10, pool=50, lam=0.7
+    ).orderBy("rank")
+
+
 QUERIES = {
     "emb_knn_brute": (emb_knn_brute, EMB_KNN_BRUTE_SQL),
     "doc_embedding_near_dup": (doc_embedding_near_dup, DOC_NEAR_DUP_SQL),
@@ -229,4 +243,5 @@ QUERIES = {
     "emb_knn_ivf": (emb_knn_ivf, None),
     "emb_pq_topk": (emb_pq_topk, None),
     "emb_label_topk": (emb_label_topk, EMB_LABEL_TOPK_SQL),
+    "emb_mmr_rerank": (emb_mmr_rerank, None),
 }

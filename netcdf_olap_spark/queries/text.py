@@ -15,7 +15,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from netcdf_olap_spark.operators import dedup, text
+from netcdf_olap_spark.operators import dedup, sketches, spandedup, text
 
 # DuckDB twins of the token/shingle expressions.
 DUCK_TOKS = r"list_filter(string_split_regex(trim(text), '\s+'), t -> t != '')"
@@ -503,6 +503,120 @@ ORDER BY doc_id
 """
 
 
+def doc_span_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated 6-token spans (substring-level dedup
+    signal, Lee et al. span dedup): top spans by distinct-doc reach.
+    String-keyed variant so the oracle can reproduce the keys; the
+    hashed 100 TB path is exercised by doc_span_contamination and
+    tests/test_spandedup.py."""
+    dup = spandedup.duplicate_spans(
+        _docs(spark, sf_dir), w=6, min_docs=2, hashed=False
+    )
+    return (
+        dup.select("span", "n_docs", "n_occ", "example_doc")
+        .orderBy(F.col("n_docs").desc(), F.col("span"))
+        .limit(100)
+    )
+
+
+DOC_SPAN_DUPES_SQL = f"""
+WITH toks AS (SELECT doc_id, {DUCK_TOKS} AS t FROM documents),
+sp AS (
+  SELECT doc_id,
+         unnest([concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4], t[i+5])
+                 FOR i IN generate_series(1, len(t) - 5)]) AS span
+  FROM toks WHERE len(t) >= 6),
+per AS (SELECT span, doc_id, COUNT(*) AS n_in_doc FROM sp GROUP BY span, doc_id)
+SELECT span,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_in_doc) AS BIGINT) AS n_occ,
+       MIN(doc_id) AS example_doc
+FROM per
+GROUP BY span
+HAVING COUNT(*) >= 2
+ORDER BY n_docs DESC, span
+LIMIT 100
+"""
+
+
+def doc_span_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-span exposure via the HASHED span path (the
+    scale formulation — no span strings anywhere in the plan). The
+    oracle recomputes the same counts with string spans: identical
+    unless xxhash64 collides inside one doc's window set (2^-64-scale
+    probability), so this checks the hashed path end-to-end."""
+    return (
+        spandedup.span_contaminated_docs(_docs(spark, sf_dir), w=6, min_docs=2)
+        .orderBy("doc_id")
+    )
+
+
+DOC_SPAN_CONTAM_SQL = f"""
+WITH toks AS (SELECT doc_id, {DUCK_TOKS} AS t FROM documents),
+sp AS (
+  SELECT doc_id,
+         unnest([concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4], t[i+5])
+                 FOR i IN generate_series(1, len(t) - 5)]) AS span
+  FROM toks WHERE len(t) >= 6),
+dup AS (
+  SELECT span FROM (SELECT span, COUNT(DISTINCT doc_id) AS nd FROM sp GROUP BY span)
+  WHERE nd >= 2),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n_dup_positions
+  FROM sp WHERE span IN (SELECT span FROM dup)
+  GROUP BY doc_id)
+SELECT t.doc_id,
+       GREATEST(len(t.t) - 5, 0) AS n_spans,
+       COALESCE(h.n_dup_positions, 0) AS n_dup_positions,
+       CASE WHEN len(t.t) - 5 > 0
+            THEN CAST(COALESCE(h.n_dup_positions, 0) AS DOUBLE) / (len(t.t) - 5)
+            ELSE 0.0 END AS dup_fraction
+FROM toks t LEFT JOIN hits h ON h.doc_id = t.doc_id
+ORDER BY t.doc_id
+"""
+
+
+def doc_countmin_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch demo: exact top-20 tokens joined with their
+    sketch estimates (depth 3 × 4096 md5-hex buckets). The sketch is
+    a bounded-size mergeable aggregate (shuffle volume ≤ sketch size
+    via map-side combine); estimates satisfy est ≥ true with bounded
+    over-count. Portable md5 bucketing → the oracle rebuilds the
+    identical sketch."""
+    toks = _docs(spark, sf_dir).select(F.explode(text.tokens("text")).alias("tok"))
+    sk = sketches.countmin_build(toks, "tok", depth=3, hex_digits=3)
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), F.col("tok"))
+        .limit(20)
+    )
+    est = sketches.countmin_estimate(sk, top.select("tok"), "tok", depth=3, hex_digits=3)
+    return (
+        top.join(est, "tok")
+        .select("tok", "true_cnt", "cm_est")
+        .orderBy(F.col("true_cnt").desc(), F.col("tok"))
+    )
+
+
+DOC_COUNTMIN_SQL = f"""
+WITH toks AS (
+  SELECT unnest({DUCK_TOKS}) AS tok FROM documents),
+sk AS (
+  SELECT d, substr(md5(d || ':' || tok), 1, 3) AS bucket, COUNT(*) AS cnt
+  FROM toks, (VALUES ('0'), ('1'), ('2')) s(d)
+  GROUP BY d, bucket),
+top AS (
+  SELECT tok, COUNT(*) AS true_cnt FROM toks GROUP BY tok
+  ORDER BY true_cnt DESC, tok LIMIT 20)
+SELECT t.tok, t.true_cnt, MIN(sk.cnt) AS cm_est
+FROM top t
+JOIN sk ON sk.bucket = substr(md5(sk.d || ':' || t.tok), 1, 3)
+GROUP BY t.tok, t.true_cnt
+ORDER BY t.true_cnt DESC, t.tok
+"""
+
+
 QUERIES = {
     "doc_token_stats": (doc_token_stats, DOC_TOKEN_STATS_SQL),
     "doc_bpe_token_stats": (doc_bpe_token_stats, DOC_BPE_SQL),
@@ -521,4 +635,7 @@ QUERIES = {
     "doc_shard_manifest": (doc_shard_manifest, DOC_SHARD_MANIFEST_SQL),
     "doc_term_stats_topk": (doc_term_stats_topk, DOC_TERM_STATS_SQL),
     "doc_bm25_topk": (doc_bm25_topk, DOC_BM25_SQL),
+    "doc_span_dupes": (doc_span_dupes, DOC_SPAN_DUPES_SQL),
+    "doc_span_contamination": (doc_span_contamination, DOC_SPAN_CONTAM_SQL),
+    "doc_countmin_heavy": (doc_countmin_heavy, DOC_COUNTMIN_SQL),
 }

@@ -92,23 +92,33 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, register: boo
 
 
 def load_events(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
-    """events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    reader rejects; read nanos as long (``ts_ns``) and derive a
-    microsecond ``ts`` timestamp. Checked queries output ``ts_ns`` or
-    integer buckets of it — pure integer math, identical across
-    engines and session timezones.
+    """Normalize events.parquet to (``ts``: microsecond timestamp,
+    ``ts_ns``: nanos-since-epoch long), whichever physical type the
+    file carries. Two generations of testdata exist: TIMESTAMP(NANOS)
+    (which Spark's vectorized reader only accepts as long via
+    ``nanosAsLong``) and TIMESTAMP(MICROS). Downstream queries use
+    integer ``ts_ns``/``ts_us`` buckets — pure integer math, identical
+    across engines and session timezones.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    # integer DIV, not `/`: double division of 19-digit nanos rounds the
-    # low microsecond digit, drifting ±1 µs from DuckDB's epoch_us
-    # truncation of the same parquet column (bit once via a µs-precision
-    # gap in ev_interval_join)
-    return df.withColumnRenamed("ts", "ts_ns").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts_ns DIV 1000"))
-    )
+    if isinstance(df.schema["ts"].dataType, LongType):
+        # nanos-as-long generation: integer DIV, not `/` — double
+        # division of 19-digit nanos rounds the low microsecond digit,
+        # drifting ±1 µs from DuckDB's epoch_us truncation of the same
+        # column (bit once via a µs-precision gap in ev_interval_join)
+        return df.withColumnRenamed("ts", "ts_ns").withColumn(
+            "ts", F.timestamp_micros(F.expr("ts_ns DIV 1000"))
+        )
+    # microsecond-timestamp generation (read as TIMESTAMP_NTZ): cast to
+    # the session-TZ timestamp (UTC session → identical wall time, and
+    # the type every window/stream operator downstream expects), then
+    # derive the nanos long exactly
+    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df.withColumn("ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000))
 
 
 def load_grid(spark: SparkSession, register: bool = True) -> DataFrame:

@@ -1,0 +1,156 @@
+"""Span-level dedup, count-min sketch, and MMR rerank tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from netcdf_olap_spark.operators import sketches, similarity, spandedup
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+
+
+def test_hashed_spans_match_string_spans(spark, docs):
+    """The hashed (scale) span path must agree with the string path on
+    every aggregate: same number of duplicated spans, same
+    (n_docs, n_occ, example_doc) multiset."""
+    h = spandedup.duplicate_spans(docs, w=6, min_docs=2, hashed=True)
+    s = spandedup.duplicate_spans(docs, w=6, min_docs=2, hashed=False)
+    hs = sorted(
+        (r["n_docs"], r["n_occ"], r["example_doc"]) for r in h.collect()
+    )
+    ss = sorted(
+        (r["n_docs"], r["n_occ"], r["example_doc"]) for r in s.collect()
+    )
+    assert hs == ss
+    assert len(hs) > 0  # corpus contains near-dups → shared spans exist
+
+
+def test_duplicate_spans_ground_truth(spark):
+    rows = [
+        (1, "a b c d e f g"),      # span1: "a b c d e f", span2: "b c d e f g"
+        (2, "x a b c d e f y"),    # shares span1
+        (3, "totally different words here only once"),
+        (4, "a b c d e f g"),      # exact dup of 1: shares both
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["span"]: (r["n_docs"], r["n_occ"], r["example_doc"])
+        for r in spandedup.duplicate_spans(df, w=6, min_docs=2, hashed=False).collect()
+    }
+    assert out == {
+        "a b c d e f": (3, 3, 1),
+        "b c d e f g": (2, 2, 1),
+    }
+
+
+def test_span_contamination_fractions(spark):
+    rows = [
+        (1, "a b c d e f g"),   # 2 spans, both duplicated
+        (2, "a b c d e f g"),   # same
+        (3, "p q r s t u v"),   # 2 spans, none duplicated
+        (4, "short text"),      # no spans at all
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in spandedup.span_contaminated_docs(df, w=6).collect()}
+    assert out[1]["n_spans"] == 2 and out[1]["n_dup_positions"] == 2
+    assert out[1]["dup_fraction"] == 1.0
+    assert out[3]["n_dup_positions"] == 0 and out[3]["dup_fraction"] == 0.0
+    assert out[4]["n_spans"] == 0 and out[4]["dup_fraction"] == 0.0
+
+
+def test_countmin_one_sided_and_bounded(spark, docs):
+    """CM sketch invariant: estimate ≥ true count for every item, and
+    the sketch has at most depth × 16^hex_digits rows."""
+    toks = docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+    sk = sketches.countmin_build(toks, "tok", depth=3, hex_digits=3)
+    assert sk.count() <= 3 * 16**3
+    true = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_cnt"))
+    est = sketches.countmin_estimate(sk, true.select("tok"), "tok", depth=3, hex_digits=3)
+    j = true.join(est, "tok").collect()
+    assert len(j) == true.count()
+    n_total = toks.count()
+    for r in j:
+        assert r["cm_est"] >= r["true_cnt"], r
+        # classic bound: overcount ≤ e/width · N per row, depth rows →
+        # exceeding 3× the single-row bound simultaneously in all rows
+        # is astronomically unlikely; this is a sanity ceiling.
+        assert r["cm_est"] - r["true_cnt"] <= 3 * 2.72 * n_total / 16**3, r
+
+
+def test_countmin_merge_equals_whole(spark, docs):
+    """Sketch of the union == merge of per-part sketches (mergeability
+    — the property that makes it a distributed/streaming aggregate)."""
+    toks = docs.select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+    part1 = toks.where(F.col("doc_id") % 2 == 0)
+    part2 = toks.where(F.col("doc_id") % 2 == 1)
+    whole = sketches.countmin_build(toks, "tok", depth=2, hex_digits=2)
+    merged = sketches.countmin_merge(
+        sketches.countmin_build(part1, "tok", depth=2, hex_digits=2),
+        sketches.countmin_build(part2, "tok", depth=2, hex_digits=2),
+    )
+    a = {(r["depth"], r["bucket"]): r["cnt"] for r in whole.collect()}
+    b = {(r["depth"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    assert a == b
+
+
+def _mmr_reference(vecs, ids, rel, k, lam):
+    """Pure-numpy greedy MMR (independent re-implementation)."""
+    norms = np.linalg.norm(vecs, axis=1)
+    sim = (vecs @ vecs.T) / np.outer(norms, norms)
+    chosen = []
+    avail = list(range(len(ids)))
+    while avail and len(chosen) < k:
+        best, best_score = None, -np.inf
+        for i in avail:
+            div = max((sim[i][j] for j in chosen), default=0.0)
+            score = lam * rel[i] - (1 - lam) * div
+            if score > best_score:
+                best, best_score = i, score
+        chosen.append(best)
+        avail.remove(best)
+    return [ids[i] for i in chosen]
+
+
+def test_mmr_matches_reference_and_diversifies(spark):
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    qvec = [
+        r[0] for r in emb.where(F.col("vec_id") == 0).select(F.explode("embedding")).collect()
+    ]
+    pool = 30
+    out = similarity.mmr_rerank(
+        emb.where(F.col("vec_id") != 0), qvec, k=8, pool=pool, lam=0.6
+    ).collect()
+    assert [r["rank"] for r in out] == list(range(1, 9))
+
+    # independent reference on the same pool
+    cand = (
+        emb.where(F.col("vec_id") != 0)
+        .withColumn(
+            "cos_sim",
+            similarity.cosine(F.col("embedding"), F.array(*[F.lit(float(v)) for v in qvec])),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(pool)
+        .collect()
+    )
+    cand.sort(key=lambda r: r["vec_id"])
+    vecs = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in cand])
+    ids = [r["vec_id"] for r in cand]
+    rel = np.array([r["cos_sim"] for r in cand])
+    expected = _mmr_reference(vecs, ids, rel, k=8, lam=0.6)
+    assert [r["vec_id"] for r in out] == expected
+
+    # rank 1 is the plain top-1; later ranks trade relevance for
+    # diversity, so MMR must differ from plain top-k somewhere unless
+    # the pool is already diverse — assert scores are non-increasing
+    # in relevance-only terms is NOT required; just check determinism:
+    out2 = similarity.mmr_rerank(
+        emb.where(F.col("vec_id") != 0), qvec, k=8, pool=pool, lam=0.6
+    ).collect()
+    assert [r["vec_id"] for r in out] == [r["vec_id"] for r in out2]
