@@ -319,3 +319,46 @@ def mmr_rerank(
         )
 
     return cand.groupBy("g").applyInPandas(_greedy, out_schema)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n_lists: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: k-means-cluster the
+    embeddings, then drop any vector that is ≥ ``threshold`` cosine
+    to a LOWER-id vector in the same cluster (min-id keeper, matching
+    the engine-wide dedup convention).
+
+    Cluster blocking makes the pairwise stage Σ cluster² instead of
+    corpus² — the published SemDeDup recipe. Approximation is
+    one-sided: precision 1.0 (every dropped vector really has a
+    ≥-threshold twin); recall < 1 only when a duplicate pair is split
+    across clusters. At corpus scale the assignment is an ingest-time
+    map (centroids are plan constants) and the table is written
+    partitioned by cluster, so the self-join is partition-local.
+    Returns (id, cluster, is_kept).
+    """
+    centroids = ivf_train(df, n_lists=n_lists, id_col=id_col, vec_col=vec_col)
+    assigned = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        ivf_assign_col(F.col(vec_col), centroids).alias("cluster"),
+    )
+    a = assigned.select(F.col("id").alias("id1"), F.col("v").alias("v1"), "cluster")
+    b = assigned.select(F.col("id").alias("id2"), F.col("v").alias("v2"), "cluster")
+    dropped = (
+        a.join(b, "cluster")
+        .where(F.col("id1") < F.col("id2"))
+        .where(cosine(F.col("v1"), F.col("v2")) >= threshold)
+        .select(F.col("id2").alias("id"))
+        .distinct()
+    )
+    return assigned.join(dropped.withColumn("gone", F.lit(True)), "id", "left").select(
+        F.col("id").alias(id_col),
+        "cluster",
+        F.coalesce(~F.col("gone"), F.lit(True)).alias("is_kept"),
+    )

@@ -757,6 +757,63 @@ ORDER BY y, x, day
 """
 
 
+def grid_focal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3×3 focal (neighborhood) mean — the raster convolution the
+    reference's GeoTrellis stack ships as ``focalMean``, re-expressed
+    relationally: each cell EXPLODES to the 9 targets it influences
+    (map-side ×9 fan-out, the same shape as bilinear regrid), one
+    aggregate on the target key, then a semi-join against the real
+    cell set prunes phantom border targets. NODATA cells contribute
+    nothing (avg skips nulls) — GeoTrellis' NODATA-skipping focal
+    semantics. One shuffle on the target cell key; never a 9-way
+    self-join of the cube."""
+    g = load_grid(spark).where(
+        (F.col("variable") == "LST_LWST_avg_daily") & (F.col("time") == F.lit("1990-01-05"))
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+        ]
+    )
+    contrib = g.select("y", "x", "value", F.explode(offsets).alias("o")).select(
+        (F.col("y") + F.col("o.dy")).alias("ty"),
+        (F.col("x") + F.col("o.dx")).alias("tx"),
+        "value",
+    )
+    focal = contrib.groupBy("ty", "tx").agg(
+        F.count("value").alias("n_neighbors"),
+        (F.sum(F.col("value").cast("decimal(30,6)")).cast("double") / F.count("value")).alias(
+            "focal_mean"
+        ),
+    )
+    cells = g.select(F.col("y").alias("ty"), F.col("x").alias("tx"))
+    return (
+        focal.join(cells, ["ty", "tx"], "left_semi")
+        .select(F.col("ty").alias("y"), F.col("tx").alias("x"), "n_neighbors", "focal_mean")
+        .orderBy("y", "x")
+    )
+
+
+GRID_FOCAL_SQL = f"""
+WITH src AS (
+  SELECT y, x, value FROM {GRID}
+  WHERE variable = 'LST_LWST_avg_daily' AND time = TIMESTAMP '1990-01-05'),
+off AS (SELECT dy, dx FROM (VALUES (-1), (0), (1)) a(dy), (VALUES (-1), (0), (1)) b(dx)),
+contrib AS (SELECT y + dy AS ty, x + dx AS tx, value FROM src, off),
+focal AS (
+  SELECT ty, tx,
+         COUNT(value) AS n_neighbors,
+         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(value) AS focal_mean
+  FROM contrib GROUP BY ty, tx)
+SELECT f.ty AS y, f.tx AS x, f.n_neighbors, f.focal_mean
+FROM focal f
+WHERE EXISTS (SELECT 1 FROM src s WHERE s.y = f.ty AND s.x = f.tx)
+ORDER BY y, x
+"""
+
+
 QUERIES = {
     "grid_polygon_stats": (grid_polygon_stats, GRID_POLYGON_STATS_SQL),
     "grid_nearest_blocked": (grid_nearest_blocked, GRID_NEAREST_BLOCKED_SQL),
@@ -781,4 +838,5 @@ QUERIES = {
     "grid_regrid_bilinear": (grid_regrid_bilinear, GRID_REGRID_SQL),
     "grid_zonal_stats": (grid_zonal_stats, GRID_ZONAL_SQL),
     "grid_interpolate_linear": (grid_interpolate_linear, GRID_INTERPOLATE_SQL),
+    "grid_focal_mean": (grid_focal_mean, GRID_FOCAL_SQL),
 }

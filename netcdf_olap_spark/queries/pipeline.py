@@ -238,6 +238,93 @@ LIMIT 20
 """
 
 
+# --- DSIR-style importance weighting ----------------------------------------
+
+
+def doc_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-n-gram importance weights (the DSIR recipe shape, Xie
+    et al.: rank raw documents by how target-like their hashed n-gram
+    feature distribution is). Target = the ``lang='en'`` slice;
+    features = word bigrams hashed into 256 portable md5-hex buckets;
+    per-bucket weight = Laplace-smoothed ratio-of-proportions
+    p_target(b)/p_corpus(b) (the ratio form keeps it engine-exact —
+    log-space DSIR needs libm, which drifts across engines); per-doc
+    weight = count-weighted mean of its buckets' ratios.
+
+    Scale shape: bucket stats are ONE pass over the exploded bigrams
+    (target + corpus counts in the same aggregate); the weight table
+    is ≤256 rows → broadcast; per-doc rollup is one shuffle on
+    doc_id. Ratio products go through DECIMAL(19,0)·DECIMAL(19,0) →
+    DECIMAL(38,0) so corpus-scale counters can't overflow a bigint
+    multiply."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", "lang", text.tokens("text").alias("t")).where(F.size("t") >= 2)
+    bigrams = F.zip_with(
+        F.slice(F.col("t"), 1, F.size("t") - 1),
+        F.slice(F.col("t"), 2, F.size("t") - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bb = toks.select("doc_id", "lang", F.explode(bigrams).alias("pair")).select(
+        "doc_id", "lang", F.substring(F.md5("pair"), 1, 2).alias("b")
+    )
+    per_doc = bb.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+    ref = bb.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct"),
+    )
+    tot = ref.agg(
+        F.sum("cr").cast("long").alias("nr"), F.sum("ct").cast("long").alias("nt")
+    )
+    dec = "decimal(19,0)"
+    w = ref.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            ((F.col("ct") + 1).cast(dec) * (F.col("nr") + 256).cast(dec)).cast("double")
+            / ((F.col("cr") + 1).cast(dec) * (F.col("nt") + 256).cast(dec)).cast("double")
+        ).alias("wt"),
+    )
+    sc = (
+        per_doc.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.sum((F.col("c") * F.col("wt")).cast("decimal(30,10)")).cast("double").alias("wsum"),
+        )
+    )
+    return sc.select(
+        "doc_id",
+        "n_bigrams",
+        (F.col("wsum") / F.col("n_bigrams")).alias("imp_weight"),
+    ).orderBy("doc_id")
+
+
+IMPORTANCE_SQL = f"""
+WITH toks AS (SELECT doc_id, lang, {DUCK_TOKS} AS t FROM documents),
+bb AS (
+  SELECT doc_id, lang,
+         substr(md5(unnest([t[i] || ' ' || t[i+1] FOR i IN generate_series(1, len(t) - 1)])), 1, 2) AS b
+  FROM toks WHERE len(t) >= 2),
+per_doc AS (SELECT doc_id, b, COUNT(*) AS c FROM bb GROUP BY doc_id, b),
+ref AS (
+  SELECT b, COUNT(*) AS cr,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+  FROM bb GROUP BY b),
+tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS nr, CAST(SUM(ct) AS BIGINT) AS nt FROM ref),
+w AS (
+  SELECT b,
+         CAST(CAST(ct + 1 AS DECIMAL(19,0)) * CAST(nr + 256 AS DECIMAL(19,0)) AS DOUBLE)
+         / CAST(CAST(cr + 1 AS DECIMAL(19,0)) * CAST(nt + 256 AS DECIMAL(19,0)) AS DOUBLE) AS wt
+  FROM ref, tot),
+sc AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_bigrams,
+         CAST(SUM(CAST(c * wt AS DECIMAL(30,10))) AS DOUBLE) AS wsum
+  FROM per_doc JOIN w USING (b) GROUP BY doc_id)
+SELECT doc_id, n_bigrams, wsum / n_bigrams AS imp_weight
+FROM sc ORDER BY doc_id
+"""
+
+
 # --- quality-budgeted selection ---------------------------------------------
 
 
@@ -283,4 +370,5 @@ QUERIES = {
     "doc_commonness": (doc_commonness, COMMONNESS_SQL),
     "doc_bigram_merges": (doc_bigram_merges, BIGRAM_SQL),
     "doc_budget_select": (doc_budget_select, BUDGET_SQL),
+    "doc_importance_weights": (doc_importance_weights, IMPORTANCE_SQL),
 }

@@ -234,6 +234,17 @@ def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: k-means cluster blocking +
+    within-cluster cosine ≥ 0.95 → min-id keeper. rows-only: the
+    Lloyd-trained centroids aren't SQL-expressible; precision-1.0 and
+    blocked-recall properties are asserted in
+    tests/test_similarity.py."""
+    return similarity.semantic_dedup(
+        _emb(spark, sf_dir), threshold=0.95, n_lists=8
+    ).orderBy("vec_id")
+
+
 QUERIES = {
     "emb_knn_brute": (emb_knn_brute, EMB_KNN_BRUTE_SQL),
     "doc_embedding_near_dup": (doc_embedding_near_dup, DOC_NEAR_DUP_SQL),
@@ -244,4 +255,5 @@ QUERIES = {
     "emb_pq_topk": (emb_pq_topk, None),
     "emb_label_topk": (emb_label_topk, EMB_LABEL_TOPK_SQL),
     "emb_mmr_rerank": (emb_mmr_rerank, None),
+    "emb_semantic_dedup": (emb_semantic_dedup, None),
 }

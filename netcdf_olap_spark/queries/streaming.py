@@ -163,10 +163,61 @@ def stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(directory, ignore_errors=True)
 
 
+def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min sketch: the (depth, bucket) counter table
+    maintained as a streaming aggregation over replayed micro-batches
+    — streaming state is the SKETCH, i.e. bounded at depth×4096 rows
+    no matter how many events flow (the sketch's mergeability is what
+    makes it a legal incremental aggregate). The final sketch then
+    answers heavy-hitter queries: estimates for the top-10 true users,
+    est ≥ true asserted in tests/test_streaming.py. rows-only: the
+    micro-batched execution isn't SQL-expressible; sketch equality to
+    the batch build is the pytest check."""
+    from netcdf_olap_spark.operators import sketches
+
+    stream, directory = _staged_stream(spark, sf_dir)
+    try:
+        probes = stream.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("depth"),
+                            sketches.cm_bucket(F.col("user_id"), d, 3).alias("bucket"),
+                        )
+                        for d in range(3)
+                    ]
+                )
+            ).alias("db")
+        ).select("db.depth", "db.bucket")
+        sk_stream = probes.groupBy("depth", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+        sketch = run_to_memory(sk_stream, "complete")
+
+        batch = load_events(spark, sf_dir)
+        top = (
+            batch.groupBy(F.col("user_id"))
+            .agg(F.count(F.lit(1)).alias("true_cnt"))
+            .orderBy(F.col("true_cnt").desc(), F.col("user_id"))
+            .limit(10)
+        )
+        est = sketches.countmin_estimate(
+            sketch, top.select("user_id"), "user_id", depth=3, hex_digits=3
+        )
+        return (
+            top.join(est, "user_id")
+            .select("user_id", "true_cnt", "cm_est")
+            .orderBy(F.col("true_cnt").desc(), "user_id")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(directory, ignore_errors=True)
+
+
 QUERIES = {
     "stream_tumbling_stats": (stream_tumbling_stats, None),
     "stream_running_totals": (stream_running_totals, None),
     "stream_interval_join": (stream_interval_join, None),
     "stream_sessionize": (stream_sessionize, None),
     "stream_corpus_ingest": (stream_corpus_ingest, None),
+    "stream_heavy_hitters": (stream_heavy_hitters, None),
 }

@@ -133,7 +133,8 @@ def render_png(df: DataFrame, n_breaks: int = 16, global_breaks: bool = False) -
                 breaks = np.quantile(finite, np.linspace(0, 1, n_breaks + 1)[1:])
             klass = np.searchsorted(breaks, np.nan_to_num(tile, nan=0.0))
             t = klass.astype(np.float64) / max(n_breaks - 1, 1)
-            # blue→red ramp
+            # blue→red ramp — the reference's ColorRamps.BlueToRed
+            # family (Gddp.scala:232), continuous rather than 12-stop
             rgba[..., 0] = (255 * t).astype(np.uint8)
             rgba[..., 2] = (255 * (1 - t)).astype(np.uint8)
             rgba[..., 1] = (64 * np.sin(np.pi * t)).astype(np.uint8)

@@ -154,3 +154,37 @@ def test_mmr_matches_reference_and_diversifies(spark):
         emb.where(F.col("vec_id") != 0), qvec, k=8, pool=pool, lam=0.6
     ).collect()
     assert [r["vec_id"] for r in out] == [r["vec_id"] for r in out2]
+
+
+def test_semantic_dedup_precision_and_blocked_recall(spark):
+    """Every dropped vector has a ≥-threshold twin with a lower id
+    (precision 1.0); within-cluster recall is exact: any same-cluster
+    pair at ≥ threshold implies the higher id is dropped."""
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    thr = 0.95
+    out = similarity.semantic_dedup(emb, threshold=thr, n_lists=8)
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    by_id = {r["vec_id"]: r for r in rows}
+
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in emb.collect()
+    }
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    clusters: dict[int, list[int]] = {}
+    for r in rows:
+        clusters.setdefault(r["cluster"], []).append(r["vec_id"])
+    dropped = {r["vec_id"] for r in rows if not r["is_kept"]}
+    expected_dropped = set()
+    for members in clusters.values():
+        ms = sorted(members)
+        for j, vid2 in enumerate(ms):
+            for vid1 in ms[:j]:
+                if cos(vecs[vid1], vecs[vid2]) >= thr:
+                    expected_dropped.add(vid2)
+                    break
+    assert dropped == expected_dropped
+    assert all(by_id[v]["is_kept"] for v in vecs if v not in expected_dropped)

@@ -343,3 +343,46 @@ def test_incremental_rollup_maintenance_equals_batch(spark, staged, tmp_path):
     compact_rollup_store(spark, out)
     assert _rows(read_rollup_store(spark, out), "bucket_us", "event_type") == want
     assert len(spark.read.parquet(out).inputFiles()) <= n_files
+
+
+def test_streaming_countmin_equals_batch_sketch(spark, staged):
+    """The streaming count-min aggregation's final state equals the
+    batch-built sketch of the same rows (bounded-state mergeable
+    aggregate), and heavy-hitter estimates are one-sided."""
+    from netcdf_olap_spark.operators import sketches
+
+    directory, rebatch = staged
+    stream = events_file_stream(spark, directory)
+
+    def to_probes(df):
+        return df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("depth"),
+                            sketches.cm_bucket(F.col("user_id"), d, 3).alias("bucket"),
+                        )
+                        for d in range(3)
+                    ]
+                )
+            ).alias("db")
+        ).select("db.depth", "db.bucket")
+
+    streamed = run_to_memory(
+        to_probes(stream).groupBy("depth", "bucket").agg(F.count(F.lit(1)).alias("cnt")),
+        "complete",
+    )
+    batch_sk = sketches.countmin_build(
+        rebatch.select(F.col("user_id").alias("item")), "item", depth=3, hex_digits=3
+    )
+    a = {(r["depth"], r["bucket"]): r["cnt"] for r in streamed.collect()}
+    b = {(r["depth"], r["bucket"]): r["cnt"] for r in batch_sk.collect()}
+    assert a == b
+
+    true = rebatch.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_cnt"))
+    est = sketches.countmin_estimate(
+        streamed, true.select("user_id"), "user_id", depth=3, hex_digits=3
+    )
+    for r in true.join(est, "user_id").collect():
+        assert r["cm_est"] >= r["true_cnt"]
