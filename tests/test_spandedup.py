@@ -188,3 +188,38 @@ def test_semantic_dedup_precision_and_blocked_recall(spark):
                     break
     assert dropped == expected_dropped
     assert all(by_id[v]["is_kept"] for v in vecs if v not in expected_dropped)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_word = st.sampled_from(["a", "b", "c", "d", "e"])
+_doc = st.lists(_word, min_size=0, max_size=14).map(" ".join)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=st.lists(_doc, min_size=2, max_size=8))
+def test_duplicate_spans_property(spark, texts):
+    """duplicate_spans == a brute-force python reference for ANY small
+    corpus over a 5-word alphabet (adversarially repetitive inputs)."""
+    w = 3
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    from collections import defaultdict
+
+    per = defaultdict(lambda: defaultdict(int))  # span -> doc -> count
+    for i, t in rows:
+        toks = [x for x in t.split() if x]
+        for j in range(len(toks) - w + 1):
+            per[" ".join(toks[j : j + w])][i] += 1
+    expected = {
+        span: (len(d), sum(d.values()), min(d))
+        for span, d in per.items()
+        if len(d) >= 2
+    }
+    got = {
+        r["span"]: (r["n_docs"], r["n_occ"], r["example_doc"])
+        for r in spandedup.duplicate_spans(df, w=w, min_docs=2, hashed=False).collect()
+    }
+    assert got == expected
