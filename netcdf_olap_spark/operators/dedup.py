@@ -266,32 +266,35 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     return voted.select("id", sig.alias("simhash"))
 
 
-def simhash_pairs(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 7
+def hamming_blocked_pairs(
+    sigs: DataFrame,
+    id_col: str = "id",
+    sig_col: str = "sig",
+    max_hamming: int = 7,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
-
-    Blocking: split the 64-bit signature into 8 × 8-bit chunks; by
-    pigeonhole, distance ≤ 7 guarantees an exact chunk match, so
-    recall is 1.0 up to max_hamming=7 (beyond that it degrades —
-    raise the chunk count if you raise the budget). Candidates join
-    on (chunk_idx, chunk), verified with bit_count(xor)."""
-    sigs = simhash_signatures(df, id_col, text_col)
-    chunks = sigs.select(
+    """Pairs of 64-bit signatures within Hamming distance
+    ``max_hamming``, via 8 × 8-bit-chunk pigeonhole blocking:
+    distance ≤ 7 guarantees an exact chunk match, so recall is 1.0 up
+    to max_hamming=7 (beyond that it degrades — raise the chunk count
+    if you raise the budget). Candidates join on (chunk_idx, chunk),
+    verified with bit_count(xor). Works for ANY 64-bit signature
+    column — text SimHash, image perceptual hash, …"""
+    base = sigs.select(F.col(id_col).alias("id"), F.col(sig_col).alias("sig"))
+    chunks = base.select(
         "id",
-        "simhash",
+        "sig",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("ci"),
-                        F.shiftright("simhash", 8 * i).bitwiseAND(F.lit(0xFF)).alias("chunk"),
+                        F.shiftright("sig", 8 * i).bitwiseAND(F.lit(0xFF)).alias("chunk"),
                     )
                     for i in range(8)
                 ]
             )
         ).alias("c"),
-    ).select("id", "simhash", F.col("c.ci").alias("ci"), F.col("c.chunk").alias("chunk"))
+    ).select("id", "sig", F.col("c.ci").alias("ci"), F.col("c.chunk").alias("chunk"))
     a, b = chunks.alias("a"), chunks.alias("b")
     return (
         a.join(
@@ -303,8 +306,17 @@ def simhash_pairs(
         .select(
             F.col("a.id").alias("id1"),
             F.col("b.id").alias("id2"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 7
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming (see
+    ``hamming_blocked_pairs`` for the blocking/recall contract)."""
+    sigs = simhash_signatures(df, id_col, text_col)
+    return hamming_blocked_pairs(sigs, "id", "simhash", max_hamming)

@@ -93,13 +93,22 @@ def synthesize_media(
     height: int = 12,
     channels: int = 3,
     n_frames: int = 8,
+    seed_mod: int | None = None,
+    perturb_bytes: int = 0,
 ) -> DataFrame:
     """Deterministic fake media table from any id column: blob bytes
     are a pure function of (media_id, shape), so every run and every
     engine agrees. Images: MAGIC + w,h,c + w*h*c pixel bytes; videos:
-    MAGIC + w,h,c,nf + nf frames of w*h*c bytes."""
+    MAGIC + w,h,c,nf + nf frames of w*h*c bytes.
+
+    ``seed_mod``: pixel seed = media_id % seed_mod, so ids congruent
+    mod seed_mod share content (duplicate groups for dedup tests);
+    with ``perturb_bytes`` > 0, non-leader group members additionally
+    flip that many id-derived pixels — NEAR-duplicates instead of
+    exact copies."""
     ids = df.select(F.col(id_col).cast("long").alias("media_id"))
     k, w, h, c, nf = kind, width, height, channels, n_frames
+    sm, pb = seed_mod, perturb_bytes
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
@@ -111,8 +120,17 @@ def synthesize_media(
         for pdf in batches:
             rows = []
             for mid in pdf["media_id"]:
-                rng = np.random.default_rng(int(mid) + 7_777_777)
-                payload = rng.integers(0, 256, frames * h * w * c, dtype=np.uint8).tobytes()
+                seed = int(mid) % sm if sm else int(mid)
+                rng = np.random.default_rng(seed + 7_777_777)
+                payload_a = rng.integers(0, 256, frames * h * w * c, dtype=np.uint8)
+                if sm and pb and int(mid) >= sm:
+                    # non-leader group members: flip a few pixels at
+                    # id-derived positions → deterministic NEAR-dups
+                    prng = np.random.default_rng(int(mid) + 13)
+                    pos = prng.integers(0, payload_a.size, pb)
+                    payload_a = payload_a.copy()
+                    payload_a[pos] = 255 - payload_a[pos]
+                payload = payload_a.tobytes()
                 if k == "video":
                     head = b"FAKE1" + struct.pack("<iiii", w, h, c, frames)
                 else:
@@ -336,3 +354,53 @@ def sample_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.select("media_id", "content").mapInPandas(sf, schema=FRAMES_SCHEMA)
+
+
+AHASH_SCHEMA = StructType(
+    [StructField("media_id", LongType()), StructField("ahash", LongType())]
+)
+
+
+def ahash64(media: DataFrame) -> DataFrame:
+    """64-bit average-hash (aHash) perceptual signature per image:
+    grayscale → 8×8 nearest-sample downscale → bit b = pixel > mean.
+    The canonical cheap perceptual hash; near-duplicate images differ
+    in only a few bits, so the signature feeds the SAME 8-bit-chunk
+    blocked Hamming join as text SimHash
+    (``dedup.hamming_blocked_pairs``) — one multimodal column in, the
+    whole dedup machinery reused. Arrow-batched mapInPandas; the
+    decode seam matches image_features."""
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+        import pandas as pd  # noqa: F811
+
+        def _decode(blob: bytes) -> np.ndarray:
+            if blob[:5] == b"FAKE1":
+                w, h, c = struct.unpack("<iii", blob[5:17])
+                return np.frombuffer(blob[17:], dtype=np.uint8).reshape(h, w, c)
+            # CODEC STUB: PNG/JPEG decode needs PIL/cv2 (absent here)
+            raise NotImplementedError(f"no codec for magic {blob[:5]!r}")
+
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                px = _decode(bytes(blob)).mean(axis=2)  # grayscale
+                h, w = px.shape
+                ys = (np.arange(8) * h) // 8
+                xs = (np.arange(8) * w) // 8
+                small = px[np.ix_(ys, xs)]
+                bits = (small > small.mean()).flatten()
+                val = 0
+                for i, b in enumerate(bits):
+                    if b:
+                        val |= 1 << i
+                # wrap to signed 64-bit (LongType)
+                if val >= 1 << 63:
+                    val -= 1 << 64
+                rows.append({"media_id": int(mid), "ahash": val})
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(hashes, schema=AHASH_SCHEMA)

@@ -814,6 +814,50 @@ ORDER BY y, x
 """
 
 
+def grid_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial gradient (slope) by central differences — the raster
+    derivative under terrain analysis (GeoTrellis ``slope``): dv/dx
+    from the x-neighbors via lag/lead over the row, dv/dy from the
+    y-neighbors over the column, magnitude = sqrt(dx²+dy²) (sqrt is
+    IEEE-correctly-rounded → engine-exact). Border / NODATA-adjacent
+    cells yield NULL, the standard central-difference edge policy.
+    Two window sorts (row key, column key) — each co-partitions one
+    axis; no self-join of the cube."""
+    g = load_grid(spark).where(
+        (F.col("variable") == "LST_LWST_avg_daily") & (F.col("time") == F.lit("1990-01-05"))
+    )
+    v = F.col("value").cast("double")
+    wx = Window.partitionBy("y").orderBy("x")
+    wy = Window.partitionBy("x").orderBy("y")
+    dvdx = (F.lead(v).over(wx) - F.lag(v).over(wx)) / 2.0
+    withx = g.select("y", "x", "value", dvdx.alias("dvdx"))
+    dvdy = (F.lead(F.col("value").cast("double")).over(wy) - F.lag(F.col("value").cast("double")).over(wy)) / 2.0
+    return (
+        withx.withColumn("dvdy", dvdy)
+        .withColumn(
+            "slope",
+            F.sqrt(F.col("dvdx") * F.col("dvdx") + F.col("dvdy") * F.col("dvdy")),
+        )
+        .select("y", "x", "value", "dvdx", "dvdy", "slope")
+        .orderBy("y", "x")
+    )
+
+
+GRID_SLOPE_SQL = f"""
+WITH src AS (
+  SELECT y, x, value, CAST(value AS DOUBLE) AS v FROM {GRID}
+  WHERE variable = 'LST_LWST_avg_daily' AND time = TIMESTAMP '1990-01-05'),
+d AS (
+  SELECT y, x, value,
+         (LEAD(v) OVER (PARTITION BY y ORDER BY x) - LAG(v) OVER (PARTITION BY y ORDER BY x)) / 2.0 AS dvdx,
+         (LEAD(v) OVER (PARTITION BY x ORDER BY y) - LAG(v) OVER (PARTITION BY x ORDER BY y)) / 2.0 AS dvdy
+  FROM src)
+SELECT y, x, value, dvdx, dvdy, sqrt(dvdx * dvdx + dvdy * dvdy) AS slope
+FROM d
+ORDER BY y, x
+"""
+
+
 QUERIES = {
     "grid_polygon_stats": (grid_polygon_stats, GRID_POLYGON_STATS_SQL),
     "grid_nearest_blocked": (grid_nearest_blocked, GRID_NEAREST_BLOCKED_SQL),
@@ -839,4 +883,5 @@ QUERIES = {
     "grid_zonal_stats": (grid_zonal_stats, GRID_ZONAL_SQL),
     "grid_interpolate_linear": (grid_interpolate_linear, GRID_INTERPOLATE_SQL),
     "grid_focal_mean": (grid_focal_mean, GRID_FOCAL_SQL),
+    "grid_slope": (grid_slope, GRID_SLOPE_SQL),
 }

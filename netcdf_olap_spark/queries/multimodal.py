@@ -67,8 +67,31 @@ def media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate image pairs: aHash 64-bit signatures
+    (Arrow-batched decode+hash) fed into the SAME chunk-blocked
+    Hamming join as text SimHash — the multimodal column composed
+    with the dedup machinery. The synthetic corpus plants duplicate
+    groups (seed_mod=50) with small perturbations (near-dups, not
+    byte-copies); pairs at Hamming ≤ 7 are the planted groups.
+    rows-only: the blob payload is seeded-RNG; invariants pinned in
+    tests/test_multimodal.py."""
+    from netcdf_olap_spark.operators.dedup import hamming_blocked_pairs
+
+    media = mm.synthesize_media(
+        _doc_ids(spark, sf_dir).where(F.col("doc_id") < 200),
+        seed_mod=50,
+        perturb_bytes=4,
+    )
+    sigs = mm.ahash64(media)
+    return hamming_blocked_pairs(sigs, "media_id", "ahash", max_hamming=7).orderBy(
+        "id1", "id2"
+    )
+
+
 QUERIES = {
     "media_image_features": (media_image_features, None),
     "media_frame_stats": (media_frame_stats, None),
     "media_audio_stats": (media_audio_stats, None),
+    "media_phash_dedup": (media_phash_dedup, None),
 }

@@ -325,6 +325,48 @@ FROM sc ORDER BY doc_id
 """
 
 
+# --- weighted acceptance sampling -------------------------------------------
+
+HEX13 = 16**13  # 52-bit hex-prefix space → exact in BIGINT/DOUBLE
+
+
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-weighted deterministic sampling: keep each doc with
+    probability n_chars / max(n_chars) — the weighted Bernoulli that
+    upsamples long documents (the acceptance step of weighted corpus
+    resampling, e.g. applying DSIR importance weights).
+
+    The uniform draw is the portable 13-hex-digit md5 prefix as an
+    integer in [0, 16^13); acceptance is the integer cross-multiply
+    u · max_w < n_chars · 16^13 in DECIMAL(38,0) — no floats, no RNG,
+    bit-identical in any engine and under any partitioning. max(w) is
+    a 1-row broadcast; the filter itself is map-side."""
+    d = _docs(spark, sf_dir)
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10).cast("long")
+    mx = d.agg(F.max("n_chars").alias("max_w"))
+    dec = "decimal(38,0)"
+    kept = (
+        d.crossJoin(F.broadcast(mx))
+        .where(
+            (u.cast(dec) * F.col("max_w").cast(dec))
+            < (F.col("n_chars").cast(dec) * F.lit(HEX13).cast(dec))
+        )
+        .select("doc_id", "n_chars", "lang")
+    )
+    return kept.orderBy("doc_id")
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+WITH mx AS (SELECT MAX(n_chars) AS max_w FROM documents)
+SELECT doc_id, n_chars, lang
+FROM documents, mx
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT AS DECIMAL(38,0))
+      * CAST(max_w AS DECIMAL(38,0))
+    < CAST(n_chars AS DECIMAL(38,0)) * CAST({HEX13} AS DECIMAL(38,0))
+ORDER BY doc_id
+"""
+
+
 # --- quality-budgeted selection ---------------------------------------------
 
 
@@ -371,4 +413,5 @@ QUERIES = {
     "doc_bigram_merges": (doc_bigram_merges, BIGRAM_SQL),
     "doc_budget_select": (doc_budget_select, BUDGET_SQL),
     "doc_importance_weights": (doc_importance_weights, IMPORTANCE_SQL),
+    "doc_weighted_sample": (doc_weighted_sample, WEIGHTED_SAMPLE_SQL),
 }

@@ -138,3 +138,24 @@ def test_audio_codec_stub_raises(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|no audio codec"):
         mm.audio_frame_features(bad).collect()
+
+
+def test_ahash_dedup_finds_planted_groups(spark):
+    """aHash + chunk-blocked Hamming join recovers exactly the planted
+    duplicate groups: 4 members per seed group (seed_mod=50 over ids
+    0..199), small perturbations keep Hamming low for group pairs and
+    high across groups."""
+    from netcdf_olap_spark.operators import multimodal as mm
+    from netcdf_olap_spark.operators.dedup import hamming_blocked_pairs
+
+    ids = spark.range(200).select(F.col("id").alias("doc_id"))
+    media = mm.synthesize_media(ids, seed_mod=50, perturb_bytes=4)
+    pairs = hamming_blocked_pairs(mm.ahash64(media), "media_id", "ahash", 7).collect()
+    assert len(pairs) == 50 * 6  # C(4,2) pairs per group
+    assert all(r["id1"] % 50 == r["id2"] % 50 for r in pairs)
+
+    # exact copies (no perturbation) → Hamming 0 for every group pair
+    media0 = mm.synthesize_media(ids, seed_mod=50, perturb_bytes=0)
+    pairs0 = hamming_blocked_pairs(mm.ahash64(media0), "media_id", "ahash", 0).collect()
+    assert len(pairs0) == 50 * 6
+    assert all(r["hamming"] == 0 for r in pairs0)
