@@ -437,6 +437,46 @@ ORDER BY doc_id
 """
 
 
+def part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) query — the OLAP-classic dominance
+    filter: parts where no other part is ≤ in BOTH retail price and
+    size (strictly better in one, id as the deterministic
+    duplicate-point tiebreak).
+
+    The naive formulation is an O(n²) NOT EXISTS self-join; the
+    engine's plan is the single-sort linear scan: order by (price,
+    size, id), a point is on the skyline iff the running MIN of size
+    over all predecessors exceeds its own size — ONE range-partition
+    sort, no join at all. Correct because dominance in the sort order
+    is exactly \"some predecessor has size ≤ mine\". At 100 TB the
+    same plan holds: skylines are distributive (skyline of per-
+    partition skylines = global skyline), and the cumulative-min
+    window is the merge."""
+    p = _t(spark, sf_dir, "part")
+    w = (
+        Window.orderBy("p_retailprice", "p_size", "p_partkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        p.select("p_partkey", "p_retailprice", "p_size", F.min("p_size").over(w).alias("m"))
+        .where(F.col("m").isNull() | (F.col("m") > F.col("p_size")))
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_partkey")
+    )
+
+
+PART_SKYLINE_SQL = """
+WITH d AS (
+  SELECT p_partkey, p_retailprice, p_size,
+         MIN(p_size) OVER (ORDER BY p_retailprice, p_size, p_partkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m
+  FROM part)
+SELECT p_partkey, p_retailprice, p_size
+FROM d WHERE m IS NULL OR m > p_size
+ORDER BY p_partkey
+"""
+
+
 QUERIES = {
     "part_fuzzy_pairs": (part_fuzzy_pairs, PART_FUZZY_SQL),
     "profile_lineitem": (profile_lineitem, PROFILE_SQL),
@@ -444,4 +484,5 @@ QUERIES = {
     "agg_robust_stats": (agg_robust_stats, ROBUST_STATS_SQL),
     "ev_user_streaks": (ev_user_streaks, EV_STREAKS_SQL),
     "ev_retention_cohorts": (ev_retention_cohorts, EV_COHORTS_SQL),
+    "part_skyline": (part_skyline, PART_SKYLINE_SQL),
 }

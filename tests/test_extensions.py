@@ -67,3 +67,26 @@ def test_hll_mergeable_rollup_error_bound(spark):
     assert len(rows) == 5
     for r in rows:
         assert abs(r.est_custs - r.exact_custs) <= max(2, 0.05 * r.exact_custs), r
+
+
+def test_skyline_equals_bruteforce(spark):
+    """part_skyline's cumulative-min formulation == the O(n²)
+    dominance definition (independent brute force on sf0.001)."""
+    from netcdf_olap_spark.queries.analytics import part_skyline
+    from tests.conftest import SF_SMALL
+
+    parts = spark.read.parquet(f"{SF_SMALL}/part.parquet").select(
+        "p_partkey", "p_retailprice", "p_size"
+    ).collect()
+    pts = [(r["p_partkey"], r["p_retailprice"], r["p_size"]) for r in parts]
+
+    def dominated(p):
+        return any(
+            q[1] <= p[1] and q[2] <= p[2] and (q[1] < p[1] or q[2] < p[2] or q[0] < p[0])
+            for q in pts
+            if q[0] != p[0]
+        )
+
+    expected = sorted(p[0] for p in pts if not dominated(p))
+    got = [r["p_partkey"] for r in part_skyline(spark, SF_SMALL).collect()]
+    assert got == expected
