@@ -86,6 +86,21 @@ def main() -> None:
 
     warm.limit(1000).select(_warm_udf(F.col("l_quantity"))).collect()
 
+    # Warm the remaining codegen/JIT infrastructure families the
+    # headline queries use (decimal aggregation, window exec,
+    # broadcast join build) on throwaway shapes — process warmup, not
+    # result caching; every timed run still reads parquet fresh.
+    from pyspark.sql.window import Window
+
+    warm.limit(5000).groupBy("l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+    ).collect()
+    warm.limit(5000).select(
+        F.row_number().over(Window.partitionBy("l_returnflag").orderBy("l_orderkey"))
+    ).collect()
+    tiny = spark.range(100).withColumnRenamed("id", "l_orderkey")
+    warm.limit(5000).join(F.broadcast(tiny), "l_orderkey").count()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in registry:
