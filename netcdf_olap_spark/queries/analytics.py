@@ -477,6 +477,53 @@ ORDER BY p_partkey
 """
 
 
+def ev_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over event types: per-user
+    time-ordered LAG gives (prev_type → type) pairs; counts plus the
+    row-normalized probability (one double division of exact integer
+    counts — engine-deterministic). One shuffle on the user key for
+    the window, one tiny aggregate on the 5×5 pair space; the
+    normalizing row totals ride a window over the pair aggregate, not
+    a second scan."""
+    e = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    pairs = (
+        e.select("user_id", "event_type", "ts_ns", "event_id")
+        .select(F.lag("event_type").over(w).alias("prev_type"), "event_type")
+        .where(F.col("prev_type").isNotNull())
+    )
+    counts = pairs.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    row_tot = Window.partitionBy("prev_type")
+    return (
+        counts.select(
+            "prev_type",
+            "next_type",
+            "n",
+            (F.col("n").cast("double") / F.sum("n").over(row_tot)).alias("p"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+EV_TRANSITION_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+           AS prev_type
+  FROM events),
+counts AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type)
+SELECT prev_type, next_type, n,
+       CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+FROM counts
+ORDER BY prev_type, next_type
+"""
+
+
 QUERIES = {
     "part_fuzzy_pairs": (part_fuzzy_pairs, PART_FUZZY_SQL),
     "profile_lineitem": (profile_lineitem, PROFILE_SQL),
@@ -485,4 +532,5 @@ QUERIES = {
     "ev_user_streaks": (ev_user_streaks, EV_STREAKS_SQL),
     "ev_retention_cohorts": (ev_retention_cohorts, EV_COHORTS_SQL),
     "part_skyline": (part_skyline, PART_SKYLINE_SQL),
+    "ev_transition_matrix": (ev_transition_matrix, EV_TRANSITION_SQL),
 }

@@ -213,6 +213,26 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(directory, ignore_errors=True)
 
 
+def stream_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming twin of ev_transition_matrix: per-user
+    last-event-type carried in GroupState across micro-batches
+    (applyInPandasWithState), pair stream aggregated after drain.
+    rows-only; stream ≡ batch asserted in tests/test_streaming.py."""
+    from netcdf_olap_spark.streaming.stateful import transition_pairs
+
+    stream, directory = _staged_stream(spark, sf_dir)
+    try:
+        pairs = run_to_memory(transition_pairs(stream), "append")
+        return (
+            pairs.groupBy("prev_type", "next_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("prev_type", "next_type")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(directory, ignore_errors=True)
+
+
 QUERIES = {
     "stream_tumbling_stats": (stream_tumbling_stats, None),
     "stream_running_totals": (stream_running_totals, None),
@@ -220,4 +240,5 @@ QUERIES = {
     "stream_sessionize": (stream_sessionize, None),
     "stream_corpus_ingest": (stream_corpus_ingest, None),
     "stream_heavy_hitters": (stream_heavy_hitters, None),
+    "stream_transition_counts": (stream_transition_counts, None),
 }

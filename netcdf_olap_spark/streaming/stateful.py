@@ -19,6 +19,7 @@ from pyspark.sql.streaming.state import GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -62,5 +63,55 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputStructType=RUNNING_OUTPUT,
         stateStructType=RUNNING_STATE,
         outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+TRANSITION_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("prev_type", StringType()),
+        StructField("next_type", StringType()),
+    ]
+)
+
+TRANSITION_STATE = StructType([StructField("last_type", StringType())])
+
+
+def transition_pairs(events: DataFrame) -> DataFrame:
+    """Streaming (prev_type → next_type) pair extraction per user —
+    the stateful twin of the batch LAG: state carries ONLY the last
+    event type across micro-batch boundaries (what batch LAG gets
+    from the sort for free, a stream must remember). Rows inside a
+    batch are sorted by (ts, event_id) before pairing, so replaying
+    ordered micro-batches reproduces the batch sequence exactly.
+    Downstream aggregation of the pair stream = the batch transition
+    matrix (asserted in tests/test_streaming.py)."""
+
+    def update(key, pdfs, state):  # noqa: ANN001 (Spark-dictated signature)
+        import pandas as pd
+
+        last = state.get[0] if state.exists else None
+        prevs, nexts = [], []
+        for pdf in pdfs:
+            for t in pdf.sort_values(["ts", "event_id"])["event_type"]:
+                if last is not None:
+                    prevs.append(last)
+                    nexts.append(t)
+                last = t
+        state.update((last,))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(prevs),
+                "prev_type": prevs,
+                "next_type": nexts,
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=TRANSITION_OUTPUT,
+        stateStructType=TRANSITION_STATE,
+        outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

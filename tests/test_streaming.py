@@ -386,3 +386,30 @@ def test_streaming_countmin_equals_batch_sketch(spark, staged):
     )
     for r in true.join(est, "user_id").collect():
         assert r["cm_est"] >= r["true_cnt"]
+
+
+def test_transition_pairs_stream_equals_batch_lag(spark, staged):
+    """Stateful last-type carry across micro-batches reproduces the
+    batch LAG transition counts exactly."""
+    from pyspark.sql.window import Window
+
+    from netcdf_olap_spark.streaming.stateful import transition_pairs
+
+    directory, rebatch = staged
+    stream = events_file_stream(spark, directory)
+    streamed = (
+        run_to_memory(transition_pairs(stream), "append")
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    batch = (
+        rebatch.select(F.lag("event_type").over(w).alias("prev_type"), "event_type")
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    a = {(r["prev_type"], r["next_type"]): r["n"] for r in streamed.collect()}
+    b = {(r["prev_type"], r["next_type"]): r["n"] for r in batch.collect()}
+    assert a == b
