@@ -299,3 +299,43 @@ def blocked_nearest_join(
         .where(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+def focal_mean_3x3(
+    df: DataFrame, value_col: str = "value", y_col: str = "y", x_col: str = "x"
+) -> DataFrame:
+    """3×3 focal (neighborhood) mean over one 2-D slice — GeoTrellis
+    ``focalMean`` semantics (NODATA-skipping, shrinking border
+    window). Each cell explodes to the 9 targets it influences
+    (map-side ×9 fan-out), one aggregate on the target key, then a
+    semi-join against the real cell set prunes phantom border
+    targets. One shuffle; never a 9-way self-join of the slice.
+    Returns (y, x, n_neighbors, focal_mean)."""
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+        ]
+    )
+    contrib = (
+        df.select(
+            F.col(y_col).alias("_y"), F.col(x_col).alias("_x"), F.col(value_col).alias("_v")
+        )
+        .select("_y", "_x", "_v", F.explode(offsets).alias("o"))
+        .select(
+            (F.col("_y") + F.col("o.dy")).alias("ty"),
+            (F.col("_x") + F.col("o.dx")).alias("tx"),
+            "_v",
+        )
+    )
+    focal = contrib.groupBy("ty", "tx").agg(
+        F.count("_v").alias("n_neighbors"),
+        (F.sum(F.col("_v").cast("decimal(30,6)")).cast("double") / F.count("_v")).alias(
+            "focal_mean"
+        ),
+    )
+    cells = df.select(F.col(y_col).alias("ty"), F.col(x_col).alias("tx"))
+    return focal.join(cells, ["ty", "tx"], "left_semi").select(
+        F.col("ty").alias(y_col), F.col("tx").alias(x_col), "n_neighbors", "focal_mean"
+    )

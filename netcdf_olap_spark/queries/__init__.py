@@ -15,6 +15,12 @@ Cross-engine determinism rules used throughout:
 - No epoch/unix_timestamp math in checked queries (session-timezone
   sensitive); time bucketing is wall-clock arithmetic.
 - Every computed column is aliased identically on both sides.
+- Engine-portable hashing is the md5-hex family only: Bernoulli draws
+  compare hex-prefix strings (or the 13-hex-digit prefix as a 52-bit
+  integer — Spark ``conv(_,16,10)`` ≡ DuckDB ``('0x'||_)::BIGINT``);
+  sketch buckets ARE hex-prefix strings, never engine hashes.
+- Counter products that could exceed a bigint go through
+  DECIMAL(19,0)·DECIMAL(19,0) → DECIMAL(38,0) before any division.
 """
 
 from __future__ import annotations

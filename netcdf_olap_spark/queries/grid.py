@@ -770,30 +770,7 @@ def grid_focal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = load_grid(spark).where(
         (F.col("variable") == "LST_LWST_avg_daily") & (F.col("time") == F.lit("1990-01-05"))
     )
-    offsets = F.array(
-        *[
-            F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
-            for dy in (-1, 0, 1)
-            for dx in (-1, 0, 1)
-        ]
-    )
-    contrib = g.select("y", "x", "value", F.explode(offsets).alias("o")).select(
-        (F.col("y") + F.col("o.dy")).alias("ty"),
-        (F.col("x") + F.col("o.dx")).alias("tx"),
-        "value",
-    )
-    focal = contrib.groupBy("ty", "tx").agg(
-        F.count("value").alias("n_neighbors"),
-        (F.sum(F.col("value").cast("decimal(30,6)")).cast("double") / F.count("value")).alias(
-            "focal_mean"
-        ),
-    )
-    cells = g.select(F.col("y").alias("ty"), F.col("x").alias("tx"))
-    return (
-        focal.join(cells, ["ty", "tx"], "left_semi")
-        .select(F.col("ty").alias("y"), F.col("tx").alias("x"), "n_neighbors", "focal_mean")
-        .orderBy("y", "x")
-    )
+    return spatial.focal_mean_3x3(g).orderBy("y", "x")
 
 
 GRID_FOCAL_SQL = f"""

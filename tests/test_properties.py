@@ -118,3 +118,72 @@ def test_ingest_roundtrip_lossless(spark, seed, nt, fill_p):
     masked = data.copy()
     masked[fill_mask] = np.nan
     assert np.allclose(back, masked, equal_nan=True)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.integers(0, 2**31 - 1))
+def test_focal_mean_equals_numpy_convolution(spark, seed):
+    """focal_mean_3x3 == the numpy shrinking-window nan-mean for ANY
+    small slice with random NODATA holes."""
+    from netcdf_olap_spark.operators.spatial import focal_mean_3x3
+
+    rng = np.random.default_rng(seed)
+    h, w = 5, 6
+    vals = rng.normal(0, 10, (h, w))
+    vals[rng.random((h, w)) < 0.3] = np.nan
+    rows = [
+        (y, x, None if np.isnan(vals[y, x]) else float(vals[y, x]))
+        for y in range(h)
+        for x in range(w)
+    ]
+    df = spark.createDataFrame(rows, "y int, x int, value double")
+    got = {
+        (r["y"], r["x"]): (r["n_neighbors"], r["focal_mean"])
+        for r in focal_mean_3x3(df).collect()
+    }
+    for y in range(h):
+        for x in range(w):
+            win = vals[max(0, y - 1) : y + 2, max(0, x - 1) : x + 2]
+            vs = win[~np.isnan(win)]
+            n, m = got[(y, x)]
+            assert n == vs.size
+            if vs.size:
+                assert abs(m - vs.mean()) < 1e-6
+            else:
+                assert m is None
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.one_of(st.none(), st.floats(-50, 50)), min_size=1, max_size=12))
+def test_linear_interpolation_matches_numpy(spark, series):
+    """The bracketing-window linear interpolation reproduces
+    np.interp on interior gaps and nearest-neighbor extrapolation at
+    the edges, for ANY null pattern."""
+    from pyspark.sql.window import Window as W
+
+    rows = [(0, 0, float(i), v) for i, v in enumerate(series)]
+    df = spark.createDataFrame(rows, "y int, x int, t double, value double")
+    v = F.col("value")
+    wp = W.partitionBy("y", "x").orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wn = W.partitionBy("y", "x").orderBy("t").rowsBetween(W.currentRow, W.unboundedFollowing)
+    pv = F.last(F.when(v.isNotNull(), v), ignorenulls=True).over(wp)
+    pt = F.last(F.when(v.isNotNull(), F.col("t")), ignorenulls=True).over(wp)
+    nv = F.first(F.when(v.isNotNull(), v), ignorenulls=True).over(wn)
+    nt = F.first(F.when(v.isNotNull(), F.col("t")), ignorenulls=True).over(wn)
+    frac = (F.col("t") - pt) / (nt - pt)
+    filled = (
+        F.when(v.isNotNull(), v)
+        .when(pv.isNull(), nv)
+        .when(nv.isNull(), pv)
+        .otherwise(pv + (nv - pv) * frac)
+    )
+    got = [r["f"] for r in df.select(filled.alias("f")).orderBy("t").collect()]
+
+    xs = [i for i, s in enumerate(series) if s is not None]
+    if not xs:
+        assert all(g is None for g in got)
+        return
+    ys = [series[i] for i in xs]
+    ref = np.interp(np.arange(len(series)), xs, ys)  # edge = nearest known
+    for g, r in zip(got, ref):
+        assert g is not None and abs(g - r) < 1e-9
