@@ -617,6 +617,51 @@ ORDER BY t.true_cnt DESC, t.tok
 """
 
 
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping token chunking (size 64, stride 48 —
+    16-token overlap): the RAG / pretraining segmentation stage.
+    Chunk starts are a native ``sequence(1, len, stride)``; each chunk
+    is an O(1) ``slice`` of the materialized token array (never
+    re-tokenized per chunk); explode fans out map-side. One narrow
+    stage — no shuffle at all until the final presentation sort."""
+    d = _docs(spark, sf_dir)
+    size, stride = 64, 48
+    toks = d.select("doc_id", text.tokens("text").alias("t")).where(F.size("t") > 0)
+    chunks = toks.select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t"), F.lit(stride)),
+                lambda s: F.slice(F.col("t"), s, size),
+            )
+        ).alias("chunk_idx", "chunk_toks"),
+    )
+    return (
+        chunks.select(
+            "doc_id",
+            "chunk_idx",
+            F.size("chunk_toks").alias("chunk_len"),
+            F.concat_ws(" ", "chunk_toks").alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+DOC_CHUNKING_SQL = f"""
+WITH toks AS (SELECT doc_id, {DUCK_TOKS} AS t FROM documents),
+ch AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         unnest([t[s:s+63] FOR s IN generate_series(1, len(t), 48)]) AS chunk_toks,
+         unnest(generate_series(0, CAST(ceil(len(t) / 48.0) AS BIGINT) - 1)) AS chunk_idx
+  FROM toks WHERE len(t) > 0)
+SELECT doc_id, chunk_idx, len(chunk_toks) AS chunk_len,
+       array_to_string(chunk_toks, ' ') AS chunk_text
+FROM ch
+ORDER BY doc_id, chunk_idx
+"""
+
+
 QUERIES = {
     "doc_token_stats": (doc_token_stats, DOC_TOKEN_STATS_SQL),
     "doc_bpe_token_stats": (doc_bpe_token_stats, DOC_BPE_SQL),
@@ -638,4 +683,5 @@ QUERIES = {
     "doc_span_dupes": (doc_span_dupes, DOC_SPAN_DUPES_SQL),
     "doc_span_contamination": (doc_span_contamination, DOC_SPAN_CONTAM_SQL),
     "doc_countmin_heavy": (doc_countmin_heavy, DOC_COUNTMIN_SQL),
+    "doc_chunking": (doc_chunking, DOC_CHUNKING_SQL),
 }
