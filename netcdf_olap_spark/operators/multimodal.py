@@ -95,6 +95,7 @@ def synthesize_media(
     n_frames: int = 8,
     seed_mod: int | None = None,
     perturb_bytes: int = 0,
+    scene_len: int | None = None,
 ) -> DataFrame:
     """Deterministic fake media table from any id column: blob bytes
     are a pure function of (media_id, shape), so every run and every
@@ -105,10 +106,15 @@ def synthesize_media(
     mod seed_mod share content (duplicate groups for dedup tests);
     with ``perturb_bytes`` > 0, non-leader group members additionally
     flip that many id-derived pixels — NEAR-duplicates instead of
-    exact copies."""
+    exact copies.
+
+    ``scene_len`` (video only): frame f's pixels are seeded by
+    (media seed, f // scene_len) — every scene_len-th boundary is a
+    hard scene cut, frames within a scene are identical. The planted
+    structure scene-cut detection must recover."""
     ids = df.select(F.col(id_col).cast("long").alias("media_id"))
     k, w, h, c, nf = kind, width, height, channels, n_frames
-    sm, pb = seed_mod, perturb_bytes
+    sm, pb, sl = seed_mod, perturb_bytes, scene_len
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
@@ -121,8 +127,16 @@ def synthesize_media(
             rows = []
             for mid in pdf["media_id"]:
                 seed = int(mid) % sm if sm else int(mid)
-                rng = np.random.default_rng(seed + 7_777_777)
-                payload_a = rng.integers(0, 256, frames * h * w * c, dtype=np.uint8)
+                if sl and k == "video":
+                    parts = [
+                        np.random.default_rng((seed + 7_777_777) * 1000 + f // sl)
+                        .integers(0, 256, h * w * c, dtype=np.uint8)
+                        for f in range(frames)
+                    ]
+                    payload_a = np.concatenate(parts)
+                else:
+                    rng = np.random.default_rng(seed + 7_777_777)
+                    payload_a = rng.integers(0, 256, frames * h * w * c, dtype=np.uint8)
                 if sm and pb and int(mid) >= sm:
                     # non-leader group members: flip a few pixels at
                     # id-derived positions → deterministic NEAR-dups
@@ -404,3 +418,105 @@ def ahash64(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.select("media_id", "content").mapInPandas(hashes, schema=AHASH_SCHEMA)
+
+
+SCENE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("mean_abs_diff", DoubleType()),
+        StructField("is_cut", StringType()),
+    ]
+)
+
+
+def scene_cuts(media: DataFrame, threshold: float = 30.0) -> DataFrame:
+    """Video scene-cut detection: mean absolute pixel difference
+    between consecutive frames, cut where the diff exceeds
+    ``threshold`` (the classic shot-boundary heuristic). One
+    Arrow-batched ``mapInPandas`` — a whole video's frames live in
+    one blob row, so consecutive-frame state needs no shuffle and no
+    window; output is one row per frame boundary. is_cut is 'Y'/'N'
+    (string) to keep the schema trivially portable."""
+
+    def cuts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+        import pandas as pd  # noqa: F811
+
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(blob)
+                if blob[:5] != b"FAKE1":
+                    raise NotImplementedError(f"no codec for magic {blob[:5]!r}")
+                w, h, c, nf = struct.unpack("<iiii", blob[5:21])
+                fsz = w * h * c
+                px = np.frombuffer(blob[21 : 21 + nf * fsz], dtype=np.uint8).reshape(nf, fsz)
+                diffs = np.abs(px[1:].astype(np.int16) - px[:-1].astype(np.int16)).mean(axis=1)
+                for i, d in enumerate(diffs, start=1):
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "frame_idx": i,
+                            "mean_abs_diff": float(d),
+                            "is_cut": "Y" if d > threshold else "N",
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(cuts, schema=SCENE_SCHEMA)
+
+
+SPECTRAL_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("band", IntegerType()),
+        StructField("lo_hz", DoubleType()),
+        StructField("hi_hz", DoubleType()),
+        StructField("energy_frac", DoubleType()),
+    ]
+)
+
+
+def audio_band_energies(media: DataFrame, n_bands: int = 8) -> DataFrame:
+    """Per-clip spectral band energies: rfft power spectrum split into
+    ``n_bands`` equal-width bands, each band's fraction of total
+    energy — the feature row an audio-quality or silence/music
+    classifier consumes. One Arrow-batched ``mapInPandas`` (numpy FFT
+    is deterministic); output is n_bands small rows per clip, the
+    blob never shuffles."""
+    nb = n_bands
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+        import pandas as pd  # noqa: F811
+
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(blob)
+                if blob[:5] != b"FAKA1":
+                    raise NotImplementedError(f"no codec for magic {blob[:5]!r}")
+                sr, n = struct.unpack("<ii", blob[5:13])
+                pcm = np.frombuffer(blob[13 : 13 + 2 * n], dtype="<i2").astype(np.float64)
+                power = np.abs(np.fft.rfft(pcm)) ** 2
+                total = float(power.sum()) or 1.0
+                nyq = sr / 2.0
+                edges = np.linspace(0, len(power), nb + 1).astype(int)
+                for b in range(nb):
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "band": b,
+                            "lo_hz": nyq * b / nb,
+                            "hi_hz": nyq * (b + 1) / nb,
+                            "energy_frac": float(power[edges[b] : edges[b + 1]].sum() / total),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(feats, schema=SPECTRAL_SCHEMA)

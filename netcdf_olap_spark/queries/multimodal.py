@@ -89,9 +89,39 @@ def media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def media_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over synthetic videos with planted
+    scene structure (scene_len=4 of 12 frames → cuts at frames 4 and
+    8): per-boundary mean-abs-diff, thresholded. rows-only; planted-
+    cut recovery asserted in tests/test_multimodal.py."""
+    vids = mm.synthesize_media(
+        _doc_ids(spark, sf_dir).where(F.col("doc_id") < 200),
+        kind="video",
+        width=8,
+        height=8,
+        channels=1,
+        n_frames=12,
+        scene_len=4,
+    )
+    return (
+        mm.scene_cuts(vids, threshold=30.0)
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+def media_audio_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral band-energy features per synthetic PCM clip (8 bands,
+    rfft power fractions). rows-only; white-noise flatness + unit-sum
+    invariants asserted in tests/test_multimodal.py."""
+    clips = mm.synthesize_audio(_doc_ids(spark, sf_dir).where(F.col("doc_id") < 200))
+    return mm.audio_band_energies(clips, n_bands=8).orderBy("media_id", "band")
+
+
 QUERIES = {
     "media_image_features": (media_image_features, None),
     "media_frame_stats": (media_frame_stats, None),
     "media_audio_stats": (media_audio_stats, None),
     "media_phash_dedup": (media_phash_dedup, None),
+    "media_scene_cuts": (media_scene_cuts, None),
+    "media_audio_bands": (media_audio_bands, None),
 }

@@ -159,3 +159,39 @@ def test_ahash_dedup_finds_planted_groups(spark):
     pairs0 = hamming_blocked_pairs(mm.ahash64(media0), "media_id", "ahash", 0).collect()
     assert len(pairs0) == 50 * 6
     assert all(r["hamming"] == 0 for r in pairs0)
+
+
+def test_scene_cuts_recover_planted_boundaries(spark):
+    """With scene_len=4 over 12 frames, cuts are exactly frames 4 and
+    8 for every video; within-scene boundaries are identical frames
+    (diff 0)."""
+    from netcdf_olap_spark.operators import multimodal as mm
+
+    ids = spark.range(20).select(F.col("id").alias("doc_id"))
+    vids = mm.synthesize_media(
+        ids, kind="video", width=8, height=8, channels=1, n_frames=12, scene_len=4
+    )
+    rows = mm.scene_cuts(vids, threshold=30.0).collect()
+    assert len(rows) == 20 * 11
+    for r in rows:
+        if r["frame_idx"] in (4, 8):
+            assert r["is_cut"] == "Y" and r["mean_abs_diff"] > 30.0
+        else:
+            assert r["is_cut"] == "N" and r["mean_abs_diff"] == 0.0
+
+
+def test_audio_band_energies_invariants(spark):
+    """Band fractions sum to 1 per clip; white-noise clips spread
+    energy roughly evenly (no band above 3x uniform share)."""
+    from netcdf_olap_spark.operators import multimodal as mm
+
+    ids = spark.range(10).select(F.col("id").alias("doc_id"))
+    clips = mm.synthesize_audio(ids)
+    rows = mm.audio_band_energies(clips, n_bands=8).collect()
+    assert len(rows) == 10 * 8
+    by_clip: dict[int, list] = {}
+    for r in rows:
+        by_clip.setdefault(r["media_id"], []).append(r["energy_frac"])
+    for fracs in by_clip.values():
+        assert abs(sum(fracs) - 1.0) < 1e-9
+        assert max(fracs) < 3.0 / 8
