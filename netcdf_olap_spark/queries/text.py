@@ -662,6 +662,70 @@ ORDER BY doc_id, chunk_idx
 """
 
 
+def doc_token_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over token baskets (basket = document's
+    distinct tokens): support, confidence, and lift for the top-20
+    co-occurring pairs among mid-frequency vocabulary.
+
+    The apriori-style frequency prefilter (document frequency in
+    [25, 300]) is what keeps the pair self-join sub-quadratic at
+    corpus scale: candidates are Σ per-doc kept-tokens², and the kept
+    vocabulary is a broadcast semi-join. Lift is one double division
+    of exact integer products through DECIMAL(38,0) — deterministic."""
+    d = _docs(spark, sf_dir)
+    n_docs = d.count()  # plan constant (one cheap count; a literal in both engines)
+    toks = d.select("doc_id", F.explode(F.array_distinct(text.tokens("text"))).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).where(
+        F.col("df").between(25, 300)
+    )
+    kept = toks.join(F.broadcast(vocab), "tok")
+    a = kept.select("doc_id", F.col("tok").alias("tok_a"), F.col("df").alias("df_a"))
+    b = kept.select("doc_id", F.col("tok").alias("tok_b"), F.col("df").alias("df_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b", "df_a", "df_b")
+        .agg(F.count(F.lit(1)).alias("joint"))
+    )
+    dec = "decimal(38,0)"
+    return (
+        pairs.select(
+            "tok_a",
+            "tok_b",
+            "joint",
+            (F.col("joint").cast("double") / F.col("df_a")).alias("confidence_a_to_b"),
+            (
+                (F.col("joint").cast(dec) * F.lit(n_docs).cast(dec)).cast("double")
+                / (F.col("df_a").cast(dec) * F.col("df_b").cast(dec)).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.col("joint").desc(), "tok_a", "tok_b")
+        .limit(20)
+    )
+
+
+# n_docs appears as a literal; the oracle recomputes it as a scalar subquery.
+DOC_TOKEN_ASSOC_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({DUCK_TOKS})) AS tok FROM documents),
+vocab AS (
+  SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok HAVING COUNT(*) BETWEEN 25 AND 300),
+kept AS (SELECT t.doc_id, t.tok, v.df FROM toks t JOIN vocab v USING (tok)),
+pairs AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, a.df AS df_a, b.df AS df_b, COUNT(*) AS joint
+  FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY 1, 2, 3, 4),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT tok_a, tok_b, joint,
+       CAST(joint AS DOUBLE) / df_a AS confidence_a_to_b,
+       CAST(CAST(joint AS DECIMAL(38,0)) * CAST(n_docs AS DECIMAL(38,0)) AS DOUBLE)
+       / CAST(CAST(df_a AS DECIMAL(38,0)) * CAST(df_b AS DECIMAL(38,0)) AS DOUBLE) AS lift
+FROM pairs, n
+ORDER BY joint DESC, tok_a, tok_b
+LIMIT 20
+"""
+
+
 QUERIES = {
     "doc_token_stats": (doc_token_stats, DOC_TOKEN_STATS_SQL),
     "doc_bpe_token_stats": (doc_bpe_token_stats, DOC_BPE_SQL),
@@ -684,4 +748,5 @@ QUERIES = {
     "doc_span_contamination": (doc_span_contamination, DOC_SPAN_CONTAM_SQL),
     "doc_countmin_heavy": (doc_countmin_heavy, DOC_COUNTMIN_SQL),
     "doc_chunking": (doc_chunking, DOC_CHUNKING_SQL),
+    "doc_token_assoc": (doc_token_assoc, DOC_TOKEN_ASSOC_SQL),
 }
