@@ -78,7 +78,15 @@ def countmin_estimate(
     hex_digits: int = 3,
 ) -> DataFrame:
     """Point-frequency estimates for ``items``: est = min over rows of
-    the row's counter. The sketch side is tiny → broadcast join."""
+    the row's counter. The sketch side is tiny → broadcast join.
+
+    Probes absent from the sketch must still answer: a (depth, bucket)
+    with no counter means nothing ever hashed there, so that row's
+    count is 0 — LEFT join + coalesce(cnt, 0) keeps the one-sided
+    est ≥ truth guarantee (truth > 0 ⇒ every row's counter ≥ truth,
+    so a missing counter proves truth = 0 and the 0 estimate is
+    exact). An inner join would silently drop zero-frequency probes
+    and over-estimate partially-matched ones."""
     probes = items.select(
         F.col(col),
         F.explode(
@@ -91,7 +99,7 @@ def countmin_estimate(
         ).alias("db"),
     ).select(col, "db.depth", "db.bucket")
     return (
-        probes.join(F.broadcast(sketch), ["depth", "bucket"])
+        probes.join(F.broadcast(sketch), ["depth", "bucket"], "left")
         .groupBy(col)
-        .agg(F.min("cnt").alias("cm_est"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cm_est"))
     )

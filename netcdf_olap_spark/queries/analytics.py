@@ -485,10 +485,13 @@ def ev_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     the window, one tiny aggregate on the 5×5 pair space; the
     normalizing row totals ride a window over the pair aggregate, not
     a second scan."""
-    e = load_events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    e = load_events(spark, sf_dir).withColumn("ts_us", F.expr("ts_ns DIV 1000"))
+    # order on µs-truncated time + event_id, mirroring the oracle's
+    # epoch_us(ts): full-resolution ts_ns would tie-break differently
+    # from DuckDB when two same-user events fall in one microsecond
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     pairs = (
-        e.select("user_id", "event_type", "ts_ns", "event_id")
+        e.select("user_id", "event_type", "ts_us", "event_id")
         .select(F.lag("event_type").over(w).alias("prev_type"), "event_type")
         .where(F.col("prev_type").isNotNull())
     )

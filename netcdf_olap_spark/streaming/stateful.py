@@ -93,7 +93,13 @@ def transition_pairs(events: DataFrame) -> DataFrame:
 
         last = state.get[0] if state.exists else None
         prevs, nexts = [], []
-        for pdf in pdfs:
+        # Concatenate ALL Arrow chunks of this group's micro-batch
+        # before sorting: a group large enough to span chunk
+        # boundaries (~10k rows/chunk) must be ordered globally, not
+        # per-chunk, or cross-chunk pairs diverge from the batch LAG.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
             for t in pdf.sort_values(["ts", "event_id"])["event_type"]:
                 if last is not None:
                     prevs.append(last)
