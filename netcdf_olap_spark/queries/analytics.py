@@ -443,23 +443,42 @@ def part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     size (strictly better in one, id as the deterministic
     duplicate-point tiebreak).
 
-    The naive formulation is an O(n²) NOT EXISTS self-join; the
-    engine's plan is the single-sort linear scan: order by (price,
-    size, id), a point is on the skyline iff the running MIN of size
-    over all predecessors exceeds its own size — ONE range-partition
-    sort, no join at all. Correct because dominance in the sort order
-    is exactly \"some predecessor has size ≤ mine\". At 100 TB the
-    same plan holds: skylines are distributive (skyline of per-
-    partition skylines = global skyline), and the cumulative-min
-    window is the merge."""
+    The naive formulation is an O(n²) NOT EXISTS self-join. Sorted by
+    (price, size, id), a point is on the skyline iff the running MIN
+    of size over all predecessors exceeds its own size — and that
+    cumulative min is DISTRIBUTIVE, so the plan is two-level:
+
+    1. bucket on the price value (floor(price) — bucket boundaries
+       respect the sort order, so a bucket's predecessors are exactly
+       \"earlier buckets ∪ earlier rows of my bucket\");
+    2. per-bucket local skyline via the cumulative-min window,
+       hash-partitioned on the bucket → fully parallel over the big
+       table (never Exchange SinglePartition);
+    3. merge: per-bucket min(size) (map-side-combined aggregate,
+       ≤ n_buckets rows), cumulative min over bucket order on that
+       TINY table, broadcast back, survivors filtered against the
+       carry-in min of all earlier buckets.
+
+    At 100 TB only step 3's n_buckets-row table is ever single-
+    partition; the corpus-sized window in step 2 scales with the
+    bucket count (widen the bucket key for wider price domains)."""
     p = _t(spark, sf_dir, "part")
-    w = (
-        Window.orderBy("p_retailprice", "p_size", "p_partkey")
+    b = p.withColumn("_bk", F.floor("p_retailprice").cast("long"))
+    w_loc = (
+        Window.partitionBy("_bk")
+        .orderBy("p_retailprice", "p_size", "p_partkey")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    loc = b.select(
+        "_bk", "p_partkey", "p_retailprice", "p_size",
+        F.min("p_size").over(w_loc).alias("lm"),
+    ).where(F.col("lm").isNull() | (F.col("lm") > F.col("p_size")))
+    per_bk = b.groupBy("_bk").agg(F.min("p_size").alias("bmin"))
+    w_carry = Window.orderBy("_bk").rowsBetween(Window.unboundedPreceding, -1)
+    carry = per_bk.select("_bk", F.min("bmin").over(w_carry).alias("cm"))
     return (
-        p.select("p_partkey", "p_retailprice", "p_size", F.min("p_size").over(w).alias("m"))
-        .where(F.col("m").isNull() | (F.col("m") > F.col("p_size")))
+        loc.join(F.broadcast(carry), "_bk")
+        .where(F.col("cm").isNull() | (F.col("cm") > F.col("p_size")))
         .select("p_partkey", "p_retailprice", "p_size")
         .orderBy("p_partkey")
     )

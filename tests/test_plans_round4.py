@@ -41,11 +41,18 @@ def test_chunking_is_narrow(spark):
     assert _python_nodes(plan) == 0
 
 
-def test_skyline_has_no_join(spark):
-    """part_skyline: the cumulative-min formulation — no join operator
-    of any kind in the plan (the naive skyline is a self-join)."""
+def test_skyline_two_level_plan(spark):
+    """part_skyline: the two-level distributive cumulative-min plan —
+    the corpus-sized window is hash-partitioned on the price bucket
+    (never a single-partition global sort); the only merge join is the
+    broadcast of the tiny per-bucket carry-min table (never a
+    shuffle join, never the naive O(n²) self-join); at most one
+    Exchange SinglePartition (the n_buckets-row carry window)."""
     plan = _plan(spark, "part_skyline")
-    assert "Join" not in plan
+    assert "Exchange hashpartitioning(_bk" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange SinglePartition") <= 1
 
 
 def test_span_dupes_shuffle_budget(spark):
