@@ -79,17 +79,23 @@ _PRIORITY: tuple[str, ...] = (
     "grid_null_stats",
     "grid_histogram",
     "grid_quantile_breaks",
-    # relational core (A5, A7, J1-J7, W1-W3, O1-O2, U1-U3, F1-F4)
+    # relational core (A5, A7, J1-J7, W1-W3, O1-O2, U1-U3, F1-F4).
+    # A1's slot carries agg_hll_portable (hash-checkable md5-register
+    # HLL) since round 5 — the DataSketches twin agg_approx_sketches /
+    # agg_hll_mergeable stay registered+pytest-bounded but a row that
+    # CAN carry a hard oracle signal should.  W3's ROWS-frame twin
+    # window_running_sum was demoted (window_range_30d keeps the
+    # frame family's slot; the ROWS frame also rides ev_sessionize) to
+    # make room for the ANN index-path hash check (emb_knn_ivf_exact).
     "q1_pricing_summary",
     "agg_rollup",
     "agg_conditional_extrema",
-    "agg_approx_sketches",
+    "agg_hll_portable",
     "join_q5_region_revenue",
     "join_anti",
     "join_theta_ship_delay",
     "join_asof_last_order",
     "window_rank_topk",
-    "window_running_sum",
     "window_lag_delta",
     "topk_orders",
     "setops_nations",
@@ -121,17 +127,24 @@ _PRIORITY: tuple[str, ...] = (
     # shingle-overlap family's representative; point-read's slot —
     # S6 remains covered by grid_nearest_cell's point lookup)
     "doc_decontaminate",
-    # similarity / ANN (N2)
+    # similarity / ANN (N2; emb_knn_ivf_exact = the IVF index path
+    # probing all lists — provably brute-equal, so the Lloyd-trained
+    # index machinery sits behind the brute-force oracle)
     "emb_knn_brute",
+    "emb_knn_ivf_exact",
     "emb_centroids",
     # events (ST1/ST2 batch twins, interval join)
     "ev_tumbling_stats",
     "ev_sessionize",
     "ev_interval_join",
-    # streaming (ST1, rows-only by design)
+    # streaming (ST1 — oracle-checked since round 5: window() buckets
+    # are epoch-aligned integer µs and the sum rides a decimal
+    # accumulator, so the drained sink hash-matches the batch SQL)
     "stream_tumbling_stats",
-    # multimodal (N4, rows-only by design)
-    "media_image_features",
+    # multimodal (N4 — oracle-checked since round 5: the planted
+    # near-dup groups are id arithmetic, media_image_features' pixel
+    # stats are not; the latter stays registered + pytest-pinned)
+    "media_phash_dedup",
 )
 
 

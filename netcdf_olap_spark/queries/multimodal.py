@@ -1,7 +1,10 @@
-"""Multimodal queries for the driver registry (rows-only: the blob
-payload is a seeded-RNG function of media_id — deterministic across
-runs, not expressible in SQL; correctness is pinned by
-tests/test_multimodal.py against independently regenerated pixels)."""
+"""Multimodal queries for the driver registry. Mostly rows-only (the
+blob payload is a seeded-RNG function of media_id — deterministic
+across runs, not expressible in SQL; correctness is pinned by
+tests/test_multimodal.py against independently regenerated pixels).
+Exception: media_phash_dedup IS oracle-checked — its planted
+duplicate groups are pure id arithmetic, so the expected pair set is
+SQL even though the blobs aren't."""
 
 from __future__ import annotations
 
@@ -71,11 +74,16 @@ def media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual near-duplicate image pairs: aHash 64-bit signatures
     (Arrow-batched decode+hash) fed into the SAME chunk-blocked
     Hamming join as text SimHash — the multimodal column composed
-    with the dedup machinery. The synthetic corpus plants duplicate
-    groups (seed_mod=50) with small perturbations (near-dups, not
-    byte-copies); pairs at Hamming ≤ 7 are the planted groups.
-    rows-only: the blob payload is seeded-RNG; invariants pinned in
-    tests/test_multimodal.py."""
+    with the dedup machinery.
+
+    ORACLE-CHECKED: the synthetic corpus plants duplicate groups
+    (ids congruent mod 50 over doc_id < 200, perturb_bytes=4 keeps
+    them NEAR-dups, not byte-copies), and the Hamming ≤ 7 pair set
+    recovers those groups EXACTLY (precision AND recall 1.0, pinned
+    in tests/test_multimodal.py) — so the expected pairs are pure id
+    arithmetic DuckDB can state without decoding a single blob. The
+    hamming distances themselves stay an engine-side detail; the
+    dedup DECISION SET is the semantic output."""
     from netcdf_olap_spark.operators.dedup import hamming_blocked_pairs
 
     media = mm.synthesize_media(
@@ -84,9 +92,19 @@ def media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         perturb_bytes=4,
     )
     sigs = mm.ahash64(media)
-    return hamming_blocked_pairs(sigs, "media_id", "ahash", max_hamming=7).orderBy(
-        "id1", "id2"
+    return (
+        hamming_blocked_pairs(sigs, "media_id", "ahash", max_hamming=7)
+        .select("id1", "id2")
+        .orderBy("id1", "id2")
     )
+
+
+MEDIA_PHASH_SQL = """
+WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 200)
+SELECT a.id AS id1, b.id AS id2
+FROM ids a JOIN ids b ON a.id % 50 = b.id % 50 AND a.id < b.id
+ORDER BY id1, id2
+"""
 
 
 def media_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -121,7 +139,7 @@ QUERIES = {
     "media_image_features": (media_image_features, None),
     "media_frame_stats": (media_frame_stats, None),
     "media_audio_stats": (media_audio_stats, None),
-    "media_phash_dedup": (media_phash_dedup, None),
+    "media_phash_dedup": (media_phash_dedup, MEDIA_PHASH_SQL),
     "media_scene_cuts": (media_scene_cuts, None),
     "media_audio_bands": (media_audio_bands, None),
 }

@@ -585,6 +585,123 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Engine-portable HLL estimate numerator: alpha_256 · m² · 2^53 as one
+# double literal shared verbatim by the Spark plan and the oracle, so
+# the single double division below has identical operands in both
+# engines (registry rule: engine-portable hashing is md5-hex only).
+_HLL_NUM = repr(0.7213 / (1 + 1.079 / 256) * 256 * 256 * float(1 << 53))
+
+# Small-range (linear-counting) correction table: when the raw
+# estimate is ≤ 2.5·m and some registers are empty, HLL's unbiased
+# estimator is m·ln(m/V) with V = empty registers (Flajolet §4). ln is
+# libm-dependent, so it must NEVER run inside a checked plan — instead
+# all 256 possible values are precomputed HERE and embedded as the
+# same literal lookup array in both engines (V is an exact integer, so
+# the branch and the lookup are deterministic).
+import math as _math
+
+_HLL_LC = [256.0 * _math.log(256.0 / v) for v in range(1, 257)]
+
+
+def agg_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable cardinality sketch with ENGINE-PORTABLE registers —
+    the oracle-checkable twin of agg_hll_mergeable (whose DataSketches
+    binary DuckDB cannot replay). Classic HyperLogLog built from the
+    md5-hex family: bucket = first 2 hex digits (m=256 registers),
+    rho = leading-zero count of the next 52 bits + 1 (via the binary
+    string length — no log/exp in the plan). Registers max-merge:
+    per-nation registers roll up to regions WITHOUT re-touching raw
+    rows, the same two-level pattern as the DataSketches form. The
+    harmonic-mean denominator is EXACT integer arithmetic
+    (Σ 2^(53-M_j) as bigint, empty registers at 2^53), so the only
+    float ops are one division of identical operands and a lookup in
+    the precomputed linear-counting table (_HLL_LC — the standard
+    small-range correction, applied when raw ≤ 2.5·m and empty
+    registers exist; branch condition and index are exact integers/
+    identical doubles) — bitwise-equal across engines. Exact
+    distincts ride along to expose the sketch error (±~6.5% typical
+    at m=256). Shuffles: registers (map-side combined to ≤25·256
+    rows), region merge, exact-distinct branch — all bounded by
+    sketch size or dimension cardinality at any corpus scale."""
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    h = F.md5(F.col("c_custkey").cast("string"))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("long")
+    v = F.conv(F.substring(h, 3, 13), 16, 10).cast("long")
+    rho = F.when(v == 0, F.lit(53)).otherwise(F.lit(53) - F.length(F.bin(v)))
+    reg = (
+        c.select(F.col("c_nationkey"), bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("c_nationkey", "bucket")
+        .agg(F.max("rho").alias("m_nb"))
+    )
+    merged = (
+        reg.join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_regionkey", "bucket")
+        .agg(F.max("m_nb").alias("m_rb"))
+    )
+    est = merged.groupBy("n_regionkey").agg(
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - m_rb AS INT))"))
+            + (F.lit(256) - F.count(F.lit(1))) * F.lit(1 << 53)
+        ).alias("sum_int"),
+        (F.lit(256) - F.count(F.lit(1))).alias("n_empty"),
+    )
+    exact = (
+        c.join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_regionkey")
+        .agg(F.countDistinct("c_custkey").alias("exact_custs"))
+    )
+    raw = F.lit(float(_HLL_NUM)) / F.col("sum_int")
+    lc = F.element_at(
+        F.array(*[F.lit(x) for x in _HLL_LC]), F.col("n_empty").cast("int")
+    )
+    return (
+        est.join(exact, "n_regionkey")
+        .select(
+            "n_regionkey",
+            F.when((raw <= 2.5 * 256) & (F.col("n_empty") > 0), lc)
+            .otherwise(raw)
+            .alias("est_custs"),
+            "exact_custs",
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+AGG_HLL_PORTABLE_SQL = f"""
+WITH r AS (
+  SELECT c_nationkey,
+         ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 2))::BIGINT AS bucket,
+         ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 3, 13))::BIGINT AS v
+  FROM customer),
+reg AS (
+  SELECT c_nationkey, bucket,
+         MAX(CASE WHEN v = 0 THEN 53 ELSE 53 - length(bin(v)) END) AS m_nb
+  FROM r GROUP BY 1, 2),
+merged AS (
+  SELECT n_regionkey, bucket, MAX(m_nb) AS m_rb
+  FROM reg JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2),
+est AS (
+  SELECT n_regionkey,
+         CAST(SUM(1::BIGINT << (53 - m_rb)) AS BIGINT)
+           + (256 - COUNT(*)) * (1::BIGINT << 53) AS sum_int,
+         256 - COUNT(*) AS n_empty
+  FROM merged GROUP BY 1),
+ex AS (
+  SELECT n_regionkey, COUNT(DISTINCT c_custkey) AS exact_custs
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1)
+SELECT est.n_regionkey,
+       CASE WHEN CAST({_HLL_NUM} AS DOUBLE) / sum_int <= 640.0 AND n_empty > 0
+            THEN ([{", ".join(f"CAST({x!r} AS DOUBLE)" for x in _HLL_LC)}])[CAST(n_empty AS INT)]
+            ELSE CAST({_HLL_NUM} AS DOUBLE) / sum_int END AS est_custs,
+       exact_custs
+FROM est JOIN ex USING (n_regionkey)
+ORDER BY n_regionkey
+"""
+
+
 # --- recursive CTE ----------------------------------------------------------
 
 
@@ -672,6 +789,7 @@ QUERIES = {
     "q20_heavy_suppliers": (q20_heavy_suppliers, Q20_SQL),
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
     "agg_hll_mergeable": (agg_hll_mergeable, None),
+    "agg_hll_portable": (agg_hll_portable, AGG_HLL_PORTABLE_SQL),
     "agg_string_concat": (agg_string_concat, STRING_CONCAT_SQL),
     "q12_shipmode_priority": (q12_shipmode_priority, Q12_SQL),
     "join_salted_skew": (join_salted_skew, SALTED_SQL),

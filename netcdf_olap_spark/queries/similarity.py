@@ -124,6 +124,22 @@ def emb_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_ivf(e.where(F.col("vec_id") != 0), qvec, k=10, n_lists=8, nprobe=3)
 
 
+def emb_knn_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-10 probing ALL inverted lists (nprobe == n_lists) —
+    the degenerate configuration that is provably exact brute force
+    (no vector can be pruned when every list is probed), so the WHOLE
+    IVF machinery — distributed Lloyd training, plan-constant
+    centroid assignment, list-membership candidate filter — sits
+    behind a hard DuckDB hash check (oracle = the brute-force SQL).
+    The approximate nprobe<n_lists form is emb_knn_ivf; recall vs
+    brute is asserted in tests/test_similarity.py."""
+    e = _emb(spark, sf_dir)
+    qvec = [r[0] for r in e.where(F.col("vec_id") == 0).select(F.explode("embedding")).collect()]
+    return similarity.knn_ivf(
+        e.where(F.col("vec_id") != 0), qvec, k=10, n_lists=8, nprobe=8
+    )
+
+
 def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-10 (operators/pq.py): 16 subspaces
     × 16-entry codebooks (64 floats → 16 small codes, 16× at rest),
@@ -252,6 +268,7 @@ QUERIES = {
     "emb_centroids": (emb_centroids, EMB_CENTROIDS_SQL),
     "emb_knn_lsh": (emb_knn_lsh, None),
     "emb_knn_ivf": (emb_knn_ivf, None),
+    "emb_knn_ivf_exact": (emb_knn_ivf_exact, EMB_KNN_BRUTE_SQL),
     "emb_pq_topk": (emb_pq_topk, None),
     "emb_label_topk": (emb_label_topk, EMB_LABEL_TOPK_SQL),
     "emb_mmr_rerank": (emb_mmr_rerank, None),

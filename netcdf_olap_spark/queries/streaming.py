@@ -40,7 +40,15 @@ def _staged_stream(spark: SparkSession, sf_dir: str, n_files: int = 4) -> tuple[
 
 def stream_tumbling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 10-minute event-time windows computed by a real
-    micro-batched stream with a 30-minute watermark."""
+    micro-batched stream with a 30-minute watermark.
+
+    Oracle-checked (not rows-only): ``window()`` buckets in
+    instant-microsecond space (epoch-aligned integer arithmetic — no
+    calendar), and the value sum rides a decimal accumulator, so the
+    drained sink is bitwise-equal to the batch bucket formula
+    ``ts_us - ts_us % 10min`` however the rows were micro-batched —
+    proven against the batch twin in tests/test_streaming.py and
+    against DuckDB by STREAM_TUMBLING_SQL."""
     stream, directory = _staged_stream(spark, sf_dir)
     try:
         out = run_to_memory(ops.tumbling_stats(stream, watermark="30 minutes"), "complete")
@@ -233,8 +241,24 @@ def stream_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(directory, ignore_errors=True)
 
 
+# DuckDB oracle for the streaming tumbling aggregation: the stream's
+# window() start is the epoch-aligned 10-minute bucket of the event
+# instant, so the batch bucket arithmetic IS the streaming result
+# (same clock as queries/events.EV_TUMBLING_SQL, minus the exact
+# count-distinct the streaming agg cannot express).
+STREAM_TUMBLING_SQL = """
+SELECT epoch_us(ts) - epoch_us(ts) % 600000000 AS win_start_us,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY win_start_us, event_type
+"""
+
+
 QUERIES = {
-    "stream_tumbling_stats": (stream_tumbling_stats, None),
+    "stream_tumbling_stats": (stream_tumbling_stats, STREAM_TUMBLING_SQL),
     "stream_running_totals": (stream_running_totals, None),
     "stream_interval_join": (stream_interval_join, None),
     "stream_sessionize": (stream_sessionize, None),

@@ -30,13 +30,17 @@ def tumbling_stats(df: DataFrame, size: str = "10 minutes", watermark: str | Non
     (window, event_type). Exact count-distinct is unsupported in
     streaming aggs, so user reach is approx_count_distinct (the same
     mergeable-sketch tradeoff the reference makes for its histogram,
-    Gddp.scala:230)."""
+    Gddp.scala:230). sum_value goes through a decimal cast
+    (functions/deterministic.py rationale): the decimal accumulator is
+    exact, so the streaming sum is bitwise-equal to the batch twin's
+    and to the DuckDB oracle regardless of micro-batch arrival order —
+    what makes stream_tumbling_stats hash-checkable, not rows-only."""
     return (
         _maybe_watermark(df, watermark)
         .groupBy(F.window("ts", size).alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
             F.approx_count_distinct("user_id").alias("approx_users"),
         )
         .select(
