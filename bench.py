@@ -59,6 +59,17 @@ HEADLINE += [
     "ev_range_join_binned",
 ]
 
+# Round-5 additions: the heaviest round-4 operator families (span-level
+# substring dedup, SemDeDup cluster blocking, perceptual-hash Hamming
+# dedup) so regressions in the new code are visible round-over-round.
+# NOTE for cross-round comparison: totals before BENCH_r05 exclude
+# these three — compare per-query, or the pre-r5 subtotal.
+HEADLINE += [
+    "doc_span_contamination",
+    "emb_semantic_dedup",
+    "media_phash_dedup",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

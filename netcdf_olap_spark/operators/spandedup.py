@@ -33,17 +33,26 @@ from pyspark.sql import functions as F
 from netcdf_olap_spark.operators.text import shingles_from_tokens, tokens
 
 
-def _hashed_spans(t, w: int):
-    """64-bit span keys from a token array column: hash each token
-    once, then one xxhash64 per window over its w token-hashes —
-    O(tokens) string work, no w-word string allocation (same shape as
-    dedup._hashed_shingle_index)."""
-    th = F.transform(t, lambda x: F.xxhash64(x))
-    spans = F.transform(
-        F.sequence(F.lit(1), F.size(t) - (w - 1)),
-        lambda i: F.xxhash64(*[F.element_at(th, i + j) for j in range(w)]),
+def _hashed_span_index(df: DataFrame, id_col: str, text_col: str, w: int) -> DataFrame:
+    """(id, span) index of 64-bit span keys: hash each token once,
+    then one xxhash64 per window over its w token-hashes — O(tokens)
+    string work, no w-word string allocation (same shape as
+    dedup._hashed_shingle_index).
+
+    The token-hash array ``th`` is materialized in its OWN projection
+    before the window transform: an expression referenced inside a
+    higher-order lambda re-evaluates per element (no CSE inside
+    lambdas), so inlining ``transform(t, xxhash64)`` into the window
+    loop would re-hash every token once per window position —
+    O(tokens·w) hashes instead of O(tokens) (measured 4× on the span
+    index; same gotcha previously bit the shingle index)."""
+    toks = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("t"))
+    th = toks.select("id", F.transform("t", lambda x: F.xxhash64(x)).alias("th"))
+    span_h = F.transform(
+        F.sequence(F.lit(1), F.size("th") - (w - 1)),
+        lambda i: F.xxhash64(*[F.element_at(F.col("th"), i + j) for j in range(w)]),
     )
-    return F.when(F.size(t) >= w, spans).otherwise(F.array().cast("array<bigint>"))
+    return th.where(F.size("th") >= w).select("id", F.explode(span_h).alias("span"))
 
 
 def duplicate_spans(
@@ -61,16 +70,14 @@ def duplicate_spans(
     ``hashed=False`` keys by the literal w-word string so an external
     engine can verify the result.
     """
-    toks = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("t"))
     if hashed:
-        span_col = _hashed_spans(F.col("t"), w)
+        idx = _hashed_span_index(df, id_col, text_col, w)
     else:
-        span_col = shingles_from_tokens(F.col("t"), w)
-    per_doc = (
-        toks.select("id", F.explode(span_col).alias("span"))
-        .groupBy("span", "id")
-        .agg(F.count(F.lit(1)).alias("n_in_doc"))
-    )
+        toks = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("t"))
+        idx = toks.select(
+            "id", F.explode(shingles_from_tokens(F.col("t"), w)).alias("span")
+        )
+    per_doc = idx.groupBy("span", "id").agg(F.count(F.lit(1)).alias("n_in_doc"))
     return (
         per_doc.groupBy("span")
         .agg(
@@ -92,23 +99,42 @@ def span_contaminated_docs(
     """Per-document duplicated-span exposure: how many of a doc's
     spans are corpus-duplicated, and the fraction of its span
     positions covered. The per-doc rollup a filtering pipeline
-    thresholds on. Joins the doc→span index against the duplicated
-    span set on the span hash (both sides partition on it — one
-    co-located shuffle pair, no broadcast of anything corpus-sized).
-    """
-    toks = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("t"))
-    idx = toks.select(
-        "id",
-        F.size("t").alias("n_tokens"),
-        F.explode(_hashed_spans(F.col("t"), w)).alias("span"),
+    thresholds on.
+
+    Everything derives from ONE tokenize+hash pass: the per-(span,
+    doc) index is materialized once (localCheckpoint — it is the
+    per-doc pre-aggregation, far smaller than the exploded positions)
+    and then answers all three questions from the aggregate alone —
+    the duplicated-span set (groupBy span), each doc's duplicated
+    positions (Σ n_in_doc over dup spans), and each doc's TOTAL span
+    positions (Σ n_in_doc per doc) — so the expensive regexp
+    tokenization and window hashing never run twice, and nothing
+    corpus-sized is broadcast (the dup-set semi-join co-partitions on
+    the span hash)."""
+    per_doc = (
+        _hashed_span_index(df, id_col, text_col, w)
+        .groupBy("span", "id")
+        .agg(F.count(F.lit(1)).alias("n_in_doc"))
+        .localCheckpoint(eager=True)
     )
-    dup = duplicate_spans(df, id_col, text_col, w, min_docs, hashed=True).select("span")
+    dup = (
+        per_doc.groupBy("span")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("span")
+    )
     hits = (
-        idx.join(dup, "span", "left_semi")
+        per_doc.join(dup, "span", "left_semi")
         .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n_dup_positions"))
+        .agg(F.sum("n_in_doc").alias("n_dup_positions"))
     )
-    base = toks.select("id", F.greatest(F.size("t") - (w - 1), F.lit(0)).alias("n_spans"))
+    totals = per_doc.groupBy("id").agg(F.sum("n_in_doc").alias("n_spans"))
+    # docs shorter than w tokens have no index rows → n_spans = 0
+    base = (
+        df.select(F.col(id_col).alias("id"))
+        .join(totals, "id", "left")
+        .select("id", F.coalesce("n_spans", F.lit(0)).alias("n_spans"))
+    )
     return base.join(hits, "id", "left").select(
         F.col("id").alias(id_col),
         "n_spans",

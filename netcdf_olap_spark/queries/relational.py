@@ -410,7 +410,15 @@ FROM orders
 
 def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile(4) — the §2.5 analog of the reference's quantile-break
-    coloring (A2): assign each customer a balance quartile."""
+    coloring (A2): assign each customer a balance quartile.
+
+    SCALE CAVEAT: an unpartitioned ntile is semantically global, so
+    this plan is inherently Exchange SinglePartition — kept as SQL-
+    surface coverage only. The 100 TB form of global quantile
+    assignment is approx-percentile breaks joined back as range
+    predicates (grid_quantile_breaks / grid_quantile_breaks_per_slice
+    — mergeable sketch, no global sort), the same trade the reference
+    makes for its map coloring."""
     c = _t(spark, sf_dir, "customer")
     w = Window.orderBy(F.col("c_acctbal"), F.col("c_custkey"))
     return c.select("c_custkey", F.ntile(4).over(w).alias("quartile"))
