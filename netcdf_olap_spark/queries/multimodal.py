@@ -29,7 +29,13 @@ def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def media_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video path: synthesize, sample every 3rd frame, count + size
-    per video (explode fan-out then re-aggregate)."""
+    per video (explode fan-out then re-aggregate).
+
+    Oracle-checked: the sampled-frame count and byte totals are pure
+    shape arithmetic (12 frames, every 3rd kept → 4; 8×8×1 bytes per
+    frame → 256), so DuckDB can state the expected rollup without
+    decoding a blob — a hash check that the explode fan-out neither
+    drops nor duplicates frames."""
     # doc_id < 500, not limit(500): limit without order is
     # partition-order-dependent → nondeterministic media set
     vids = mm.synthesize_media(
@@ -49,6 +55,15 @@ def media_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+MEDIA_FRAME_STATS_SQL = """
+SELECT doc_id AS media_id,
+       CAST(4 AS BIGINT) AS n_frames_kept,
+       CAST(256 AS BIGINT) AS total_bytes
+FROM documents WHERE doc_id < 500
+ORDER BY media_id
+"""
 
 
 def media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -127,6 +142,42 @@ def media_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def media_scene_cut_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decision surface of scene-cut detection: (media_id,
+    frame_idx, is_cut) with the RNG-dependent diff magnitude
+    projected away. With scene_len=4 over 12 frames the planted cuts
+    are exactly the boundaries at frame 4 and 8 (within-scene frames
+    are byte-identical → diff 0; cross-scene frames are independent
+    uniform pixels → diff ≈ 85 ≫ threshold 30, recovery pinned in
+    tests/test_multimodal.py) — so the expected flags are pure frame
+    arithmetic and DuckDB-checkable. media_scene_cuts keeps the full
+    per-boundary diffs (rows-only)."""
+    vids = mm.synthesize_media(
+        _doc_ids(spark, sf_dir).where(F.col("doc_id") < 200),
+        kind="video",
+        width=8,
+        height=8,
+        channels=1,
+        n_frames=12,
+        scene_len=4,
+    )
+    return (
+        mm.scene_cuts(vids, threshold=30.0)
+        .select("media_id", "frame_idx", "is_cut")
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+MEDIA_SCENE_FLAGS_SQL = """
+SELECT doc_id AS media_id,
+       CAST(i AS INT) AS frame_idx,
+       CASE WHEN i % 4 = 0 THEN 'Y' ELSE 'N' END AS is_cut
+FROM documents, unnest(generate_series(1, 11)) u(i)
+WHERE doc_id < 200
+ORDER BY media_id, frame_idx
+"""
+
+
 def media_audio_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spectral band-energy features per synthetic PCM clip (8 bands,
     rfft power fractions). rows-only; white-noise flatness + unit-sum
@@ -137,9 +188,10 @@ def media_audio_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "media_image_features": (media_image_features, None),
-    "media_frame_stats": (media_frame_stats, None),
+    "media_frame_stats": (media_frame_stats, MEDIA_FRAME_STATS_SQL),
     "media_audio_stats": (media_audio_stats, None),
     "media_phash_dedup": (media_phash_dedup, MEDIA_PHASH_SQL),
     "media_scene_cuts": (media_scene_cuts, None),
+    "media_scene_cut_flags": (media_scene_cut_flags, MEDIA_SCENE_FLAGS_SQL),
     "media_audio_bands": (media_audio_bands, None),
 }

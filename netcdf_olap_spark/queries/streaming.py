@@ -68,7 +68,11 @@ def stream_tumbling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): final
-    per-user running totals after replaying all micro-batches."""
+    per-user running totals after replaying all micro-batches.
+
+    Oracle-checked: the GroupState count grows monotonically, so the
+    max over all update-mode emissions IS the final total = the batch
+    COUNT per user — replay order cannot change it."""
     stream, directory = _staged_stream(spark, sf_dir)
     try:
         out = run_to_memory(running_user_totals(stream), "update")
@@ -131,16 +135,25 @@ def stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate + bounded-state fingerprint dedup
     (streaming/corpus.corpus_ingest). Output is the deterministic
     projection (fp, n_tokens) — which doc of a duplicate group arrives
-    first is replay-dependent, the surviving fingerprint set is not.
-    Batch equivalence proven in tests/test_streaming.py."""
+    first is replay-dependent, the surviving fingerprint set is not
+    (and n_tokens is fp-functional: the fingerprint normalizes only
+    case/whitespace, which whitespace tokenization ignores). The
+    fingerprint is md5 of normalized text — engine-portable, so the
+    surviving set is plain SQL (oracle below). Batch equivalence also
+    proven in tests/test_streaming.py."""
     from netcdf_olap_spark.streaming.corpus import corpus_ingest
     from netcdf_olap_spark.streaming.runner import stage_files
 
     directory = tempfile.mkdtemp(prefix="noss_docstream_")
     try:
+        # arrival base 2024-01-01, one doc per minute: doc 0 must NOT
+        # land exactly on epoch 0 — the stream's initial watermark is
+        # the epoch, and dropDuplicatesWithinWatermark discards rows
+        # at-or-before the watermark as late (lost doc 0 before)
+        base_us = 1_704_067_200_000_000
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
             "doc_id",
-            F.timestamp_micros(F.col("doc_id") * 60_000_000).alias("ts"),
+            F.timestamp_micros(F.lit(base_us) + F.col("doc_id") * 60_000_000).alias("ts"),
             "text",
         )
         stage_files(docs, directory, n_files=4, order_cols=["doc_id"])
@@ -257,12 +270,122 @@ ORDER BY win_start_us, event_type
 """
 
 
+STREAM_RUNNING_SQL = """
+SELECT user_id, COUNT(*) AS n_events
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+# Identical to queries/events.EV_INTERVAL_JOIN_SQL: the streaming
+# two-stream join drains to the same per-user rollup the batch twin
+# computes (inner interval joins emit every match exactly once in
+# append mode — arrival order cannot change the pair set).
+STREAM_INTERVAL_SQL = """
+WITH c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+     v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view')
+SELECT c.user_id AS user_id, COUNT(*) AS n_pairs,
+       MAX(epoch_us(c.ts) - epoch_us(v.ts)) AS max_gap_us
+FROM c JOIN v ON c.user_id = v.user_id
+             AND v.ts <= c.ts
+             AND v.ts >= c.ts - INTERVAL 2 HOUR
+GROUP BY 1
+ORDER BY user_id
+"""
+
+
+# session_window semantics: two consecutive events merge iff their
+# sessions [t, t+gap) OVERLAP, i.e. a new session starts when the gap
+# is >= 30 min (the batch gaps-and-islands twin ev_sessionize uses
+# strictly >, a deliberate semantic variant — both are checked).
+STREAM_SESSIONIZE_SQL = """
+WITH gapped AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL THEN 1
+              WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000 THEN 1
+              ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+sessions AS (
+  SELECT user_id, ts_us,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM gapped)
+SELECT user_id, MIN(ts_us) AS session_start_us, COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, sid
+ORDER BY user_id, session_start_us
+"""
+
+
+# The count-min sketch is built from md5-hex buckets (engine-portable
+# BY DESIGN — operators/sketches.py), so the streamed sketch state and
+# its estimates are plain SQL: same counters, same min-over-depths.
+STREAM_HEAVY_SQL = """
+WITH top AS (
+  SELECT user_id, COUNT(*) AS true_cnt FROM events
+  GROUP BY 1 ORDER BY true_cnt DESC, user_id LIMIT 10),
+sk AS (
+  SELECT d.depth,
+         substr(md5(CAST(d.depth AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 3) AS bucket,
+         COUNT(*) AS cnt
+  FROM events CROSS JOIN (VALUES (0), (1), (2)) AS d(depth)
+  GROUP BY 1, 2),
+probes AS (
+  SELECT user_id, d.depth,
+         substr(md5(CAST(d.depth AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 3) AS bucket
+  FROM top CROSS JOIN (VALUES (0), (1), (2)) AS d(depth)),
+est AS (
+  SELECT p.user_id, MIN(COALESCE(sk.cnt, 0)) AS cm_est
+  FROM probes p LEFT JOIN sk ON sk.depth = p.depth AND sk.bucket = p.bucket
+  GROUP BY 1)
+SELECT t.user_id, t.true_cnt, e.cm_est
+FROM top t JOIN est e USING (user_id)
+ORDER BY true_cnt DESC, user_id
+"""
+
+
+# Survivor set of the quality gate + fingerprint dedup: fp is md5 of
+# the case/whitespace-normalized text, and n_tokens is the same for
+# every member of an fp group (whitespace tokenization is invariant
+# under the normalization), so ANY arrival order yields this set.
+STREAM_CORPUS_SQL = r"""
+WITH g AS (
+  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+         len(list_filter(string_split_regex(trim(text), '\s+'), t -> t != '')) AS n_tokens,
+         length(text) AS len_chars
+  FROM documents)
+SELECT fp, MIN(n_tokens) AS n_tokens
+FROM g WHERE n_tokens >= 10 AND len_chars >= 50
+GROUP BY fp
+ORDER BY fp
+"""
+
+
+# GroupState last-type carry over in-order replay ≡ the batch LAG
+# (staging orders globally by (ts, event_id); the stateful op re-sorts
+# each micro-batch the same way), so the pair counts are the
+# transition-matrix counts.
+STREAM_TRANSITION_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+           AS prev_type
+  FROM events)
+SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+ORDER BY prev_type, next_type
+"""
+
+
 QUERIES = {
     "stream_tumbling_stats": (stream_tumbling_stats, STREAM_TUMBLING_SQL),
-    "stream_running_totals": (stream_running_totals, None),
-    "stream_interval_join": (stream_interval_join, None),
-    "stream_sessionize": (stream_sessionize, None),
-    "stream_corpus_ingest": (stream_corpus_ingest, None),
-    "stream_heavy_hitters": (stream_heavy_hitters, None),
-    "stream_transition_counts": (stream_transition_counts, None),
+    "stream_running_totals": (stream_running_totals, STREAM_RUNNING_SQL),
+    "stream_interval_join": (stream_interval_join, STREAM_INTERVAL_SQL),
+    "stream_sessionize": (stream_sessionize, STREAM_SESSIONIZE_SQL),
+    "stream_corpus_ingest": (stream_corpus_ingest, STREAM_CORPUS_SQL),
+    "stream_heavy_hitters": (stream_heavy_hitters, STREAM_HEAVY_SQL),
+    "stream_transition_counts": (stream_transition_counts, STREAM_TRANSITION_SQL),
 }

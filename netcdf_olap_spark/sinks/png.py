@@ -133,11 +133,25 @@ def render_png(df: DataFrame, n_breaks: int = 16, global_breaks: bool = False) -
                 breaks = np.quantile(finite, np.linspace(0, 1, n_breaks + 1)[1:])
             klass = np.searchsorted(breaks, np.nan_to_num(tile, nan=0.0))
             t = klass.astype(np.float64) / max(n_breaks - 1, 1)
-            # blue→red ramp — the reference's ColorRamps.BlueToRed
-            # family (Gddp.scala:232), continuous rather than 12-stop
-            rgba[..., 0] = (255 * t).astype(np.uint8)
-            rgba[..., 2] = (255 * (1 - t)).astype(np.uint8)
-            rgba[..., 1] = (64 * np.sin(np.pi * t)).astype(np.uint8)
+            # the reference's ramp: GeoTrellis "Blue to Orange"
+            # (Gddp.scala:232, ColorRamps.BlueToOrange) — the public
+            # 12-stop palette, linearly interpolated across the
+            # quantile classes exactly as ColorRamp.stops(n) spreads
+            # its colors over n breaks
+            stops = np.array(
+                [
+                    (0x25, 0x86, 0xAB), (0x4E, 0xA3, 0xC8), (0x7F, 0xB8, 0xD4),
+                    (0xAD, 0xD8, 0xEA), (0xC8, 0xE1, 0xE7), (0xED, 0xEC, 0xEA),
+                    (0xF0, 0xE7, 0xBB), (0xF5, 0xCF, 0x7D), (0xF9, 0xB7, 0x37),
+                    (0xE6, 0x8F, 0x2D), (0xD7, 0x6B, 0x27), (0xBD, 0x4E, 0x24),
+                ],
+                dtype=np.float64,
+            )
+            pos = t * (len(stops) - 1)
+            lo = np.clip(np.floor(pos).astype(int), 0, len(stops) - 2)
+            frac = (pos - lo)[..., None]
+            rgb = stops[lo] * (1 - frac) + stops[lo + 1] * frac
+            rgba[..., :3] = np.clip(rgb, 0, 255).astype(np.uint8)
             rgba[..., 3] = np.where(np.isnan(tile), 0, 255).astype(np.uint8)
 
         rgba = rgba[::-1]  # vertical flip: row 0 = north (README.md:82 fixup)
