@@ -88,8 +88,20 @@ def knn_lsh(
     rows. Recall is tested against knn_brute in pytest."""
     dim = len(query_vec)
     planes = _planes(n_planes, dim)
-    qv = np.array(query_vec, dtype=np.float64)
-    qbucket = int(sum((1 << i) for i, p in enumerate(planes) if float(np.dot(qv, p)) >= 0))
+    qv = [float(v) for v in query_vec]
+
+    def _seq_dot(a, b):
+        # sequential left-to-right double fold — the SAME summation
+        # order as the corpus-side zip_with+aggregate fold (and the
+        # DuckDB oracle's list_sum), so the query's bucket bit can
+        # never disagree with an engine near a zero crossing the way
+        # BLAS pairwise summation (np.dot) could
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    qbucket = int(sum((1 << i) for i, p in enumerate(planes) if _seq_dot(qv, p) >= 0))
     bucketed = df.withColumn("bucket", lsh_bucket_col(F.col(vec_col), planes))
     cand = bucketed.where(F.col("bucket") == F.lit(qbucket))
     q = F.array(*[F.lit(float(v)) for v in query_vec])

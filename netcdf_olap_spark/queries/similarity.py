@@ -107,10 +107,53 @@ ORDER BY label, pos
 def emb_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via signed-random-projection bucketing —
     the scale path (probe ~corpus/2^planes instead of corpus).
-    rows-only: plane literals come from a seeded generator."""
+
+    Oracle-checked: the hyperplanes are PLAN CONSTANTS (seeded
+    generator at build time), so the same literals are embedded in
+    the DuckDB SQL; every dot product — corpus-side bucket bits,
+    query-side bucket, final cosine — is the sequential left-to-right
+    double fold on both engines, so bucket membership and ranking are
+    bitwise-reproducible."""
     e = _emb(spark, sf_dir)
     qvec = [r[0] for r in e.where(F.col("vec_id") == 0).select(F.explode("embedding")).collect()]
     return similarity.knn_lsh(e.where(F.col("vec_id") != 0), qvec, k=10, n_planes=8)
+
+
+def _lsh_oracle_sql(n_planes: int = 8, dim: int = 64) -> str:
+    """DuckDB twin of knn_lsh(k=10): the seeded plane matrix as a
+    VALUES literal, bucket bits via the same sequential dot fold."""
+    from netcdf_olap_spark.operators.similarity import _planes
+
+    planes = _planes(n_planes, dim)
+    rows = ",\n    ".join(
+        "({}, [{}])".format(i, ", ".join(f"CAST({x!r} AS DOUBLE)" for x in p))
+        for i, p in enumerate(planes)
+    )
+    pdot = (
+        "list_sum([CAST({v}[i] AS DOUBLE) * pv[i] "
+        "FOR i IN generate_series(1, len({v}))])"
+    )
+    return f"""
+WITH planes AS (SELECT * FROM (VALUES
+    {rows}) AS t(pi, pv)),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qb AS (
+  SELECT SUM(CASE WHEN {pdot.format(v='qv')} >= 0 THEN (1 << pi) ELSE 0 END) AS qbucket
+  FROM q CROSS JOIN planes),
+b AS (
+  SELECT vec_id, embedding,
+         SUM(CASE WHEN {pdot.format(v='embedding')} >= 0 THEN (1 << pi) ELSE 0 END) AS bucket
+  FROM embeddings CROSS JOIN planes
+  WHERE vec_id != 0
+  GROUP BY vec_id, embedding)
+SELECT vec_id, {_duck_cos('embedding', 'qv')} AS cos_sim
+FROM b JOIN qb ON b.bucket = qb.qbucket CROSS JOIN q
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10
+"""
+
+
+EMB_KNN_LSH_SQL = _lsh_oracle_sql()
 
 
 def emb_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -266,7 +309,7 @@ QUERIES = {
     "doc_embedding_near_dup": (doc_embedding_near_dup, DOC_NEAR_DUP_SQL),
     "emb_threshold_neighbors": (emb_threshold_neighbors, EMB_THRESHOLD_SQL),
     "emb_centroids": (emb_centroids, EMB_CENTROIDS_SQL),
-    "emb_knn_lsh": (emb_knn_lsh, None),
+    "emb_knn_lsh": (emb_knn_lsh, EMB_KNN_LSH_SQL),
     "emb_knn_ivf": (emb_knn_ivf, None),
     "emb_knn_ivf_exact": (emb_knn_ivf_exact, EMB_KNN_BRUTE_SQL),
     "emb_pq_topk": (emb_pq_topk, None),

@@ -187,3 +187,51 @@ def test_linear_interpolation_matches_numpy(spark, series):
     ref = np.interp(np.arange(len(series)), xs, ys)  # edge = nearest known
     for g, r in zip(got, ref):
         assert g is not None and abs(g - r) < 1e-9
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(0, 5),  # whole price — ties land on bucket edges
+            st.sampled_from([0.0, 0.5]),  # fractional part within a bucket
+            st.integers(0, 4),  # size, few distinct values → many ties
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_skyline_two_level_matches_naive(spark, pts):
+    """4. skyline distributivity: the two-level plan (per-price-bucket
+    cumulative-min window + broadcast carry-merge) equals the naive
+    sorted single-pass dominance filter for ANY point set — including
+    duplicate points, equal prices straddling bucket boundaries, and
+    single-bucket degenerate inputs."""
+    import shutil
+    import tempfile
+
+    from netcdf_olap_spark.queries.analytics import part_skyline
+
+    rows = [
+        (i, float(p) + frac, int(sz)) for i, (p, frac, sz) in enumerate(pts)
+    ]
+    d = tempfile.mkdtemp(prefix="skyline_prop_")
+    try:
+        spark.createDataFrame(
+            rows, "p_partkey long, p_retailprice double, p_size int"
+        ).write.parquet(f"{d}/part.parquet")
+        got = [r["p_partkey"] for r in part_skyline(spark, d).collect()]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+    minsz = None
+    want = []
+    for key, price, size in sorted(rows, key=lambda r: (r[1], r[2], r[0])):
+        if minsz is None or minsz > size:
+            want.append(key)
+        minsz = size if minsz is None else min(minsz, size)
+    assert got == sorted(want)
