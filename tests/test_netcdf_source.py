@@ -214,3 +214,24 @@ def test_cube_stream_ingests_arriving_files(spark, tmp_path):
         assert out.select(F.countDistinct("time")).first()[0] == 2 * len(th)
     finally:
         q.stop()
+
+
+def test_ingest_directory_accepts_filesystem_uri(spark, tmp_path):
+    """Remote-store path shape (reference README.md:10 reads S3/HDFS):
+    ``ingest_directory`` must go through the Hadoop FileSystem URI
+    machinery, not os.path — a ``file://`` absolute URI (the same
+    resolution path s3a://\u2009/\u2009hdfs:// take) yields the identical
+    cube as the bare local path."""
+    d1, th, lat, lon = _cube(1)
+    (tmp_path / "a.npz").write_bytes(_npz_bytes(d1, th, lat, lon))
+
+    plain = src.ingest_directory(
+        spark, str(tmp_path), ds="d1", pattern="*.npz", decoder=src.npz_decoder
+    )
+    via_uri = src.ingest_directory(
+        spark, f"file://{tmp_path}", ds="d1", pattern="*.npz", decoder=src.npz_decoder
+    )
+    assert via_uri.count() == plain.count() == NT * NY * NX
+    a = {tuple(r) for r in plain.collect()}
+    b = {tuple(r) for r in via_uri.collect()}
+    assert a == b
