@@ -223,3 +223,19 @@ def test_duplicate_spans_property(spark, texts):
         for r in spandedup.duplicate_spans(df, w=w, min_docs=2, hashed=False).collect()
     }
     assert got == expected
+
+
+def test_countmin_zero_frequency_probe_returns_zero(spark, docs):
+    """A probe absent from the sketched corpus must answer 0 (exact),
+    not vanish from the output or over-estimate from partial matches —
+    the left-join + coalesce(0) path."""
+    from netcdf_olap_spark.operators import sketches, text
+
+    toks = docs.select(F.explode(text.tokens("text")).alias("tok"))
+    sk = sketches.countmin_build(toks, "tok", depth=3, hex_digits=3)
+    probes = spark.createDataFrame(
+        [("zzz-not-in-any-document-zzz",), ("qqq-also-absent-qqq",)], "tok string"
+    )
+    est = {r["tok"]: r["cm_est"] for r in
+           sketches.countmin_estimate(sk, probes, "tok", depth=3, hex_digits=3).collect()}
+    assert est == {"zzz-not-in-any-document-zzz": 0, "qqq-also-absent-qqq": 0}

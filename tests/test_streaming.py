@@ -413,3 +413,38 @@ def test_transition_pairs_stream_equals_batch_lag(spark, staged):
     a = {(r["prev_type"], r["next_type"]): r["n"] for r in streamed.collect()}
     b = {(r["prev_type"], r["next_type"]): r["n"] for r in batch.collect()}
     assert a == b
+
+
+def test_transition_pairs_multichunk_groups(spark, staged):
+    """A group whose micro-batch rows span multiple Arrow chunks must
+    still pair in global (ts, event_id) order — forced by shrinking
+    maxRecordsPerBatch far below group size (regression: per-chunk
+    sorting diverged from the batch LAG on cross-chunk boundaries)."""
+    from pyspark.sql.window import Window
+
+    from netcdf_olap_spark.streaming.stateful import transition_pairs
+
+    directory, rebatch = staged
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, "10000")
+    spark.conf.set(key, "5")
+    try:
+        stream = events_file_stream(spark, directory)
+        streamed = (
+            run_to_memory(transition_pairs(stream), "append")
+            .groupBy("prev_type", "next_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        got = {(r["prev_type"], r["next_type"]): r["n"] for r in streamed.collect()}
+    finally:
+        spark.conf.set(key, old)
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    batch = (
+        rebatch.select(F.lag("event_type").over(w).alias("prev_type"), "event_type")
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    want = {(r["prev_type"], r["next_type"]): r["n"] for r in batch.collect()}
+    assert got == want
