@@ -233,18 +233,37 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
     """64-bit SimHash per doc: per token hash, vote +1/-1 on each bit,
     signature bit = sign of the vote sum. The ±1 vote sum is computed
     arithmetically as ``2·ones_b − n`` (ones_b = sum of bit b across
     token hashes, n = token count) — identical result to 64
     conditional sums but a much smaller codegen unit (measured ~2×
     faster end-to-end on the cold path). Partial aggregation runs
-    map-side; shuffle volume is 65 longs per doc."""
+    map-side; shuffle volume is 65 longs per doc.
+
+    ``hash_mode='md5_52'`` swaps the token hash for the engine-
+    portable md5-hex family (52-bit: 13 hex digits — the widest prefix
+    that fits a signed long exactly): bits 52-63 are always zero, so
+    the signature is effectively 52-bit, the pigeonhole blocking
+    contract is unchanged, and the WHOLE pipeline — votes, signature,
+    Hamming distances — replays in any SQL engine (the DuckDB oracle
+    of doc_simhash_portable). xxhash64 stays the fast default."""
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    )
+    if hash_mode == "md5_52":
+        toks = toks.withColumn(
+            "h", F.conv(F.substring(F.md5("tok"), 1, 13), 16, 10).cast("long")
+        )
+    else:
+        toks = toks.withColumn("h", F.xxhash64("tok"))
 
     def bitmask(bit: int) -> int:
         # signed-long bit pattern (1 << 63 overflows LongType)
@@ -314,9 +333,13 @@ def hamming_blocked_pairs(
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 7
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 7,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming (see
     ``hamming_blocked_pairs`` for the blocking/recall contract)."""
-    sigs = simhash_signatures(df, id_col, text_col)
+    sigs = simhash_signatures(df, id_col, text_col, hash_mode)
     return hamming_blocked_pairs(sigs, "id", "simhash", max_hamming)

@@ -241,9 +241,44 @@ def doc_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming ≤ 7, recall-guaranteed by
-    8×8-bit chunk blocking). rows-only: bit-vote signatures aren't
-    SQL-expressible."""
+    8×8-bit chunk blocking). rows-only: xxhash64 bit-vote signatures
+    aren't SQL-expressible — the md5 twin doc_simhash_portable puts
+    the identical vote/signature/blocking pipeline behind a hash
+    check."""
     return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=7).orderBy("id1", "id2")
+
+
+def doc_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash with the engine-portable md5-52-bit token hash: same
+    bit-vote arithmetic, same chunk-blocked Hamming join — and the
+    DuckDB oracle replays votes, signatures, AND distances bit-for-
+    bit (all-pairs on the oracle side; the engine's blocked join must
+    reproduce it exactly, which also re-proves the pigeonhole
+    recall-1.0 contract on real data)."""
+    return dedup.simhash_pairs(
+        _docs(spark, sf_dir), max_hamming=7, hash_mode="md5_52"
+    ).orderBy("id1", "id2")
+
+
+DOC_SIMHASH_PORTABLE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         ('0x' || substr(md5(unnest(string_split_regex(trim(text), '\s+'))), 1, 13))::BIGINT AS h
+  FROM documents),
+bits AS (
+  SELECT id, b, SUM((h >> b) & 1) AS ones, COUNT(*) AS n
+  FROM toks CROSS JOIN generate_series(0, 51) AS t(b)
+  GROUP BY id, b),
+sigs AS (
+  SELECT id,
+         CAST(SUM(CASE WHEN 2 * ones > n THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sig
+  FROM bits GROUP BY id)
+SELECT a.id AS id1, b.id AS id2,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+FROM sigs a JOIN sigs b ON a.id < b.id
+WHERE bit_count(xor(a.sig, b.sig)) <= 7
+ORDER BY id1, id2
+"""
 
 
 def doc_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -736,6 +771,7 @@ QUERIES = {
     "doc_jaccard_pairs": (doc_jaccard_pairs, DOC_JACCARD_SQL),
     "doc_minhash_dedup_pairs": (doc_minhash_dedup_pairs, None),
     "doc_simhash_pairs": (doc_simhash_pairs, None),
+    "doc_simhash_portable": (doc_simhash_portable, DOC_SIMHASH_PORTABLE_SQL),
     "doc_sentence_stats": (doc_sentence_stats, DOC_SENTENCE_SQL),
     "grid_midhinge": (grid_midhinge, GRID_MIDHINGE_SQL),
     "doc_dedup_clusters": (doc_dedup_clusters, DOC_DEDUP_CLUSTERS_SQL),
