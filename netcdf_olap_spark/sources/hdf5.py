@@ -1,0 +1,942 @@
+"""Vendored pure-numpy HDF5 reader/writer for NetCDF-4 ingest.
+
+The reference reads NetCDF files through NetCDF-Java (`edu.ucar:cdm`,
+gddp/build.sbt; Gddp.scala:53-56), which handles BOTH the classic
+CDF-1/CDF-2 format and the NetCDF-4 (HDF5-container) format. Our
+vendored classic reader (sources/netcdf3.py) covers the former; this
+module closes the remaining input-format gap: .nc files that are HDF5
+containers — the default output of netCDF-C ≥4.0 / h5netcdf / xarray's
+``engine="netcdf4"``.
+
+Implemented against the public *HDF5 File Format Specification*
+(HDF Group, version 3.0 of the spec document) — not a port of any
+library. Scope is the structural subset the netCDF-4 default writer
+(HDF5 1.8-compatible "earliest" format) emits:
+
+- superblock v0/v1, little-endian, 8-byte offsets/lengths
+- v1 object headers (+ continuation blocks)
+- symbol-table groups (v1 B-tree + local heap + SNOD nodes)
+- messages: NIL, dataspace (v1/v2), datatype (fixed/float/string/vlen),
+  fill value (v1/v2/v3), data layout v3 (compact/contiguous/chunked),
+  filter pipeline (v1/v2: deflate, shuffle, fletcher32), attributes
+  (v1/v2/v3), object-header continuation, symbol table, mtime
+- chunked data via the v1 chunk B-tree, with edge-chunk clipping
+- vlen-string attribute values via the global heap (GCOL)
+
+Also implemented, for "latest" libver files: superblock v2/v3, v2
+("OHDR") object headers with OCHK continuation blocks, compact
+link-message groups, and the Jenkins lookup3 checksum those
+structures carry (validated against the algorithm's published test
+vectors). Out of scope (clear errors, documented in README's format
+matrix): dense (fractal-heap) groups, version-4 data layouts
+(HDF5 ≥1.10 chunk indexes), compound/enum/reference datatypes, szip.
+
+The writer exists to make fixtures for the reader (the container has
+no HDF5 library to generate files with) and doubles as an HDF5 sink.
+Round-trip tests alone could hide complementary reader/writer bugs,
+so tests/test_hdf5.py also asserts raw on-disk structure —
+signatures, superblock field offsets, message type codes, chunk
+B-tree keys — straight from the spec document.
+
+Scale note: like sources/netcdf3.py this parses ONE file's bytes in
+memory; distribution happens a level up (sources/netcdf.py
+ingest_directory — binaryFile + mapInPandas, one file per task).
+"""
+
+from __future__ import annotations
+
+import itertools
+import struct
+import zlib
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+
+UNDEF = 0xFFFFFFFFFFFFFFFF
+HDF5_MAGIC = b"\x89HDF\r\n\x1a\n"
+
+# message type codes (spec section IV.A.2)
+MSG_NIL = 0x0000
+MSG_DATASPACE = 0x0001
+MSG_LINK_INFO = 0x0002
+MSG_DATATYPE = 0x0003
+MSG_FILL_OLD = 0x0004
+MSG_FILL = 0x0005
+MSG_LINK = 0x0006
+MSG_LAYOUT = 0x0008
+MSG_GROUP_INFO = 0x000A
+MSG_FILTER = 0x000B
+MSG_ATTRIBUTE = 0x000C
+MSG_CONTINUATION = 0x0010
+MSG_SYMBOL_TABLE = 0x0011
+MSG_MTIME = 0x0012
+
+# datatype classes
+CLS_FIXED = 0
+CLS_FLOAT = 1
+CLS_TIME = 2
+CLS_STRING = 3
+CLS_OPAQUE = 5
+CLS_VLEN = 9
+
+# filter ids
+FILTER_DEFLATE = 1
+FILTER_SHUFFLE = 2
+FILTER_FLETCHER32 = 3
+
+
+_M32 = 0xFFFFFFFF
+
+
+def lookup3(data: bytes, initval: int = 0) -> int:
+    """Bob Jenkins' lookup3 ``hashlittle`` — the checksum HDF5 uses on
+    v2 superblocks/object headers. Pure-Python port of the published
+    public-domain algorithm; tests pin the paper's self-test vectors
+    ("Four score and seven years ago" → 0x17770551 / 0xcd628161)."""
+
+    def rot(x: int, k: int) -> int:
+        return ((x << k) | (x >> (32 - k))) & _M32
+
+    def mix(a: int, b: int, c: int) -> tuple[int, int, int]:
+        a = (a - c) & _M32; a ^= rot(c, 4);  c = (c + b) & _M32  # noqa: E702
+        b = (b - a) & _M32; b ^= rot(a, 6);  a = (a + c) & _M32  # noqa: E702
+        c = (c - b) & _M32; c ^= rot(b, 8);  b = (b + a) & _M32  # noqa: E702
+        a = (a - c) & _M32; a ^= rot(c, 16); c = (c + b) & _M32  # noqa: E702
+        b = (b - a) & _M32; b ^= rot(a, 19); a = (a + c) & _M32  # noqa: E702
+        c = (c - b) & _M32; c ^= rot(b, 4);  b = (b + a) & _M32  # noqa: E702
+        return a, b, c
+
+    length = len(data)
+    a = b = c = (0xDEADBEEF + length + initval) & _M32
+    i = 0
+    while length > 12:
+        a = (a + int.from_bytes(data[i : i + 4], "little")) & _M32
+        b = (b + int.from_bytes(data[i + 4 : i + 8], "little")) & _M32
+        c = (c + int.from_bytes(data[i + 8 : i + 12], "little")) & _M32
+        a, b, c = mix(a, b, c)
+        i += 12
+        length -= 12
+    if length == 0:
+        return c
+    last = data[i : i + length] + b"\x00" * (12 - length)
+    a = (a + int.from_bytes(last[0:4], "little")) & _M32
+    b = (b + int.from_bytes(last[4:8], "little")) & _M32
+    c = (c + int.from_bytes(last[8:12], "little")) & _M32
+    # final()
+    def rot_(x, k):
+        return ((x << k) | (x >> (32 - k))) & _M32
+
+    c ^= b; c = (c - rot_(b, 14)) & _M32  # noqa: E702
+    a ^= c; a = (a - rot_(c, 11)) & _M32  # noqa: E702
+    b ^= a; b = (b - rot_(a, 25)) & _M32  # noqa: E702
+    c ^= b; c = (c - rot_(b, 16)) & _M32  # noqa: E702
+    a ^= c; a = (a - rot_(c, 4)) & _M32  # noqa: E702
+    b ^= a; b = (b - rot_(a, 14)) & _M32  # noqa: E702
+    c ^= b; c = (c - rot_(b, 24)) & _M32  # noqa: E702
+    return c
+
+
+@dataclass
+class H5Var:
+    name: str
+    shape: tuple[int, ...]
+    attributes: dict[str, Any]
+    dtype: np.dtype
+    data: np.ndarray
+
+    def __getitem__(self, key):
+        return self.data[key]
+
+
+@dataclass
+class H5File:
+    attributes: dict[str, Any] = field(default_factory=dict)
+    variables: dict[str, H5Var] = field(default_factory=dict)
+
+
+def is_hdf5(content: bytes) -> bool:
+    return content[:8] == HDF5_MAGIC
+
+
+# ---------------------------------------------------------------------------
+# reader
+# ---------------------------------------------------------------------------
+
+
+class _DT:
+    """Decoded datatype message: enough to map to a numpy dtype."""
+
+    def __init__(self, cls: int, size: int, little: bool, signed: bool, base: "_DT | None" = None, vlen_string: bool = False):
+        self.cls = cls
+        self.size = size
+        self.little = little
+        self.signed = signed
+        self.base = base
+        self.vlen_string = vlen_string
+
+    def numpy(self) -> np.dtype:
+        bo = "<" if self.little else ">"
+        if self.cls == CLS_FIXED:
+            return np.dtype(f"{bo}{'i' if self.signed else 'u'}{self.size}")
+        if self.cls == CLS_FLOAT:
+            if self.size not in (2, 4, 8):
+                raise NotImplementedError(f"float datatype of size {self.size}")
+            return np.dtype(f"{bo}f{self.size}")
+        if self.cls == CLS_STRING:
+            return np.dtype(f"S{self.size}")
+        raise NotImplementedError(f"datatype class {self.cls} has no numpy mapping")
+
+
+def _parse_datatype(buf: bytes, pos: int) -> tuple[_DT, int]:
+    """Parse a datatype message at ``pos``; returns (dt, bytes consumed)."""
+    b0 = buf[pos]
+    version, cls = b0 >> 4, b0 & 0x0F
+    if version not in (1, 2, 3):
+        raise NotImplementedError(f"datatype message version {version}")
+    bits = buf[pos + 1 : pos + 4]
+    (size,) = struct.unpack_from("<I", buf, pos + 4)
+    little = not (bits[0] & 0x01)
+    consumed = 8
+    if cls == CLS_FIXED:
+        consumed += 4  # bit offset (2) + precision (2)
+        return _DT(cls, size, little, bool(bits[0] & 0x08)), consumed
+    if cls == CLS_FLOAT:
+        consumed += 12  # offset/precision/exp/man fields + bias
+        return _DT(cls, size, little, True), consumed
+    if cls == CLS_STRING:
+        return _DT(cls, size, True, False), consumed
+    if cls == CLS_VLEN:
+        vtype = bits[0] & 0x0F
+        base, base_used = _parse_datatype(buf, pos + 8)
+        return _DT(cls, size, True, False, base=base, vlen_string=(vtype == 1)), consumed + base_used
+    if cls == CLS_TIME:
+        consumed += 2
+        return _DT(cls, size, little, False), consumed
+    raise NotImplementedError(f"datatype class {cls} (compound/enum/reference not supported)")
+
+
+def _parse_dataspace(buf: bytes, pos: int) -> tuple[int, ...]:
+    version = buf[pos]
+    ndim = buf[pos + 1]
+    if version == 1:
+        dim_pos = pos + 8  # version, dim, flags, reserved(5)
+    elif version == 2:
+        dim_pos = pos + 4  # version, dim, flags, type
+    else:
+        raise NotImplementedError(f"dataspace message version {version}")
+    return tuple(struct.unpack_from(f"<{ndim}Q", buf, dim_pos)) if ndim else ()
+
+
+class _Reader:
+    def __init__(self, buf: bytes):
+        if not is_hdf5(buf):
+            raise ValueError("not an HDF5 file (missing \\x89HDF signature)")
+        self.buf = buf
+        sb_ver = buf[8]
+        self.root_btree = self.root_heap = UNDEF
+        if sb_ver in (0, 1):
+            if buf[13] != 8 or buf[14] != 8:
+                raise NotImplementedError("only 8-byte offsets/lengths supported")
+            # root group symbol table entry after the fixed fields:
+            # sig(8) + version/reserved(8..12) + offsets/lengths/res(13..15)
+            # + group-k(16..19) + flags(20..23) = 24; v1 adds 4 (indexed-k);
+            # then base/fs/eof/driver addrs (32)
+            ste = 24 + (4 if sb_ver == 1 else 0) + 32
+            self.root_header_addr = struct.unpack_from("<Q", buf, ste + 8)[0]
+            cache = struct.unpack_from("<I", buf, ste + 16)[0]
+            if cache == 1:
+                self.root_btree, self.root_heap = struct.unpack_from("<QQ", buf, ste + 24)
+        elif sb_ver in (2, 3):
+            # sig(8) ver(1) offsz(1) lensz(1) flags(1) base(8) ext(8)
+            # eof(8) root-ohdr(8) checksum(4)
+            if buf[9] != 8 or buf[10] != 8:
+                raise NotImplementedError("only 8-byte offsets/lengths supported")
+            self.root_header_addr = struct.unpack_from("<Q", buf, 36)[0]
+        else:
+            raise NotImplementedError(f"HDF5 superblock version {sb_ver}")
+
+    # -- object header ------------------------------------------------------
+
+    def messages(self, addr: int) -> list[tuple[int, int, int]]:
+        """All (type, body_offset, body_size) of a v1 or v2 ("OHDR")
+        object header, following continuation blocks."""
+        buf = self.buf
+        if buf[addr : addr + 4] == b"OHDR":
+            return self._messages_v2(addr)
+        if buf[addr] != 1:
+            raise ValueError(f"bad object header version {buf[addr]} at {addr:#x}")
+        nmsgs = struct.unpack_from("<H", buf, addr + 2)[0]
+        hdr_size = struct.unpack_from("<I", buf, addr + 8)[0]
+        blocks = [(addr + 16, addr + 16 + hdr_size)]
+        out: list[tuple[int, int, int]] = []
+        bi = 0
+        while bi < len(blocks) and len(out) < nmsgs:
+            pos, end = blocks[bi]
+            bi += 1
+            while pos + 8 <= end and len(out) < nmsgs:
+                mtype, msize = struct.unpack_from("<HH", buf, pos)
+                body = pos + 8
+                if mtype == MSG_CONTINUATION:
+                    o, length = struct.unpack_from("<QQ", buf, body)
+                    blocks.append((o, o + length))
+                else:
+                    out.append((mtype, body, msize))
+                pos = body + msize
+        return out
+
+    def _messages_v2(self, addr: int) -> list[tuple[int, int, int]]:
+        """v2 ("OHDR") object header: no message count — parse each
+        chunk until its end; OCHK continuation blocks carry a
+        signature and trailing checksum."""
+        buf = self.buf
+        flags = buf[addr + 5]
+        p = addr + 6
+        if flags & 0x20:
+            p += 16  # access/mod/change/birth times
+        if flags & 0x10:
+            p += 4  # max-compact / min-dense attribute counts
+        size_bytes = 1 << (flags & 0x3)
+        chunk0 = int.from_bytes(buf[p : p + size_bytes], "little")
+        p += size_bytes
+        corder = 2 if flags & 0x04 else 0  # creation-order field per message
+        blocks = [(p, p + chunk0)]
+        out: list[tuple[int, int, int]] = []
+        bi = 0
+        while bi < len(blocks):
+            pos, end = blocks[bi]
+            bi += 1
+            while pos + 4 + corder <= end:
+                mtype = buf[pos]
+                (msize,) = struct.unpack_from("<H", buf, pos + 1)
+                body = pos + 4 + corder
+                if body + msize > end:
+                    break  # trailing gap (< one message header)
+                if mtype == MSG_CONTINUATION:
+                    o, length = struct.unpack_from("<QQ", buf, body)
+                    assert buf[o : o + 4] == b"OCHK", "bad continuation signature"
+                    blocks.append((o + 4, o + length - 4))  # strip sig + checksum
+                else:
+                    out.append((mtype, body, msize))
+                pos = body + msize
+        return out
+
+    def parse_link(self, pos: int) -> tuple[str, int] | None:
+        """Hard Link message → (name, object header address); soft and
+        external links → None."""
+        buf = self.buf
+        flags = buf[pos + 1]
+        p = pos + 2
+        ltype = 0
+        if flags & 0x08:
+            ltype = buf[p]
+            p += 1
+        if flags & 0x04:
+            p += 8  # creation order
+        if flags & 0x10:
+            p += 1  # charset
+        lsz = 1 << (flags & 0x3)
+        nlen = int.from_bytes(buf[p : p + lsz], "little")
+        p += lsz
+        name = buf[p : p + nlen].decode("utf-8")
+        p += nlen
+        if ltype != 0:
+            return None
+        return name, struct.unpack_from("<Q", buf, p)[0]
+
+    def link_info_is_dense(self, pos: int) -> bool:
+        flags = self.buf[pos + 1]
+        p = pos + 2 + (8 if flags & 0x01 else 0)
+        fheap = struct.unpack_from("<Q", self.buf, p)[0]
+        return fheap != UNDEF
+
+    # -- groups (symbol table path) ----------------------------------------
+
+    def group_links(self, btree_addr: int, heap_addr: int) -> list[tuple[str, int]]:
+        """(name, object header address) pairs from a v1 group B-tree."""
+        buf = self.buf
+        assert buf[heap_addr : heap_addr + 4] == b"HEAP", "bad local heap signature"
+        heap_data = struct.unpack_from("<Q", buf, heap_addr + 24)[0]
+
+        def heap_str(off: int) -> str:
+            end = buf.index(b"\x00", heap_data + off)
+            return buf[heap_data + off : end].decode("utf-8")
+
+        out: list[tuple[str, int]] = []
+
+        def walk(addr: int) -> None:
+            assert buf[addr : addr + 4] == b"TREE", "bad group B-tree signature"
+            node_type, level = buf[addr + 4], buf[addr + 5]
+            assert node_type == 0, f"expected group B-tree, got node type {node_type}"
+            entries = struct.unpack_from("<H", buf, addr + 6)[0]
+            pos = addr + 24
+            for i in range(entries):
+                child = struct.unpack_from("<Q", buf, pos + 8 + i * 16)[0]
+                if level > 0:
+                    walk(child)
+                else:  # SNOD leaf
+                    assert buf[child : child + 4] == b"SNOD", "bad symbol node signature"
+                    nsym = struct.unpack_from("<H", buf, child + 6)[0]
+                    for s in range(nsym):
+                        e = child + 8 + s * 40
+                        name_off, ohdr = struct.unpack_from("<QQ", buf, e)
+                        out.append((heap_str(name_off), ohdr))
+
+        walk(btree_addr)
+        return out
+
+    # -- attributes ---------------------------------------------------------
+
+    def _gheap_object(self, addr: int, index: int) -> bytes:
+        buf = self.buf
+        assert buf[addr : addr + 4] == b"GCOL", "bad global heap signature"
+        size = struct.unpack_from("<Q", buf, addr + 8)[0]
+        pos, end = addr + 16, addr + size
+        while pos + 16 <= end:
+            idx, _ref = struct.unpack_from("<HH", buf, pos)
+            osize = struct.unpack_from("<Q", buf, pos + 8)[0]
+            if idx == 0:
+                break
+            if idx == index:
+                return buf[pos + 16 : pos + 16 + osize]
+            pos += 16 + ((osize + 7) & ~7)
+        raise ValueError(f"global heap object {index} not found at {addr:#x}")
+
+    def _attr_values(self, dt: _DT, shape: tuple[int, ...], pos: int) -> Any:
+        n = int(np.prod(shape)) if shape else 1
+        if dt.cls == CLS_VLEN and dt.vlen_string:
+            vals = []
+            for i in range(n):
+                p = pos + i * 16
+                (length,) = struct.unpack_from("<I", self.buf, p)
+                gaddr, gidx = struct.unpack_from("<QI", self.buf, p + 4)
+                vals.append(self._gheap_object(gaddr, gidx)[:length].decode("utf-8"))
+            return vals[0] if not shape else vals
+        npdt = dt.numpy()
+        arr = np.frombuffer(self.buf, dtype=npdt, count=n, offset=pos)
+        if dt.cls == CLS_STRING:
+            s = arr[0].rstrip(b"\x00").decode("utf-8")
+            return s if not shape else [v.rstrip(b"\x00").decode("utf-8") for v in arr]
+        if not shape:
+            return arr[0].item()
+        return arr.reshape(shape).copy()
+
+    def parse_attribute(self, pos: int) -> tuple[str, Any]:
+        buf = self.buf
+        version = buf[pos]
+        if version not in (1, 2, 3):
+            raise NotImplementedError(f"attribute message version {version}")
+        name_size, dt_size, ds_size = struct.unpack_from("<HHH", buf, pos + 2)
+        if version >= 2 and buf[pos + 1] & 0x03:
+            raise NotImplementedError("shared datatype/dataspace in attribute")
+        p = pos + 8 + (1 if version == 3 else 0)  # v3: +1 name-encoding byte
+        pad = (lambda n: (n + 7) & ~7) if version == 1 else (lambda n: n)
+        name = buf[p : p + name_size].split(b"\x00")[0].decode("utf-8")
+        p += pad(name_size)
+        dt, _ = _parse_datatype(buf, p)
+        p += pad(dt_size)
+        shape = _parse_dataspace(buf, p)
+        p += pad(ds_size)
+        return name, self._attr_values(dt, shape, p)
+
+    # -- dataset data -------------------------------------------------------
+
+    def _chunk_entries(self, addr: int, ndim: int) -> list[tuple[tuple[int, ...], int, int, int]]:
+        """(offsets, data address, stored size, filter mask) for every
+        chunk in a v1 chunk B-tree (node type 1)."""
+        buf = self.buf
+        out: list[tuple[tuple[int, ...], int, int, int]] = []
+        key_size = 8 + 8 * (ndim + 1)
+
+        def walk(a: int) -> None:
+            assert buf[a : a + 4] == b"TREE", "bad chunk B-tree signature"
+            node_type, level = buf[a + 4], buf[a + 5]
+            assert node_type == 1, f"expected chunk B-tree, got node type {node_type}"
+            entries = struct.unpack_from("<H", buf, a + 6)[0]
+            pos = a + 24
+            for _ in range(entries):
+                nbytes, mask = struct.unpack_from("<II", buf, pos)
+                offs = struct.unpack_from(f"<{ndim + 1}Q", buf, pos + 8)
+                child = struct.unpack_from("<Q", buf, pos + key_size)[0]
+                if level > 0:
+                    walk(child)
+                else:
+                    out.append((offs[:ndim], child, nbytes, mask))
+                pos += key_size + 8
+
+        if addr != UNDEF:
+            walk(addr)
+        return out
+
+    @staticmethod
+    def _defilter(raw: bytes, filters: list[tuple[int, tuple[int, ...]]], mask: int) -> bytes:
+        # filters applied in reverse pipeline order on read
+        for i in reversed(range(len(filters))):
+            fid, client = filters[i]
+            if mask & (1 << i):
+                continue
+            if fid == FILTER_DEFLATE:
+                raw = zlib.decompress(raw)
+            elif fid == FILTER_SHUFFLE:
+                es = client[0] if client else 1
+                if es > 1:
+                    raw = np.frombuffer(raw, "u1").reshape(es, -1).T.tobytes()
+            elif fid == FILTER_FLETCHER32:
+                raw = raw[:-4]
+            else:
+                raise NotImplementedError(f"HDF5 filter id {fid}")
+        return raw
+
+    def read_dataset(self, msgs: list[tuple[int, int, int]], name: str) -> H5Var:
+        buf = self.buf
+        dt: _DT | None = None
+        shape: tuple[int, ...] = ()
+        attrs: dict[str, Any] = {}
+        layout: tuple[Any, ...] | None = None
+        filters: list[tuple[int, tuple[int, ...]]] = []
+        for mtype, pos, _size in msgs:
+            if mtype == MSG_DATATYPE:
+                dt, _ = _parse_datatype(buf, pos)
+            elif mtype == MSG_DATASPACE:
+                shape = _parse_dataspace(buf, pos)
+            elif mtype == MSG_ATTRIBUTE:
+                k, v = self.parse_attribute(pos)
+                attrs[k] = v
+            elif mtype == MSG_LAYOUT:
+                layout = self._parse_layout(pos)
+            elif mtype == MSG_FILTER:
+                filters = self._parse_filters(pos)
+        if dt is None or layout is None:
+            raise ValueError(f"dataset {name!r} missing datatype or layout message")
+        npdt = dt.numpy()
+        n = int(np.prod(shape)) if shape else 1
+
+        kind = layout[0]
+        if kind == "compact":
+            data = np.frombuffer(layout[1], dtype=npdt, count=n).reshape(shape)
+        elif kind == "contiguous":
+            addr, _dsize = layout[1], layout[2]
+            if addr == UNDEF:  # never allocated → all fill
+                data = np.full(shape, np.nan, dtype=npdt) if npdt.kind == "f" else np.zeros(shape, dtype=npdt)
+            else:
+                data = np.frombuffer(buf, dtype=npdt, count=n, offset=addr).reshape(shape)
+        elif kind == "chunked":
+            btree_addr, chunk_shape = layout[1], layout[2]
+            data = np.full(shape, np.nan, dtype=npdt) if npdt.kind == "f" else np.zeros(shape, dtype=npdt)
+            for offs, caddr, nbytes, mask in self._chunk_entries(btree_addr, len(shape)):
+                raw = self._defilter(buf[caddr : caddr + nbytes], filters, mask)
+                chunk = np.frombuffer(raw, dtype=npdt, count=int(np.prod(chunk_shape))).reshape(chunk_shape)
+                sel = tuple(
+                    slice(o, min(o + c, s)) for o, c, s in zip(offs, chunk_shape, shape)
+                )
+                clip = tuple(slice(0, sl.stop - sl.start) for sl in sel)
+                data[sel] = chunk[clip]
+        else:  # pragma: no cover
+            raise NotImplementedError(kind)
+        return H5Var(name, shape, attrs, npdt, np.ascontiguousarray(data))
+
+    def _parse_layout(self, pos: int) -> tuple[Any, ...]:
+        buf = self.buf
+        version = buf[pos]
+        if version != 3:
+            raise NotImplementedError(f"data layout message version {version} (only v3 supported)")
+        cls = buf[pos + 1]
+        if cls == 0:  # compact
+            (size,) = struct.unpack_from("<H", buf, pos + 2)
+            return ("compact", buf[pos + 4 : pos + 4 + size])
+        if cls == 1:  # contiguous
+            addr, size = struct.unpack_from("<QQ", buf, pos + 2)
+            return ("contiguous", addr, size)
+        if cls == 2:  # chunked
+            ndim_p1 = buf[pos + 2]
+            (btree,) = struct.unpack_from("<Q", buf, pos + 3)
+            dims = struct.unpack_from(f"<{ndim_p1}I", buf, pos + 11)
+            return ("chunked", btree, tuple(dims[:-1]))  # last dim = element size
+        raise NotImplementedError(f"layout class {cls}")
+
+    def _parse_filters(self, pos: int) -> list[tuple[int, tuple[int, ...]]]:
+        buf = self.buf
+        version, nfilters = buf[pos], buf[pos + 1]
+        out: list[tuple[int, tuple[int, ...]]] = []
+        p = pos + (8 if version == 1 else 2)
+        for _ in range(nfilters):
+            (fid,) = struct.unpack_from("<H", buf, p)
+            p += 2
+            name_len = 0
+            if version == 1 or fid >= 256:
+                (name_len,) = struct.unpack_from("<H", buf, p)
+                p += 2
+            _flags, ncv = struct.unpack_from("<HH", buf, p)
+            p += 4 + name_len
+            client = struct.unpack_from(f"<{ncv}I", buf, p)
+            p += 4 * ncv
+            if version == 1 and ncv % 2 == 1:
+                p += 4
+            out.append((fid, client))
+        return out
+
+
+def read_hdf5(content: bytes) -> H5File:
+    """Parse an HDF5 (NetCDF-4 container) file from bytes into the same
+    shape as ``read_netcdf3``: variables + attributes, data fully
+    materialized as numpy arrays."""
+    r = _Reader(content)
+    out = H5File()
+
+    root_msgs = r.messages(r.root_header_addr)
+    btree, heap = r.root_btree, r.root_heap
+    links: list[tuple[str, int]] = []
+    for mtype, pos, _size in root_msgs:
+        if mtype == MSG_SYMBOL_TABLE:
+            btree, heap = struct.unpack_from("<QQ", r.buf, pos)
+        elif mtype == MSG_ATTRIBUTE:
+            k, v = r.parse_attribute(pos)
+            out.attributes[k] = v
+        elif mtype == MSG_LINK:  # compact 'latest'-libver group
+            if (lk := r.parse_link(pos)) is not None:
+                links.append(lk)
+        elif mtype == MSG_LINK_INFO and r.link_info_is_dense(pos):
+            raise NotImplementedError("dense (fractal-heap) groups not supported")
+    if btree != UNDEF:
+        links = r.group_links(btree, heap)
+    elif not links:
+        return out
+
+    for name, ohdr in links:
+        msgs = r.messages(ohdr)
+        types = {t for t, _, _ in msgs}
+        if MSG_SYMBOL_TABLE in types:
+            continue  # sub-group: netCDF-4 classic model keeps all vars in root
+        if MSG_LAYOUT not in types:
+            continue
+        out.variables[name] = r.read_dataset(msgs, name)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# writer (fixture generator + HDF5 sink)
+# ---------------------------------------------------------------------------
+
+
+def _dt_message(arr: np.ndarray) -> bytes:
+    """Datatype message body for the array's dtype (v1, little-endian)."""
+    dt = arr.dtype
+    if dt.kind == "f":
+        if dt.itemsize == 8:
+            props = struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023)
+            bits = bytes([0x20, 63, 0])
+        elif dt.itemsize == 4:
+            props = struct.pack("<HHBBBBI", 0, 32, 23, 8, 0, 23, 127)
+            bits = bytes([0x20, 31, 0])
+        else:
+            raise NotImplementedError(f"cannot write dtype {dt}")
+        return bytes([0x11]) + bits + struct.pack("<I", dt.itemsize) + props
+    if dt.kind in "iu":
+        bits = bytes([0x08 if dt.kind == "i" else 0x00, 0, 0])
+        props = struct.pack("<HH", 0, dt.itemsize * 8)
+        return bytes([0x10]) + bits + struct.pack("<I", dt.itemsize) + props
+    if dt.kind == "S":
+        return bytes([0x13, 0x00, 0x00, 0x00]) + struct.pack("<I", dt.itemsize)
+    raise NotImplementedError(f"cannot write dtype {dt}")
+
+
+def _ds_message(shape: tuple[int, ...]) -> bytes:
+    # dataspace v1: version, ndim, flags, reserved(5), dims
+    return struct.pack("<BBB5x", 1, len(shape), 0) + b"".join(struct.pack("<Q", d) for d in shape)
+
+
+def _pad8(b: bytes) -> bytes:
+    return b + b"\x00" * (-len(b) % 8)
+
+
+def _attr_message(name: str, value: Any) -> bytes:
+    """Attribute message v1: name/datatype/dataspace sections padded to 8."""
+    if isinstance(value, str):
+        arr = np.array(value.encode("utf-8") + b"\x00", dtype=f"S{len(value.encode('utf-8')) + 1}")
+        shape: tuple[int, ...] = ()
+    else:
+        a = np.asarray(value)
+        if a.dtype.kind == "f":
+            a = a.astype("<f8")
+        elif a.dtype.kind in "iu":
+            a = a.astype("<i8") if a.dtype.kind == "i" else a.astype("<u8")
+        arr, shape = a, a.shape
+    nameb = name.encode("utf-8") + b"\x00"
+    dtm = _dt_message(arr.reshape(-1)[:1] if arr.shape else arr)
+    dsm = _ds_message(shape)
+    head = struct.pack("<BxHHH", 1, len(nameb), len(dtm), len(dsm))
+    return head + _pad8(nameb) + _pad8(dtm) + _pad8(dsm) + arr.tobytes()
+
+
+def _msg(mtype: int, body: bytes) -> bytes:
+    body = _pad8(body)
+    return struct.pack("<HHB3x", mtype, len(body), 0) + body
+
+
+def _object_header(messages: list[bytes]) -> bytes:
+    blob = b"".join(messages)
+    return struct.pack("<BxHII4x", 1, len(messages), 1, len(blob)) + blob
+
+
+def _msg_v2(mtype: int, body: bytes) -> bytes:
+    # v2 headers pack messages without alignment padding
+    return struct.pack("<BHB", mtype, len(body), 0) + body
+
+
+def _object_header_v2(messages: list[bytes]) -> bytes:
+    blob = b"".join(messages)
+    # flags 0x02: chunk-0 size stored as 4 bytes; no times, no phase change
+    head = b"OHDR" + struct.pack("<BBI", 2, 0x02, len(blob))
+    body = head + blob
+    return body + struct.pack("<I", lookup3(body))
+
+
+def _link_msg(name: str, ohdr_addr: int) -> bytes:
+    nameb = name.encode("utf-8")
+    assert len(nameb) < 256
+    # v1, flags 0: hard link, 1-byte name length, no creation order/charset
+    return struct.pack("<BBB", 1, 0, len(nameb)) + nameb + struct.pack("<Q", ohdr_addr)
+
+
+def _shuffle_bytes(raw: bytes, es: int) -> bytes:
+    return np.frombuffer(raw, "u1").reshape(-1, es).T.tobytes()
+
+
+def write_hdf5(
+    variables: dict[str, tuple[np.ndarray, dict[str, Any]]],
+    global_attrs: dict[str, Any] | None = None,
+    chunks: dict[str, tuple[int, ...]] | None = None,
+    gzip: int | None = None,
+    shuffle: bool = False,
+    libver: str = "earliest",
+) -> bytes:
+    """Serialize arrays to an HDF5 file.
+
+    ``libver="earliest"`` (default): superblock v0, v1 object headers,
+    symbol-table root group — the structural profile the netCDF-4
+    default writer produces. ``libver="latest"``: superblock v2, v2
+    ("OHDR") object headers with lookup3 checksums, compact
+    link-message root group — the HDF5 1.10 "latest" profile.
+
+    ``variables``: name -> (array, attributes). Arrays keep their
+    dtype (f4/f8/int/S supported). ``chunks`` maps variable names to
+    chunk shapes (unlisted vars are contiguous); ``gzip`` enables the
+    deflate filter on chunked vars at that level, ``shuffle`` prepends
+    the byte-shuffle filter.
+    """
+    if libver not in ("earliest", "latest"):
+        raise ValueError(f"libver must be 'earliest' or 'latest', got {libver!r}")
+    global_attrs = dict(global_attrs or {})
+    global_attrs.setdefault("_NCProperties", "version=2,netcdf=vendored,hdf5=vendored")
+    chunks = chunks or {}
+    names = sorted(variables)
+
+    # --- local heap: offset 0 = empty string, then each name padded to 8
+    heap_data = bytearray(8)
+    name_off: dict[str, int] = {}
+    for nm in names:
+        name_off[nm] = len(heap_data)
+        heap_data += _pad8(nm.encode("utf-8") + b"\x00")
+    heap_hdr_size = 32
+    heap_size = heap_hdr_size + len(heap_data)
+
+    enc = _msg if libver == "earliest" else _msg_v2
+    hdr = _object_header if libver == "earliest" else _object_header_v2
+
+    # --- per-variable messages (addresses patched in second pass)
+    def var_header(nm: str, data_addr: int, btree_addr: int) -> bytes:
+        arr, attrs = variables[nm]
+        arr = np.ascontiguousarray(arr)
+        msgs = [
+            enc(MSG_DATASPACE, _ds_message(arr.shape)),
+            enc(MSG_DATATYPE, _dt_message(arr)),
+            # fill value v2: alloc time = late(2), write time = never(2), undefined
+            enc(MSG_FILL, struct.pack("<BBBB", 2, 2, 2, 0)),
+        ]
+        if nm in chunks:
+            cs = chunks[nm]
+            body = struct.pack("<BBB", 3, 2, len(cs) + 1) + struct.pack("<Q", btree_addr)
+            body += b"".join(struct.pack("<I", c) for c in cs) + struct.pack("<I", arr.dtype.itemsize)
+            msgs.append(enc(MSG_LAYOUT, body))
+            pipeline = []
+            if shuffle:
+                pipeline.append((FILTER_SHUFFLE, (arr.dtype.itemsize,)))
+            if gzip is not None:
+                pipeline.append((FILTER_DEFLATE, (gzip,)))
+            if pipeline:
+                fbody = struct.pack("<BB6x", 1, len(pipeline))
+                for fid, client in pipeline:
+                    fname = {FILTER_DEFLATE: b"deflate\x00", FILTER_SHUFFLE: b"shuffle\x00"}[fid]
+                    fbody += struct.pack("<HHHH", fid, len(fname), 1, len(client)) + fname
+                    fbody += b"".join(struct.pack("<I", c) for c in client)
+                    if len(client) % 2 == 1:
+                        fbody += b"\x00\x00\x00\x00"
+                msgs.append(enc(MSG_FILTER, fbody))
+        else:
+            msgs.append(enc(MSG_LAYOUT, struct.pack("<BBQQ", 3, 1, data_addr, arr.nbytes)))
+        for k, v in attrs.items():
+            msgs.append(enc(MSG_ATTRIBUTE, _attr_message(k, v)))
+        return hdr(msgs)
+
+    def chunk_blobs(nm: str) -> list[tuple[tuple[int, ...], bytes]]:
+        arr, _ = variables[nm]
+        arr = np.ascontiguousarray(arr)
+        cs = chunks[nm]
+        grids = [range(0, s, c) for s, c in zip(arr.shape, cs)]
+        out = []
+        for offs in itertools.product(*grids):
+            sel = tuple(slice(o, min(o + c, s)) for o, c, s in zip(offs, cs, arr.shape))
+            chunk = np.zeros(cs, dtype=arr.dtype)
+            piece = arr[sel]
+            chunk[tuple(slice(0, p) for p in piece.shape)] = piece
+            raw = chunk.tobytes()
+            if shuffle:
+                raw = _shuffle_bytes(raw, arr.dtype.itemsize)
+            if gzip is not None:
+                raw = zlib.compress(raw, gzip)
+            out.append((offs, raw))
+        return out
+
+    # --- shared per-variable pieces (headers, chunk B-trees, data)
+    def data_pieces(addr: dict[str, Any]) -> list[tuple[int, bytes]]:
+        pieces: list[tuple[int, bytes]] = []
+        for nm in names:
+            pieces.append(
+                (addr[f"ohdr:{nm}"], var_header(nm, addr.get(f"data:{nm}", UNDEF), addr.get(f"cbt:{nm}", UNDEF)))
+            )
+            if nm in chunks:
+                blobs = addr[f"blobs:{nm}"]
+                cbt = b"TREE" + struct.pack("<BBH", 1, 0, len(blobs)) + struct.pack("<QQ", UNDEF, UNDEF)
+                for offs, raw, caddr in blobs:
+                    cbt += struct.pack("<II", len(raw), 0)
+                    cbt += b"".join(struct.pack("<Q", o) for o in offs) + struct.pack("<Q", 0)
+                    cbt += struct.pack("<Q", caddr)
+                # final key (past-the-end)
+                arr = variables[nm][0]
+                cbt += struct.pack("<II", 0, 0)
+                cbt += b"".join(struct.pack("<Q", s) for s in arr.shape) + struct.pack("<Q", 0)
+                pieces.append((addr[f"cbt:{nm}"], cbt))
+                for offs, raw, caddr in blobs:
+                    pieces.append((caddr, raw))
+            else:
+                arr = np.ascontiguousarray(variables[nm][0])
+                pieces.append((addr[f"data:{nm}"], arr.tobytes()))
+        return pieces
+
+    def assemble(sb: bytes, pieces: list[tuple[int, bytes]], patch_eof_at: int) -> bytes:
+        total = max([len(sb)] + [a + len(b) for a, b in pieces])
+        out = bytearray(total)
+        out[0 : len(sb)] = sb
+        struct.pack_into("<Q", out, patch_eof_at, total)
+        for a, b in pieces:
+            out[a : a + len(b)] = b
+        return bytes(out)
+
+    # --- two-pass layout: sizes are address-independent
+    def build(addr: dict[str, Any]) -> bytes:
+        root_msgs = [
+            _msg(MSG_SYMBOL_TABLE, struct.pack("<QQ", addr["btree"], addr["heap"]))
+        ] + [_msg(MSG_ATTRIBUTE, _attr_message(k, v)) for k, v in global_attrs.items()]
+        pieces: list[tuple[int, bytes]] = [(addr["root"], _object_header(root_msgs))]
+
+        # group B-tree: one leaf entry → the single SNOD
+        bt = b"TREE" + struct.pack("<BBH", 0, 0, 1)
+        bt += struct.pack("<QQ", UNDEF, UNDEF)
+        last_off = name_off[names[-1]] if names else 0
+        bt += struct.pack("<QQQ", 0, addr["snod"], last_off)
+        pieces.append((addr["btree"], bt))
+
+        heap = b"HEAP" + struct.pack("<B3x", 0) + struct.pack("<QQQ", len(heap_data), 1, addr["heap_data"])
+        pieces.append((addr["heap"], heap))
+        pieces.append((addr["heap_data"], bytes(heap_data)))
+
+        snod = b"SNOD" + struct.pack("<BBH", 1, 0, len(names))
+        for nm in names:
+            snod += struct.pack("<QQI4x16x", name_off[nm], addr[f"ohdr:{nm}"], 0)
+        pieces.append((addr["snod"], snod))
+        pieces += data_pieces(addr)
+
+        sb = bytearray(96)
+        sb[0:8] = HDF5_MAGIC
+        sb[8:16] = struct.pack("<8B", 0, 0, 0, 0, 0, 8, 8, 0)
+        sb[16:20] = struct.pack("<HH", 4, 16)  # leaf k, internal k
+        sb[20:24] = struct.pack("<I", 0)
+        sb[24:56] = struct.pack("<QQQQ", 0, UNDEF, 0, UNDEF)  # EOF patched in assemble
+        # root symbol table entry
+        sb[56:96] = struct.pack("<QQI4xQQ", 0, addr["root"], 1, addr["btree"], addr["heap"])
+        return assemble(bytes(sb), pieces, patch_eof_at=40)
+
+    def root_header_latest(addr: dict[str, Any]) -> bytes:
+        # link info: no creation-order tracking, compact (fractal heap
+        # + name index both undefined); group info: defaults
+        msgs = [
+            _msg_v2(MSG_LINK_INFO, struct.pack("<BBQQ", 0, 0, UNDEF, UNDEF)),
+            _msg_v2(MSG_GROUP_INFO, struct.pack("<BB", 0, 0)),
+        ]
+        msgs += [_msg_v2(MSG_LINK, _link_msg(nm, addr.get(f"ohdr:{nm}", 0))) for nm in names]
+        msgs += [_msg_v2(MSG_ATTRIBUTE, _attr_message(k, v)) for k, v in global_attrs.items()]
+        return _object_header_v2(msgs)
+
+    def build_latest(addr: dict[str, Any]) -> bytes:
+        pieces = [(addr["root"], root_header_latest(addr))] + data_pieces(addr)
+        # superblock v2: sig, ver, offset/length sizes, flags, base,
+        # extension, EOF (patched), root header addr, lookup3 checksum
+        sb = HDF5_MAGIC + struct.pack("<BBBB", 2, 8, 8, 0)
+        sb += struct.pack("<QQQQ", 0, UNDEF, 0, addr["root"])
+        sb += struct.pack("<I", lookup3(sb))
+        out = assemble(sb, pieces, patch_eof_at=28)
+        # re-checksum with the patched EOF field
+        fixed = bytearray(out)
+        struct.pack_into("<I", fixed, 44, lookup3(bytes(fixed[:44])))
+        return bytes(fixed)
+
+    # materialize (possibly filtered) chunk payloads once; their sizes
+    # fix the layout
+    all_blobs: dict[str, list[tuple[tuple[int, ...], bytes]]] = {
+        nm: chunk_blobs(nm) for nm in names if nm in chunks
+    }
+
+    # message sizes are address-independent (addresses are fixed-width
+    # fields), so one sizing pass with dummy addresses fixes the layout
+    # and a second pass writes the real bytes
+    addr: dict[str, Any] = {}
+    cursor = 48 if libver == "latest" else 96
+
+    def alloc(key: str, size: int) -> int:
+        nonlocal cursor
+        a = cursor
+        addr[key] = a
+        cursor += (size + 7) & ~7
+        return a
+
+    if libver == "latest":
+        alloc("root", len(root_header_latest({f"ohdr:{nm}": 0 for nm in names})))
+    else:
+        root_hdr_size = len(
+            _object_header(
+                [_msg(MSG_SYMBOL_TABLE, struct.pack("<QQ", 0, 0))]
+                + [_msg(MSG_ATTRIBUTE, _attr_message(k, v)) for k, v in global_attrs.items()]
+            )
+        )
+        alloc("root", root_hdr_size)
+        alloc("btree", 24 + 24)
+        alloc("heap", heap_hdr_size)
+        alloc("heap_data", len(heap_data))
+        alloc("snod", 8 + 40 * len(names))
+    for nm in names:
+        hdr_bytes = var_header(nm, 0, 0)
+        alloc(f"ohdr:{nm}", len(hdr_bytes))
+        if nm in chunks:
+            ndim = len(variables[nm][0].shape)
+            key_size = 8 + 8 * (ndim + 1)
+            nblobs = len(all_blobs[nm])
+            alloc(f"cbt:{nm}", 24 + nblobs * (key_size + 8) + key_size)
+            placed = []
+            for offs, raw in all_blobs[nm]:
+                caddr = alloc(f"chunk:{nm}:{offs}", len(raw))
+                placed.append((offs, raw, caddr))
+            addr[f"blobs:{nm}"] = placed
+        else:
+            alloc(f"data:{nm}", variables[nm][0].nbytes)
+
+    return build_latest(addr) if libver == "latest" else build(addr)

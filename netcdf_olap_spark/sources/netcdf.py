@@ -193,17 +193,12 @@ def netcdf4_decoder(content: bytes, ds: str, variables: list[str] | None = None)
         nc.close()
 
 
-def netcdf3_decoder(content: bytes, ds: str, variables: list[str] | None = None) -> Iterator[pd.DataFrame]:
-    """Decode classic-format (CDF-1/CDF-2) NetCDF bytes with the
-    vendored pure-numpy reader (sources/netcdf3.py) — the real ``.nc``
-    path for containers without netCDF4, matching the reference's
-    input format (Gddp.scala:53-56). Same semantics as
-    ``netcdf4_decoder``: coords by ``long_name`` attribute then
-    conventional name, rectilinear 1-D axes meshed to 2-D,
-    ``_FillValue`` → NULL."""
-    from netcdf_olap_spark.sources.netcdf3 import read_netcdf3
-
-    nc = read_netcdf3(content)
+def _decode_vendored(nc: Any, ds: str, variables: list[str] | None) -> Iterator[pd.DataFrame]:
+    """Shared decode body over either vendored reader's file object
+    (``Nc3File`` or ``H5File``: ``variables`` maps name → object with
+    ``data``/``shape``/``attributes``). Coords by ``long_name``
+    attribute then conventional name, rectilinear 1-D axes meshed to
+    2-D, ``_FillValue`` → NULL."""
 
     def by_attr_or_name(long_name: str, names: tuple[str, ...]):
         for v in nc.variables.values():
@@ -224,6 +219,39 @@ def netcdf3_decoder(content: bytes, ds: str, variables: list[str] | None = None)
         fill = var.attributes.get("_FillValue")
         raw = np.asarray(var.data, dtype=np.float64)
         yield cube_to_pandas(ds, name, raw, time_hours, lat, lon, None if fill is None else float(fill))
+
+
+def netcdf3_decoder(content: bytes, ds: str, variables: list[str] | None = None) -> Iterator[pd.DataFrame]:
+    """Decode classic-format (CDF-1/CDF-2) NetCDF bytes with the
+    vendored pure-numpy reader (sources/netcdf3.py) — the real ``.nc``
+    path for containers without netCDF4, matching the reference's
+    input format (Gddp.scala:53-56). Same semantics as
+    ``netcdf4_decoder``."""
+    from netcdf_olap_spark.sources.netcdf3 import read_netcdf3
+
+    yield from _decode_vendored(read_netcdf3(content), ds, variables)
+
+
+def hdf5_decoder(content: bytes, ds: str, variables: list[str] | None = None) -> Iterator[pd.DataFrame]:
+    """Decode NetCDF-4 bytes (HDF5 container — the default output of
+    netCDF-C ≥4.0) with the vendored pure-numpy HDF5 reader
+    (sources/hdf5.py). The reference reads this format through
+    NetCDF-Java (Gddp.scala:53-56; `edu.ucar:cdm` in gddp/build.sbt);
+    this closes the same input-format surface without native deps.
+    Same semantics as ``netcdf4_decoder``."""
+    from netcdf_olap_spark.sources.hdf5 import read_hdf5
+
+    yield from _decode_vendored(read_hdf5(content), ds, variables)
+
+
+def auto_decoder(content: bytes, ds: str, variables: list[str] | None = None) -> Iterator[pd.DataFrame]:
+    """Magic-byte dispatch over the vendored readers, mirroring how
+    NetCDF-Java picks an IOSP for the reference: ``\\x89HDF`` →
+    NetCDF-4/HDF5, ``CDF`` → classic. One .nc directory may mix both."""
+    if content[:8] == b"\x89HDF\r\n\x1a\n":
+        yield from hdf5_decoder(content, ds, variables)
+    else:
+        yield from netcdf3_decoder(content, ds, variables)
 
 
 def npz_decoder(content: bytes, ds: str, variables: list[str] | None = None) -> Iterator[pd.DataFrame]:
@@ -262,12 +290,13 @@ def ingest_directory(
     Arrow batches of long rows. At 100 TB this scales with the file
     count; no file's rows ever pass through the driver.
 
-    Default decoder: netCDF4 when installed (handles NetCDF-4/HDF5),
-    else the vendored classic-format reader (``netcdf3_decoder`` —
-    CDF-1/CDF-2, zero native deps).
+    Default decoder: netCDF4 when installed, else ``auto_decoder`` —
+    the vendored readers (classic CDF-1/CDF-2 via sources/netcdf3.py,
+    NetCDF-4/HDF5 via sources/hdf5.py) dispatched on magic bytes, zero
+    native deps.
     """
     if decoder is None:
-        decoder = netcdf4_decoder if _netcdf4_available() else netcdf3_decoder
+        decoder = netcdf4_decoder if _netcdf4_available() else auto_decoder
 
     files = spark.read.format("binaryFile").option("pathGlobFilter", pattern).load(path)
 

@@ -67,7 +67,9 @@ class NetCDFCubeDataSource(DataSource):
       - ``variables``: comma-separated measure-variable allowlist —
         partition-level pruning (SURVEY P1)
       - ``decoder``: ``npz`` (default), ``nc3`` (vendored classic-
-        format reader, no native deps), or ``netcdf4``
+        format reader, no native deps), ``hdf5`` (vendored NetCDF-4/
+        HDF5 reader, no native deps), ``auto`` (magic-byte dispatch
+        between the vendored readers), or ``netcdf4``
     """
 
     @classmethod
@@ -103,14 +105,19 @@ def _list_variables(path: str, decoder: str) -> list[str]:
             return out
         finally:
             nc.close()
-    if decoder == "nc3":
+    if decoder in ("nc3", "hdf5", "auto"):
+        from netcdf_olap_spark.sources.hdf5 import is_hdf5, read_hdf5
         from netcdf_olap_spark.sources.netcdf3 import read_netcdf3
 
         # data arrays are zero-copy frombuffer views, so this costs one
         # file read; at real scale, probe a header-only byte range
         with open(path, "rb") as fh:
-            nc3 = read_netcdf3(fh.read())
-        return [n for n, v in nc3.variables.items() if len(v.shape) == 3]
+            content = fh.read()
+        if decoder == "hdf5" or (decoder == "auto" and is_hdf5(content)):
+            ncf = read_hdf5(content)
+        else:
+            ncf = read_netcdf3(content)
+        return [n for n, v in ncf.variables.items() if len(v.shape) == 3]
     import numpy as np
 
     with np.load(path) as z:
@@ -154,12 +161,19 @@ class NetCDFCubeReader(DataSourceReader):
         import pyarrow as pa
 
         from netcdf_olap_spark.sources.netcdf import (
+            auto_decoder,
+            hdf5_decoder,
             netcdf3_decoder,
             netcdf4_decoder,
             npz_decoder,
         )
 
-        dec = {"netcdf4": netcdf4_decoder, "nc3": netcdf3_decoder}.get(self.decoder, npz_decoder)
+        dec = {
+            "netcdf4": netcdf4_decoder,
+            "nc3": netcdf3_decoder,
+            "hdf5": hdf5_decoder,
+            "auto": auto_decoder,
+        }.get(self.decoder, npz_decoder)
         with open(partition.path, "rb") as fh:
             content = fh.read()
         for pdf in dec(content, partition.ds, [partition.variable]):
@@ -197,6 +211,8 @@ class NetCDFCubeStreamReader(SimpleDataSourceStreamReader):
 
     def _rows_for(self, files: list[str]):
         from netcdf_olap_spark.sources.netcdf import (
+            auto_decoder,
+            hdf5_decoder,
             netcdf3_decoder,
             netcdf4_decoder,
             npz_decoder,
@@ -205,9 +221,12 @@ class NetCDFCubeStreamReader(SimpleDataSourceStreamReader):
         import numpy as np
         import pandas as pd
 
-        dec = {"netcdf4": netcdf4_decoder, "nc3": netcdf3_decoder}.get(
-            self.inner.decoder, npz_decoder
-        )
+        dec = {
+            "netcdf4": netcdf4_decoder,
+            "nc3": netcdf3_decoder,
+            "hdf5": hdf5_decoder,
+            "auto": auto_decoder,
+        }.get(self.inner.decoder, npz_decoder)
 
         def _py(x):
             # the batch path gets these conversions free from Arrow:
