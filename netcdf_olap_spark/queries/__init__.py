@@ -69,8 +69,15 @@ _MODULES = (
 # sibling.  Everything not listed here follows in module order and is
 # still covered by the repo's own DuckDB parity suite (tools/parity.py).
 _PRIORITY: tuple[str, ...] = (
-    # grid / NetCDF cube surface (S4-S7, P3-P7, A1-A3)
+    # grid / NetCDF cube surface (S1-S7, P3-P7, A1-A3).  grid_ingest_nc
+    # puts the S1-S3 ingest itself behind a hash check: real .nc bytes
+    # (classic + HDF5, mixed dir) decoded distributed, verified against
+    # an oracle that recomputes the aggregates from the closed-form
+    # cell formula — it took agg_exact_quantiles' slot (not a component
+    # representative; the quantile family keeps grid_quantile_breaks,
+    # and exact quantiles stay parity-checked outside the window).
     "grid_polygon_stats",
+    "grid_ingest_nc",
     "grid_bbox_stats",
     "grid_nearest_cell",
     "grid_hyperslab",
@@ -110,7 +117,6 @@ _PRIORITY: tuple[str, ...] = (
     "unpivot_part_measures",
     "scalar_array_funcs",
     "scalar_map_funcs",
-    "agg_exact_quantiles",
     # extended TPC-H shapes (EXISTS→semi with residual; covers J4's plan
     # since join_semi's slot moved here)
     "q4_priority_exists",

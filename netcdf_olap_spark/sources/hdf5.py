@@ -500,8 +500,16 @@ class _Reader:
             elif mtype == MSG_DATASPACE:
                 shape = _parse_dataspace(buf, pos)
             elif mtype == MSG_ATTRIBUTE:
-                k, v = self.parse_attribute(pos)
-                attrs[k] = v
+                try:
+                    k, v = self.parse_attribute(pos)
+                    attrs[k] = v
+                except NotImplementedError:
+                    # real netCDF-4 files attach DIMENSION_LIST /
+                    # REFERENCE_LIST (vlen object-reference / compound
+                    # datatypes) to every variable; they describe shape
+                    # we already have from the dataspace — skip rather
+                    # than fail the whole file
+                    continue
             elif mtype == MSG_LAYOUT:
                 layout = self._parse_layout(pos)
             elif mtype == MSG_FILTER:
@@ -590,8 +598,11 @@ def read_hdf5(content: bytes) -> H5File:
         if mtype == MSG_SYMBOL_TABLE:
             btree, heap = struct.unpack_from("<QQ", r.buf, pos)
         elif mtype == MSG_ATTRIBUTE:
-            k, v = r.parse_attribute(pos)
-            out.attributes[k] = v
+            try:
+                k, v = r.parse_attribute(pos)
+                out.attributes[k] = v
+            except NotImplementedError:
+                continue  # unsupported attr datatype: skip, don't fail the file
         elif mtype == MSG_LINK:  # compact 'latest'-libver group
             if (lk := r.parse_link(pos)) is not None:
                 links.append(lk)

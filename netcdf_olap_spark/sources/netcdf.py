@@ -274,6 +274,54 @@ def npz_decoder(content: bytes, ds: str, variables: list[str] | None = None) -> 
             yield cube_to_pandas(ds, name, z[name], time_hours, lat, lon, fill)
 
 
+def ensure_package_on_workers(spark: SparkSession) -> None:
+    """Make ``netcdf_olap_spark`` importable on Python workers
+    regardless of the driver's cwd/sys.path.
+
+    The ingest decoders are module-level functions, so cloudpickle
+    serializes them BY REFERENCE — a worker that can't import the
+    package dies with ModuleNotFoundError when the driver was launched
+    outside the repo (an external harness, a notebook, spark-submit
+    from elsewhere). Shipping the package once per session via
+    ``addPyFile`` fixes the whole class; the zip is named by a content
+    hash of the sources so a stale /tmp copy from an older version can
+    never shadow current code, and re-adding the identical file is a
+    no-op. On a real cluster this is exactly how the package would
+    reach executors (``--py-files``)."""
+    import hashlib
+    import os
+    import tempfile
+    import zipfile
+
+    import netcdf_olap_spark
+
+    pkg_root = os.path.dirname(netcdf_olap_spark.__file__)
+    files = []
+    for dirpath, _dirnames, filenames in os.walk(pkg_root):
+        for fn in sorted(filenames):
+            if fn.endswith(".py"):
+                full = os.path.join(dirpath, fn)
+                files.append((os.path.relpath(full, os.path.dirname(pkg_root)), full))
+    files.sort()
+    h = hashlib.sha1()
+    for rel, full in files:
+        h.update(rel.encode())
+        with open(full, "rb") as fh:
+            h.update(fh.read())
+    dst = os.path.join(tempfile.gettempdir(), f"netcdf_olap_spark_{h.hexdigest()[:16]}.zip")
+    if not os.path.exists(dst):
+        fd, tmp = tempfile.mkstemp(dir=tempfile.gettempdir(), suffix=".zip")
+        os.close(fd)
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+            for rel, full in files:
+                # fixed timestamp → deterministic bytes for a given hash name
+                with open(full, "rb") as fh:
+                    info = zipfile.ZipInfo(rel, date_time=(1990, 1, 1, 0, 0, 0))
+                    zf.writestr(info, fh.read())
+        os.replace(tmp, dst)
+    spark.sparkContext.addPyFile(dst)
+
+
 def ingest_directory(
     spark: SparkSession,
     path: str,
@@ -297,6 +345,7 @@ def ingest_directory(
     """
     if decoder is None:
         decoder = netcdf4_decoder if _netcdf4_available() else auto_decoder
+    ensure_package_on_workers(spark)
 
     files = spark.read.format("binaryFile").option("pathGlobFilter", pattern).load(path)
 

@@ -266,5 +266,11 @@ class NetCDFCubeStreamReader(SimpleDataSourceStreamReader):
 
 
 def register(spark) -> None:
-    """Idempotent format registration for the current session."""
+    """Idempotent format registration for the current session. Also
+    ships the package to Python workers — the reader decodes with
+    ``netcdf_olap_spark`` imports worker-side, which otherwise fail
+    when the driver wasn't launched from the repo."""
+    from netcdf_olap_spark.sources.netcdf import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
     spark.dataSource.register(NetCDFCubeDataSource)

@@ -239,6 +239,31 @@ def test_rejects_non_hdf5_and_unsupported():
         read_hdf5(bytes(bad))
 
 
+def test_unsupported_attr_datatype_is_skipped_not_fatal():
+    """Real netCDF-4 files attach DIMENSION_LIST/REFERENCE_LIST
+    attributes with vlen-reference/compound datatypes; those must skip
+    cleanly (the dataspace already gives us shape), never fail the
+    file. Simulated by patching an attribute's datatype class to 7
+    (reference)."""
+    b = bytearray(write_hdf5({"a": (np.arange(6.0), {"keep": 1, "zz": 7})}))
+    r = _Reader(bytes(b))
+    links = dict(r.group_links(r.root_btree, r.root_heap))
+    patched = 0
+    for t, pos, _s in r.messages(links["a"]):
+        if t != MSG_ATTRIBUTE:
+            continue
+        name_size = struct.unpack_from("<H", b, pos + 2)[0]
+        name = bytes(b[pos + 8 : pos + 8 + name_size]).split(b"\x00")[0].decode()
+        if name == "zz":
+            dt_pos = pos + 8 + ((name_size + 7) & ~7)
+            b[dt_pos] = (1 << 4) | 7  # datatype v1, class 7 = reference
+            patched += 1
+    assert patched == 1
+    f = read_hdf5(bytes(b))
+    assert f.variables["a"].attributes == {"keep": 1}  # zz skipped, keep intact
+    np.testing.assert_array_equal(f.variables["a"].data, np.arange(6.0))
+
+
 def test_contiguous_unallocated_data_reads_as_fill():
     """A dataset whose contiguous address is UNDEF (declared, never
     written — legal HDF5) yields an all-NaN float array."""

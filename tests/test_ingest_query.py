@@ -1,0 +1,86 @@
+"""grid_ingest_nc — the S1-S3 end-to-end ingest query — and the
+worker-side package shipping that makes it (and the netcdf_cube
+DataSource) survive drivers launched outside the repo.
+
+The decoders are module-level functions, so cloudpickle serializes
+them by reference; without ``ensure_package_on_workers`` a driver
+whose cwd/sys.path lacks the repo dies on the executors with
+ModuleNotFoundError — exactly the shape the external harness runs
+(see tools/driver_sim.py). The subprocess test here reproduces that
+shape; it failed before the addPyFile shipping existed.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import duckdb
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_ingest_fixture_idempotent_and_mixed_format():
+    from netcdf_olap_spark.queries.grid import _ingest_fixture_dir
+    from netcdf_olap_spark.sources.hdf5 import is_hdf5
+
+    d1 = _ingest_fixture_dir()
+    with open(os.path.join(d1, "classic.nc"), "rb") as fh:
+        classic1 = fh.read()
+    d2 = _ingest_fixture_dir()  # second call: content-checked no-op
+    assert d1 == d2
+    with open(os.path.join(d2, "classic.nc"), "rb") as fh:
+        assert fh.read() == classic1
+    assert classic1[:3] == b"CDF"
+    with open(os.path.join(d1, "modern.nc"), "rb") as fh:
+        assert is_hdf5(fh.read())
+
+
+def test_grid_ingest_nc_matches_inline_oracle(spark):
+    """Spark's ingest aggregate equals DuckDB's closed-form
+    recomputation (no file I/O on the oracle side — decode must be
+    value-perfect for these to agree)."""
+    from netcdf_olap_spark.queries.grid import GRID_INGEST_NC_SQL, grid_ingest_nc
+
+    got = [tuple(r) for r in grid_ingest_nc(spark, "unused").collect()]
+    want = duckdb.sql(GRID_INGEST_NC_SQL).fetchall()
+    assert got == want
+    assert [r[0] for r in got] == ["pr", "tas"]
+    # n_rows is the full cube; n_vals excludes the planted fill cells
+    for _var, n_rows, n_vals, *_rest in got:
+        assert n_rows == 120 and n_vals < n_rows
+
+
+def test_ensure_package_on_workers_idempotent(spark):
+    import glob
+    import tempfile
+
+    from netcdf_olap_spark.sources.netcdf import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    ensure_package_on_workers(spark)  # re-adding the same zip: no-op
+    zips = glob.glob(os.path.join(tempfile.gettempdir(), "netcdf_olap_spark_*.zip"))
+    assert zips, "content-hash-named package zip should exist"
+
+
+def test_grid_ingest_nc_survives_external_driver_shape():
+    """The exact failure mode that bit: vanilla session, cwd=/tmp,
+    non-UTC TZ — workers must import netcdf_olap_spark from the
+    shipped zip, not the driver's cwd."""
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from pyspark.sql import SparkSession\n"
+        "spark = SparkSession.builder.master('local[2]').getOrCreate()\n"
+        "import __spark_entry__ as e\n"
+        "rows = e.queries()['grid_ingest_nc'](spark, 'unused').collect()\n"
+        "assert sorted(r[0] for r in rows) == ['pr', 'tas'], rows\n"
+        "print('DRIVER_SHAPE_OK')\n" % REPO
+    )
+    env = dict(os.environ, TZ="America/New_York")
+    env.pop("PYTHONPATH", None)
+    out = subprocess.run(
+        [sys.executable, "-c", code], cwd="/tmp", env=env, capture_output=True, text=True, timeout=300
+    )
+    assert "DRIVER_SHAPE_OK" in out.stdout, out.stdout[-2000:] + out.stderr[-2000:]
