@@ -25,11 +25,15 @@ library. Scope is the structural subset the netCDF-4 default writer
 
 Also implemented, for "latest" libver files: superblock v2/v3, v2
 ("OHDR") object headers with OCHK continuation blocks, compact
-link-message groups, and the Jenkins lookup3 checksum those
-structures carry (validated against the algorithm's published test
-vectors). Out of scope (clear errors, documented in README's format
-matrix): dense (fractal-heap) groups, version-4 data layouts
-(HDF5 ≥1.10 chunk indexes), compound/enum/reference datatypes, szip.
+link-message groups, the Jenkins lookup3 checksum those structures
+carry (validated against the algorithm's published test vectors), and
+version-4 data layouts with the three fixed-shape chunk indexes
+(single chunk, implicit, fixed array FAHD/FADB). Out of scope (clear
+errors, documented in README's format matrix): dense (fractal-heap)
+groups, extensible-array / v2-B-tree chunk indexes, paged fixed
+arrays, compound/enum/reference datatypes, szip. Attributes with
+unsupported datatypes (netCDF-4's DIMENSION_LIST / REFERENCE_LIST
+vlen references) are skipped, never fatal.
 
 The writer exists to make fixtures for the reader (the container has
 no HDF5 library to generate files with) and doubles as an HDF5 sink.
@@ -528,10 +532,20 @@ class _Reader:
                 data = np.full(shape, np.nan, dtype=npdt) if npdt.kind == "f" else np.zeros(shape, dtype=npdt)
             else:
                 data = np.frombuffer(buf, dtype=npdt, count=n, offset=addr).reshape(shape)
-        elif kind == "chunked":
-            btree_addr, chunk_shape = layout[1], layout[2]
+        elif kind in ("chunked", "chunked4"):
+            if kind == "chunked":
+                chunk_shape = layout[2]
+                entries = self._chunk_entries(layout[1], len(shape))
+            else:
+                _k, dims, index_type, info = layout
+                # v4 chunk dims: tolerate both rank and rank+1 (trailing
+                # element-size dim, as in v3) encodings
+                chunk_shape = dims[:-1] if len(dims) == len(shape) + 1 else dims
+                entries = self._chunk_entries_v4(
+                    shape, chunk_shape, npdt.itemsize, index_type, info, bool(filters)
+                )
             data = np.full(shape, np.nan, dtype=npdt) if npdt.kind == "f" else np.zeros(shape, dtype=npdt)
-            for offs, caddr, nbytes, mask in self._chunk_entries(btree_addr, len(shape)):
+            for offs, caddr, nbytes, mask in entries:
                 raw = self._defilter(buf[caddr : caddr + nbytes], filters, mask)
                 chunk = np.frombuffer(raw, dtype=npdt, count=int(np.prod(chunk_shape))).reshape(chunk_shape)
                 sel = tuple(
@@ -543,11 +557,78 @@ class _Reader:
             raise NotImplementedError(kind)
         return H5Var(name, shape, attrs, npdt, np.ascontiguousarray(data))
 
+    @staticmethod
+    def _chunk_grid(shape: tuple[int, ...], chunk_shape: tuple[int, ...]) -> list[tuple[int, ...]]:
+        """Chunk origin offsets in row-major linear-index order — the
+        element order of the implicit and fixed-array indexes."""
+        grids = [range(0, s, c) for s, c in zip(shape, chunk_shape)]
+        return list(itertools.product(*grids))
+
+    def _chunk_entries_v4(
+        self,
+        shape: tuple[int, ...],
+        chunk_shape: tuple[int, ...],
+        itemsize: int,
+        index_type: int,
+        info: tuple[Any, ...],
+        filtered: bool,
+    ) -> list[tuple[tuple[int, ...], int, int, int]]:
+        """(offsets, address, stored size, filter mask) for the three
+        fixed-shape version-4 chunk indexes: single chunk (1),
+        implicit (2), fixed array (3)."""
+        buf = self.buf
+        chunk_nbytes = int(np.prod(chunk_shape)) * itemsize
+        origins = self._chunk_grid(shape, chunk_shape)
+        if index_type == 1:  # single chunk
+            addr, stored, mask = info
+            if addr == UNDEF:
+                return []
+            return [((0,) * len(shape), addr, stored if filtered else chunk_nbytes, mask)]
+        if index_type == 2:  # implicit: unfiltered chunks packed in linear order
+            (addr,) = info
+            if addr == UNDEF:
+                return []
+            return [
+                (offs, addr + i * chunk_nbytes, chunk_nbytes, 0) for i, offs in enumerate(origins)
+            ]
+        if index_type == 3:  # fixed array
+            (fa_addr,) = info
+            if fa_addr == UNDEF:
+                return []
+            assert buf[fa_addr : fa_addr + 4] == b"FAHD", "bad fixed-array header signature"
+            client_id = buf[fa_addr + 5]
+            entry_size = buf[fa_addr + 6]
+            page_bits = buf[fa_addr + 7]
+            max_entries, db_addr = struct.unpack_from("<QQ", buf, fa_addr + 8)
+            if max_entries > (1 << page_bits):
+                raise NotImplementedError("paged fixed-array chunk index")
+            assert buf[db_addr : db_addr + 4] == b"FADB", "bad fixed-array data block signature"
+            p = db_addr + 6 + 8  # sig, version, client id, header address
+            out = []
+            for i in range(int(max_entries)):
+                e = p + i * entry_size
+                (caddr,) = struct.unpack_from("<Q", buf, e)
+                if caddr == UNDEF:
+                    continue
+                if client_id == 1:  # filtered: address + chunk size + mask
+                    size_len = entry_size - 12
+                    stored = int.from_bytes(buf[e + 8 : e + 8 + size_len], "little")
+                    (mask,) = struct.unpack_from("<I", buf, e + 8 + size_len)
+                else:
+                    stored, mask = chunk_nbytes, 0
+                out.append((origins[i], caddr, stored, mask))
+            return out
+        raise NotImplementedError(
+            f"v4 chunk index type {index_type} (extensible array / v2 B-tree not supported)"
+        )
+
     def _parse_layout(self, pos: int) -> tuple[Any, ...]:
         buf = self.buf
         version = buf[pos]
+        if version == 4:
+            return self._parse_layout_v4(pos)
         if version != 3:
-            raise NotImplementedError(f"data layout message version {version} (only v3 supported)")
+            raise NotImplementedError(f"data layout message version {version} (only v3/v4 supported)")
         cls = buf[pos + 1]
         if cls == 0:  # compact
             (size,) = struct.unpack_from("<H", buf, pos + 2)
@@ -561,6 +642,53 @@ class _Reader:
             dims = struct.unpack_from(f"<{ndim_p1}I", buf, pos + 11)
             return ("chunked", btree, tuple(dims[:-1]))  # last dim = element size
         raise NotImplementedError(f"layout class {cls}")
+
+    def _parse_layout_v4(self, pos: int) -> tuple[Any, ...]:
+        """Version-4 data layout (HDF5 ≥1.10). Compact/contiguous are
+        byte-identical to v3; chunked carries per-dataset chunk-index
+        metadata instead of a v1 B-tree pointer."""
+        buf = self.buf
+        cls = buf[pos + 1]
+        if cls == 0:
+            (size,) = struct.unpack_from("<H", buf, pos + 2)
+            return ("compact", buf[pos + 4 : pos + 4 + size])
+        if cls == 1:
+            addr, size = struct.unpack_from("<QQ", buf, pos + 2)
+            return ("contiguous", addr, size)
+        if cls != 2:
+            raise NotImplementedError(f"layout v4 class {cls}")
+        flags = buf[pos + 2]
+        ndims = buf[pos + 3]
+        enc_len = buf[pos + 4]
+        p = pos + 5
+        dims = tuple(
+            int.from_bytes(buf[p + i * enc_len : p + (i + 1) * enc_len], "little") for i in range(ndims)
+        )
+        p += ndims * enc_len
+        index_type = buf[p]
+        p += 1
+        if index_type == 1:  # single chunk
+            if flags & 0x02:  # filtered: stored size + filter mask precede the address
+                stored = struct.unpack_from("<Q", buf, p)[0]
+                (mask,) = struct.unpack_from("<I", buf, p + 8)
+                p += 12
+            else:
+                stored, mask = 0, 0
+            (addr,) = struct.unpack_from("<Q", buf, p)
+            info: tuple[Any, ...] = (addr, stored, mask)
+        elif index_type == 2:  # implicit
+            info = (struct.unpack_from("<Q", buf, p)[0],)
+        elif index_type == 3:  # fixed array
+            _page_bits = buf[p]
+            info = (struct.unpack_from("<Q", buf, p + 1)[0],)
+        else:
+            raise NotImplementedError(
+                f"v4 chunk index type {index_type} (extensible array / v2 B-tree not supported)"
+            )
+        # NOTE: dims may or may not carry v3's trailing element-size
+        # dimension depending on the writer; read_dataset resolves it
+        # against the dataspace rank (tolerates both encodings)
+        return ("chunked4", dims, index_type, info)
 
     def _parse_filters(self, pos: int) -> list[tuple[int, tuple[int, ...]]]:
         buf = self.buf
@@ -720,6 +848,7 @@ def write_hdf5(
     gzip: int | None = None,
     shuffle: bool = False,
     libver: str = "earliest",
+    chunk_index: str | None = None,
 ) -> bytes:
     """Serialize arrays to an HDF5 file.
 
@@ -734,9 +863,18 @@ def write_hdf5(
     chunk shapes (unlisted vars are contiguous); ``gzip`` enables the
     deflate filter on chunked vars at that level, ``shuffle`` prepends
     the byte-shuffle filter.
+
+    ``chunk_index``: None → version-3 layout + v1 chunk B-tree (the
+    1.8 profile); ``"single"`` / ``"implicit"`` / ``"fixed_array"`` →
+    version-4 layout with that HDF5 ≥1.10 chunk index (single: exactly
+    one chunk; implicit: unfiltered only, chunks packed back-to-back).
     """
     if libver not in ("earliest", "latest"):
         raise ValueError(f"libver must be 'earliest' or 'latest', got {libver!r}")
+    if chunk_index not in (None, "single", "implicit", "fixed_array"):
+        raise ValueError(f"unknown chunk_index {chunk_index!r}")
+    if chunk_index == "implicit" and (gzip is not None or shuffle):
+        raise ValueError("implicit chunk index requires unfiltered chunks")
     global_attrs = dict(global_attrs or {})
     global_attrs.setdefault("_NCProperties", "version=2,netcdf=vendored,hdf5=vendored")
     chunks = chunks or {}
@@ -766,14 +904,33 @@ def write_hdf5(
         ]
         if nm in chunks:
             cs = chunks[nm]
-            body = struct.pack("<BBB", 3, 2, len(cs) + 1) + struct.pack("<Q", btree_addr)
-            body += b"".join(struct.pack("<I", c) for c in cs) + struct.pack("<I", arr.dtype.itemsize)
-            msgs.append(enc(MSG_LAYOUT, body))
             pipeline = []
             if shuffle:
                 pipeline.append((FILTER_SHUFFLE, (arr.dtype.itemsize,)))
             if gzip is not None:
                 pipeline.append((FILTER_DEFLATE, (gzip,)))
+            if chunk_index is None:
+                # v3: dims as u32 with trailing element size, v1 B-tree addr
+                body = struct.pack("<BBB", 3, 2, len(cs) + 1) + struct.pack("<Q", btree_addr)
+                body += b"".join(struct.pack("<I", c) for c in cs) + struct.pack("<I", arr.dtype.itemsize)
+            else:
+                # v4: flags, rank(+elem dim), encoded dim width, dims,
+                # index type + index-specific fields; btree_addr holds
+                # the index address (chunk-0 / implicit base / FAHD)
+                flags = 0x02 if (chunk_index == "single" and pipeline) else 0
+                dims = (*cs, arr.dtype.itemsize)
+                body = struct.pack("<BBBBB", 4, 2, flags, len(dims), 8)
+                body += b"".join(struct.pack("<Q", d) for d in dims)
+                body += struct.pack("<B", {"single": 1, "implicit": 2, "fixed_array": 3}[chunk_index])
+                if chunk_index == "single":
+                    if pipeline:
+                        body += struct.pack("<QI", len(all_blobs[nm][0][1]), 0)
+                    body += struct.pack("<Q", btree_addr)
+                elif chunk_index == "implicit":
+                    body += struct.pack("<Q", btree_addr)
+                else:
+                    body += struct.pack("<B", 10) + struct.pack("<Q", btree_addr)  # page bits, FAHD
+            msgs.append(enc(MSG_LAYOUT, body))
             if pipeline:
                 fbody = struct.pack("<BB6x", 1, len(pipeline))
                 for fid, client in pipeline:
@@ -817,16 +974,33 @@ def write_hdf5(
             )
             if nm in chunks:
                 blobs = addr[f"blobs:{nm}"]
-                cbt = b"TREE" + struct.pack("<BBH", 1, 0, len(blobs)) + struct.pack("<QQ", UNDEF, UNDEF)
-                for offs, raw, caddr in blobs:
-                    cbt += struct.pack("<II", len(raw), 0)
-                    cbt += b"".join(struct.pack("<Q", o) for o in offs) + struct.pack("<Q", 0)
-                    cbt += struct.pack("<Q", caddr)
-                # final key (past-the-end)
-                arr = variables[nm][0]
-                cbt += struct.pack("<II", 0, 0)
-                cbt += b"".join(struct.pack("<Q", s) for s in arr.shape) + struct.pack("<Q", 0)
-                pieces.append((addr[f"cbt:{nm}"], cbt))
+                if chunk_index is None:
+                    cbt = b"TREE" + struct.pack("<BBH", 1, 0, len(blobs)) + struct.pack("<QQ", UNDEF, UNDEF)
+                    for offs, raw, caddr in blobs:
+                        cbt += struct.pack("<II", len(raw), 0)
+                        cbt += b"".join(struct.pack("<Q", o) for o in offs) + struct.pack("<Q", 0)
+                        cbt += struct.pack("<Q", caddr)
+                    # final key (past-the-end)
+                    arr = variables[nm][0]
+                    cbt += struct.pack("<II", 0, 0)
+                    cbt += b"".join(struct.pack("<Q", s) for s in arr.shape) + struct.pack("<Q", 0)
+                    pieces.append((addr[f"cbt:{nm}"], cbt))
+                elif chunk_index == "fixed_array":
+                    client = 1 if (gzip is not None or shuffle) else 0
+                    entry_size = 20 if client else 8
+                    fahd_addr, fadb_addr = addr[f"cbt:{nm}"], addr[f"fadb:{nm}"]
+                    fahd = b"FAHD" + struct.pack("<BBBB", 0, client, entry_size, 10)
+                    fahd += struct.pack("<QQ", len(blobs), fadb_addr)
+                    fahd += struct.pack("<I", lookup3(fahd))
+                    pieces.append((fahd_addr, fahd))
+                    fadb = b"FADB" + struct.pack("<BB", 0, client) + struct.pack("<Q", fahd_addr)
+                    for _offs, raw, caddr in blobs:
+                        fadb += struct.pack("<Q", caddr)
+                        if client:
+                            fadb += struct.pack("<QI", len(raw), 0)
+                    fadb += struct.pack("<I", lookup3(fadb))
+                    pieces.append((fadb_addr, fadb))
+                # "single"/"implicit": the layout message itself is the index
                 for offs, raw, caddr in blobs:
                     pieces.append((caddr, raw))
             else:
@@ -938,14 +1112,40 @@ def write_hdf5(
         hdr_bytes = var_header(nm, 0, 0)
         alloc(f"ohdr:{nm}", len(hdr_bytes))
         if nm in chunks:
-            ndim = len(variables[nm][0].shape)
-            key_size = 8 + 8 * (ndim + 1)
-            nblobs = len(all_blobs[nm])
-            alloc(f"cbt:{nm}", 24 + nblobs * (key_size + 8) + key_size)
-            placed = []
-            for offs, raw in all_blobs[nm]:
+            blobs_src = all_blobs[nm]
+            if chunk_index is None:
+                ndim = len(variables[nm][0].shape)
+                key_size = 8 + 8 * (ndim + 1)
+                alloc(f"cbt:{nm}", 24 + len(blobs_src) * (key_size + 8) + key_size)
+                placed = []
+                for offs, raw in blobs_src:
+                    caddr = alloc(f"chunk:{nm}:{offs}", len(raw))
+                    placed.append((offs, raw, caddr))
+            elif chunk_index == "single":
+                if len(blobs_src) != 1:
+                    raise ValueError(
+                        f"single-chunk index needs exactly one chunk for {nm!r}, got {len(blobs_src)}"
+                    )
+                offs, raw = blobs_src[0]
                 caddr = alloc(f"chunk:{nm}:{offs}", len(raw))
-                placed.append((offs, raw, caddr))
+                addr[f"cbt:{nm}"] = caddr  # index address = the chunk itself
+                placed = [(offs, raw, caddr)]
+            elif chunk_index == "implicit":
+                # unfiltered chunks packed back-to-back: address arithmetic
+                # (base + i·chunk_nbytes) IS the index, so no padding allowed
+                chunk_nbytes = len(blobs_src[0][1])
+                base = alloc(f"impl:{nm}", chunk_nbytes * len(blobs_src))
+                addr[f"cbt:{nm}"] = base
+                placed = [(offs, raw, base + i * chunk_nbytes) for i, (offs, raw) in enumerate(blobs_src)]
+            else:  # fixed_array
+                placed = []
+                for offs, raw in blobs_src:
+                    caddr = alloc(f"chunk:{nm}:{offs}", len(raw))
+                    placed.append((offs, raw, caddr))
+                entry_size = 20 if (gzip is not None or shuffle) else 8
+                alloc(f"fahd:{nm}", 28)
+                addr[f"cbt:{nm}"] = addr[f"fahd:{nm}"]
+                alloc(f"fadb:{nm}", 6 + 8 + len(placed) * entry_size + 4)
             addr[f"blobs:{nm}"] = placed
         else:
             alloc(f"data:{nm}", variables[nm][0].nbytes)

@@ -279,6 +279,64 @@ def test_contiguous_unallocated_data_reads_as_fill():
 
 
 # ---------------------------------------------------------------------------
+# version-4 data layouts (HDF5 ≥1.10 chunk indexes)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(chunks={"tas": (NT, NY, NX)}, chunk_index="single"),
+        dict(chunks={"tas": (NT, NY, NX)}, chunk_index="single", gzip=6, shuffle=True),
+        dict(chunks={"tas": (2, 2, 3)}, chunk_index="implicit"),
+        dict(chunks={"tas": (2, 2, 3)}, chunk_index="fixed_array"),
+        dict(chunks={"tas": (3, 3, 4)}, chunk_index="fixed_array", gzip=4, shuffle=True),
+        dict(chunks={"tas": (2, 2, 3)}, chunk_index="fixed_array", gzip=1, libver="latest"),
+    ],
+)
+def test_roundtrip_layout_v4_indexes(kw):
+    """Single-chunk, implicit, and fixed-array chunk indexes read back
+    identically to the v1-B-tree profile."""
+    data, th, lat, lon = _cube(31)
+    f = read_hdf5(_h5_bytes(data, th, lat, lon, **kw))
+    np.testing.assert_array_equal(f.variables["tas"].data, data)
+    f3 = read_hdf5(_h5_bytes(data, th, lat, lon, chunks=kw["chunks"]))
+    np.testing.assert_array_equal(f3.variables["tas"].data, data)
+
+
+def test_layout_v4_fixed_array_structure_matches_spec():
+    """FAHD/FADB on-disk fields at their documented offsets, with
+    lookup3 checksums over the preceding bytes."""
+    from netcdf_olap_spark.sources.hdf5 import lookup3
+
+    data, th, lat, lon = _cube(33)
+    b = _h5_bytes(data, th, lat, lon, chunks={"tas": (2, 2, 3)}, chunk_index="fixed_array", gzip=6)
+    r = _Reader(b)
+    links = dict(r.group_links(r.root_btree, r.root_heap))
+    tas = {t: p for t, p, _ in r.messages(links["tas"])}
+    pos = tas[MSG_LAYOUT]
+    assert b[pos] == 4 and b[pos + 1] == 2  # layout v4, chunked
+    kind, dims, index_type, (fa_addr,) = r._parse_layout(pos)
+    assert kind == "chunked4" and index_type == 3
+    assert dims == (2, 2, 3, 8)  # chunk dims + trailing element size
+
+    assert b[fa_addr : fa_addr + 4] == b"FAHD"
+    client, entry_size, page_bits = b[fa_addr + 5], b[fa_addr + 6], b[fa_addr + 7]
+    assert client == 1 and entry_size == 20 and page_bits == 10  # filtered entries
+    max_entries, db_addr = struct.unpack_from("<QQ", b, fa_addr + 8)
+    assert max_entries == 2 * 2 * 2  # ceil-div chunk grid
+    assert struct.unpack_from("<I", b, fa_addr + 24)[0] == lookup3(b[fa_addr : fa_addr + 24])
+    assert b[db_addr : db_addr + 4] == b"FADB"
+    assert struct.unpack_from("<Q", b, db_addr + 6)[0] == fa_addr  # back-pointer
+
+    entries = r._chunk_entries_v4((NT, NY, NX), (2, 2, 3), 8, 3, (fa_addr,), True)
+    assert len(entries) == 8
+    assert sorted(e[0] for e in entries) == sorted(
+        (t, y, x) for t in (0, 2) for y in (0, 2) for x in (0, 3)
+    )
+
+
+# ---------------------------------------------------------------------------
 # "latest" libver profile (superblock v2 + OHDR headers + link messages)
 # ---------------------------------------------------------------------------
 
