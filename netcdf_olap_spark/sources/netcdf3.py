@@ -17,8 +17,15 @@ magic ``CDF\\x01`` / 64-bit-offset ``CDF\\x02``):
               v.begin + r * recsize)
 
 All integers are big-endian; names and values pad to 4-byte
-boundaries; ``begin`` is 4 bytes in CDF-1 and 8 bytes in CDF-2.
+boundaries; ``begin`` is 4 bytes in CDF-1 and 8 bytes in CDF-2/5.
 Types: BYTE(1) CHAR(2) SHORT(3) INT(4) FLOAT(5) DOUBLE(6).
+
+CDF-5 (``CDF\\x05``, the 64-bit-data variant from the same published
+spec) is also supported, read and write: every NON_NEG field —
+numrecs, list counts, name lengths, dimension lengths, attribute
+nelems, ndims, vsize — widens to 8 bytes (dimension IDs stay 4-byte
+INTs), and the unsigned/64-bit atomic types UBYTE(7) USHORT(8)
+UINT(9) INT64(10) UINT64(11) become available.
 
 Scale note: one ``.nc`` file decodes inside one executor task
 (sources/netcdf.py ``ingest_directory``); this module only ever sees
@@ -35,8 +42,11 @@ from typing import Any
 import numpy as np
 
 NC_BYTE, NC_CHAR, NC_SHORT, NC_INT, NC_FLOAT, NC_DOUBLE = 1, 2, 3, 4, 5, 6
+# CDF-5 additions
+NC_UBYTE, NC_USHORT, NC_UINT, NC_INT64, NC_UINT64 = 7, 8, 9, 10, 11
 _TAG_DIM, _TAG_VAR, _TAG_ATT = 0x0A, 0x0B, 0x0C
 _STREAMING = 0xFFFFFFFF
+_STREAMING64 = 0xFFFFFFFFFFFFFFFF
 
 # big-endian numpy dtypes per nc_type
 _DTYPES = {
@@ -46,8 +56,14 @@ _DTYPES = {
     NC_INT: np.dtype(">i4"),
     NC_FLOAT: np.dtype(">f4"),
     NC_DOUBLE: np.dtype(">f8"),
+    NC_UBYTE: np.dtype(">u1"),
+    NC_USHORT: np.dtype(">u2"),
+    NC_UINT: np.dtype(">u4"),
+    NC_INT64: np.dtype(">i8"),
+    NC_UINT64: np.dtype(">u8"),
 }
-_SIZES = {NC_BYTE: 1, NC_CHAR: 1, NC_SHORT: 2, NC_INT: 4, NC_FLOAT: 4, NC_DOUBLE: 8}
+_SIZES = {t: dt.itemsize for t, dt in _DTYPES.items()}
+_CDF5_ONLY = {NC_UBYTE, NC_USHORT, NC_UINT, NC_INT64, NC_UINT64}
 
 
 def _pad4(n: int) -> int:
@@ -75,9 +91,10 @@ class Nc3File:
 
 
 class _Cursor:
-    def __init__(self, buf: bytes):
+    def __init__(self, buf: bytes, version: int = 1):
         self.buf = buf
         self.pos = 0
+        self.version = version
 
     def u32(self) -> int:
         (v,) = struct.unpack_from(">I", self.buf, self.pos)
@@ -89,8 +106,12 @@ class _Cursor:
         self.pos += 8
         return v
 
+    def nn(self) -> int:
+        """NON_NEG: 4 bytes in CDF-1/2, 8 bytes in CDF-5."""
+        return self.u64() if self.version == 5 else self.u32()
+
     def name(self) -> str:
-        n = self.u32()
+        n = self.nn()
         s = self.buf[self.pos : self.pos + n].decode("utf-8")
         self.pos += _pad4(n)
         return s
@@ -108,39 +129,39 @@ class _Cursor:
 
     def att_list(self) -> dict[str, Any]:
         tag = self.u32()
-        n = self.u32()
+        n = self.nn()
         assert tag in (_TAG_ATT, 0) and (tag != 0 or n == 0), f"bad att_list tag {tag:#x}"
         out: dict[str, Any] = {}
         for _ in range(n):
             nm = self.name()
             t = self.u32()
-            ne = self.u32()
+            ne = self.nn()
             out[nm] = self.values(t, ne)
         return out
 
 
 def read_netcdf3(content: bytes) -> Nc3File:
-    """Parse a classic-format (CDF-1/CDF-2) NetCDF file from bytes."""
+    """Parse a classic-format (CDF-1/CDF-2/CDF-5) NetCDF file from bytes."""
     if content[:3] != b"CDF":
         raise ValueError("not a classic NetCDF file (missing CDF magic)")
     version = content[3]
-    if version not in (1, 2):
-        raise ValueError(f"unsupported NetCDF classic version byte {version} (CDF-5 not implemented)")
-    big_begin = version == 2
+    if version not in (1, 2, 5):
+        raise ValueError(f"unsupported NetCDF classic version byte {version}")
+    big_begin = version in (2, 5)
 
-    c = _Cursor(content)
+    c = _Cursor(content, version)
     c.pos = 4
-    numrecs = c.u32()
+    numrecs = c.nn()
 
     # dimensions
-    tag, n = c.u32(), c.u32()
+    tag, n = c.u32(), c.nn()
     assert tag in (_TAG_DIM, 0) and (tag != 0 or n == 0), f"bad dim_list tag {tag:#x}"
     dim_names: list[str] = []
     dim_sizes: list[int | None] = []
     rec_dim = -1
     for i in range(n):
         nm = c.name()
-        sz = c.u32()
+        sz = c.nn()
         dim_names.append(nm)
         if sz == 0:
             rec_dim = i
@@ -151,16 +172,16 @@ def read_netcdf3(content: bytes) -> Nc3File:
     out = Nc3File(dimensions=dict(zip(dim_names, dim_sizes)), attributes=c.att_list())
 
     # variable metadata
-    tag, nvars = c.u32(), c.u32()
+    tag, nvars = c.u32(), c.nn()
     assert tag in (_TAG_VAR, 0) and (tag != 0 or nvars == 0), f"bad var_list tag {tag:#x}"
     metas = []
     for _ in range(nvars):
         nm = c.name()
-        ndims = c.u32()
-        dimids = [c.u32() for _ in range(ndims)]
+        ndims = c.nn()
+        dimids = [c.u32() for _ in range(ndims)]  # dimids stay 4-byte INTs in CDF-5
         attrs = c.att_list()
         nc_type = c.u32()
-        vsize = c.u32()
+        vsize = c.nn()
         begin = c.u64() if big_begin else c.u32()
         metas.append((nm, dimids, attrs, nc_type, vsize, begin))
 
@@ -176,7 +197,7 @@ def read_netcdf3(content: bytes) -> Nc3File:
     else:
         recsize = sum(m[4] for m in rec_vars)
 
-    if numrecs == _STREAMING:
+    if numrecs == (_STREAMING64 if version == 5 else _STREAMING):
         numrecs = 0
         if rec_vars and recsize:
             first = min(m[5] for m in rec_vars)
@@ -213,48 +234,65 @@ def read_netcdf3(content: bytes) -> Nc3File:
 # ---------------------------------------------------------------------------
 
 
-def _nc_type_of(arr: np.ndarray) -> int:
+def _nc_type_of(arr: np.ndarray, version: int = 1) -> int:
     k = arr.dtype.kind, arr.dtype.itemsize
-    table = {
-        ("i", 1): NC_BYTE,
-        ("S", 1): NC_CHAR,
-        ("i", 2): NC_SHORT,
-        ("i", 4): NC_INT,
-        ("i", 8): NC_INT,  # narrowed; classic format has no 64-bit int
-        ("f", 4): NC_FLOAT,
-        ("f", 8): NC_DOUBLE,
-    }
+    if version == 5:
+        table = {
+            ("i", 1): NC_BYTE,
+            ("S", 1): NC_CHAR,
+            ("i", 2): NC_SHORT,
+            ("i", 4): NC_INT,
+            ("i", 8): NC_INT64,
+            ("u", 1): NC_UBYTE,
+            ("u", 2): NC_USHORT,
+            ("u", 4): NC_UINT,
+            ("u", 8): NC_UINT64,
+            ("f", 4): NC_FLOAT,
+            ("f", 8): NC_DOUBLE,
+        }
+    else:
+        table = {
+            ("i", 1): NC_BYTE,
+            ("S", 1): NC_CHAR,
+            ("i", 2): NC_SHORT,
+            ("i", 4): NC_INT,
+            ("i", 8): NC_INT,  # narrowed; CDF-1/2 have no 64-bit int
+            ("f", 4): NC_FLOAT,
+            ("f", 8): NC_DOUBLE,
+        }
     if k not in table:
-        raise ValueError(f"unsupported dtype {arr.dtype} for classic NetCDF")
+        raise ValueError(f"unsupported dtype {arr.dtype} for classic NetCDF version {version}")
     return table[k]
 
 
-def _enc_name(s: str) -> bytes:
+def _nn_fmt(version: int) -> str:
+    return ">Q" if version == 5 else ">I"
+
+
+def _enc_name(s: str, version: int = 1) -> bytes:
     b = s.encode("utf-8")
-    return struct.pack(">I", len(b)) + b + b"\x00" * (_pad4(len(b)) - len(b))
+    return struct.pack(_nn_fmt(version), len(b)) + b + b"\x00" * (_pad4(len(b)) - len(b))
 
 
-def _enc_att_value(v: Any) -> tuple[int, int, bytes]:
+def _enc_att_value(v: Any, version: int = 1) -> tuple[int, int, bytes]:
     if isinstance(v, str):
         b = v.encode("utf-8")
         return NC_CHAR, len(b), b + b"\x00" * (_pad4(len(b)) - len(b))
     arr = np.atleast_1d(np.asarray(v))
-    t = _nc_type_of(arr)
-    if t == NC_INT:
-        arr = arr.astype(">i4")
-    else:
-        arr = arr.astype(_DTYPES[t])
+    t = _nc_type_of(arr, version)
+    arr = arr.astype(_DTYPES[t])
     raw = arr.tobytes()
     return t, arr.size, raw + b"\x00" * (_pad4(len(raw)) - len(raw))
 
 
-def _enc_att_list(attrs: dict[str, Any]) -> bytes:
+def _enc_att_list(attrs: dict[str, Any], version: int = 1) -> bytes:
+    nn = _nn_fmt(version)
     if not attrs:
-        return struct.pack(">II", 0, 0)
-    out = [struct.pack(">II", _TAG_ATT, len(attrs))]
+        return struct.pack(">I", 0) + struct.pack(nn, 0)
+    out = [struct.pack(">I", _TAG_ATT) + struct.pack(nn, len(attrs))]
     for nm, v in attrs.items():
-        t, ne, raw = _enc_att_value(v)
-        out.append(_enc_name(nm) + struct.pack(">II", t, ne) + raw)
+        t, ne, raw = _enc_att_value(v, version)
+        out.append(_enc_name(nm, version) + struct.pack(">I", t) + struct.pack(nn, ne) + raw)
     return b"".join(out)
 
 
@@ -262,13 +300,19 @@ def write_netcdf3(
     dimensions: dict[str, int | None],
     variables: dict[str, tuple[tuple[str, ...], np.ndarray, dict[str, Any]]],
     global_attrs: dict[str, Any] | None = None,
+    version: int = 1,
 ) -> bytes:
-    """Serialize arrays to classic CDF-1 bytes.
+    """Serialize arrays to classic bytes: CDF-1 (default), CDF-2
+    (64-bit offsets), or CDF-5 (64-bit data + unsigned/64-bit types).
 
     ``dimensions``: name -> length (None = the record dimension).
     ``variables``: name -> (dim names, array, attributes); arrays whose
     first dim is the record dim provide the record count.
     """
+    if version not in (1, 2, 5):
+        raise ValueError(f"version must be 1, 2, or 5, got {version}")
+    nn = _nn_fmt(version)
+    begin_fmt = ">Q" if version in (2, 5) else ">I"
     dim_names = list(dimensions)
     rec_name = next((k for k, v in dimensions.items() if v is None), None)
 
@@ -277,7 +321,7 @@ def write_netcdf3(
     numrecs = 0
     for nm, (dims, arr, attrs) in variables.items():
         arr = np.asarray(arr)
-        t = _nc_type_of(arr)
+        t = _nc_type_of(arr, version)
         arr = arr.astype(_DTYPES[t]) if t != NC_CHAR else arr.view("S1")
         dimids = [dim_names.index(d) for d in dims]
         is_rec = bool(dims) and dims[0] == rec_name
@@ -298,26 +342,28 @@ def write_netcdf3(
 
     # header (two passes: sizes depend only on metadata, not begins)
     def header(begins: dict[str, int]) -> bytes:
-        h = [b"CDF\x01", struct.pack(">I", numrecs)]
+        h = [b"CDF" + bytes([version]), struct.pack(nn, numrecs)]
         if dimensions:
-            h.append(struct.pack(">II", _TAG_DIM, len(dimensions)))
+            h.append(struct.pack(">I", _TAG_DIM) + struct.pack(nn, len(dimensions)))
             for d in dim_names:
-                h.append(_enc_name(d) + struct.pack(">I", dimensions[d] or 0))
+                h.append(_enc_name(d, version) + struct.pack(nn, dimensions[d] or 0))
         else:
-            h.append(struct.pack(">II", 0, 0))
-        h.append(_enc_att_list(global_attrs or {}))
+            h.append(struct.pack(">I", 0) + struct.pack(nn, 0))
+        h.append(_enc_att_list(global_attrs or {}, version))
         if metas:
-            h.append(struct.pack(">II", _TAG_VAR, len(metas)))
+            h.append(struct.pack(">I", _TAG_VAR) + struct.pack(nn, len(metas)))
             for nm, dimids, attrs, t, vsize, _ir, _a in metas:
                 h.append(
-                    _enc_name(nm)
-                    + struct.pack(">I", len(dimids))
+                    _enc_name(nm, version)
+                    + struct.pack(nn, len(dimids))
                     + b"".join(struct.pack(">I", d) for d in dimids)
-                    + _enc_att_list(attrs)
-                    + struct.pack(">III", t, vsize, begins.get(nm, 0))
+                    + _enc_att_list(attrs, version)
+                    + struct.pack(">I", t)
+                    + struct.pack(nn, vsize)
+                    + struct.pack(begin_fmt, begins.get(nm, 0))
                 )
         else:
-            h.append(struct.pack(">II", 0, 0))
+            h.append(struct.pack(">I", 0) + struct.pack(nn, 0))
         return b"".join(h)
 
     hlen = len(header({}))

@@ -189,7 +189,7 @@ def test_rejects_non_classic():
     with pytest.raises(ValueError, match="CDF magic"):
         read_netcdf3(b"\x89HDF\r\n")
     with pytest.raises(ValueError, match="version"):
-        read_netcdf3(b"CDF\x05" + b"\x00" * 16)
+        read_netcdf3(b"CDF\x03" + b"\x00" * 16)  # 3/4 were never assigned
 
 
 # ---------------------------------------------------------------------------
@@ -252,3 +252,126 @@ def test_ingest_directory_real_nc_files(spark, tmp_path):
     assert df.select("time").distinct().count() == 2 * NT
     # 2 fill cells per file became NULL
     assert df.where(df.value.isNull()).count() == 4
+
+
+# ---------------------------------------------------------------------------
+# CDF-2 / CDF-5 variants
+# ---------------------------------------------------------------------------
+
+
+def test_cdf5_header_bytes_match_spec():
+    """CDF-5 golden check: every NON_NEG widens to 8 bytes (numrecs,
+    counts, name lengths, dim lengths, vsize) while tags, dimids, and
+    nc_type stay 4-byte — independently derivable from the published
+    64-bit-data spec."""
+    x = np.arange(3, dtype=np.int64)
+    content = write_netcdf3({"d": 3}, {"v": (("d",), x, {})}, version=5)
+
+    assert content[:4] == b"CDF\x05"
+    assert struct.unpack_from(">Q", content, 4)[0] == 0  # numrecs (8B)
+    assert struct.unpack_from(">I", content, 12)[0] == 0x0A  # dim tag (4B)
+    assert struct.unpack_from(">Q", content, 16)[0] == 1  # ndims (8B)
+    assert struct.unpack_from(">Q", content, 24)[0] == 1  # name len (8B)
+    assert content[32:36] == b"d\x00\x00\x00"
+    assert struct.unpack_from(">Q", content, 36)[0] == 3  # dim length (8B)
+    # gatt ABSENT: tag (4B) + count (8B)
+    assert struct.unpack_from(">I", content, 44)[0] == 0
+    assert struct.unpack_from(">Q", content, 48)[0] == 0
+    # var_list tag + count
+    assert struct.unpack_from(">I", content, 56)[0] == 0x0B
+    assert struct.unpack_from(">Q", content, 60)[0] == 1
+    p = 68
+    assert struct.unpack_from(">Q", content, p)[0] == 1  # name len
+    assert content[p + 8 : p + 12] == b"v\x00\x00\x00"
+    p += 12
+    assert struct.unpack_from(">Q", content, p)[0] == 1  # ndims (8B)
+    assert struct.unpack_from(">I", content, p + 8)[0] == 0  # dimid (4B!)
+    p += 12
+    assert struct.unpack_from(">I", content, p)[0] == 0  # vatt tag
+    assert struct.unpack_from(">Q", content, p + 4)[0] == 0
+    p += 12
+    nc_type = struct.unpack_from(">I", content, p)[0]
+    vsize = struct.unpack_from(">Q", content, p + 4)[0]
+    begin = struct.unpack_from(">Q", content, p + 12)[0]
+    assert nc_type == 10  # NC_INT64
+    assert vsize == 24  # 3 × 8 bytes
+    assert begin == p + 20  # header ends exactly here
+    assert len(content) == begin + 24
+
+
+@pytest.mark.parametrize("version", [2, 5])
+def test_cdf_versions_roundtrip(version):
+    data, th, lat, lon = _cube()
+    b = write_netcdf3(
+        dimensions={"time": None, "lat": NY, "lon": NX},
+        variables={
+            "time": (("time",), th, {}),
+            "lat": (("lat",), lat, {"long_name": "latitude coordinate"}),
+            "lon": (("lon",), lon, {"long_name": "longitude coordinate"}),
+            "tas": (("time", "lat", "lon"), data, {"_FillValue": FILL}),
+        },
+        version=version,
+    )
+    assert b[3] == version
+    f = read_netcdf3(b)
+    np.testing.assert_allclose(f.variables["tas"].data, data)
+    np.testing.assert_allclose(f.variables["lat"].data, lat)
+    assert f.variables["tas"].attributes["_FillValue"] == FILL
+
+
+def test_cdf5_wide_and_unsigned_types():
+    from netcdf_olap_spark.sources.netcdf3 import NC_INT64, NC_UBYTE, NC_UINT, NC_UINT64, NC_USHORT
+
+    rng = np.random.default_rng(6)
+    arrays = {
+        "i64": rng.integers(-(2**60), 2**60, 7).astype(np.int64),
+        "u8": rng.integers(0, 255, 7).astype(np.uint8),
+        "u16": rng.integers(0, 2**16, 7).astype(np.uint16),
+        "u32": rng.integers(0, 2**32, 7).astype(np.uint32),
+        "u64": rng.integers(0, 2**63, 7).astype(np.uint64),
+    }
+    b = write_netcdf3({"k": 7}, {nm: (("k",), a, {}) for nm, a in arrays.items()}, version=5)
+    f = read_netcdf3(b)
+    for nm, a in arrays.items():
+        np.testing.assert_array_equal(f.variables[nm].data, a)
+    want_types = {"i64": NC_INT64, "u8": NC_UBYTE, "u16": NC_USHORT, "u32": NC_UINT, "u64": NC_UINT64}
+    for nm, t in want_types.items():
+        assert f.variables[nm].nc_type == t
+    # CDF-1 narrows i64 and rejects unsigned
+    with pytest.raises(ValueError, match="unsupported dtype uint"):
+        write_netcdf3({"k": 7}, {"u": (("k",), arrays["u32"], {})}, version=1)
+
+
+def test_cdf5_record_vars_roundtrip():
+    rng = np.random.default_rng(8)
+    a = rng.normal(0, 1, (5, 4))
+    c = rng.integers(0, 100, (5, 3)).astype(np.int64)
+    b = write_netcdf3(
+        dimensions={"t": None, "p": 4, "q": 3},
+        variables={"a": (("t", "p"), a, {}), "c": (("t", "q"), c, {})},
+        version=5,
+    )
+    f = read_netcdf3(b)
+    np.testing.assert_allclose(f.variables["a"].data, a)
+    np.testing.assert_array_equal(f.variables["c"].data, c)
+
+
+def test_cdf5_through_ingest_decoder(spark, tmp_path):
+    """A CDF-5 .nc file flows through the default distributed ingest
+    path (auto_decoder dispatches on the CDF magic regardless of the
+    version byte)."""
+    data, th, lat, lon = _cube(4)
+    b = write_netcdf3(
+        dimensions={"time": None, "lat": NY, "lon": NX},
+        variables={
+            "time": (("time",), th.astype(np.int64), {}),
+            "lat": (("lat",), lat, {"long_name": "latitude coordinate"}),
+            "lon": (("lon",), lon, {"long_name": "longitude coordinate"}),
+            "tas": (("time", "lat", "lon"), data, {"_FillValue": FILL}),
+        },
+        version=5,
+    )
+    (tmp_path / "v5.nc").write_bytes(b)
+    df = src.ingest_directory(spark, str(tmp_path), ds="cdf5")
+    assert df.count() == NT * NY * NX
+    assert df.where(df.value.isNull()).count() == 2
