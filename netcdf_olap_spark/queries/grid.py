@@ -975,9 +975,61 @@ ORDER BY variable
 """
 
 
+def grid_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8b (NetCDF export sink) behind an oracle: slice the fixture
+    cube, export it as NetCDF-4/HDF5 via sinks/netcdf.py, re-ingest
+    the files through the distributed path, and aggregate. The oracle
+    computes the SAME aggregate directly from the fixture parquet —
+    the hashes match only if export∘ingest is the identity (NULL↔
+    _FillValue inversion, hours-since-1990 re-encode, coordinate
+    round-trip all value-perfect)."""
+    import tempfile
+
+    from netcdf_olap_spark.sinks.netcdf import export_netcdf, save_netcdf
+    from netcdf_olap_spark.sources.netcdf import ingest_directory
+
+    sel = slice_ops.time_range(load_grid(spark), "1990-01-03", "1990-01-08")
+    sel = sel.where(F.col("variable").isin("LST_LWST_avg_daily", "avg_night_temp"))
+    out = tempfile.mkdtemp(prefix="nolap_export_rt_")
+    save_netcdf(export_netcdf(sel, fmt="hdf5", gzip=6), out)
+    back = ingest_directory(spark, out, ds="roundtrip")
+    return (
+        back.groupBy("variable")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("value").alias("n_vals"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_val"),
+            F.min("lat").alias("lat_min"),
+            F.max("lon").alias("lon_max"),
+            F.date_format(F.min("time"), "yyyy-MM-dd").alias("d_min"),
+            F.date_format(F.max("time"), "yyyy-MM-dd").alias("d_max"),
+        )
+        .orderBy("variable")
+    )
+
+
+GRID_EXPORT_ROUNDTRIP_SQL = f"""
+SELECT variable,
+       COUNT(*) AS n_rows,
+       COUNT(value) AS n_vals,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_val,
+       MIN(lat) AS lat_min,
+       MAX(lon) AS lon_max,
+       STRFTIME(MIN(CAST(time AS DATE)), '%Y-%m-%d') AS d_min,
+       STRFTIME(MAX(CAST(time AS DATE)), '%Y-%m-%d') AS d_max
+FROM {GRID}
+WHERE time >= TIMESTAMP '1990-01-03 00:00:00'
+  AND time < TIMESTAMP '1990-01-09 00:00:00'
+  AND variable IN ('LST_LWST_avg_daily', 'avg_night_temp')
+GROUP BY variable
+ORDER BY variable
+"""
+
+
 QUERIES = {
     "grid_polygon_stats": (grid_polygon_stats, GRID_POLYGON_STATS_SQL),
     "grid_ingest_nc": (grid_ingest_nc, GRID_INGEST_NC_SQL),
+    "grid_export_roundtrip": (grid_export_roundtrip, GRID_EXPORT_ROUNDTRIP_SQL),
     "grid_nearest_blocked": (grid_nearest_blocked, GRID_NEAREST_BLOCKED_SQL),
     "grid_bbox_stats": (grid_bbox_stats, GRID_BBOX_STATS_SQL),
     "grid_point_read": (grid_point_read, GRID_POINT_READ_SQL),
