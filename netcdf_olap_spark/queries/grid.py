@@ -1026,10 +1026,55 @@ ORDER BY variable
 """
 
 
+def grid_ingest_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 metadata probe + P2 file-overlap pruning behind an oracle:
+    ``cube_catalog`` over the ingested two-format .nc directory,
+    filtered by ``overlapping_variables``'s closed-interval time test
+    (Gddp.scala:119-133) for a range that keeps the classic file's
+    variable and drops the HDF5 file's. The oracle recomputes extent
+    and counts from the closed-form cell formula — same independence
+    as grid_ingest_nc."""
+    from netcdf_olap_spark.sources.netcdf import (
+        cube_catalog,
+        ingest_directory,
+        overlapping_variables,
+    )
+
+    df = ingest_directory(spark, _ingest_fixture_dir(), ds="ingest")
+    cat = cube_catalog(df)
+    # classic file spans 1990-01-01..06, HDF5 file 01-07..12: this
+    # range overlaps only the first (closed-interval semantics)
+    kept = overlapping_variables(cat, "1990-01-04", "1990-01-06")
+    return kept.select(
+        "ds",
+        "variable",
+        F.date_format("time_min", "yyyy-MM-dd").alias("d_min"),
+        F.date_format("time_max", "yyyy-MM-dd").alias("d_max"),
+        "n_rows",
+        "n_values",
+    ).orderBy("variable")
+
+
+GRID_INGEST_CATALOG_SQL = f"""
+WITH cells AS (
+  SELECT rt.t AS t, ry.y AS y, rx.x AS x
+  FROM range(0, {INGEST_NT}) rt(t), range(0, {INGEST_NY}) ry(y), range(0, {INGEST_NX}) rx(x)
+)
+SELECT 'ingest' AS ds,
+       'tas' AS variable,
+       STRFTIME(DATE '1990-01-01', '%Y-%m-%d') AS d_min,
+       STRFTIME(DATE '1990-01-01' + CAST({INGEST_NT} - 1 AS INT), '%Y-%m-%d') AS d_max,
+       COUNT(*) AS n_rows,
+       COUNT(CASE WHEN (t + y + x) % 7 = 0 THEN NULL ELSE 1 END) AS n_values
+FROM cells
+"""
+
+
 QUERIES = {
     "grid_polygon_stats": (grid_polygon_stats, GRID_POLYGON_STATS_SQL),
     "grid_ingest_nc": (grid_ingest_nc, GRID_INGEST_NC_SQL),
     "grid_export_roundtrip": (grid_export_roundtrip, GRID_EXPORT_ROUNDTRIP_SQL),
+    "grid_ingest_catalog": (grid_ingest_catalog, GRID_INGEST_CATALOG_SQL),
     "grid_nearest_blocked": (grid_nearest_blocked, GRID_NEAREST_BLOCKED_SQL),
     "grid_bbox_stats": (grid_bbox_stats, GRID_BBOX_STATS_SQL),
     "grid_point_read": (grid_point_read, GRID_POINT_READ_SQL),

@@ -458,6 +458,58 @@ def test_ingest_directory_mixed_formats(spark, tmp_path):
     assert df.where(df.value.isNull()).count() == 4  # 2 fill cells per file
 
 
+def test_cube_stream_mixed_nc_formats(spark, tmp_path):
+    """Streaming directory scan over REAL .nc arrivals, one classic
+    and one HDF5 file (decoder=auto): each lands as a micro-batch with
+    rows equal to the batch ingest of the same bytes."""
+    from pyspark.sql import functions as F
+
+    from netcdf_olap_spark.sources.netcdf_datasource import register
+
+    register(spark)
+    d = tmp_path / "nc_arrivals"
+    d.mkdir()
+    d1, th, lat, lon = _cube(1)
+    nc3 = write_netcdf3(
+        dimensions={"time": None, "lat": NY, "lon": NX},
+        variables={
+            "time": (("time",), th, {}),
+            "lat": (("lat",), lat, {"long_name": "latitude coordinate"}),
+            "lon": (("lon",), lon, {"long_name": "longitude coordinate"}),
+            "tas": (("time", "lat", "lon"), d1, {"_FillValue": FILL}),
+        },
+    )
+    (d / "day1.nc").write_bytes(nc3)
+
+    stream = (
+        spark.readStream.format("netcdf_cube")
+        .options(path=str(d), pattern="*.nc", ds="live", decoder="auto")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("nc_arrivals")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table("nc_arrivals").count() == d1.size
+
+        d2, _, _, _ = _cube(2)
+        (d / "day2.nc").write_bytes(
+            _h5_bytes(d2, (th + NT * 24).astype(np.int32), lat, lon, chunks={"tas": (2, 2, 3)}, gzip=6)
+        )
+        q.processAllAvailable()
+        out = spark.table("nc_arrivals")
+        assert out.count() == 2 * d1.size
+        assert out.where(F.col("value").isNull()).count() == 4  # 2 fills per file
+        assert out.select(F.countDistinct("time")).first()[0] == 2 * NT
+    finally:
+        q.stop()
+
+
 def test_python_datasource_hdf5_decoder(spark, tmp_path):
     """format('netcdf_cube') with decoder=auto reads a NetCDF-4 file —
     same rows as the mapInPandas ingest path."""
