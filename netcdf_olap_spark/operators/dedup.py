@@ -133,6 +133,86 @@ def minhash_signatures(
     return idx.groupBy("id").agg(*aggs)
 
 
+def minhash_lsh_pairs_portable(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Engine-portable MinHash+LSH twin of ``minhash_lsh_pairs``.
+
+    Same pipeline shape — k min-hashes, b bands × r rows, band-bucket
+    self-join for candidates, exact-Jaccard verify restricted to the
+    candidate set — but every stage uses the engine-portable hash
+    family (md5 hex, 13-digit/52-bit prefix, the same trick as
+    SimHash's ``md5_52`` mode) over STRING shingles, and band keys are
+    comma-joined decimal strings. That makes the full LSH pipeline
+    replayable in DuckDB SQL, so it can sit behind a value-level
+    oracle (queries/text.py doc_minhash_portable) instead of a
+    rows-only check. xxhash64 ``minhash_lsh_pairs`` stays the fast
+    default for production runs — this twin re-hashes the shingle
+    string k times.
+
+    Output: (id1, id2, shared, union_sz) — integer columns only, so
+    the cross-engine hash cannot drift on float division.
+    """
+    assert k % bands == 0
+    r = k // bands
+    idx = _shingle_index(df, id_col, text_col, n)
+
+    def h(j: int):
+        hex13 = F.substring(F.md5(F.concat_ws("|", F.lit(str(j)), F.col("sh"))), 1, 13)
+        return F.conv(hex13, 16, 10).cast("long")
+
+    sigs = idx.groupBy("id").agg(*[F.min(h(j)).alias(f"h{j}") for j in range(k)])
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.concat_ws(",", *[F.col(f"h{bi * r + j}").cast("string") for j in range(r)]).alias("key"),
+        )
+        for bi in range(bands)
+    ]
+    banded = sigs.select("id", F.explode(F.array(*band_cols)).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+        # feeds three consumers (ids union + two semi-joins) — cut so the
+        # signature subtree computes once (same rationale as the fast path)
+        .localCheckpoint(eager=True)
+    )
+
+    sizes = idx.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    ids = cand.select(F.col("id1").alias("id")).union(cand.select("id2")).distinct()
+    sub = idx.join(ids, "id", "left_semi")
+    aa, bb = sub.alias("a"), sub.alias("b")
+    shared = (
+        aa.join(bb, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .join(cand, ["id1", "id2"], "left_semi")
+    )
+    sz1 = sizes.select(F.col("id").alias("id1"), F.col("sz").alias("sz1"))
+    sz2 = sizes.select(F.col("id").alias("id2"), F.col("sz").alias("sz2"))
+    jn = shared.join(sz1, "id1").join(sz2, "id2")
+    union_sz = F.col("sz1") + F.col("sz2") - F.col("shared")
+    t_num, t_den = _as_fraction(threshold)
+    return jn.where(F.col("shared") * t_den >= F.lit(t_num) * union_sz).select(
+        "id1", "id2", "shared", union_sz.alias("union_sz")
+    )
+
+
 def _hashed_shingle_index(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, h0_) inverted index of 64-bit shingle HASHES — the
     string-free twin of ``_shingle_index``: one xxhash64 per token,

@@ -126,7 +126,14 @@ _PRIORITY: tuple[str, ...] = (
     "doc_lang_id",
     "doc_exact_dedup",
     "doc_jaccard_pairs",
-    "doc_minhash_dedup_pairs",
+    # the md5-52 portable MinHash twin carries N1's LSH slot since
+    # round 5: identical k-min/banding/candidate/verify pipeline, but
+    # every stage is DuckDB-replayable → hash-green instead of
+    # rows-only. The xxhash64 production form (doc_minhash_dedup_pairs)
+    # stays registered outside the window, pinned to the same planted
+    # duplicates in tests/test_dedup.py. With this swap every row in
+    # the 50-entry checked window carries a value-level oracle.
+    "doc_minhash_portable",
     "doc_sentence_stats",
     "grid_midhinge",
     # corpus-hygiene pipeline (decontamination: the broadcast

@@ -239,6 +239,50 @@ def doc_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id1", "id2")
 
 
+def doc_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH with the engine-portable md5-52-bit hash family:
+    same k-min/banding/candidate/exact-verify pipeline as
+    doc_minhash_dedup_pairs, every stage replayed by the DuckDB
+    oracle — minhash values, band buckets, candidate generation, AND
+    the rational-threshold verify are all value-checked. Puts the LSH
+    machinery itself behind a hash check; the xxhash64 variant stays
+    registered as the production-speed form."""
+    return dedup.minhash_lsh_pairs_portable(
+        _docs(spark, sf_dir), k=16, bands=8, threshold=0.12
+    ).orderBy("id1", "id2")
+
+
+DOC_MINHASH_PORTABLE_SQL = f"""
+WITH toks AS (SELECT doc_id, {DUCK_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id AS id, unnest(list_distinct({DUCK_SHINGLES})) AS sh FROM toks),
+mins AS (
+  SELECT id, j,
+         MIN(('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || sh), 1, 13))::BIGINT) AS h
+  FROM sh CROSS JOIN generate_series(0, 15) AS g(j)
+  GROUP BY id, j),
+bands AS (
+  SELECT id, j // 2 AS band, STRING_AGG(CAST(h AS VARCHAR), ',' ORDER BY j) AS key
+  FROM mins GROUP BY id, j // 2),
+cand AS (
+  SELECT DISTINCT a.id AS id1, b.id AS id2
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+shared AS (
+  SELECT a.id AS id1, b.id AS id2, COUNT(*) AS shared
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+  JOIN cand c ON c.id1 = a.id AND c.id2 = b.id
+  GROUP BY a.id, b.id)
+SELECT s.id1, s.id2,
+       CAST(s.shared AS BIGINT) AS shared,
+       CAST(s1.sz + s2.sz - s.shared AS BIGINT) AS union_sz
+FROM shared s
+JOIN sizes s1 ON s1.id = s.id1
+JOIN sizes s2 ON s2.id = s.id2
+WHERE s.shared * 1000 >= 120 * (s1.sz + s2.sz - s.shared)
+ORDER BY id1, id2
+"""
+
+
 def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming ≤ 7, recall-guaranteed by
     8×8-bit chunk blocking). rows-only: xxhash64 bit-vote signatures
@@ -770,6 +814,7 @@ QUERIES = {
     "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
     "doc_jaccard_pairs": (doc_jaccard_pairs, DOC_JACCARD_SQL),
     "doc_minhash_dedup_pairs": (doc_minhash_dedup_pairs, None),
+    "doc_minhash_portable": (doc_minhash_portable, DOC_MINHASH_PORTABLE_SQL),
     "doc_simhash_pairs": (doc_simhash_pairs, None),
     "doc_simhash_portable": (doc_simhash_portable, DOC_SIMHASH_PORTABLE_SQL),
     "doc_sentence_stats": (doc_sentence_stats, DOC_SENTENCE_SQL),

@@ -84,3 +84,27 @@ def test_simhash_signature_deterministic(spark, planted):
     a = {r.id: r.simhash for r in dedup.simhash_signatures(planted).collect()}
     b = {r.id: r.simhash for r in dedup.simhash_signatures(planted).collect()}
     assert a == b
+
+
+def test_minhash_portable_precision_and_planted_recall(spark, planted):
+    """The md5-52 portable twin keeps the fast path's contract:
+    verified output ⊆ exact-Jaccard truth (precision 1.0) and the
+    planted high-jaccard pairs survive r=2 banding."""
+    truth = _pairs(dedup.jaccard_pairs(planted, threshold=0.5, n=3))
+    got = _pairs(dedup.minhash_lsh_pairs_portable(planted, k=16, bands=8, threshold=0.5))
+    assert got <= truth
+    assert (0, 1) in got and (2, 3) in got
+
+
+def test_minhash_portable_agrees_with_fast_path_on_documents(spark):
+    """Portable (md5-52) and production (xxhash64) MinHash disagree
+    only through band-collision luck, never on verification: both
+    outputs are subsets of brute-force truth, and the planted
+    documents-table near-dups (the pairs brute force finds) are
+    recovered identically here."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    truth = _pairs(dedup.jaccard_pairs(docs, threshold=0.12, n=3))
+    fast = _pairs(dedup.minhash_lsh_pairs(docs, k=32, bands=16, verify_threshold=0.12))
+    portable = _pairs(dedup.minhash_lsh_pairs_portable(docs, k=16, bands=8, threshold=0.12))
+    assert portable <= truth
+    assert portable == fast == truth  # r=2 banding recovers all planted pairs
