@@ -1,0 +1,62 @@
+"""Plan-shape locks for the later round-5 additions (ingest query,
+export round-trip, portable MinHash): exchange budgets and
+Python-boundary placement must not silently regress.
+"""
+
+from __future__ import annotations
+
+from netcdf_olap_spark.queries import all_queries
+from tests.conftest import SF_SMALL
+
+
+def _plan(spark, name: str) -> str:
+    df = all_queries()[name](spark, SF_SMALL)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_ingest_nc_decode_stays_narrow(spark):
+    """grid_ingest_nc: decode is a narrow MapInPandas over the
+    binaryFile scan — file bytes NEVER shuffle. The only wide exchange
+    is the final per-variable aggregate, fed by a map-side partial."""
+    plan = _plan(spark, "grid_ingest_nc")
+    assert plan.count("MapInPandas") == 1
+    # one wide exchange (the groupBy); the decode side of it is narrow
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "partial" in plan.lower()  # map-side combine before the shuffle
+    # no exchange BELOW the Python decode: bytes flow scan→decode directly
+    below = plan.split("MapInPandas")[-1]
+    assert "Exchange" not in below.split("Scan")[0] or "Exchange" not in below
+
+
+def test_export_roundtrip_single_python_stage_each_way(spark):
+    """grid_export_roundtrip: exactly two Python boundaries — the
+    export's FlatMapGroupsInPandas and the re-ingest's MapInPandas.
+    The export group-shuffle is the one wide exchange feeding Python."""
+    plan = _plan(spark, "grid_export_roundtrip")
+    assert plan.count("MapInPandas") == 1  # re-ingest decode
+    # export runs inside save_netcdf() eagerly, so the returned plan is
+    # the re-ingest aggregate only; its shuffle budget matches ingest
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_minhash_portable_shuffle_budget_and_checkpoint(spark):
+    """doc_minhash_portable: signature subtree computes once (the
+    candidate set is checkpointed → ExistingRDD feeds the verify
+    stage), no Python anywhere, and the exchange budget stays at the
+    fast path's level (shingle index, signatures, band join, verify
+    join family) — the portable hashing must not add shuffles."""
+    plan = _plan(spark, "doc_minhash_portable")
+    for node in ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas", "MapInPandas"):
+        assert node not in plan
+    assert "Scan ExistingRDD" in plan  # checkpointed candidates
+    assert plan.count("Exchange hashpartitioning") <= 8
+    assert "CartesianProduct" not in plan  # banding, never all-pairs
+
+
+def test_ingest_catalog_prunes_before_output(spark):
+    """grid_ingest_catalog: the overlap filter is a post-aggregate
+    predicate on the tiny catalog (per-variable rows), not a re-scan —
+    a single aggregate exchange, one MapInPandas decode."""
+    plan = _plan(spark, "grid_ingest_catalog")
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("Exchange hashpartitioning") <= 1
