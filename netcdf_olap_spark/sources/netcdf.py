@@ -42,8 +42,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BooleanType,
     DoubleType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -322,6 +324,64 @@ def ensure_package_on_workers(spark: SparkSession) -> None:
     spark.sparkContext.addPyFile(dst)
 
 
+HEALTH_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("fmt", StringType()),
+        StructField("ok", BooleanType()),
+        StructField("n_vars", IntegerType()),
+        StructField("n_cells", LongType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def scan_directory_health(spark: SparkSession, path: str, pattern: str = "*.nc") -> DataFrame:
+    """Ingest pre-flight: decode every file on the executors and
+    report per-file health (format, 3-D variable count, cell count,
+    error) instead of failing the job. The operational guard for a
+    100 TB directory where one truncated or foreign file must not kill
+    a multi-hour ingest — run this first, then ingest the ``ok`` set
+    (or use ``ingest_directory(skip_corrupt=True)``). Same
+    distribution shape as the ingest itself: binaryFile → mapInPandas,
+    one file per task, nothing through the driver."""
+    ensure_package_on_workers(spark)
+    files = spark.read.format("binaryFile").option("pathGlobFilter", pattern).load(path)
+
+    def _probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        from netcdf_olap_spark.sources.hdf5 import read_hdf5
+        from netcdf_olap_spark.sources.netcdf3 import read_netcdf3
+
+        for pdf in batches:
+            rows = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                content = bytes(content)
+                if content[:8] == b"\x89HDF\r\n\x1a\n":
+                    fmt = "hdf5"
+                elif content[:3] == b"CDF":
+                    fmt = "classic"
+                else:
+                    fmt = "unknown"
+                try:
+                    if fmt == "hdf5":
+                        f = read_hdf5(content)
+                    elif fmt == "classic":
+                        f = read_netcdf3(content)
+                    else:
+                        raise ValueError("unrecognized magic bytes")
+                    vars3 = [v for v in f.variables.values() if len(v.shape) == 3]
+                    cells = sum(int(_np.prod(v.shape)) for v in vars3)
+                    rows.append((p, fmt, True, len(vars3), cells, None))
+                except Exception as e:  # noqa: BLE001 — the point is to report, not raise
+                    rows.append((p, fmt, False, 0, 0, f"{type(e).__name__}: {e}"))
+            yield _pd.DataFrame(rows, columns=[f.name for f in HEALTH_SCHEMA.fields])
+
+    return files.select("path", "content").mapInPandas(_probe, HEALTH_SCHEMA)
+
+
 def ingest_directory(
     spark: SparkSession,
     path: str,
@@ -329,6 +389,7 @@ def ingest_directory(
     variables: list[str] | None = None,
     pattern: str = "*.nc",
     decoder: Callable[[bytes, str, list[str] | None], Iterator[pd.DataFrame]] | None = None,
+    skip_corrupt: bool = False,
 ) -> DataFrame:
     """Distributed NetCDF directory ingest.
 
@@ -353,12 +414,21 @@ def ingest_directory(
     # tests supply from their own module): no references to this
     # package inside, so Python workers never need netcdf_olap_spark
     # importable regardless of the driver process's cwd.
-    dec, ds_, vars_ = decoder, ds, variables
+    dec, ds_, vars_, skip_ = decoder, ds, variables, skip_corrupt
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for content in pdf["content"]:
-                yield from dec(bytes(content), ds_, vars_)
+                if skip_:
+                    # quarantine mode: a bad file yields nothing instead
+                    # of failing the job; scan_directory_health reports
+                    # which files were dropped and why
+                    try:
+                        yield from dec(bytes(content), ds_, vars_)
+                    except Exception:  # noqa: BLE001
+                        continue
+                else:
+                    yield from dec(bytes(content), ds_, vars_)
 
     return files.select("content").mapInPandas(_decode, schema=GRID_SCHEMA)
 
