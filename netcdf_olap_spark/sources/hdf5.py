@@ -273,6 +273,7 @@ class _Reader:
         nmsgs = struct.unpack_from("<H", buf, addr + 2)[0]
         hdr_size = struct.unpack_from("<I", buf, addr + 8)[0]
         blocks = [(addr + 16, addr + 16 + hdr_size)]
+        seen = {blocks[0]}
         out: list[tuple[int, int, int]] = []
         bi = 0
         while bi < len(blocks) and len(out) < nmsgs:
@@ -283,7 +284,12 @@ class _Reader:
                 body = pos + 8
                 if mtype == MSG_CONTINUATION:
                     o, length = struct.unpack_from("<QQ", buf, body)
-                    blocks.append((o, o + length))
+                    blk = (o, o + length)
+                    # corrupt files can point continuations at each
+                    # other — a visited set keeps this loop finite
+                    if blk not in seen:
+                        seen.add(blk)
+                        blocks.append(blk)
                 else:
                     out.append((mtype, body, msize))
                 pos = body + msize
@@ -305,6 +311,7 @@ class _Reader:
         p += size_bytes
         corder = 2 if flags & 0x04 else 0  # creation-order field per message
         blocks = [(p, p + chunk0)]
+        seen = {blocks[0]}
         out: list[tuple[int, int, int]] = []
         bi = 0
         while bi < len(blocks):
@@ -319,7 +326,10 @@ class _Reader:
                 if mtype == MSG_CONTINUATION:
                     o, length = struct.unpack_from("<QQ", buf, body)
                     assert buf[o : o + 4] == b"OCHK", "bad continuation signature"
-                    blocks.append((o + 4, o + length - 4))  # strip sig + checksum
+                    blk = (o + 4, o + length - 4)  # strip sig + checksum
+                    if blk not in seen:  # cycle guard for corrupt files
+                        seen.add(blk)
+                        blocks.append(blk)
                 else:
                     out.append((mtype, body, msize))
                 pos = body + msize
@@ -367,8 +377,12 @@ class _Reader:
             return buf[heap_data + off : end].decode("utf-8")
 
         out: list[tuple[str, int]] = []
+        visited: set[int] = set()
 
         def walk(addr: int) -> None:
+            if addr in visited:  # cyclic pointers in a corrupt file
+                raise ValueError(f"cyclic group B-tree at {addr:#x}")
+            visited.add(addr)
             assert buf[addr : addr + 4] == b"TREE", "bad group B-tree signature"
             node_type, level = buf[addr + 4], buf[addr + 5]
             assert node_type == 0, f"expected group B-tree, got node type {node_type}"
@@ -451,8 +465,12 @@ class _Reader:
         buf = self.buf
         out: list[tuple[tuple[int, ...], int, int, int]] = []
         key_size = 8 + 8 * (ndim + 1)
+        visited: set[int] = set()
 
         def walk(a: int) -> None:
+            if a in visited:  # cyclic pointers in a corrupt file
+                raise ValueError(f"cyclic chunk B-tree at {a:#x}")
+            visited.add(a)
             assert buf[a : a + 4] == b"TREE", "bad chunk B-tree signature"
             node_type, level = buf[a + 4], buf[a + 5]
             assert node_type == 1, f"expected chunk B-tree, got node type {node_type}"
