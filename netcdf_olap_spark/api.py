@@ -62,6 +62,26 @@ def result_zip(spark, q: CubeQuery) -> bytes:
     return buf.getvalue()
 
 
+def result_nc_zip(spark, q: CubeQuery, fmt: str = "hdf5") -> bytes:
+    """The .nc-export counterpart of ``result_zip``: the same sliced
+    cube leaves as one NetCDF file per variable (classic CDF-1 or
+    NetCDF-4/HDF5 via sinks/netcdf.py) — the engine generalization of
+    the reference's raw-values ``result.txt`` alternative
+    (geopy.py:101-102; main.py:129 comment)."""
+    from netcdf_olap_spark.sinks.netcdf import export_netcdf, nc_filename
+
+    arts = export_netcdf(
+        q.apply(load_grid(spark, register=False)),
+        fmt=fmt,
+        gzip=6 if fmt == "hdf5" else None,
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        for row in arts.collect():
+            z.writestr(nc_filename(row.ds, row.variable, row.fmt), bytes(row.nc))
+    return buf.getvalue()
+
+
 def create_app(spark=None):
     """Flask app factory. ``spark`` injectable for tests."""
     from flask import Flask, jsonify, request, send_file
@@ -94,11 +114,18 @@ def create_app(spark=None):
 
     @app.post("/fetchResult")
     def fetch_result():
+        payload = request.get_json(force=True) or {}
         try:
-            q = parse_query_payload(request.get_json(force=True) or {})
+            q = parse_query_payload(payload)
+            fmt = payload.get("format", "png")
+            if fmt not in ("png", "nc", "nc4"):
+                raise ValueError(f"format must be png, nc, or nc4, got {fmt!r}")
         except (ValueError, KeyError, TypeError) as ex:
             return jsonify({"message": f"bad request: {ex}"}), 400
-        data = result_zip(spark, q)
+        if fmt == "png":
+            data = result_zip(spark, q)
+        else:  # the sliced cube itself, as the reference's own input format
+            data = result_nc_zip(spark, q, fmt="classic" if fmt == "nc" else "hdf5")
         return send_file(
             io.BytesIO(data),
             mimetype="application/zip",

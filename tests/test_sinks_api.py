@@ -159,3 +159,45 @@ def test_datasets_catalog(spark):
     )
     assert row["lat_min"] < 42.1 < row["lat_max"]
     assert row["time_min"].isoformat().startswith("1990-01-01")
+
+
+def test_api_fetch_result_as_netcdf(spark):
+    """format=nc4 returns the sliced cube AS NetCDF: the zip holds one
+    .nc per variable whose bytes decode with the vendored reader to
+    the same polygon-masked slice the PNG path renders."""
+    from netcdf_olap_spark.api import create_app
+    from netcdf_olap_spark.sources.hdf5 import is_hdf5, read_hdf5
+
+    client = create_app(spark).test_client()
+    payload = {
+        "selectDate": "1990-01-05,1990-01-12",
+        "variables": ["LST_LWST_avg_daily"],
+        "geoJson": {
+            "type": "Feature",
+            "geometry": {"type": "Polygon", "coordinates": [[list(p) for p in POLYGON]]},
+        },
+        "format": "nc4",
+    }
+    r = client.post("/fetchResult", data=json.dumps(payload), content_type="application/json")
+    assert r.status_code == 200 and r.mimetype == "application/zip"
+    with zipfile.ZipFile(io.BytesIO(r.data)) as z:
+        names = z.namelist()
+        assert len(names) == 1 and names[0].endswith(".nc")
+        content = z.read(names[0])
+    assert is_hdf5(content)
+    f = read_hdf5(content)
+    v = f.variables["LST_LWST_avg_daily"]
+    assert len(v.shape) == 3 and v.shape[0] == 8  # 8 days in range
+    # masked-out cells persist as the _FillValue sentinel on disk (the
+    # raw reader is faithful; fill→NULL happens at the decoder layer)
+    assert v.attributes["_FillValue"] == -9999.0
+    assert (v.data == -9999.0).any() and (v.data != -9999.0).any()
+    # classic flavor too, plus unknown-format rejection
+    payload["format"] = "nc"
+    r = client.post("/fetchResult", data=json.dumps(payload), content_type="application/json")
+    assert r.status_code == 200
+    with zipfile.ZipFile(io.BytesIO(r.data)) as z:
+        assert z.read(z.namelist()[0])[:3] == b"CDF"
+    payload["format"] = "tiff"
+    r = client.post("/fetchResult", data=json.dumps(payload), content_type="application/json")
+    assert r.status_code == 400
