@@ -92,9 +92,11 @@ def export_netcdf(
         t_vals = pdf["time"].to_numpy()
         times = np.sort(pd.unique(pdf["time"])).astype(t_vals.dtype)
         epoch = np.datetime64("1990-01-01T00:00:00", "us")
-        hours_f = (times.astype("datetime64[us]") - epoch) / np.timedelta64(1, "h")
-        hours = np.rint(hours_f).astype(np.int64)
-        if not np.allclose(hours_f, hours):
+        micros = (times.astype("datetime64[us]") - epoch) // np.timedelta64(1, "us")
+        hours, rem = np.divmod(micros.astype(np.int64), 3_600_000_000)
+        # exact integer check — a relative-tolerance comparison would
+        # silently accept sub-hour offsets at 2020s-era epochs
+        if rem.any():
             raise ValueError("time values are not hour-aligned; cannot encode hours-since-1990")
 
         ys = np.sort(pdf["y"].unique())
@@ -116,11 +118,19 @@ def export_netcdf(
         lon2d[yi, xi] = pdf["lon"].to_numpy(dtype=np.float64)
 
         attrs = {"_FillValue": fill_, "long_name": variable}
+        # integer y/x index variables preserve ORIGINAL grid indices:
+        # a windowed slice (y in 100..120) must re-ingest with the same
+        # y values, not a renumbered 0-based grid (the decoder maps
+        # them back; float 1-D x/y projection coords are unaffected)
+        y_var = ys.astype("<i4")
+        x_var = xs.astype("<i4")
         if fmt_ == "classic":
             content = write_netcdf3(
                 dimensions={"time": None, "y": ny, "x": nx},
                 variables={
                     "time": (("time",), hours.astype(np.int32), {"units": "hours since 1990-01-01"}),
+                    "y": (("y",), y_var, {"long_name": "grid y index"}),
+                    "x": (("x",), x_var, {"long_name": "grid x index"}),
                     "lat": (("y", "x"), lat2d, {"long_name": "latitude coordinate"}),
                     "lon": (("y", "x"), lon2d, {"long_name": "longitude coordinate"}),
                     variable: (("time", "y", "x"), data, attrs),
@@ -134,6 +144,8 @@ def export_netcdf(
             content = write_hdf5(
                 {
                     "time": (hours.astype("<i4"), {"units": "hours since 1990-01-01", "long_name": "time"}),
+                    "y": (y_var, {"long_name": "grid y index"}),
+                    "x": (x_var, {"long_name": "grid x index"}),
                     "lat": (lat2d, {"long_name": "latitude coordinate"}),
                     "lon": (lon2d, {"long_name": "longitude coordinate"}),
                     variable: (data, attrs),

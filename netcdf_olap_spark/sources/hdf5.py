@@ -325,7 +325,8 @@ class _Reader:
                     break  # trailing gap (< one message header)
                 if mtype == MSG_CONTINUATION:
                     o, length = struct.unpack_from("<QQ", buf, body)
-                    assert buf[o : o + 4] == b"OCHK", "bad continuation signature"
+                    if buf[o : o + 4] != b"OCHK":
+                        raise ValueError("bad continuation signature")
                     blk = (o + 4, o + length - 4)  # strip sig + checksum
                     if blk not in seen:  # cycle guard for corrupt files
                         seen.add(blk)
@@ -369,7 +370,8 @@ class _Reader:
     def group_links(self, btree_addr: int, heap_addr: int) -> list[tuple[str, int]]:
         """(name, object header address) pairs from a v1 group B-tree."""
         buf = self.buf
-        assert buf[heap_addr : heap_addr + 4] == b"HEAP", "bad local heap signature"
+        if buf[heap_addr : heap_addr + 4] != b"HEAP":
+            raise ValueError("bad local heap signature")
         heap_data = struct.unpack_from("<Q", buf, heap_addr + 24)[0]
 
         def heap_str(off: int) -> str:
@@ -383,9 +385,11 @@ class _Reader:
             if addr in visited:  # cyclic pointers in a corrupt file
                 raise ValueError(f"cyclic group B-tree at {addr:#x}")
             visited.add(addr)
-            assert buf[addr : addr + 4] == b"TREE", "bad group B-tree signature"
+            if buf[addr : addr + 4] != b"TREE":
+                raise ValueError("bad group B-tree signature")
             node_type, level = buf[addr + 4], buf[addr + 5]
-            assert node_type == 0, f"expected group B-tree, got node type {node_type}"
+            if node_type != 0:
+                raise ValueError(f"expected group B-tree, got node type {node_type}")
             entries = struct.unpack_from("<H", buf, addr + 6)[0]
             pos = addr + 24
             for i in range(entries):
@@ -393,7 +397,8 @@ class _Reader:
                 if level > 0:
                     walk(child)
                 else:  # SNOD leaf
-                    assert buf[child : child + 4] == b"SNOD", "bad symbol node signature"
+                    if buf[child : child + 4] != b"SNOD":
+                        raise ValueError("bad symbol node signature")
                     nsym = struct.unpack_from("<H", buf, child + 6)[0]
                     for s in range(nsym):
                         e = child + 8 + s * 40
@@ -407,7 +412,8 @@ class _Reader:
 
     def _gheap_object(self, addr: int, index: int) -> bytes:
         buf = self.buf
-        assert buf[addr : addr + 4] == b"GCOL", "bad global heap signature"
+        if buf[addr : addr + 4] != b"GCOL":
+            raise ValueError("bad global heap signature")
         size = struct.unpack_from("<Q", buf, addr + 8)[0]
         pos, end = addr + 16, addr + size
         while pos + 16 <= end:
@@ -471,9 +477,11 @@ class _Reader:
             if a in visited:  # cyclic pointers in a corrupt file
                 raise ValueError(f"cyclic chunk B-tree at {a:#x}")
             visited.add(a)
-            assert buf[a : a + 4] == b"TREE", "bad chunk B-tree signature"
+            if buf[a : a + 4] != b"TREE":
+                raise ValueError("bad chunk B-tree signature")
             node_type, level = buf[a + 4], buf[a + 5]
-            assert node_type == 1, f"expected chunk B-tree, got node type {node_type}"
+            if node_type != 1:
+                raise ValueError(f"expected chunk B-tree, got node type {node_type}")
             entries = struct.unpack_from("<H", buf, a + 6)[0]
             pos = a + 24
             for _ in range(entries):
@@ -516,6 +524,7 @@ class _Reader:
         attrs: dict[str, Any] = {}
         layout: tuple[Any, ...] | None = None
         filters: list[tuple[int, tuple[int, ...]]] = []
+        fill_pos: int | None = None
         for mtype, pos, _size in msgs:
             if mtype == MSG_DATATYPE:
                 dt, _ = _parse_datatype(buf, pos)
@@ -536,10 +545,21 @@ class _Reader:
                 layout = self._parse_layout(pos)
             elif mtype == MSG_FILTER:
                 filters = self._parse_filters(pos)
+            elif mtype == MSG_FILL:
+                fill_pos = pos
         if dt is None or layout is None:
             raise ValueError(f"dataset {name!r} missing datatype or layout message")
         npdt = dt.numpy()
         n = int(np.prod(shape)) if shape else 1
+
+        # HDF5 semantics: unallocated data reads as the declared fill
+        # value; fall back to NaN (floats) / 0 (ints) when undefined
+        fill = self._parse_fill(fill_pos, npdt)
+
+        def background() -> np.ndarray:
+            if fill is not None:
+                return np.full(shape, fill, dtype=npdt)
+            return np.full(shape, np.nan, dtype=npdt) if npdt.kind == "f" else np.zeros(shape, dtype=npdt)
 
         kind = layout[0]
         if kind == "compact":
@@ -547,7 +567,7 @@ class _Reader:
         elif kind == "contiguous":
             addr, _dsize = layout[1], layout[2]
             if addr == UNDEF:  # never allocated → all fill
-                data = np.full(shape, np.nan, dtype=npdt) if npdt.kind == "f" else np.zeros(shape, dtype=npdt)
+                data = background()
             else:
                 data = np.frombuffer(buf, dtype=npdt, count=n, offset=addr).reshape(shape)
         elif kind in ("chunked", "chunked4"):
@@ -562,7 +582,7 @@ class _Reader:
                 entries = self._chunk_entries_v4(
                     shape, chunk_shape, npdt.itemsize, index_type, info, bool(filters)
                 )
-            data = np.full(shape, np.nan, dtype=npdt) if npdt.kind == "f" else np.zeros(shape, dtype=npdt)
+            data = background()
             for offs, caddr, nbytes, mask in entries:
                 raw = self._defilter(buf[caddr : caddr + nbytes], filters, mask)
                 chunk = np.frombuffer(raw, dtype=npdt, count=int(np.prod(chunk_shape))).reshape(chunk_shape)
@@ -574,6 +594,32 @@ class _Reader:
         else:  # pragma: no cover
             raise NotImplementedError(kind)
         return H5Var(name, shape, attrs, npdt, np.ascontiguousarray(data))
+
+    def _parse_fill(self, pos: int | None, npdt: np.dtype) -> Any:
+        """Defined fill value from a Fill Value message (v1/v2/v3), or
+        None when absent/undefined/size-mismatched."""
+        if pos is None:
+            return None
+        buf = self.buf
+        version = buf[pos]
+        if version == 1:  # version, alloc time, write time, size, value
+            (size,) = struct.unpack_from("<I", buf, pos + 3)
+            vpos = pos + 7
+        elif version == 2:  # + defined flag; size/value only when defined
+            if buf[pos + 3] != 1:
+                return None
+            (size,) = struct.unpack_from("<I", buf, pos + 4)
+            vpos = pos + 8
+        elif version == 3:  # flags byte; bit 5 = fill value defined
+            if not (buf[pos + 1] & 0x20):
+                return None
+            (size,) = struct.unpack_from("<I", buf, pos + 2)
+            vpos = pos + 6
+        else:
+            return None
+        if size != npdt.itemsize:
+            return None
+        return np.frombuffer(buf, dtype=npdt, count=1, offset=vpos)[0]
 
     @staticmethod
     def _chunk_grid(shape: tuple[int, ...], chunk_shape: tuple[int, ...]) -> list[tuple[int, ...]]:
@@ -613,14 +659,16 @@ class _Reader:
             (fa_addr,) = info
             if fa_addr == UNDEF:
                 return []
-            assert buf[fa_addr : fa_addr + 4] == b"FAHD", "bad fixed-array header signature"
+            if buf[fa_addr : fa_addr + 4] != b"FAHD":
+                raise ValueError("bad fixed-array header signature")
             client_id = buf[fa_addr + 5]
             entry_size = buf[fa_addr + 6]
             page_bits = buf[fa_addr + 7]
             max_entries, db_addr = struct.unpack_from("<QQ", buf, fa_addr + 8)
             if max_entries > (1 << page_bits):
                 raise NotImplementedError("paged fixed-array chunk index")
-            assert buf[db_addr : db_addr + 4] == b"FADB", "bad fixed-array data block signature"
+            if buf[db_addr : db_addr + 4] != b"FADB":
+                raise ValueError("bad fixed-array data block signature")
             p = db_addr + 6 + 8  # sig, version, client id, header address
             out = []
             for i in range(int(max_entries)):
@@ -730,10 +778,17 @@ class _Reader:
         return out
 
 
-def read_hdf5(content: bytes) -> H5File:
+def read_hdf5(content: bytes, variables: list[str] | None = None) -> H5File:
     """Parse an HDF5 (NetCDF-4 container) file from bytes into the same
     shape as ``read_netcdf3``: variables + attributes, data fully
-    materialized as numpy arrays."""
+    materialized as numpy arrays.
+
+    ``variables``: optional allowlist of 3-D measure variables —
+    projection pushdown into the container. Coordinate/auxiliary
+    (non-3-D) datasets always load; unlisted 3-D datasets are skipped
+    BEFORE their (possibly deflate-compressed) data is touched, so a
+    one-variable read of a five-variable file decompresses one
+    variable, not five."""
     r = _Reader(content)
     out = H5File()
 
@@ -766,6 +821,12 @@ def read_hdf5(content: bytes) -> H5File:
             continue  # sub-group: netCDF-4 classic model keeps all vars in root
         if MSG_LAYOUT not in types:
             continue
+        if variables is not None:
+            shape = next(
+                (_parse_dataspace(r.buf, pos) for t, pos, _s in msgs if t == MSG_DATASPACE), ()
+            )
+            if len(shape) == 3 and name not in variables:
+                continue  # pushdown: data never decompressed
         out.variables[name] = r.read_dataset(msgs, name)
     return out
 
@@ -825,6 +886,13 @@ def _attr_message(name: str, value: Any) -> bytes:
     return head + _pad8(nameb) + _pad8(dtm) + _pad8(dsm) + arr.tobytes()
 
 
+# single flat B-tree nodes keep the writer simple; the superblock
+# declares K values large enough that external readers size their
+# node buffers correctly, and writes beyond these limits raise
+GROUP_LEAF_K = 1024  # ≤ 2·K symbols per SNOD
+INDEXED_K = 8192  # ≤ 2·K chunk entries per v1 chunk B-tree leaf
+
+
 def _msg(mtype: int, body: bytes) -> bytes:
     body = _pad8(body)
     return struct.pack("<HHB3x", mtype, len(body), 0) + body
@@ -850,7 +918,8 @@ def _object_header_v2(messages: list[bytes]) -> bytes:
 
 def _link_msg(name: str, ohdr_addr: int) -> bytes:
     nameb = name.encode("utf-8")
-    assert len(nameb) < 256
+    if len(nameb) >= 256:
+        raise ValueError(f"link name too long ({len(nameb)} bytes) for 1-byte length field")
     # v1, flags 0: hard link, 1-byte name length, no creation order/charset
     return struct.pack("<BBB", 1, 0, len(nameb)) + nameb + struct.pack("<Q", ohdr_addr)
 
@@ -914,11 +983,18 @@ def write_hdf5(
     def var_header(nm: str, data_addr: int, btree_addr: int) -> bytes:
         arr, attrs = variables[nm]
         arr = np.ascontiguousarray(arr)
+        fillv = attrs.get("_FillValue")
+        if isinstance(fillv, (int, float, np.integer, np.floating)) and arr.dtype.kind in "iuf":
+            fv = np.array([fillv], dtype=arr.dtype).tobytes()
+            # fill v2, defined: unallocated regions must read as _FillValue
+            fill_body = struct.pack("<BBBB", 2, 2, 0, 1) + struct.pack("<I", len(fv)) + fv
+        else:
+            # fill v2: alloc time = late(2), write time = never(2), undefined
+            fill_body = struct.pack("<BBBB", 2, 2, 2, 0)
         msgs = [
             enc(MSG_DATASPACE, _ds_message(arr.shape)),
             enc(MSG_DATATYPE, _dt_message(arr)),
-            # fill value v2: alloc time = late(2), write time = never(2), undefined
-            enc(MSG_FILL, struct.pack("<BBBB", 2, 2, 2, 0)),
+            enc(MSG_FILL, fill_body),
         ]
         if nm in chunks:
             cs = chunks[nm]
@@ -1059,15 +1135,22 @@ def write_hdf5(
         pieces.append((addr["snod"], snod))
         pieces += data_pieces(addr)
 
-        sb = bytearray(96)
+        # superblock v1: like v0 plus the indexed-storage (chunk
+        # B-tree) K field — we emit single flat B-tree nodes, so the
+        # declared K values must cover the actual entry counts for
+        # external HDF5 readers (which size nodes from K): group leaf
+        # K=1024 → ≤2048 symbols/SNOD, indexed K=8192 → ≤16384 chunk
+        # entries per leaf (guarded at write time)
+        sb = bytearray(100)
         sb[0:8] = HDF5_MAGIC
-        sb[8:16] = struct.pack("<8B", 0, 0, 0, 0, 0, 8, 8, 0)
-        sb[16:20] = struct.pack("<HH", 4, 16)  # leaf k, internal k
-        sb[20:24] = struct.pack("<I", 0)
-        sb[24:56] = struct.pack("<QQQQ", 0, UNDEF, 0, UNDEF)  # EOF patched in assemble
+        sb[8:16] = struct.pack("<8B", 1, 0, 0, 0, 0, 8, 8, 0)
+        sb[16:20] = struct.pack("<HH", GROUP_LEAF_K, 16)  # group leaf/internal K
+        sb[20:24] = struct.pack("<I", 0)  # consistency flags
+        sb[24:28] = struct.pack("<HH", INDEXED_K, 0)  # indexed-storage K + reserved
+        sb[28:60] = struct.pack("<QQQQ", 0, UNDEF, 0, UNDEF)  # EOF patched in assemble
         # root symbol table entry
-        sb[56:96] = struct.pack("<QQI4xQQ", 0, addr["root"], 1, addr["btree"], addr["heap"])
-        return assemble(bytes(sb), pieces, patch_eof_at=40)
+        sb[60:100] = struct.pack("<QQI4xQQ", 0, addr["root"], 1, addr["btree"], addr["heap"])
+        return assemble(bytes(sb), pieces, patch_eof_at=44)
 
     def root_header_latest(addr: dict[str, Any]) -> bytes:
         # link info: no creation-order tracking, compact (fractal heap
@@ -1102,8 +1185,23 @@ def write_hdf5(
     # message sizes are address-independent (addresses are fixed-width
     # fields), so one sizing pass with dummy addresses fixes the layout
     # and a second pass writes the real bytes
+    if libver == "earliest" and len(names) > 2 * GROUP_LEAF_K:
+        raise ValueError(f"{len(names)} variables exceed the declared SNOD capacity (2·K={2 * GROUP_LEAF_K})")
+    if chunk_index is None:
+        # v2 superblocks carry no indexed-storage K field, so external
+        # readers assume the library default (K=32 → 64 entries/leaf)
+        leaf_cap = 2 * INDEXED_K if libver == "earliest" else 64
+        for nm in names:
+            if nm in chunks and nm in all_blobs and len(all_blobs[nm]) > leaf_cap:
+                raise ValueError(
+                    f"{len(all_blobs[nm])} chunks for {nm!r} exceed one v1 B-tree leaf "
+                    f"(cap {leaf_cap}); use larger chunks or chunk_index='fixed_array'"
+                )
+
     addr: dict[str, Any] = {}
-    cursor = 48 if libver == "latest" else 96
+    # v1 superblock is 100 bytes; start allocation at the next 8-byte
+    # boundary so object headers (and their messages) stay 8-aligned
+    cursor = 48 if libver == "latest" else 104
 
     def alloc(key: str, size: int) -> int:
         nonlocal cursor

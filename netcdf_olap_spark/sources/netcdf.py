@@ -78,9 +78,14 @@ LON_NAMES = ("lon", "longitude")
 
 
 def decode_time_hours(hours: np.ndarray) -> np.ndarray:
-    """Hours-since-1990 → datetime64[us] (Gddp.scala:126-129)."""
+    """Hours-since-1990 → datetime64[us] (Gddp.scala:126-129).
+
+    Real files store the time axis as float as often as int; fractional
+    hours are honored at microsecond precision (a plain
+    ``astype('timedelta64[h]')`` would truncate 12.5 h → 12 h)."""
     base = np.datetime64("1990-01-01T00:00:00", "us")
-    return base + hours.astype("timedelta64[h]").astype("timedelta64[us]")
+    us = np.rint(np.asarray(hours, dtype=np.float64) * 3_600_000_000.0).astype(np.int64)
+    return base + us.astype("timedelta64[us]")
 
 
 def cube_to_pandas(
@@ -213,14 +218,47 @@ def _decode_vendored(nc: Any, ds: str, variables: list[str] | None) -> Iterator[
     time_hours = np.asarray(next(nc.variables[n].data for n in TIME_NAMES if n in nc.variables))
     if lat.ndim == 1 and lon.ndim == 1:
         lon, lat = np.meshgrid(lon, lat)
+
+    def _int_index(name_: str, expect: int) -> np.ndarray | None:
+        # INTEGER 1-D y/x variables carry original grid indices (the
+        # export sink writes them so windowed slices round-trip with
+        # their true y/x, not a renumbered 0-based grid); FLOAT 1-D
+        # x/y are projection coordinates (geopy.py:54-55) and are
+        # ignored here, keeping positional indexing for real files
+        v = nc.variables.get(name_)
+        if v is None:
+            return None
+        d = np.asarray(v.data)
+        if d.ndim == 1 and d.dtype.kind in "iu" and len(d) == expect:
+            return d.astype(np.int64)
+        return None
+
+    y_idx = _int_index("y", lat.shape[0])
+    x_idx = _int_index("x", lat.shape[1])
     for name, var in nc.variables.items():
         if len(var.shape) != 3:
             continue
         if variables is not None and name not in variables:
             continue
-        fill = var.attributes.get("_FillValue")
         raw = np.asarray(var.data, dtype=np.float64)
-        yield cube_to_pandas(ds, name, raw, time_hours, lat, lon, None if fill is None else float(fill))
+        # CF conventions, matching what netCDF4's auto-maskandscale does:
+        # _FillValue/missing_value compare against the PACKED values,
+        # then scale_factor/add_offset unpack the survivors
+        fill = var.attributes.get("_FillValue", var.attributes.get("missing_value"))
+        if fill is not None:
+            raw = np.where(raw == np.float64(fill), np.nan, raw)
+        scale = var.attributes.get("scale_factor")
+        offset = var.attributes.get("add_offset")
+        if scale is not None or offset is not None:
+            raw = raw * np.float64(scale if scale is not None else 1.0) + np.float64(
+                offset if offset is not None else 0.0
+            )
+        pdf = cube_to_pandas(ds, name, raw, time_hours, lat, lon, None)
+        if y_idx is not None:
+            pdf["y"] = y_idx[pdf["y"].to_numpy()].astype(np.int32)
+        if x_idx is not None:
+            pdf["x"] = x_idx[pdf["x"].to_numpy()].astype(np.int32)
+        yield pdf
 
 
 def netcdf3_decoder(content: bytes, ds: str, variables: list[str] | None = None) -> Iterator[pd.DataFrame]:
@@ -231,7 +269,7 @@ def netcdf3_decoder(content: bytes, ds: str, variables: list[str] | None = None)
     ``netcdf4_decoder``."""
     from netcdf_olap_spark.sources.netcdf3 import read_netcdf3
 
-    yield from _decode_vendored(read_netcdf3(content), ds, variables)
+    yield from _decode_vendored(read_netcdf3(content, variables), ds, variables)
 
 
 def hdf5_decoder(content: bytes, ds: str, variables: list[str] | None = None) -> Iterator[pd.DataFrame]:
@@ -243,7 +281,7 @@ def hdf5_decoder(content: bytes, ds: str, variables: list[str] | None = None) ->
     Same semantics as ``netcdf4_decoder``."""
     from netcdf_olap_spark.sources.hdf5 import read_hdf5
 
-    yield from _decode_vendored(read_hdf5(content), ds, variables)
+    yield from _decode_vendored(read_hdf5(content, variables), ds, variables)
 
 
 def auto_decoder(content: bytes, ds: str, variables: list[str] | None = None) -> Iterator[pd.DataFrame]:
@@ -254,6 +292,18 @@ def auto_decoder(content: bytes, ds: str, variables: list[str] | None = None) ->
         yield from hdf5_decoder(content, ds, variables)
     else:
         yield from netcdf3_decoder(content, ds, variables)
+
+
+def resolve_decoder(name: str) -> Callable[[bytes, str, list[str] | None], Iterator[pd.DataFrame]]:
+    """Decoder-option string → callable — the single dispatch table the
+    ``netcdf_cube`` batch and streaming readers share (unknown names
+    fall back to the npz test decoder)."""
+    return {
+        "netcdf4": netcdf4_decoder,
+        "nc3": netcdf3_decoder,
+        "hdf5": hdf5_decoder,
+        "auto": auto_decoder,
+    }.get(name, npz_decoder)
 
 
 def npz_decoder(content: bytes, ds: str, variables: list[str] | None = None) -> Iterator[pd.DataFrame]:
@@ -272,8 +322,11 @@ def npz_decoder(content: bytes, ds: str, variables: list[str] | None = None) -> 
                 continue
             if variables is not None and name not in variables:
                 continue
+            data = z[name]
+            if data.ndim != 3:  # auxiliary array, not a cube variable
+                continue
             fill = float(z[f"fill__{name}"]) if f"fill__{name}" in z.files else None
-            yield cube_to_pandas(ds, name, z[name], time_hours, lat, lon, fill)
+            yield cube_to_pandas(ds, name, data, time_hours, lat, lon, fill)
 
 
 def ensure_package_on_workers(spark: SparkSession) -> None:
@@ -352,14 +405,14 @@ def scan_directory_health(spark: SparkSession, path: str, pattern: str = "*.nc")
         import numpy as _np
         import pandas as _pd
 
-        from netcdf_olap_spark.sources.hdf5 import read_hdf5
+        from netcdf_olap_spark.sources.hdf5 import is_hdf5, read_hdf5
         from netcdf_olap_spark.sources.netcdf3 import read_netcdf3
 
         for pdf in batches:
             rows = []
             for p, content in zip(pdf["path"], pdf["content"]):
                 content = bytes(content)
-                if content[:8] == b"\x89HDF\r\n\x1a\n":
+                if is_hdf5(content):
                     fmt = "hdf5"
                 elif content[:3] == b"CDF":
                     fmt = "classic"

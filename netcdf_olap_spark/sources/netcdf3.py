@@ -130,7 +130,8 @@ class _Cursor:
     def att_list(self) -> dict[str, Any]:
         tag = self.u32()
         n = self.nn()
-        assert tag in (_TAG_ATT, 0) and (tag != 0 or n == 0), f"bad att_list tag {tag:#x}"
+        if not (tag in (_TAG_ATT, 0) and (tag != 0 or n == 0)):
+            raise ValueError(f"bad att_list tag {tag:#x}")
         out: dict[str, Any] = {}
         for _ in range(n):
             nm = self.name()
@@ -140,8 +141,13 @@ class _Cursor:
         return out
 
 
-def read_netcdf3(content: bytes) -> Nc3File:
-    """Parse a classic-format (CDF-1/CDF-2/CDF-5) NetCDF file from bytes."""
+def read_netcdf3(content: bytes, variables: list[str] | None = None) -> Nc3File:
+    """Parse a classic-format (CDF-1/CDF-2/CDF-5) NetCDF file from bytes.
+
+    ``variables``: optional allowlist of 3-D measure variables
+    (projection pushdown — skips materializing unlisted cubes; the
+    record-variable path copies slabs, so the skip is real work
+    saved). Non-3-D variables (coordinates) always load."""
     if content[:3] != b"CDF":
         raise ValueError("not a classic NetCDF file (missing CDF magic)")
     version = content[3]
@@ -155,7 +161,8 @@ def read_netcdf3(content: bytes) -> Nc3File:
 
     # dimensions
     tag, n = c.u32(), c.nn()
-    assert tag in (_TAG_DIM, 0) and (tag != 0 or n == 0), f"bad dim_list tag {tag:#x}"
+    if not (tag in (_TAG_DIM, 0) and (tag != 0 or n == 0)):
+        raise ValueError(f"bad dim_list tag {tag:#x}")
     dim_names: list[str] = []
     dim_sizes: list[int | None] = []
     rec_dim = -1
@@ -173,7 +180,8 @@ def read_netcdf3(content: bytes) -> Nc3File:
 
     # variable metadata
     tag, nvars = c.u32(), c.nn()
-    assert tag in (_TAG_VAR, 0) and (tag != 0 or nvars == 0), f"bad var_list tag {tag:#x}"
+    if not (tag in (_TAG_VAR, 0) and (tag != 0 or nvars == 0)):
+        raise ValueError(f"bad var_list tag {tag:#x}")
     metas = []
     for _ in range(nvars):
         nm = c.name()
@@ -204,6 +212,8 @@ def read_netcdf3(content: bytes) -> Nc3File:
             numrecs = (len(content) - first) // recsize
 
     for nm, dimids, attrs, nc_type, vsize, begin in metas:
+        if variables is not None and len(dimids) == 3 and nm not in variables:
+            continue  # pushdown: slabs never copied
         dims = tuple(dim_names[d] for d in dimids)
         is_rec = bool(dimids) and dimids[0] == rec_dim
         fixed_shape = tuple(dim_sizes[d] for d in (dimids[1:] if is_rec else dimids))

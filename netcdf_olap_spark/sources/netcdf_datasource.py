@@ -124,7 +124,9 @@ def _list_variables(path: str, decoder: str) -> list[str]:
         return [
             n
             for n in z.files
-            if n not in ("time", "lat", "lon") and not n.startswith("fill__")
+            if n not in ("time", "lat", "lon")
+            and not n.startswith("fill__")
+            and z[n].ndim == 3  # same measure-variable contract as the other decoders
         ]
 
 
@@ -160,20 +162,9 @@ class NetCDFCubeReader(DataSourceReader):
         Gddp.scala:126, 188-191)."""
         import pyarrow as pa
 
-        from netcdf_olap_spark.sources.netcdf import (
-            auto_decoder,
-            hdf5_decoder,
-            netcdf3_decoder,
-            netcdf4_decoder,
-            npz_decoder,
-        )
+        from netcdf_olap_spark.sources.netcdf import resolve_decoder
 
-        dec = {
-            "netcdf4": netcdf4_decoder,
-            "nc3": netcdf3_decoder,
-            "hdf5": hdf5_decoder,
-            "auto": auto_decoder,
-        }.get(self.decoder, npz_decoder)
+        dec = resolve_decoder(self.decoder)
         with open(partition.path, "rb") as fh:
             content = fh.read()
         for pdf in dec(content, partition.ds, [partition.variable]):
@@ -210,23 +201,12 @@ class NetCDFCubeStreamReader(SimpleDataSourceStreamReader):
         return sorted(_glob.glob(os.path.join(self.inner.path, self.inner.pattern)))
 
     def _rows_for(self, files: list[str]):
-        from netcdf_olap_spark.sources.netcdf import (
-            auto_decoder,
-            hdf5_decoder,
-            netcdf3_decoder,
-            netcdf4_decoder,
-            npz_decoder,
-        )
+        from netcdf_olap_spark.sources.netcdf import resolve_decoder
 
         import numpy as np
         import pandas as pd
 
-        dec = {
-            "netcdf4": netcdf4_decoder,
-            "nc3": netcdf3_decoder,
-            "hdf5": hdf5_decoder,
-            "auto": auto_decoder,
-        }.get(self.inner.decoder, npz_decoder)
+        dec = resolve_decoder(self.inner.decoder)
 
         def _py(x):
             # the batch path gets these conversions free from Arrow:

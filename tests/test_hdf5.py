@@ -73,27 +73,34 @@ def _h5_bytes(data, time_hours, lat, lon, var="tas", **kw) -> bytes:
 
 
 def test_superblock_bytes_match_spec():
-    """Golden check of superblock v0 fields at their documented
-    offsets (HDF5 spec section II)."""
+    """Golden check of superblock v1 fields at their documented
+    offsets (HDF5 spec section II): v0 plus the indexed-storage K
+    field between the consistency flags and the base address."""
+    from netcdf_olap_spark.sources.hdf5 import GROUP_LEAF_K, INDEXED_K
+
     data, th, lat, lon = _cube()
     b = _h5_bytes(data, th, lat, lon)
 
     assert b[:8] == HDF5_MAGIC == b"\x89HDF\r\n\x1a\n"
-    assert b[8] == 0  # superblock version 0
+    assert b[8] == 1  # superblock version 1 (declares chunk B-tree K)
     assert b[9] == 0 and b[10] == 0  # free-space / root-STE versions
     assert b[13] == 8 and b[14] == 8  # size of offsets / lengths
     leaf_k, internal_k = struct.unpack_from("<HH", b, 16)
-    assert leaf_k > 0 and internal_k > 0
-    base, _fs, eof, _drv = struct.unpack_from("<QQQQ", b, 24)
+    assert (leaf_k, internal_k) == (GROUP_LEAF_K, 16)
+    indexed_k = struct.unpack_from("<H", b, 24)[0]
+    assert indexed_k == INDEXED_K
+    base, _fs, eof, _drv = struct.unpack_from("<QQQQ", b, 28)
     assert base == 0
     assert eof == len(b)  # end-of-file address == actual size
 
     # root symbol-table entry: object header + cached btree/heap addrs
-    root_ohdr = struct.unpack_from("<Q", b, 56 + 8)[0]
-    cache_type = struct.unpack_from("<I", b, 56 + 16)[0]
-    btree, heap = struct.unpack_from("<QQ", b, 56 + 24)
+    ste = 60
+    root_ohdr = struct.unpack_from("<Q", b, ste + 8)[0]
+    cache_type = struct.unpack_from("<I", b, ste + 16)[0]
+    btree, heap = struct.unpack_from("<QQ", b, ste + 24)
     assert cache_type == 1
     assert b[root_ohdr] == 1  # v1 object header
+    assert root_ohdr % 8 == 0  # headers stay 8-aligned past the 100-byte superblock
     assert b[btree : btree + 4] == b"TREE"
     assert b[heap : heap + 4] == b"HEAP"
 
@@ -573,3 +580,87 @@ def test_python_datasource_hdf5_decoder(spark, tmp_path):
     assert [tuple(r) for r in got.orderBy(*key).collect()] == [
         tuple(r) for r in want.orderBy(*key).collect()
     ]
+
+
+# ---------------------------------------------------------------------------
+# review fixes: CF packing, defined fill, pushdown
+# ---------------------------------------------------------------------------
+
+
+def test_cf_packed_variable_unpacks_like_netcdf4():
+    """CF scale_factor/add_offset packing: an int16-packed cube must
+    ingest as unpacked physical values with _FillValue checked against
+    the PACKED data — what netCDF4's auto-maskandscale does."""
+    packed = np.array(
+        [[[100, 200, -127], [300, -127, 500]]], dtype="<i2"
+    )  # (1, 2, 3), fill = -127
+    content = write_hdf5(
+        {
+            "time": (np.array([0], dtype="<i4"), {"long_name": "time"}),
+            "lat": (np.array([40.0, 41.0]), {"long_name": "latitude coordinate"}),
+            "lon": (np.array([-90.0, -89.0, -88.0]), {"long_name": "longitude coordinate"}),
+            "tasmax": (
+                packed,
+                {"_FillValue": -127, "scale_factor": 0.1, "add_offset": 273.0},
+            ),
+        }
+    )
+    frames = list(src.hdf5_decoder(content, ds="cf"))
+    got = frames[0]
+    vals = got.sort_values(["y", "x"])["value"].to_numpy()
+    want = np.array([283.0, 293.0, np.nan, 303.0, np.nan, 323.0])
+    np.testing.assert_allclose(vals, want, equal_nan=True)
+
+
+def test_defined_fill_message_backfills_unallocated():
+    """HDF5 semantics: unwritten data reads as the DECLARED fill value
+    (not 0) — an int dataset with _FillValue=-127 and an unallocated
+    contiguous address must come back all -127."""
+    a = np.zeros((2, 3), dtype="<i2")
+    b = bytearray(write_hdf5({"a": (a, {"_FillValue": -127})}))
+    r = _Reader(bytes(b))
+    links = dict(r.group_links(r.root_btree, r.root_heap))
+    pos = {t: p for t, p, _ in r.messages(links["a"])}[8]  # MSG_LAYOUT
+    struct.pack_into("<Q", b, pos + 2, UNDEF)  # contiguous addr → unallocated
+    f = read_hdf5(bytes(b))
+    assert (f.variables["a"].data == -127).all()
+    # floats without a defined fill still default to NaN
+    b2 = bytearray(write_hdf5({"a": (np.ones((2, 2)), {})}))
+    r2 = _Reader(bytes(b2))
+    links2 = dict(r2.group_links(r2.root_btree, r2.root_heap))
+    pos2 = {t: p for t, p, _ in r2.messages(links2["a"])}[8]
+    struct.pack_into("<Q", b2, pos2 + 2, UNDEF)
+    assert np.isnan(read_hdf5(bytes(b2)).variables["a"].data).all()
+
+
+def test_variable_pushdown_skips_unlisted_cubes():
+    """read_hdf5(variables=[...]) must not materialize unlisted 3-D
+    datasets (their deflate never runs) while coords still load."""
+    data, th, lat, lon = _cube(41)
+    content = write_hdf5(
+        {
+            "time": (th, {"long_name": "time"}),
+            "lat": (lat, {"long_name": "latitude coordinate"}),
+            "lon": (lon, {"long_name": "longitude coordinate"}),
+            "keep": (data, {}),
+            "skip": (data * 2, {}),
+        },
+        chunks={"keep": (2, 2, 3), "skip": (2, 2, 3)},
+        gzip=6,
+    )
+    f = read_hdf5(content, variables=["keep"])
+    assert "skip" not in f.variables
+    assert sorted(f.variables) == ["keep", "lat", "lon", "time"]
+    np.testing.assert_array_equal(f.variables["keep"].data, data)
+
+    from netcdf_olap_spark.sources.netcdf3 import read_netcdf3, write_netcdf3
+
+    nc3 = write_netcdf3(
+        {"t": None, "y": NY, "x": NX},
+        {
+            "keep": (("t", "y", "x"), data, {}),
+            "skip": (("t", "y", "x"), data * 2, {}),
+        },
+    )
+    f3 = read_netcdf3(nc3, variables=["keep"])
+    assert "skip" not in f3.variables and "keep" in f3.variables

@@ -83,3 +83,57 @@ def test_export_rejects_sub_hour_times(spark):
     shifted = cube.withColumn("time", F.col("time") + F.expr("INTERVAL 30 MINUTES"))
     with pytest.raises(Exception, match="hour-aligned"):
         export_netcdf(shifted, fmt="classic").collect()
+
+
+def test_export_windowed_slice_keeps_original_indices(spark, tmp_path):
+    """A spatial-window slice (y/x NOT starting at 0) must round-trip
+    with its ORIGINAL grid indices — the integer y/x index variables
+    carry them; a renumbered 0-based grid would silently break joins
+    against the source cube."""
+    from pyspark.sql import functions as F
+
+    cube, _ = _cube_df(spark, seed=21)
+    window = cube.where(F.col("y").between(1, 2) & F.col("x").between(2, 4))
+    save_netcdf(export_netcdf(window, fmt="hdf5"), str(tmp_path / "w"))
+    back = src.ingest_directory(spark, str(tmp_path / "w"), ds="exp")
+    assert _rows(back) == _rows(window)
+    ys = sorted(r.y for r in back.select("y").distinct().collect())
+    assert ys == [1, 2]  # original indices, not 0/1
+
+
+def test_fractional_hours_decode_exact(spark):
+    """Float time axes (common in real files) decode at µs precision
+    instead of truncating 12.5 h to 12 h."""
+    import pandas as pd
+
+    from netcdf_olap_spark.sources.netcdf3 import write_netcdf3
+
+    frames = list(
+        src.auto_decoder(
+            write_netcdf3(
+                dimensions={"time": None, "lat": 1, "lon": 1},
+                variables={
+                    "time": (("time",), np.array([12.5, 36.25]), {}),
+                    "lat": (("lat",), np.array([40.0]), {"long_name": "latitude coordinate"}),
+                    "lon": (("lon",), np.array([-90.0]), {"long_name": "longitude coordinate"}),
+                    "v": (("time", "lat", "lon"), np.ones((2, 1, 1)), {}),
+                },
+            ),
+            ds="frac",
+        )
+    )
+    times = sorted(frames[0]["time"])
+    assert times == [pd.Timestamp("1990-01-01 12:30:00"), pd.Timestamp("1990-01-02 12:15:00")]
+
+
+def test_export_rejects_sub_hour_times_far_from_epoch(spark):
+    """The hour-alignment check is exact integer arithmetic: a
+    30-minute offset in 2026 (where a relative float tolerance of the
+    ~321000-hour magnitude would span hours) must still be rejected."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    cube, _ = _cube_df(spark, seed=2)
+    shifted = cube.withColumn("time", F.col("time") + F.expr("INTERVAL 36 YEARS") + F.expr("INTERVAL 30 MINUTES"))
+    with pytest.raises(Exception, match="hour-aligned"):
+        export_netcdf(shifted, fmt="classic").collect()
