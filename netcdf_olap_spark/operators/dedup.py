@@ -66,9 +66,13 @@ def jaccard_pairs(
     """Exact n-gram-Jaccard near-dup pairs via inverted-index join.
 
     Threshold test is the integer cross-multiplication
-    ``shared * (1+t_den) >= t_num * (|A| + |B| - shared)`` — exact
-    rational arithmetic, no float boundary flakiness. ``jaccard``
-    output column is a single double division (engine-deterministic).
+    ``shared * t_den >= t_num * (|A| + |B| - shared)`` with
+    ``t_num/t_den = round(threshold·1000)/1000`` — exact rational
+    arithmetic, no float boundary flakiness. NOTE: the requested
+    threshold is therefore quantized to the nearest 1/1000 (1/3 →
+    0.333); pass an exact multiple of 0.001 to get it verbatim.
+    ``jaccard`` output column is a single double division
+    (engine-deterministic).
     """
     idx = _shingle_index(df, id_col, text_col, n)
     if max_shingle_df is not None:
@@ -159,9 +163,12 @@ def minhash_lsh_pairs_portable(
     Output: (id1, id2, shared, union_sz) — integer columns only, so
     the cross-engine hash cannot drift on float division.
     """
-    assert k % bands == 0
+    if k % bands != 0:
+        raise ValueError(f"k={k} must be divisible by bands={bands}")
     r = k // bands
-    idx = _shingle_index(df, id_col, text_col, n)
+    # the index feeds signatures, the verify self-join (both sides),
+    # and sizes — cut once so tokenize+shingle computes one time
+    idx = _shingle_index(df, id_col, text_col, n).localCheckpoint(eager=True)
 
     def h(j: int):
         hex13 = F.substring(F.md5(F.concat_ws("|", F.lit(str(j)), F.col("sh"))), 1, 13)
@@ -193,9 +200,11 @@ def minhash_lsh_pairs_portable(
         .localCheckpoint(eager=True)
     )
 
-    sizes = idx.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     ids = cand.select(F.col("id1").alias("id")).union(cand.select("id2")).distinct()
     sub = idx.join(ids, "id", "left_semi")
+    # sizes only for candidate docs (the fast path makes the same
+    # restriction) — never a full-corpus aggregate for a verify join
+    sizes = sub.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     aa, bb = sub.alias("a"), sub.alias("b")
     shared = (
         aa.join(bb, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
@@ -252,7 +261,8 @@ def minhash_lsh_pairs(
     confirmed with exact Jaccard (inverted-index, restricted to the
     candidate set via semi-joins), so output precision is 1.0.
     """
-    assert k % bands == 0
+    if k % bands != 0:
+        raise ValueError(f"k={k} must be divisible by bands={bands}")
     r = k // bands
     sigs = minhash_signatures(df, id_col, text_col, k, n)
     band_cols = [
@@ -320,7 +330,13 @@ def simhash_signatures(
     hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash per doc: per token hash, vote +1/-1 on each bit,
-    signature bit = sign of the vote sum. The ±1 vote sum is computed
+    signature bit = sign of the vote sum. NOTE an intentional edge
+    divergence from the shingle-based operators: tokenization here is
+    a plain whitespace split, so an empty/whitespace-only doc gets the
+    single empty token (and thus hash("")'s signature) where
+    jaccard/minhash produce no shingles and drop the doc entirely —
+    pinned by the DuckDB twin (DOC_SIMHASH_PORTABLE_SQL), which must
+    change in lockstep if this ever does. The ±1 vote sum is computed
     arithmetically as ``2·ones_b − n`` (ones_b = sum of bit b across
     token hashes, n = token count) — identical result to 64
     conditional sums but a much smaller codegen unit (measured ~2×

@@ -607,10 +607,13 @@ ORDER BY ty, tx
 """
 
 
-# Rectangular zones (closed 5-point rings, counter-clockwise) whose
-# bounds sit at 3 decimals — grid lats/lons are 2-decimal combinations,
-# so no point ever lands ON a zone edge and the ray-cast interior
-# equals the oracle's strict bbox comparison exactly.
+# Rectangular zones (closed 5-point rings, counter-clockwise). Edge
+# safety is a PARITY argument, not a decimal-count one: grid coords are
+# lat = 42 + 0.05·y + 0.002·x (and the lon analog), i.e. every
+# coordinate is an EVEN number of thousandths, while every zone bound
+# below is an ODD number of thousandths (…5) — so no point ever lands
+# ON a zone edge and the ray-cast interior equals the oracle's strict
+# bbox comparison exactly. Keep any new bound at an odd thousandth.
 ZONES = {
     "z_south": [(-83.995, 42.005), (-82.405, 42.005), (-82.405, 42.495),
                 (-83.995, 42.495), (-83.995, 42.005)],
@@ -861,7 +864,9 @@ def _ingest_fixture_dir() -> str:
     from netcdf_olap_spark.sources.hdf5 import write_hdf5
     from netcdf_olap_spark.sources.netcdf3 import write_netcdf3
 
-    d = os.path.join(tempfile.gettempdir(), "netcdf_olap_ingest_fixture_v1")
+    # per-user path: a world-shared fixed name breaks on multi-user
+    # machines (first user's umask decides whether others can read it)
+    d = os.path.join(tempfile.gettempdir(), f"netcdf_olap_ingest_fixture_v1_{os.getuid()}")
     os.makedirs(d, exist_ok=True)
     t = np.arange(INGEST_NT)
     y = np.arange(INGEST_NY)
@@ -983,6 +988,7 @@ def grid_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hashes match only if export∘ingest is the identity (NULL↔
     _FillValue inversion, hours-since-1990 re-encode, coordinate
     round-trip all value-perfect)."""
+    import os
     import tempfile
 
     from netcdf_olap_spark.sinks.netcdf import export_netcdf, save_netcdf
@@ -990,7 +996,10 @@ def grid_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sel = slice_ops.time_range(load_grid(spark), "1990-01-03", "1990-01-08")
     sel = sel.where(F.col("variable").isin("LST_LWST_avg_daily", "avg_night_temp"))
-    out = tempfile.mkdtemp(prefix="nolap_export_rt_")
+    # one reusable dir per process (not mkdtemp per call: bench/parity
+    # loops would leak a directory of exports every invocation)
+    out = os.path.join(tempfile.gettempdir(), f"nolap_export_rt_{os.getuid()}_{os.getpid()}")
+    os.makedirs(out, exist_ok=True)
     save_netcdf(export_netcdf(sel, fmt="hdf5", gzip=6), out)
     back = ingest_directory(spark, out, ds="roundtrip")
     return (
