@@ -23,10 +23,12 @@ import json
 import os
 import zipfile
 
+import tempfile
+
 from netcdf_olap_spark.operators.spatial import parse_geojson_polygon
 from netcdf_olap_spark.plans import CubeQuery
 from netcdf_olap_spark.session import get_spark, load_coords, load_grid
-from netcdf_olap_spark.sinks import png_filename, render_png
+from netcdf_olap_spark.sinks import render_png_files
 
 
 def parse_query_payload(payload: dict) -> CubeQuery:
@@ -51,15 +53,30 @@ def parse_query_payload(payload: dict) -> CubeQuery:
     return CubeQuery(start_date=parts[0], end_date=parts[1], variables=variables, polygon=polygon)
 
 
-def result_zip(spark, q: CubeQuery) -> bytes:
-    """Run the query and pack one PNG per variable into a zip
-    (in-memory twin of main.py:113-126)."""
-    rendered = render_png(q.apply(load_grid(spark, register=False)))
+def _zip_manifest(manifest_rows) -> bytes:
+    """Pack executor-written artifact files (manifest rows with a
+    ``path`` column) into one zip. Entry names are the sink-validated
+    basenames — artifact tasks reject traversal-capable dataset/
+    variable names before any file exists, so no zip-slip entries can
+    reach a client."""
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
-        for row in rendered.collect():
-            z.writestr(png_filename(row.variable, q.start_date, q.end_date), bytes(row.png))
+        for row in manifest_rows:
+            z.write(row.path, arcname=os.path.basename(row.path))
     return buf.getvalue()
+
+
+def result_zip(spark, q: CubeQuery) -> bytes:
+    """Run the query and pack one PNG per variable into a zip
+    (main.py:113-126). Images are written by the rendering TASKS
+    (Gddp.scala:235-236's contract — the task writes the artifact, not
+    the driver); the driver only collects (path, size, checksum)
+    manifest rows and zips the finished files."""
+    with tempfile.TemporaryDirectory(prefix="nolap_api_png_") as td:
+        manifest = render_png_files(
+            q.apply(load_grid(spark, register=False)), td, q.start_date, q.end_date
+        )
+        return _zip_manifest(manifest.collect())
 
 
 def result_nc_zip(spark, q: CubeQuery, fmt: str = "hdf5") -> bytes:
@@ -67,19 +84,19 @@ def result_nc_zip(spark, q: CubeQuery, fmt: str = "hdf5") -> bytes:
     cube leaves as one NetCDF file per variable (classic CDF-1 or
     NetCDF-4/HDF5 via sinks/netcdf.py) — the engine generalization of
     the reference's raw-values ``result.txt`` alternative
-    (geopy.py:101-102; main.py:129 comment)."""
-    from netcdf_olap_spark.sinks.netcdf import export_netcdf, nc_filename
+    (geopy.py:101-102; main.py:129 comment). Files are written
+    executor-side (export_netcdf_files); only manifest rows reach the
+    driver."""
+    from netcdf_olap_spark.sinks.netcdf import export_netcdf_files
 
-    arts = export_netcdf(
-        q.apply(load_grid(spark, register=False)),
-        fmt=fmt,
-        gzip=6 if fmt == "hdf5" else None,
-    )
-    buf = io.BytesIO()
-    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
-        for row in arts.collect():
-            z.writestr(nc_filename(row.ds, row.variable, row.fmt), bytes(row.nc))
-    return buf.getvalue()
+    with tempfile.TemporaryDirectory(prefix="nolap_api_nc_") as td:
+        manifest = export_netcdf_files(
+            q.apply(load_grid(spark, register=False)),
+            td,
+            fmt=fmt,
+            gzip=6 if fmt == "hdf5" else None,
+        )
+        return _zip_manifest(manifest.collect())
 
 
 def create_app(spark=None):

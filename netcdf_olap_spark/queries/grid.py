@@ -988,19 +988,36 @@ def grid_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hashes match only if export∘ingest is the identity (NULL↔
     _FillValue inversion, hours-since-1990 re-encode, coordinate
     round-trip all value-perfect)."""
+    import atexit
     import os
+    import shutil
     import tempfile
+    import time
 
-    from netcdf_olap_spark.sinks.netcdf import export_netcdf, save_netcdf
+    from netcdf_olap_spark.sinks.netcdf import export_netcdf_files
     from netcdf_olap_spark.sources.netcdf import ingest_directory
 
     sel = slice_ops.time_range(load_grid(spark), "1990-01-03", "1990-01-08")
     sel = sel.where(F.col("variable").isin("LST_LWST_avg_daily", "avg_night_temp"))
-    # one reusable dir per process (not mkdtemp per call: bench/parity
-    # loops would leak a directory of exports every invocation)
-    out = os.path.join(tempfile.gettempdir(), f"nolap_export_rt_{os.getuid()}_{os.getpid()}")
-    os.makedirs(out, exist_ok=True)
-    save_netcdf(export_netcdf(sel, fmt="hdf5", gzip=6), out)
+    # one UNIQUE dir per invocation (concurrent bench/parity executions
+    # in one process must never re-ingest each other's — or stale —
+    # files), under a per-uid root swept of invocations older than an
+    # hour so loops don't leak directories; atexit catches the rest
+    root = os.path.join(tempfile.gettempdir(), f"nolap_export_rt_{os.getuid()}")
+    os.makedirs(root, exist_ok=True)
+    cutoff = time.time() - 3600
+    for stale in os.listdir(root):
+        p = os.path.join(root, stale)
+        try:
+            if os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            continue
+    out = tempfile.mkdtemp(dir=root)
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    # executor-side sink: tasks write the .nc files atomically
+    # (tempfile + os.replace) and return only manifest rows
+    export_netcdf_files(sel, out, fmt="hdf5", gzip=6).collect()
     back = ingest_directory(spark, out, ds="roundtrip")
     return (
         back.groupBy("variable")

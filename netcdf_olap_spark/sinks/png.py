@@ -19,22 +19,30 @@ with quantile breaks, and writes ``gddp<variable><start>-<end>.png``
 - vertical flip at render time only — the long format is
   orientation-free, so the reference's ``rotate180.flipVertical``
   fixup (README.md:82) is isolated here.
+
+Scale: :func:`render_png_files` writes each image to shared storage
+INSIDE the rendering task (the reference's own contract —
+Gddp.scala:235-236 writes the PNG from the task, not the driver) and
+returns only (path, size, checksum) manifest rows; the blob-carrying
+:func:`render_png` remains for small in-memory zips and tests.
 """
 
 from __future__ import annotations
 
 import os
-from typing import Iterable
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
 )
+
+from netcdf_olap_spark.sinks.naming import safe_component
 
 RENDER_SCHEMA = StructType(
     [
@@ -47,34 +55,42 @@ RENDER_SCHEMA = StructType(
     ]
 )
 
+PNG_MANIFEST_SCHEMA = StructType(
+    [
+        StructField("variable", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_cells", IntegerType()),
+        StructField("n_valid", IntegerType()),
+        StructField("path", StringType()),
+        StructField("size", LongType()),
+        StructField("sha256", StringType()),
+    ]
+)
+
 
 def png_filename(variable: str, start_date: str, end_date: str, prefix: str = "gddp") -> str:
     """The reference's filename contract (Gddp.scala:236 /
-    main.py:118): ``gddp<variable><start>-<end>.png``."""
+    main.py:118): ``gddp<variable><start>-<end>.png``. Components are
+    validated — variable names come from file contents, so traversal
+    attempts fail here, before any file or zip entry is created."""
+    safe_component(variable, "variable")
+    safe_component(prefix, "prefix")
+    safe_component(start_date, "start_date")
+    safe_component(end_date, "end_date")
     return f"{prefix}{variable}{start_date}-{end_date}.png"
 
 
-def render_png(df: DataFrame, n_breaks: int = 16, global_breaks: bool = False) -> DataFrame:
-    """Render one PNG per variable from a long (variable, y, x, value)
-    DataFrame (already sliced/masked upstream). Returns a small
-    DataFrame of image artifacts — pure, no side effects.
+def _make_renderer(shared_breaks, n_breaks, write_spec=None):
+    """Build the per-group render function. Nested (not module-level)
+    so cloudpickle serializes it BY VALUE — executors need nothing on
+    PYTHONPATH for the PNG path (unlike the NetCDF sink, which ships
+    the package for its vendored writers).
 
-    ``global_breaks`` resolves the reference's consistency-vs-speed
-    tradeoff (SURVEY §4 O9) the other way: one extra approxQuantile
-    pass over ALL variables' values gives every image the same color
-    scale (the whole-tile histogram the reference commented out at
-    Gddp.scala:193-203); default False = per-slice breaks, the
-    reference's shipped behavior.
-
-    The worker function is a self-contained closure (own PNG encoder,
-    no package imports) so executors need nothing on PYTHONPATH.
-    """
-    shared_breaks = None
-    if global_breaks:
-        probs = [i / n_breaks for i in range(1, n_breaks + 1)]
-        shared_breaks = df.where(F.col("value").isNotNull()).approxQuantile(
-            "value", probs, 0.001
-        )
+    ``write_spec``: None → return blob rows (RENDER_SCHEMA);
+    (out_dir, start_date, end_date, prefix) → write the file in-task
+    (tempfile + os.replace, atomic) and return manifest rows
+    (PNG_MANIFEST_SCHEMA)."""
 
     def _render(pdf):
         import struct
@@ -155,38 +171,127 @@ def render_png(df: DataFrame, n_breaks: int = 16, global_breaks: bool = False) -
             rgba[..., 3] = np.where(np.isnan(tile), 0, 255).astype(np.uint8)
 
         rgba = rgba[::-1]  # vertical flip: row 0 = north (README.md:82 fixup)
+        png = encode_png(np.ascontiguousarray(rgba))
+        meta = {
+            "variable": variable,
+            "width": w,
+            "height": h,
+            "n_cells": int(h * w),
+            "n_valid": int(finite.size),
+        }
+        if write_spec is None:
+            return pd.DataFrame([{**meta, "png": png}])
+
+        import hashlib
+        import os as _os
+        import re as _re
+        import tempfile as _tempfile
+
+        out_dir, start_date, end_date, prefix = write_spec
+        # inline twin of sinks.naming.safe_component (closure stays
+        # import-free on executors): reject traversal-capable names
+        for what, nm in (("variable", variable), ("prefix", prefix),
+                         ("start_date", start_date), ("end_date", end_date)):
+            if (not nm or _re.search(r"[\x00-\x1f/\\]", nm) or ".." in nm
+                    or nm != nm.strip() or nm.startswith(".")):
+                raise ValueError(f"{what} {nm!r} is not a safe filename component")
+        _os.makedirs(out_dir, exist_ok=True)
+        final = _os.path.join(out_dir, f"{prefix}{variable}{start_date}-{end_date}.png")
+        fd, tmp = _tempfile.mkstemp(dir=out_dir, suffix=".png.tmp")
+        try:
+            with _os.fdopen(fd, "wb") as f:
+                f.write(png)
+            _os.replace(tmp, final)  # atomic: no partial files visible
+        except BaseException:
+            try:
+                _os.unlink(tmp)
+            except OSError:
+                pass
+            raise
         return pd.DataFrame(
             [
                 {
-                    "variable": variable,
-                    "width": w,
-                    "height": h,
-                    "n_cells": int(h * w),
-                    "n_valid": int(finite.size),
-                    "png": encode_png(np.ascontiguousarray(rgba)),
+                    **meta,
+                    "path": final,
+                    "size": len(png),
+                    "sha256": hashlib.sha256(png).hexdigest(),
                 }
             ]
         )
 
+    return _render
+
+
+def _shared_breaks(df: DataFrame, n_breaks: int, global_breaks: bool):
+    """``global_breaks`` resolves the reference's consistency-vs-speed
+    tradeoff (SURVEY §4 O9) the other way: one extra approxQuantile
+    pass over ALL variables' values gives every image the same color
+    scale (the whole-tile histogram the reference commented out at
+    Gddp.scala:193-203); default False = per-slice breaks, the
+    reference's shipped behavior."""
+    if not global_breaks:
+        return None
+    probs = [i / n_breaks for i in range(1, n_breaks + 1)]
+    return df.where(F.col("value").isNotNull()).approxQuantile("value", probs, 0.001)
+
+
+def render_png(df: DataFrame, n_breaks: int = 16, global_breaks: bool = False) -> DataFrame:
+    """Render one PNG per variable from a long (variable, y, x, value)
+    DataFrame (already sliced/masked upstream). Returns a small
+    DataFrame of image artifacts (bytes in the ``png`` column) — pure,
+    no side effects. SMALL-artifact path: for anything bigger than a
+    masked product slice, use :func:`render_png_files`."""
+    fn = _make_renderer(_shared_breaks(df, n_breaks, global_breaks), n_breaks)
+    return df.select("variable", "y", "x", "value").groupBy("variable").applyInPandas(fn, RENDER_SCHEMA)
+
+
+def render_png_files(
+    df: DataFrame,
+    out_dir: str,
+    start_date: str,
+    end_date: str,
+    prefix: str = "gddp",
+    n_breaks: int = 16,
+    global_breaks: bool = False,
+) -> DataFrame:
+    """Scale path: each image is written to ``out_dir`` inside its own
+    rendering task (atomic tempfile + ``os.replace``) with the
+    reference's filename contract; only (path, size, sha256) manifest
+    rows reach the driver. ``out_dir`` must be visible to executors
+    and driver (local mode / NFS / shared volume)."""
+    # fail fast on the driver for caller-supplied components; variable
+    # names (data-derived) are re-checked inside the task
+    safe_component(prefix, "prefix")
+    safe_component(start_date, "start_date")
+    safe_component(end_date, "end_date")
+    fn = _make_renderer(
+        _shared_breaks(df, n_breaks, global_breaks),
+        n_breaks,
+        write_spec=(str(out_dir), start_date, end_date, prefix),
+    )
     return (
         df.select("variable", "y", "x", "value")
         .groupBy("variable")
-        .applyInPandas(_render, RENDER_SCHEMA)
+        .applyInPandas(fn, PNG_MANIFEST_SCHEMA)
     )
 
 
 def save_pngs(
     rendered: DataFrame, out_dir: str, start_date: str, end_date: str, prefix: str = "gddp"
 ) -> list[str]:
-    """Materialize rendered images to files with the reference's
-    filename contract. The artifact rows are tiny (one per variable) —
-    collecting them is a sink action, not a driver-side loop over
-    data."""
+    """Materialize blob-carrying rendered images (from
+    :func:`render_png`) to files with the reference's filename
+    contract — atomic writes, small-slice path. For large renders use
+    :func:`render_png_files`."""
+    import tempfile
+
     os.makedirs(out_dir, exist_ok=True)
     paths = []
     for row in rendered.collect():
         p = os.path.join(out_dir, png_filename(row.variable, start_date, end_date, prefix))
-        with open(p, "wb") as f:
+        fd, tmp = tempfile.mkstemp(dir=out_dir, suffix=".png.tmp")
+        with os.fdopen(fd, "wb") as f:
             f.write(bytes(row.png))
+        os.replace(tmp, p)
         paths.append(p)
     return paths

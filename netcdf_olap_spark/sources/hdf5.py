@@ -75,6 +75,7 @@ MSG_ATTRIBUTE = 0x000C
 MSG_CONTINUATION = 0x0010
 MSG_SYMBOL_TABLE = 0x0011
 MSG_MTIME = 0x0012
+MSG_ATTRIBUTE_INFO = 0x0015
 
 # datatype classes
 CLS_FIXED = 0
@@ -365,6 +366,19 @@ class _Reader:
         fheap = struct.unpack_from("<Q", self.buf, p)[0]
         return fheap != UNDEF
 
+    def attribute_info_is_dense(self, pos: int) -> bool:
+        """Attribute Info message (type 0x0015, spec IV.A.2.v): dense
+        attribute storage is in use iff the fractal heap address is
+        defined. 'latest'-libver files move attributes (including
+        ``_FillValue``) into the heap once a dataset exceeds
+        max_compact (default 8) — silently ignoring this message would
+        lose fill sentinels, so the reader raises instead (same scope
+        contract as dense groups)."""
+        flags = self.buf[pos + 1]
+        p = pos + 2 + (2 if flags & 0x01 else 0)  # optional max creation index (u2)
+        fheap = struct.unpack_from("<Q", self.buf, p)[0]
+        return fheap != UNDEF
+
     # -- groups (symbol table path) ----------------------------------------
 
     def group_links(self, btree_addr: int, heap_addr: int) -> list[tuple[str, int]]:
@@ -547,6 +561,10 @@ class _Reader:
                 filters = self._parse_filters(pos)
             elif mtype == MSG_FILL:
                 fill_pos = pos
+            elif mtype == MSG_ATTRIBUTE_INFO and self.attribute_info_is_dense(pos):
+                raise NotImplementedError(
+                    f"dataset {name!r}: dense attribute storage not supported"
+                )
         if dt is None or layout is None:
             raise ValueError(f"dataset {name!r} missing datatype or layout message")
         npdt = dt.numpy()
@@ -809,6 +827,8 @@ def read_hdf5(content: bytes, variables: list[str] | None = None) -> H5File:
                 links.append(lk)
         elif mtype == MSG_LINK_INFO and r.link_info_is_dense(pos):
             raise NotImplementedError("dense (fractal-heap) groups not supported")
+        elif mtype == MSG_ATTRIBUTE_INFO and r.attribute_info_is_dense(pos):
+            raise NotImplementedError("dense attribute storage not supported")
     if btree != UNDEF:
         links = r.group_links(btree, heap)
     elif not links:

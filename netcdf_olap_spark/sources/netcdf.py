@@ -102,6 +102,16 @@ def cube_to_pandas(
     ``lat``/``lon`` are the 2-D curvilinear coordinate arrays
     (Gddp.scala:178-182); ``fill_value`` cells (exact match, plus any
     NaN) become nulls. Pure numpy broadcasting — no Python loops.
+
+    Cells whose lat OR lon is non-finite are DROPPED, not emitted:
+    they have no position in the engine's lat/lon-space query model
+    (every spatial operator keys on real coordinates), and NaN is the
+    largest double to Spark's ordering, so letting them through would
+    poison min/max aggregates. This also makes export∘ingest the
+    identity for spatially ragged selections — the NetCDF sink leaves
+    NaN in the 2-D coordinate arrays for cells outside a polygon/bbox
+    selection, and those cells come back as *absent*, exactly as they
+    left.
     """
     data = np.asarray(data, dtype=np.float64)
     nt, ny, nx = data.shape
@@ -116,18 +126,24 @@ def cube_to_pandas(
     if fill_value is not None:
         flat = np.where(flat == np.float64(fill_value), np.nan, flat)
 
-    return pd.DataFrame(
+    lat64 = lat.ravel().astype(np.float64)
+    lon64 = lon.ravel().astype(np.float64)
+    pdf = pd.DataFrame(
         {
             "ds": ds,
             "variable": variable,
             "time": np.repeat(times, ny * nx),
             "y": np.tile(yy.ravel(), nt),
             "x": np.tile(xx.ravel(), nt),
-            "lat": np.tile(lat.ravel().astype(np.float64), nt),
-            "lon": np.tile(lon.ravel().astype(np.float64), nt),
+            "lat": np.tile(lat64, nt),
+            "lon": np.tile(lon64, nt),
             "value": flat.ravel(),
         }
     )
+    placed = np.isfinite(lat64) & np.isfinite(lon64)
+    if not placed.all():
+        pdf = pdf[np.tile(placed, nt)].reset_index(drop=True)
+    return pdf
 
 
 def cube_to_df(

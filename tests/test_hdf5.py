@@ -664,3 +664,67 @@ def test_variable_pushdown_skips_unlisted_cubes():
     )
     f3 = read_netcdf3(nc3, variables=["keep"])
     assert "skip" not in f3.variables and "keep" in f3.variables
+
+
+# ---------------------------------------------------------------------------
+# dense attribute storage (Attribute Info message 0x0015) — round 6
+# ---------------------------------------------------------------------------
+
+
+def _retype_attr_message(b: bytearray, ohdr: int, flags: int, fheap: int) -> None:
+    """Rewrite a header's first MSG_ATTRIBUTE into an Attribute Info
+    message (type 0x0015) in place: version, flags, optional max
+    creation index (u2, flags&1), fractal heap addr, name-btree addr.
+    The attribute message body (a long_name string) is comfortably
+    larger than the 20-byte info body, so no neighbors are touched."""
+    from netcdf_olap_spark.sources.hdf5 import _Reader
+
+    r = _Reader(bytes(b))
+    pos = next(p for t, p, s in r.messages(ohdr) if t == MSG_ATTRIBUTE and s >= 20)
+    struct.pack_into("<H", b, pos - 8, 0x0015)  # message type in v1 header
+    p = pos
+    b[p] = 0  # version
+    b[p + 1] = flags
+    p += 2
+    if flags & 0x01:
+        struct.pack_into("<H", b, p, 0)
+        p += 2
+    struct.pack_into("<QQ", b, p, fheap, UNDEF)
+
+
+def test_dense_attribute_storage_raises_on_dataset():
+    """'latest'-libver files spill a dataset's attributes (including
+    _FillValue) into a fractal heap once >max_compact; silently
+    ignoring that loses fill sentinels — the reader must raise."""
+    good = write_hdf5({"a": (np.ones((2, 3)), {"long_name": "something long enough"})})
+    r = _Reader(good)
+    links = dict(r.group_links(r.root_btree, r.root_heap))
+    b = bytearray(good)
+    _retype_attr_message(b, links["a"], flags=0, fheap=0x1234)
+    with pytest.raises(NotImplementedError, match="dense attribute"):
+        read_hdf5(bytes(b))
+
+
+def test_dense_attribute_storage_raises_on_root():
+    good = write_hdf5(
+        {"a": (np.ones((2, 3)), {})}, global_attrs={"title": "long enough attribute body"}
+    )
+    r = _Reader(good)
+    b = bytearray(good)
+    _retype_attr_message(b, r.root_header_addr, flags=0, fheap=0x1234)
+    with pytest.raises(NotImplementedError, match="dense attribute"):
+        read_hdf5(bytes(b))
+
+
+def test_attribute_info_with_undefined_heap_is_compact():
+    """An Attribute Info message whose heap address is UNDEF means
+    compact storage — legal, must parse normally (and honors the
+    flags&1 max-creation-index field offset)."""
+    for flags in (0, 1):
+        good = write_hdf5({"a": (np.ones((2, 3)), {"long_name": "something long enough"})})
+        r = _Reader(good)
+        links = dict(r.group_links(r.root_btree, r.root_heap))
+        b = bytearray(good)
+        _retype_attr_message(b, links["a"], flags=flags, fheap=UNDEF)
+        f = read_hdf5(bytes(b))
+        np.testing.assert_array_equal(f.variables["a"].data, np.ones((2, 3)))
