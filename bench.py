@@ -7,6 +7,15 @@ Prints ONE JSON line:
 Each query is forced end-to-end with the ``noop`` sink (full
 computation, zero collect/serialization overhead) after a warm-up of
 the session. Timings are per-query wall clock.
+
+Protocol (round 6): every query runs ``SPARK_GRAFT_BENCH_REPS`` times
+(default 3) back-to-back and reports the MEDIAN — a single noisy
+measurement (GC pause, JIT recompile, machine contention) can no
+longer swing a query or the total by 30% round-over-round, which is
+exactly what the round-5 record showed (a uniform 1.1-1.7× band over
+round 4 with identical plans). ``value`` is the sum of per-query
+medians; ``shared16_total`` is the same sum restricted to the 16
+queries present since round 1, the stable cross-round comparator.
 """
 
 from __future__ import annotations
@@ -112,17 +121,25 @@ def main() -> None:
     tiny = spark.range(100).withColumnRenamed("id", "l_orderkey")
     warm.limit(5000).join(F.broadcast(tiny), "l_orderkey").count()
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for name in HEADLINE:
         if name not in registry:
             continue
         fn = registry[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(round(time.perf_counter() - t0, 3))
+        runs[name] = samples
+        timings[name] = sorted(samples)[len(samples) // 2]  # median
 
     total = round(sum(timings.values()), 3)
+    shared16 = round(sum(v for k, v in timings.items() if k not in
+                         ("doc_span_contamination", "emb_semantic_dedup", "media_phash_dedup")), 3)
     print(
         json.dumps(
             {
@@ -131,6 +148,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "reps": reps,
+                "shared16_total": shared16,
+                "runs": runs,
             }
         )
     )
