@@ -880,6 +880,14 @@ def _ingest_fixture_dir() -> str:
     tas[(tt + yy + xx) % 7 == 0] = INGEST_FILL
     pr = base * 0.5
     pr[(tt + yy + xx) % 5 == 0] = INGEST_FILL
+    # round-6 additions: the two HDF5 ≥1.10 "latest" chunk indexes —
+    # extensible array (appended/unlimited-time files; small creation
+    # params force EASB super blocks even at fixture size) and the v2
+    # B-tree (≥2 unlimited dims; small node size forces depth 1)
+    ea = base * 0.25 + 1.5
+    ea[(tt + yy + xx) % 4 == 0] = INGEST_FILL
+    bt = base * 2.0 - 3.0
+    bt[(tt + yy + xx) % 3 == 0] = INGEST_FILL
 
     targets = {
         "classic.nc": write_netcdf3(
@@ -902,6 +910,31 @@ def _ingest_fixture_dir() -> str:
             gzip=6,
             shuffle=True,
         ),
+        "appended.nc": write_hdf5(  # extensible-array chunk index
+            {
+                "time": ((t * 24 + 24 * 2 * INGEST_NT).astype("<i4"), {"long_name": "time"}),
+                "lat": (lat, {"long_name": "latitude coordinate"}),
+                "lon": (lon, {"long_name": "longitude coordinate"}),
+                "ea_t2m": (ea, {"_FillValue": INGEST_FILL}),
+            },
+            chunks={"ea_t2m": (1, 2, INGEST_NX)},
+            gzip=6,
+            shuffle=True,
+            chunk_index="extensible_array",
+            ea_params=(32, 2, 2, 2, 10),  # 12 chunks → index block + direct blocks + EASB
+        ),
+        "twounlim.nc": write_hdf5(  # v2 B-tree chunk index, depth 1
+            {
+                "time": ((t * 24 + 24 * 3 * INGEST_NT).astype("<i4"), {"long_name": "time"}),
+                "lat": (lat, {"long_name": "latitude coordinate"}),
+                "lon": (lon, {"long_name": "longitude coordinate"}),
+                "bt_rh": (bt, {"_FillValue": INGEST_FILL}),
+            },
+            chunks={"bt_rh": (1, 2, 3)},
+            gzip=6,
+            chunk_index="btree_v2",
+            bt2_node_size=512,  # 24 chunks don't fit one leaf → BTIN root + BTLF leaves
+        ),
     }
     for name, content in targets.items():
         path = os.path.join(d, name)
@@ -917,8 +950,12 @@ def _ingest_fixture_dir() -> str:
 
 
 def grid_ingest_nc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S1-S3 end to end, driver-checkable: genuine .nc bytes (one
-    classic, one HDF5 — mixed directory, magic-byte dispatch) through
+    """S1-S3 end to end, driver-checkable: genuine .nc bytes — one
+    classic CDF-1, one 1.8-profile HDF5 (v1 chunk B-tree), one
+    "latest"-profile HDF5 with an extensible-array chunk index
+    including EASB super blocks (the appended/unlimited-time shape),
+    and one with a depth-1 version-2 B-tree index (≥2 unlimited dims)
+    — mixed directory, magic-byte dispatch, through
     the distributed ingest (binaryFile → mapInPandas, the rebuild of
     the reference's per-file loop Gddp.scala:119-139), reduced to the
     per-variable catalog aggregate (S3, Gddp.scala:119-131): row/value
@@ -963,6 +1000,20 @@ WITH cells AS (
          CASE WHEN (t + y + x) % 7 = 0 THEN NULL
               ELSE CAST(t * 100 + y * 10 + x AS DOUBLE) + 0.25 END,
          DATE '1990-01-01' + CAST(t AS INT),
+         42.0 + 0.5 * y, -84.0 + 0.5 * x
+  FROM cells
+  UNION ALL
+  SELECT 'ea_t2m',
+         CASE WHEN (t + y + x) % 4 = 0 THEN NULL
+              ELSE CAST(t * 100 + y * 10 + x AS DOUBLE) * 0.25 + 1.5 END,
+         DATE '1990-01-01' + CAST(2 * {INGEST_NT} + t AS INT),
+         42.0 + 0.5 * y, -84.0 + 0.5 * x
+  FROM cells
+  UNION ALL
+  SELECT 'bt_rh',
+         CASE WHEN (t + y + x) % 3 = 0 THEN NULL
+              ELSE CAST(t * 100 + y * 10 + x AS DOUBLE) * 2.0 - 3.0 END,
+         DATE '1990-01-01' + CAST(3 * {INGEST_NT} + t AS INT),
          42.0 + 0.5 * y, -84.0 + 0.5 * x
   FROM cells
 )

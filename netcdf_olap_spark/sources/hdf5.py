@@ -27,13 +27,17 @@ Also implemented, for "latest" libver files: superblock v2/v3, v2
 ("OHDR") object headers with OCHK continuation blocks, compact
 link-message groups, the Jenkins lookup3 checksum those structures
 carry (validated against the algorithm's published test vectors), and
-version-4 data layouts with the three fixed-shape chunk indexes
-(single chunk, implicit, fixed array FAHD/FADB). Out of scope (clear
-errors, documented in README's format matrix): dense (fractal-heap)
-groups, extensible-array / v2-B-tree chunk indexes, paged fixed
-arrays, compound/enum/reference datatypes, szip. Attributes with
-unsupported datatypes (netCDF-4's DIMENSION_LIST / REFERENCE_LIST
-vlen references) are skipped, never fatal.
+version-4 data layouts with all five 1.10+ chunk indexes: the three
+fixed-shape ones (single chunk, implicit, fixed array FAHD/FADB),
+the extensible array (EAHD/EAIB/EASB/EADB — what netCDF-4 files with
+one unlimited dimension, i.e. every appended time series, use) and
+the version-2 B-tree (BTHD/BTIN/BTLF, ≥2 unlimited dimensions;
+depth ≤ 1). Out of scope (clear errors, documented in README's
+format matrix): dense (fractal-heap) groups and dense attribute
+storage, paged fixed arrays / paged extensible-array data blocks,
+v2 B-trees deeper than 1, compound/enum/reference datatypes, szip.
+Attributes with unsupported datatypes (netCDF-4's DIMENSION_LIST /
+REFERENCE_LIST vlen references) are skipped, never fatal.
 
 The writer exists to make fixtures for the reader (the container has
 no HDF5 library to generate files with) and doubles as an HDF5 sink.
@@ -222,15 +226,51 @@ def _parse_datatype(buf: bytes, pos: int) -> tuple[_DT, int]:
 
 
 def _parse_dataspace(buf: bytes, pos: int) -> tuple[int, ...]:
+    return _parse_dataspace_max(buf, pos)[0]
+
+
+def _parse_dataspace_max(
+    buf: bytes, pos: int
+) -> tuple[tuple[int, ...], tuple[int, ...] | None]:
+    """(dims, max_dims-or-None). A max dim of UNDEF means unlimited —
+    the extensible-array chunk index needs to know WHICH dimension is
+    unlimited (its element order swizzles that dimension first)."""
     version = buf[pos]
     ndim = buf[pos + 1]
+    flags = buf[pos + 2]
     if version == 1:
         dim_pos = pos + 8  # version, dim, flags, reserved(5)
     elif version == 2:
         dim_pos = pos + 4  # version, dim, flags, type
     else:
         raise NotImplementedError(f"dataspace message version {version}")
-    return tuple(struct.unpack_from(f"<{ndim}Q", buf, dim_pos)) if ndim else ()
+    dims = tuple(struct.unpack_from(f"<{ndim}Q", buf, dim_pos)) if ndim else ()
+    maxdims = None
+    if flags & 0x01 and ndim:
+        maxdims = tuple(struct.unpack_from(f"<{ndim}Q", buf, dim_pos + 8 * ndim))
+    return dims, maxdims
+
+
+def _ea_sblk_info(
+    max_bits: int, dblk_min: int
+) -> list[tuple[int, int, int, int]]:
+    """Extensible-array super-block table (H5EA geometry, spec
+    IV.A.2): for super block u, (ndblks, dblk_nelmts, start_idx,
+    start_dblk) with ndblks = 2^(u//2) and dblk_nelmts =
+    2^((u+1)//2) · data_blk_min_elmts — data blocks double in size
+    every other super block, so capacity grows geometrically while
+    early appends stay small. start_idx counts elements AFTER the
+    index block's own ``idx_blk_elmts`` directly-stored elements."""
+    nsblks = 1 + (max_bits - (dblk_min.bit_length() - 1))
+    info = []
+    start_idx = start_dblk = 0
+    for u in range(nsblks):
+        ndblks = 1 << (u // 2)
+        nelmts = (1 << ((u + 1) // 2)) * dblk_min
+        info.append((ndblks, nelmts, start_idx, start_dblk))
+        start_idx += ndblks * nelmts
+        start_dblk += ndblks
+    return info
 
 
 class _Reader:
@@ -535,6 +575,7 @@ class _Reader:
         buf = self.buf
         dt: _DT | None = None
         shape: tuple[int, ...] = ()
+        maxshape: tuple[int, ...] | None = None
         attrs: dict[str, Any] = {}
         layout: tuple[Any, ...] | None = None
         filters: list[tuple[int, tuple[int, ...]]] = []
@@ -543,7 +584,7 @@ class _Reader:
             if mtype == MSG_DATATYPE:
                 dt, _ = _parse_datatype(buf, pos)
             elif mtype == MSG_DATASPACE:
-                shape = _parse_dataspace(buf, pos)
+                shape, maxshape = _parse_dataspace_max(buf, pos)
             elif mtype == MSG_ATTRIBUTE:
                 try:
                     k, v = self.parse_attribute(pos)
@@ -598,7 +639,7 @@ class _Reader:
                 # element-size dim, as in v3) encodings
                 chunk_shape = dims[:-1] if len(dims) == len(shape) + 1 else dims
                 entries = self._chunk_entries_v4(
-                    shape, chunk_shape, npdt.itemsize, index_type, info, bool(filters)
+                    shape, chunk_shape, npdt.itemsize, index_type, info, bool(filters), maxshape
                 )
             data = background()
             for offs, caddr, nbytes, mask in entries:
@@ -654,10 +695,11 @@ class _Reader:
         index_type: int,
         info: tuple[Any, ...],
         filtered: bool,
+        maxshape: tuple[int, ...] | None = None,
     ) -> list[tuple[tuple[int, ...], int, int, int]]:
-        """(offsets, address, stored size, filter mask) for the three
-        fixed-shape version-4 chunk indexes: single chunk (1),
-        implicit (2), fixed array (3)."""
+        """(offsets, address, stored size, filter mask) for the five
+        version-4 chunk indexes: single chunk (1), implicit (2),
+        fixed array (3), extensible array (4), v2 B-tree (5)."""
         buf = self.buf
         chunk_nbytes = int(np.prod(chunk_shape)) * itemsize
         origins = self._chunk_grid(shape, chunk_shape)
@@ -702,9 +744,211 @@ class _Reader:
                     stored, mask = chunk_nbytes, 0
                 out.append((origins[i], caddr, stored, mask))
             return out
-        raise NotImplementedError(
-            f"v4 chunk index type {index_type} (extensible array / v2 B-tree not supported)"
-        )
+        if index_type == 4:  # extensible array
+            ea_addr = info[0]
+            if ea_addr == UNDEF:
+                return []
+            return self._earray_entries(ea_addr, shape, chunk_shape, chunk_nbytes, maxshape)
+        if index_type == 5:  # v2 B-tree
+            bt_addr = info[0]
+            if bt_addr == UNDEF:
+                return []
+            return self._btree2_entries(bt_addr, len(shape), chunk_shape, chunk_nbytes)
+        raise NotImplementedError(f"v4 chunk index type {index_type}")
+
+    def _earray_entries(
+        self,
+        ea_addr: int,
+        shape: tuple[int, ...],
+        chunk_shape: tuple[int, ...],
+        chunk_nbytes: int,
+        maxshape: tuple[int, ...] | None,
+    ) -> list[tuple[tuple[int, ...], int, int, int]]:
+        """Extensible-array chunk index (spec IV.A.2: EAHD header,
+        EAIB index block, EASB super blocks, EADB data blocks) — what
+        HDF5 ≥1.10 uses for a dataset with exactly ONE unlimited
+        dimension, i.e. every netCDF-4 file that appends along time.
+
+        Geometry: the index block stores the first ``idx_blk_elmts``
+        elements inline plus direct pointers to the data blocks of the
+        first ``2·log2(sup_blk_min_data_ptrs)`` super blocks; later
+        super blocks get their own EASB holding data-block pointers,
+        with data blocks doubling in size every other super block
+        (``_ea_sblk_info``). Elements are ordered by the chunk's
+        linear index over the chunk grid SWIZZLED so the unlimited
+        dimension varies slowest (H5VM_swizzle_coords) — identity for
+        netCDF-4's (time, y, x) since time is already first. Paged
+        data blocks (dblk_nelmts > 2^page_bits) raise."""
+        buf = self.buf
+        if buf[ea_addr : ea_addr + 4] != b"EAHD":
+            raise ValueError("bad extensible-array header signature")
+        client = buf[ea_addr + 5]
+        elmt_size = buf[ea_addr + 6]
+        max_bits = buf[ea_addr + 7]
+        idx_elmts = buf[ea_addr + 8]
+        dblk_min = buf[ea_addr + 9]
+        sblk_min_ptrs = buf[ea_addr + 10]
+        page_bits = buf[ea_addr + 11]
+        # 6 stats lengths (secondary blk count/size, data blk count/
+        # size, max index set, element count) precede the index-block
+        # address; the reader walks the structure so only the address
+        # is needed
+        (ib_addr,) = struct.unpack_from("<Q", buf, ea_addr + 12 + 6 * 8)
+        if client not in (0, 1):
+            raise NotImplementedError(f"extensible-array client id {client}")
+        if ib_addr == UNDEF:
+            return []
+        if dblk_min & (dblk_min - 1) or sblk_min_ptrs & (sblk_min_ptrs - 1):
+            raise ValueError("extensible-array creation params must be powers of two")
+        arr_off = (max_bits + 7) // 8
+        sblk_info = _ea_sblk_info(max_bits, dblk_min)
+        ib_nsblks = 2 * (sblk_min_ptrs.bit_length() - 1)
+        ib_ndblk_addrs = 2 * (sblk_min_ptrs - 1)
+        ib_nsblk_addrs = len(sblk_info) - ib_nsblks
+        page_nelmts = 1 << page_bits
+
+        def decode_elems(pos: int, n: int) -> list[tuple[int, int, int] | None]:
+            out: list[tuple[int, int, int] | None] = []
+            for i in range(n):
+                e = pos + i * elmt_size
+                (caddr,) = struct.unpack_from("<Q", buf, e)
+                if caddr == UNDEF:
+                    out.append(None)
+                elif client == 1:  # filtered: addr + stored size + mask
+                    size_len = elmt_size - 12
+                    stored = int.from_bytes(buf[e + 8 : e + 8 + size_len], "little")
+                    (mask,) = struct.unpack_from("<I", buf, e + 8 + size_len)
+                    out.append((caddr, stored, mask))
+                else:
+                    out.append((caddr, chunk_nbytes, 0))
+            return out
+
+        if buf[ib_addr : ib_addr + 4] != b"EAIB":
+            raise ValueError("bad extensible-array index block signature")
+        p = ib_addr + 6 + 8  # sig, version, client id, header address
+        elements = decode_elems(p, idx_elmts)
+        p += idx_elmts * elmt_size
+        dblk_addrs = struct.unpack_from(f"<{ib_ndblk_addrs}Q", buf, p)
+        p += 8 * ib_ndblk_addrs
+        sblk_addrs = struct.unpack_from(f"<{ib_nsblk_addrs}Q", buf, p)
+
+        def read_dblk(daddr: int, nelmts: int) -> list:
+            if daddr == UNDEF:
+                return [None] * nelmts
+            if nelmts > page_nelmts:
+                raise NotImplementedError("paged extensible-array data block")
+            if buf[daddr : daddr + 4] != b"EADB":
+                raise ValueError("bad extensible-array data block signature")
+            # sig, version, client id, header addr, block offset
+            return decode_elems(daddr + 6 + 8 + arr_off, nelmts)
+
+        grid_dims = tuple(-(-s // c) for s, c in zip(shape, chunk_shape))
+        nchunks = int(np.prod(grid_dims)) if grid_dims else 1
+        dblk_cursor = 0
+        for u, (ndblks, nelmts, _si, _sd) in enumerate(sblk_info):
+            if len(elements) >= nchunks:
+                break
+            if u < ib_nsblks:  # data blocks pointed to directly from the index block
+                for _ in range(ndblks):
+                    elements.extend(read_dblk(dblk_addrs[dblk_cursor], nelmts))
+                    dblk_cursor += 1
+            else:
+                saddr = sblk_addrs[u - ib_nsblks]
+                if saddr == UNDEF:
+                    elements.extend([None] * (ndblks * nelmts))
+                    continue
+                if buf[saddr : saddr + 4] != b"EASB":
+                    raise ValueError("bad extensible-array super block signature")
+                if nelmts > page_nelmts:
+                    raise NotImplementedError("paged extensible-array data block")
+                sp = saddr + 6 + 8 + arr_off
+                for daddr in struct.unpack_from(f"<{ndblks}Q", buf, sp):
+                    elements.extend(read_dblk(daddr, nelmts))
+
+        unlim = 0
+        if maxshape:
+            for i, m in enumerate(maxshape):
+                if m == UNDEF:
+                    unlim = i
+                    break
+        order = [unlim] + [i for i in range(len(shape)) if i != unlim]
+        out = []
+        for offs in self._chunk_grid(shape, chunk_shape):
+            g = [o // c for o, c in zip(offs, chunk_shape)]
+            idx = 0
+            for d in order:  # ravel over the swizzled chunk grid
+                idx = idx * grid_dims[d] + g[d]
+            ent = elements[idx] if idx < len(elements) else None
+            if ent is not None:
+                out.append((offs, ent[0], ent[1], ent[2]))
+        return out
+
+    def _btree2_entries(
+        self, bt_addr: int, rank: int, chunk_shape: tuple[int, ...], chunk_nbytes: int
+    ) -> list[tuple[tuple[int, ...], int, int, int]]:
+        """Version-2 B-tree chunk index (spec III.A.2: BTHD header,
+        BTIN internal nodes, BTLF leaves) — HDF5 ≥1.10's index for a
+        dataset with MORE THAN ONE unlimited dimension. Record type 10
+        = non-filtered chunk (address + scaled offsets), 11 = filtered
+        (+ stored size + filter mask); 'scaled' offsets are chunk-grid
+        coordinates, multiplied back out here. Depth ≤ 1 supported
+        (leaf root, or one internal level — thousands of chunks);
+        deeper trees raise cleanly."""
+        buf = self.buf
+        if buf[bt_addr : bt_addr + 4] != b"BTHD":
+            raise ValueError("bad v2 B-tree header signature")
+        btype = buf[bt_addr + 5]
+        (node_size,) = struct.unpack_from("<I", buf, bt_addr + 6)
+        rec_size, depth = struct.unpack_from("<HH", buf, bt_addr + 10)
+        # split%, merge% (1 byte each) precede the root pointer
+        root_addr, root_nrec = struct.unpack_from("<QH", buf, bt_addr + 16)
+        if btype not in (10, 11):
+            raise NotImplementedError(f"v2 B-tree record type {btype} (not a chunk index)")
+        filtered = btype == 11
+        if depth > 1:
+            raise NotImplementedError("v2 B-tree chunk index deeper than 1 level")
+        if root_addr == UNDEF:
+            return []
+        # leaf capacity fixes the child-pointer "number of records"
+        # field width (H5VM_limit_enc_size): bytes to encode max_nrec
+        max_nrec_leaf = (node_size - 10) // rec_size
+        max_nrec_size = ((max_nrec_leaf.bit_length() - 1) // 8) + 1
+
+        def parse_rec(e: int) -> tuple[tuple[int, ...], int, int, int]:
+            (caddr,) = struct.unpack_from("<Q", buf, e)
+            q = e + 8
+            if filtered:
+                size_len = rec_size - 12 - 8 * rank
+                stored = int.from_bytes(buf[q : q + size_len], "little")
+                (mask,) = struct.unpack_from("<I", buf, q + size_len)
+                q += size_len + 4
+            else:
+                stored, mask = chunk_nbytes, 0
+            scaled = struct.unpack_from(f"<{rank}Q", buf, q)
+            offs = tuple(s * c for s, c in zip(scaled, chunk_shape))
+            return (offs, caddr, stored, mask)
+
+        def leaf(addr: int, nrec: int) -> list:
+            if buf[addr : addr + 4] != b"BTLF":
+                raise ValueError("bad v2 B-tree leaf signature")
+            return [parse_rec(addr + 6 + i * rec_size) for i in range(nrec)]
+
+        if depth == 0:
+            return leaf(root_addr, root_nrec)
+        if buf[root_addr : root_addr + 4] != b"BTIN":
+            raise ValueError("bad v2 B-tree internal node signature")
+        out = []
+        recs_pos = root_addr + 6
+        for i in range(root_nrec):  # internal nodes carry real records too
+            out.append(parse_rec(recs_pos + i * rec_size))
+        ptr_pos = recs_pos + root_nrec * rec_size
+        ptr_size = 8 + max_nrec_size  # child addr + record count (no cum field at depth 1)
+        for i in range(root_nrec + 1):
+            e = ptr_pos + i * ptr_size
+            (caddr,) = struct.unpack_from("<Q", buf, e)
+            cnrec = int.from_bytes(buf[e + 8 : e + 8 + max_nrec_size], "little")
+            out.extend(leaf(caddr, cnrec))
+        return out
 
     def _parse_layout(self, pos: int) -> tuple[Any, ...]:
         buf = self.buf
@@ -765,10 +1009,17 @@ class _Reader:
         elif index_type == 3:  # fixed array
             _page_bits = buf[p]
             info = (struct.unpack_from("<Q", buf, p + 1)[0],)
-        else:
-            raise NotImplementedError(
-                f"v4 chunk index type {index_type} (extensible array / v2 B-tree not supported)"
+        elif index_type == 4:  # extensible array: 5 creation-param bytes + EAHD addr
+            max_bits, idx_elmts, min_ptrs, min_elmts, page_bits = buf[p : p + 5]
+            info = (
+                struct.unpack_from("<Q", buf, p + 5)[0],
+                (max_bits, idx_elmts, min_ptrs, min_elmts, page_bits),
             )
+        elif index_type == 5:  # v2 B-tree: node size, split%, merge% + BTHD addr
+            (node_size,) = struct.unpack_from("<I", buf, p)
+            info = (struct.unpack_from("<Q", buf, p + 6)[0], node_size)
+        else:
+            raise NotImplementedError(f"v4 chunk index type {index_type}")
         # NOTE: dims may or may not carry v3's trailing element-size
         # dimension depending on the writer; read_dataset resolves it
         # against the dataspace rank (tolerates both encodings)
@@ -878,9 +1129,15 @@ def _dt_message(arr: np.ndarray) -> bytes:
     raise NotImplementedError(f"cannot write dtype {dt}")
 
 
-def _ds_message(shape: tuple[int, ...]) -> bytes:
+def _ds_message(shape: tuple[int, ...], maxshape: tuple[int, ...] | None = None) -> bytes:
     # dataspace v1: version, ndim, flags, reserved(5), dims
-    return struct.pack("<BBB5x", 1, len(shape), 0) + b"".join(struct.pack("<Q", d) for d in shape)
+    # [, max dims when flags bit 0 set — UNDEF = unlimited]
+    flags = 0x01 if maxshape is not None else 0
+    body = struct.pack("<BBB5x", 1, len(shape), flags)
+    body += b"".join(struct.pack("<Q", d) for d in shape)
+    if maxshape is not None:
+        body += b"".join(struct.pack("<Q", d) for d in maxshape)
+    return body
 
 
 def _pad8(b: bytes) -> bytes:
@@ -948,6 +1205,13 @@ def _shuffle_bytes(raw: bytes, es: int) -> bytes:
     return np.frombuffer(raw, "u1").reshape(-1, es).T.tobytes()
 
 
+def _chunk_size_len(chunk_nbytes: int) -> int:
+    """Encoded width of a filtered chunk's stored-size field — H5D's
+    ``1 + ((log2(chunk_size) + 8) / 8)``, capped at 8. Shared by the
+    extensible-array element and v2-B-tree record encodings."""
+    return min(8, 1 + ((chunk_nbytes.bit_length() - 1 + 8) // 8))
+
+
 def write_hdf5(
     variables: dict[str, tuple[np.ndarray, dict[str, Any]]],
     global_attrs: dict[str, Any] | None = None,
@@ -956,6 +1220,8 @@ def write_hdf5(
     shuffle: bool = False,
     libver: str = "earliest",
     chunk_index: str | None = None,
+    ea_params: tuple[int, int, int, int, int] = (32, 4, 4, 16, 10),
+    bt2_node_size: int = 2048,
 ) -> bytes:
     """Serialize arrays to an HDF5 file.
 
@@ -974,11 +1240,20 @@ def write_hdf5(
     ``chunk_index``: None → version-3 layout + v1 chunk B-tree (the
     1.8 profile); ``"single"`` / ``"implicit"`` / ``"fixed_array"`` →
     version-4 layout with that HDF5 ≥1.10 chunk index (single: exactly
-    one chunk; implicit: unfiltered only, chunks packed back-to-back).
+    one chunk; implicit: unfiltered only, chunks packed back-to-back);
+    ``"extensible_array"`` → the index HDF5 uses when ONE dimension is
+    unlimited (appended netCDF-4 time series) — dim 0 is declared
+    unlimited in the dataspace, ``ea_params`` = (max_nelmts_bits,
+    idx_blk_elmts, sup_blk_min_data_ptrs, data_blk_min_elmts,
+    max_dblk_page_nelmts_bits) in the LAYOUT-message field order
+    (library defaults; shrink to exercise super blocks with few
+    chunks); ``"btree_v2"`` → the ≥2-unlimited-dimensions index (all
+    dims declared unlimited), single-leaf or depth-1 trees sized by
+    ``bt2_node_size``.
     """
     if libver not in ("earliest", "latest"):
         raise ValueError(f"libver must be 'earliest' or 'latest', got {libver!r}")
-    if chunk_index not in (None, "single", "implicit", "fixed_array"):
+    if chunk_index not in (None, "single", "implicit", "fixed_array", "extensible_array", "btree_v2"):
         raise ValueError(f"unknown chunk_index {chunk_index!r}")
     if chunk_index == "implicit" and (gzip is not None or shuffle):
         raise ValueError("implicit chunk index requires unfiltered chunks")
@@ -1011,8 +1286,13 @@ def write_hdf5(
         else:
             # fill v2: alloc time = late(2), write time = never(2), undefined
             fill_body = struct.pack("<BBBB", 2, 2, 2, 0)
+        maxshape = None
+        if nm in chunks and chunk_index == "extensible_array":
+            maxshape = (UNDEF,) + arr.shape[1:]  # dim 0 unlimited (appendable time)
+        elif nm in chunks and chunk_index == "btree_v2":
+            maxshape = (UNDEF,) * len(arr.shape)  # ≥2 unlimited dims
         msgs = [
-            enc(MSG_DATASPACE, _ds_message(arr.shape)),
+            enc(MSG_DATASPACE, _ds_message(arr.shape, maxshape)),
             enc(MSG_DATATYPE, _dt_message(arr)),
             enc(MSG_FILL, fill_body),
         ]
@@ -1035,15 +1315,27 @@ def write_hdf5(
                 dims = (*cs, arr.dtype.itemsize)
                 body = struct.pack("<BBBBB", 4, 2, flags, len(dims), 8)
                 body += b"".join(struct.pack("<Q", d) for d in dims)
-                body += struct.pack("<B", {"single": 1, "implicit": 2, "fixed_array": 3}[chunk_index])
+                body += struct.pack(
+                    "<B",
+                    {"single": 1, "implicit": 2, "fixed_array": 3,
+                     "extensible_array": 4, "btree_v2": 5}[chunk_index],
+                )
                 if chunk_index == "single":
                     if pipeline:
                         body += struct.pack("<QI", len(all_blobs[nm][0][1]), 0)
                     body += struct.pack("<Q", btree_addr)
                 elif chunk_index == "implicit":
                     body += struct.pack("<Q", btree_addr)
-                else:
+                elif chunk_index == "fixed_array":
                     body += struct.pack("<B", 10) + struct.pack("<Q", btree_addr)  # page bits, FAHD
+                elif chunk_index == "extensible_array":
+                    # layout-message param order: max bits, index elmts,
+                    # MIN POINTERS, MIN ELEMENTS, page bits — note the
+                    # EAHD header stores the middle two SWAPPED
+                    body += bytes(ea_params) + struct.pack("<Q", btree_addr)  # EAHD addr
+                else:  # btree_v2: node size, split %, merge %, BTHD addr
+                    body += struct.pack("<IBB", bt2_node_size, 100, 40)
+                    body += struct.pack("<Q", btree_addr)
             msgs.append(enc(MSG_LAYOUT, body))
             if pipeline:
                 fbody = struct.pack("<BB6x", 1, len(pipeline))
@@ -1114,6 +1406,115 @@ def write_hdf5(
                             fadb += struct.pack("<QI", len(raw), 0)
                     fadb += struct.pack("<I", lookup3(fadb))
                     pieces.append((fadb_addr, fadb))
+                elif chunk_index == "extensible_array":
+                    (client, elmt_size, size_len, arr_off, sblk_info,
+                     ib_nsblks, ib_ndblk, ib_nsblk, dblks) = addr[f"eaplan:{nm}"]
+                    max_bits, idx_elmts, min_ptrs, min_elmts, page_bits = ea_params
+                    n = len(blobs)
+
+                    def enc_elmt(i: int) -> bytes:
+                        if i >= n:
+                            return struct.pack("<Q", UNDEF) + b"\x00" * (elmt_size - 8)
+                        _offs, raw, caddr = blobs[i]
+                        if client:
+                            return (struct.pack("<Q", caddr)
+                                    + len(raw).to_bytes(size_len, "little")
+                                    + struct.pack("<I", 0))
+                        return struct.pack("<Q", caddr)
+
+                    eahd_addr, ib_addr = addr[f"eahd:{nm}"], addr[f"eaib:{nm}"]
+                    used_sblks = sorted({u for u, _, _ in dblks if u >= ib_nsblks})
+                    ndata_bytes = sum(6 + 8 + arr_off + ne * elmt_size + 4 for _, ne, _ in dblks)
+                    nsblk_bytes = sum(6 + 8 + arr_off + 8 * sblk_info[u][0] + 4 for u in used_sblks)
+                    # EAHD config order: idx elmts, MIN ELEMENTS, MIN
+                    # POINTERS, page bits — middle two swapped vs the
+                    # layout message (H5EAhdr vs H5Dlayout field order)
+                    hdrb = b"EAHD" + bytes(
+                        [0, client, elmt_size, max_bits, idx_elmts, min_elmts, min_ptrs, page_bits]
+                    )
+                    hdrb += struct.pack(
+                        "<6Q", len(used_sblks), nsblk_bytes, len(dblks), ndata_bytes, n, n
+                    )
+                    hdrb += struct.pack("<Q", ib_addr)
+                    hdrb += struct.pack("<I", lookup3(hdrb))
+                    pieces.append((eahd_addr, hdrb))
+
+                    ib = b"EAIB" + bytes([0, client]) + struct.pack("<Q", eahd_addr)
+                    for i in range(idx_elmts):
+                        ib += enc_elmt(i)
+                    direct = [addr[f"eadb:{nm}:{i}"] for i, (u, _, _) in enumerate(dblks) if u < ib_nsblks]
+                    ib += b"".join(struct.pack("<Q", a) for a in direct)
+                    ib += struct.pack("<Q", UNDEF) * (ib_ndblk - len(direct))
+                    sblk_addr_map = {u: addr[f"easb:{nm}:{u}"] for u in used_sblks}
+                    for s in range(ib_nsblk):
+                        ib += struct.pack("<Q", sblk_addr_map.get(ib_nsblks + s, UNDEF))
+                    ib += struct.pack("<I", lookup3(ib))
+                    pieces.append((ib_addr, ib))
+
+                    for i, (u, nelmts_u, eoff) in enumerate(dblks):
+                        db = b"EADB" + bytes([0, client]) + struct.pack("<Q", eahd_addr)
+                        db += eoff.to_bytes(arr_off, "little")
+                        for k in range(nelmts_u):
+                            db += enc_elmt(eoff + k)
+                        db += struct.pack("<I", lookup3(db))
+                        pieces.append((addr[f"eadb:{nm}:{i}"], db))
+
+                    for u in used_sblks:
+                        ndblks_u, _ne, start_u, _sd = sblk_info[u]
+                        sbb = b"EASB" + bytes([0, client]) + struct.pack("<Q", eahd_addr)
+                        sbb += (idx_elmts + start_u).to_bytes(arr_off, "little")
+                        addrs_u = [addr[f"eadb:{nm}:{i}"] for i, (du, _, _) in enumerate(dblks) if du == u]
+                        sbb += b"".join(struct.pack("<Q", a) for a in addrs_u)
+                        sbb += struct.pack("<Q", UNDEF) * (ndblks_u - len(addrs_u))
+                        sbb += struct.pack("<I", lookup3(sbb))
+                        pieces.append((sblk_addr_map[u], sbb))
+                elif chunk_index == "btree_v2":
+                    client, size_len, rec_size, groups, max_nrec_size = addr[f"bt2plan:{nm}"]
+                    cs = chunks[nm]
+                    btype = 11 if client else 10
+
+                    def enc_rec(offs, raw, caddr) -> bytes:
+                        rb = struct.pack("<Q", caddr)
+                        if client:
+                            rb += len(raw).to_bytes(size_len, "little") + struct.pack("<I", 0)
+                        # 'scaled' offsets = chunk-grid coordinates
+                        rb += b"".join(struct.pack("<Q", o // c) for o, c in zip(offs, cs))
+                        return rb
+
+                    if len(groups) == 1:
+                        depth, root_key, root_nrec = 0, f"btlf:{nm}:0", len(blobs)
+                        leaf_recs, root_recs = [blobs], []
+                    else:
+                        depth = 1
+                        leaf_recs, root_recs, pos = [], [], 0
+                        for i, g in enumerate(groups):
+                            leaf_recs.append(blobs[pos : pos + g])
+                            pos += g
+                            if i < len(groups) - 1:  # separator record → root
+                                root_recs.append(blobs[pos])
+                                pos += 1
+                        root_key, root_nrec = f"btin:{nm}", len(root_recs)
+                    hdrb = b"BTHD" + bytes([0, btype])
+                    hdrb += struct.pack("<IHH", bt2_node_size, rec_size, depth)
+                    hdrb += bytes([100, 40])  # split % / merge %
+                    hdrb += struct.pack("<QHQ", addr[root_key], root_nrec, len(blobs))
+                    hdrb += struct.pack("<I", lookup3(hdrb))
+                    pieces.append((addr[f"bthd:{nm}"], hdrb))
+                    for i, recs in enumerate(leaf_recs):
+                        lb = b"BTLF" + bytes([0, btype])
+                        for offs, raw, caddr in recs:
+                            lb += enc_rec(offs, raw, caddr)
+                        lb += struct.pack("<I", lookup3(lb))
+                        pieces.append((addr[f"btlf:{nm}:{i}"], lb))
+                    if depth == 1:
+                        inb = b"BTIN" + bytes([0, btype])
+                        for offs, raw, caddr in root_recs:
+                            inb += enc_rec(offs, raw, caddr)
+                        for i, recs in enumerate(leaf_recs):
+                            inb += struct.pack("<Q", addr[f"btlf:{nm}:{i}"])
+                            inb += len(recs).to_bytes(max_nrec_size, "little")
+                        inb += struct.pack("<I", lookup3(inb))
+                        pieces.append((addr[f"btin:{nm}"], inb))
                 # "single"/"implicit": the layout message itself is the index
                 for offs, raw, caddr in blobs:
                     pieces.append((caddr, raw))
@@ -1273,7 +1674,7 @@ def write_hdf5(
                 base = alloc(f"impl:{nm}", chunk_nbytes * len(blobs_src))
                 addr[f"cbt:{nm}"] = base
                 placed = [(offs, raw, base + i * chunk_nbytes) for i, (offs, raw) in enumerate(blobs_src)]
-            else:  # fixed_array
+            elif chunk_index == "fixed_array":
                 placed = []
                 for offs, raw in blobs_src:
                     caddr = alloc(f"chunk:{nm}:{offs}", len(raw))
@@ -1282,6 +1683,93 @@ def write_hdf5(
                 alloc(f"fahd:{nm}", 28)
                 addr[f"cbt:{nm}"] = addr[f"fahd:{nm}"]
                 alloc(f"fadb:{nm}", 6 + 8 + len(placed) * entry_size + 4)
+            elif chunk_index == "extensible_array":
+                placed = []
+                for offs, raw in blobs_src:
+                    caddr = alloc(f"chunk:{nm}:{offs}", len(raw))
+                    placed.append((offs, raw, caddr))
+                arr0 = variables[nm][0]
+                cs = chunks[nm]
+                chunk_nbytes = int(np.prod(cs)) * arr0.dtype.itemsize
+                client = 1 if (gzip is not None or shuffle) else 0
+                size_len = _chunk_size_len(chunk_nbytes) if client else 0
+                elmt_size = 8 + size_len + 4 if client else 8
+                max_bits, idx_elmts, min_ptrs, min_elmts, page_bits = ea_params
+                sblk_info = _ea_sblk_info(max_bits, min_elmts)
+                ib_nsblks = 2 * (min_ptrs.bit_length() - 1)
+                ib_ndblk = 2 * (min_ptrs - 1)
+                ib_nsblk = len(sblk_info) - ib_nsblks
+                arr_off = (max_bits + 7) // 8
+                n = len(placed)
+                # data blocks needed to cover elements past the index
+                # block's inline slots: (sblk u, nelmts, absolute
+                # array index of first element)
+                needed = max(0, n - idx_elmts)
+                dblks: list[tuple[int, int, int]] = []
+                cov = 0
+                for u, (ndblks_u, nelmts_u, start_u, _sd) in enumerate(sblk_info):
+                    if cov >= needed:
+                        break
+                    if nelmts_u > (1 << page_bits):
+                        raise ValueError(
+                            f"{n} chunks for {nm!r} need paged extensible-array "
+                            "data blocks (unsupported); raise page_bits or chunk larger"
+                        )
+                    for j in range(ndblks_u):
+                        if cov >= needed:
+                            break
+                        dblks.append((u, nelmts_u, idx_elmts + start_u + j * nelmts_u))
+                        cov += nelmts_u
+                if cov < needed:
+                    raise ValueError(f"{n} chunks exceed extensible-array capacity for max_bits={max_bits}")
+                alloc(f"eahd:{nm}", 72)
+                addr[f"cbt:{nm}"] = addr[f"eahd:{nm}"]
+                alloc(f"eaib:{nm}", 6 + 8 + idx_elmts * elmt_size + 8 * (ib_ndblk + ib_nsblk) + 4)
+                for i, (u, nelmts_u, _eoff) in enumerate(dblks):
+                    alloc(f"eadb:{nm}:{i}", 6 + 8 + arr_off + nelmts_u * elmt_size + 4)
+                for u in sorted({u for u, _, _ in dblks if u >= ib_nsblks}):
+                    alloc(f"easb:{nm}:{u}", 6 + 8 + arr_off + 8 * sblk_info[u][0] + 4)
+                addr[f"eaplan:{nm}"] = (
+                    client, elmt_size, size_len, arr_off, sblk_info, ib_nsblks, ib_ndblk, ib_nsblk, dblks
+                )
+            else:  # btree_v2
+                placed = []
+                for offs, raw in blobs_src:
+                    caddr = alloc(f"chunk:{nm}:{offs}", len(raw))
+                    placed.append((offs, raw, caddr))
+                arr0 = variables[nm][0]
+                cs = chunks[nm]
+                rank = len(arr0.shape)
+                chunk_nbytes = int(np.prod(cs)) * arr0.dtype.itemsize
+                client = 1 if (gzip is not None or shuffle) else 0
+                size_len = _chunk_size_len(chunk_nbytes) if client else 0
+                rec_size = 8 + (size_len + 4 if client else 0) + 8 * rank
+                max_leaf = (bt2_node_size - 10) // rec_size
+                max_nrec_size = ((max_leaf.bit_length() - 1) // 8) + 1
+                n = len(placed)
+                if n <= max_leaf:
+                    groups = [n]
+                else:  # depth 1: L leaves, L-1 separator records in the root
+                    n_leaves = -(-(n + 1) // (max_leaf + 1))
+                    in_leaves = n - (n_leaves - 1)
+                    base, extra = divmod(in_leaves, n_leaves)
+                    groups = [base + 1] * extra + [base] * (n_leaves - extra)
+                    ptr_size = 8 + max_nrec_size
+                    max_internal = (bt2_node_size - 10 - ptr_size) // (rec_size + ptr_size)
+                    if n_leaves - 1 > max_internal:
+                        raise ValueError(
+                            f"{n} chunks need a v2 B-tree deeper than 1; raise bt2_node_size"
+                        )
+                alloc(f"bthd:{nm}", 38)
+                addr[f"cbt:{nm}"] = addr[f"bthd:{nm}"]
+                for i, g in enumerate(groups):
+                    alloc(f"btlf:{nm}:{i}", 6 + g * rec_size + 4)
+                if len(groups) > 1:
+                    alloc(
+                        f"btin:{nm}",
+                        6 + (len(groups) - 1) * rec_size + len(groups) * (8 + max_nrec_size) + 4,
+                    )
+                addr[f"bt2plan:{nm}"] = (client, size_len, rec_size, groups, max_nrec_size)
             addr[f"blobs:{nm}"] = placed
         else:
             alloc(f"data:{nm}", variables[nm][0].nbytes)

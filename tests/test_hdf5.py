@@ -728,3 +728,174 @@ def test_attribute_info_with_undefined_heap_is_compact():
         _retype_attr_message(b, links["a"], flags=flags, fheap=UNDEF)
         f = read_hdf5(bytes(b))
         np.testing.assert_array_equal(f.variables["a"].data, np.ones((2, 3)))
+
+
+# ---------------------------------------------------------------------------
+# extensible-array + v2-B-tree chunk indexes (round 6)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(chunks={"tas": (2, NY, NX)}, chunk_index="extensible_array"),
+        dict(chunks={"tas": (1, 2, NX)}, chunk_index="extensible_array", gzip=6, shuffle=True),
+        # small creation params: 8 chunks spill past the index block's
+        # inline+direct capacity into an EASB super block
+        dict(chunks={"tas": (1, 2, 3)}, chunk_index="extensible_array",
+             ea_params=(32, 2, 2, 2, 10), gzip=4),
+        dict(chunks={"tas": (2, 2, 3)}, chunk_index="extensible_array", libver="latest"),
+        dict(chunks={"tas": (2, NY, NX)}, chunk_index="btree_v2"),
+        dict(chunks={"tas": (1, 2, 3)}, chunk_index="btree_v2", gzip=6, shuffle=True),
+        # node too small for all records in one leaf → depth-1 tree
+        dict(chunks={"tas": (1, 1, 2)}, chunk_index="btree_v2", bt2_node_size=512),
+        dict(chunks={"tas": (1, 1, 2)}, chunk_index="btree_v2", bt2_node_size=512, gzip=2),
+    ],
+)
+def test_roundtrip_earray_btree2_indexes(kw):
+    data, th, lat, lon = _cube(37)
+    f = read_hdf5(_h5_bytes(data, th, lat, lon, **kw))
+    np.testing.assert_array_equal(f.variables["tas"].data, data)
+    # same values as the 1.8-profile v1-B-tree encoding of the cube
+    f3 = read_hdf5(_h5_bytes(data, th, lat, lon, chunks=kw["chunks"]))
+    np.testing.assert_array_equal(f3.variables["tas"].data, data)
+
+
+def test_earray_structure_matches_spec():
+    """EAHD/EAIB/EADB fields at their spec offsets (IV.A.2), with the
+    documented field-order QUIRK: the layout message stores creation
+    params as (max bits, idx elmts, MIN POINTERS, MIN ELEMENTS, page
+    bits) while the EAHD header stores the middle two swapped
+    (idx elmts, MIN ELEMENTS, MIN POINTERS) — H5Dlayout vs H5EAhdr."""
+    from netcdf_olap_spark.sources.hdf5 import lookup3
+
+    data, th, lat, lon = _cube(41)
+    b = _h5_bytes(data, th, lat, lon, chunks={"tas": (2, NY, NX)},
+                  chunk_index="extensible_array", gzip=6)
+    r = _Reader(b)
+    links = dict(r.group_links(r.root_btree, r.root_heap))
+    tas = {t: p for t, p, _ in r.messages(links["tas"])}
+    pos = tas[MSG_LAYOUT]
+    assert b[pos] == 4 and b[pos + 1] == 2  # layout v4, chunked
+    kind, dims, index_type, (ea_addr, cfg) = r._parse_layout(pos)
+    assert kind == "chunked4" and index_type == 4
+    assert dims == (2, NY, NX, 8)
+    assert cfg == (32, 4, 4, 16, 10)  # layout-message order: ...min_ptrs, min_elmts...
+
+    # dataspace declares dim 0 unlimited (the appendable time axis)
+    from netcdf_olap_spark.sources.hdf5 import _parse_dataspace_max
+
+    shape, maxshape = _parse_dataspace_max(b, tas[MSG_DATASPACE])
+    assert shape == (NT, NY, NX)
+    assert maxshape == (UNDEF, NY, NX)
+
+    assert b[ea_addr : ea_addr + 4] == b"EAHD"
+    assert b[ea_addr + 4] == 0  # version
+    assert b[ea_addr + 5] == 1  # client id: filtered dataset chunks
+    elmt_size = b[ea_addr + 6]
+    assert elmt_size == 8 + 2 + 4  # addr + 2-byte stored size + filter mask
+    # EAHD config order: max bits, idx elmts, MIN ELEMENTS, MIN POINTERS, page bits
+    assert tuple(b[ea_addr + 7 : ea_addr + 12]) == (32, 4, 16, 4, 10)
+    (ib_addr,) = struct.unpack_from("<Q", b, ea_addr + 60)
+    assert struct.unpack_from("<I", b, ea_addr + 68)[0] == lookup3(b[ea_addr : ea_addr + 68])
+
+    assert b[ib_addr : ib_addr + 4] == b"EAIB"
+    assert struct.unpack_from("<Q", b, ib_addr + 6)[0] == ea_addr  # back-pointer
+    # 2 chunks → both elements inline in the index block (idx_elmts=4)
+    e0 = ib_addr + 14
+    (caddr0,) = struct.unpack_from("<Q", b, e0)
+    stored0 = int.from_bytes(b[e0 + 8 : e0 + 10], "little")
+    raw0 = b[caddr0 : caddr0 + stored0]
+    import zlib as _z
+
+    from netcdf_olap_spark.sources.hdf5 import _shuffle_bytes  # noqa: F401
+
+    first = np.frombuffer(_z.decompress(raw0), dtype="<f8").reshape(2, NY, NX)
+    np.testing.assert_array_equal(first, data[:2])
+
+
+def test_earray_superblock_structure():
+    """With shrunken creation params the fixture spills into an EASB:
+    verify the super block's signature, back-pointer, and that its
+    data blocks carry the tail chunks."""
+    data, th, lat, lon = _cube(43)
+    b = _h5_bytes(data, th, lat, lon, chunks={"tas": (1, 2, 3)},
+                  chunk_index="extensible_array", ea_params=(32, 2, 2, 2, 10))
+    assert b.count(b"EASB") >= 1
+    r = _Reader(b)
+    links = dict(r.group_links(r.root_btree, r.root_heap))
+    tas = {t: p for t, p, _ in r.messages(links["tas"])}
+    _k, _d, _it, (ea_addr, _cfg) = r._parse_layout(tas[MSG_LAYOUT])
+    # grid: 4×2×2 = 16 chunks; idx 2 inline + direct u0(2)+u1(4) = 8,
+    # the rest through super blocks
+    entries = r._chunk_entries_v4((NT, NY, NX), (1, 2, 3), 8, 4, (ea_addr, _cfg), False,
+                                  (UNDEF, NY, NX))
+    assert len(entries) == 16
+    assert sorted(e[0] for e in entries) == sorted(
+        (t, y, x) for t in range(4) for y in (0, 2) for x in (0, 3)
+    )
+
+
+def test_btree2_structure_matches_spec():
+    """BTHD fields at their spec offsets (III.A.2) and a depth-1 tree:
+    BTIN root whose separator records + BTLF leaves partition the
+    chunk set; 'scaled' record offsets are chunk-grid coordinates."""
+    from netcdf_olap_spark.sources.hdf5 import lookup3
+
+    data, th, lat, lon = _cube(47)
+    b = _h5_bytes(data, th, lat, lon, chunks={"tas": (1, 1, 2)},
+                  chunk_index="btree_v2", bt2_node_size=512)
+    r = _Reader(b)
+    links = dict(r.group_links(r.root_btree, r.root_heap))
+    tas = {t: p for t, p, _ in r.messages(links["tas"])}
+    _k, dims, index_type, (bt_addr, node_size) = r._parse_layout(tas[MSG_LAYOUT])
+    assert index_type == 5 and node_size == 512
+
+    assert b[bt_addr : bt_addr + 4] == b"BTHD"
+    assert b[bt_addr + 4] == 0  # version
+    assert b[bt_addr + 5] == 10  # record type: non-filtered dataset chunks
+    ns, rec_size, depth = struct.unpack_from("<IHH", b, bt_addr + 6)
+    assert ns == 512 and rec_size == 8 + 3 * 8  # addr + rank scaled offsets
+    nchunks = NT * NY * (-(-NX // 2))
+    max_leaf = (512 - 10) // rec_size
+    assert depth == (0 if nchunks <= max_leaf else 1) == 1
+    assert b[bt_addr + 14] == 100 and b[bt_addr + 15] == 40  # split/merge %
+    root_addr, root_nrec = struct.unpack_from("<QH", b, bt_addr + 16)
+    (total,) = struct.unpack_from("<Q", b, bt_addr + 26)
+    assert total == nchunks
+    assert struct.unpack_from("<I", b, bt_addr + 34)[0] == lookup3(b[bt_addr : bt_addr + 34])
+    assert b[root_addr : root_addr + 4] == b"BTIN"
+
+    entries = r._btree2_entries(bt_addr, 3, (1, 1, 2), 16)
+    assert len(entries) == nchunks
+    assert sorted(e[0] for e in entries) == sorted(
+        (t, y, x) for t in range(NT) for y in range(NY) for x in (0, 2, 4)
+    )
+
+
+def test_btree2_depth_over_one_raises():
+    data, th, lat, lon = _cube(53)
+    with pytest.raises(ValueError, match="deeper than 1"):
+        _h5_bytes(data, th, lat, lon, chunks={"tas": (1, 1, 1)},
+                  chunk_index="btree_v2", bt2_node_size=256)
+
+
+def test_ea_sblk_info_matches_spec_table():
+    """Super-block geometry table against hand-computed values of the
+    published formulas: ndblks = 2^(u//2), dblk_nelmts =
+    2^((u+1)//2)·min_elmts."""
+    from netcdf_olap_spark.sources.hdf5 import _ea_sblk_info
+
+    info = _ea_sblk_info(32, 16)
+    assert len(info) == 1 + (32 - 4)  # 1 + (max_bits - log2(min_elmts))
+    # (ndblks, dblk_nelmts, start_idx, start_dblk)
+    assert info[0] == (1, 16, 0, 0)
+    assert info[1] == (1, 32, 16, 1)
+    assert info[2] == (2, 32, 48, 2)
+    assert info[3] == (2, 64, 112, 4)
+    assert info[4] == (4, 64, 240, 6)
+    # index-block direct capacity = sum of ndblks for the first
+    # 2·log2(min_ptrs) super blocks = 2·(min_ptrs - 1)
+    for min_ptrs in (2, 4, 8):
+        ib_nsblks = 2 * (min_ptrs.bit_length() - 1)
+        assert sum(info[u][0] for u in range(ib_nsblks)) == 2 * (min_ptrs - 1)
