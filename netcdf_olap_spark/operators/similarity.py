@@ -18,6 +18,7 @@ up) so results are stable and match the DuckDB oracle.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -136,6 +137,60 @@ def ivf_assign_col(vec_col: Column, centroids: list[np.ndarray]) -> Column:
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
+#: Above this cluster count the plan-constant assignment expression
+#: (k×dim literals baked into the plan) stops being the right shape —
+#: the literal array bloats the plan and serialized task binaries. The
+#: vectorized Arrow path takes over: centroids ride the closure once
+#: per executor, the distance matrix is one BLAS call per batch.
+PLAN_LITERAL_MAX_LISTS = 64
+
+
+def auto_n_lists(n_rows: int) -> int:
+    """SemDeDup/IVF cluster-count sizing: k = round(√N).
+
+    The published SemDeDup recipe scales the cluster count with the
+    corpus (tens of thousands of clusters at web scale), keeping the
+    expected cluster size √N and the within-cluster pairwise work
+    Σ cluster² ≈ N·√N — sub-quadratic, where any FIXED k degrades to
+    N²/k. Callers that know their corpus cardinality ahead of time
+    (ingest-time stats) should pass it here instead of re-counting."""
+    import math
+
+    return max(1, round(math.sqrt(max(n_rows, 1))))
+
+
+def ivf_assign_pandas_col(vec_col: Column, centroids: list[np.ndarray]) -> Column:
+    """Vectorized (Arrow-batched) nearest-centroid assignment for
+    LARGE cluster counts, where baking k×dim literals into the plan
+    (``ivf_assign_col``) is no longer sane. The centroid matrix ships
+    once per executor inside the closure; each batch is one
+    ‖c‖² − 2·V·Cᵀ matrix product + argmin (‖v‖² is constant per row,
+    so it cannot change the argmin). Ties and last-ulp distances may
+    resolve differently from the sequential-fold literal path — both
+    are deterministic run-to-run; tests pin agreement on spread
+    (tie-free) data."""
+    C = np.stack([np.asarray(c, dtype=np.float64) for c in centroids])
+    cn = (C * C).sum(axis=1)
+
+    @F.pandas_udf("int")
+    def _assign(s: pd.Series) -> pd.Series:
+        V = np.stack(s.map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
+        d2 = cn[None, :] - 2.0 * (V @ C.T)
+        return pd.Series(np.argmin(d2, axis=1).astype("int32"))
+
+    return _assign(vec_col)
+
+
+def assign_nearest_col(vec_col: Column, centroids: list[np.ndarray]) -> Column:
+    """Nearest-centroid assignment with the strategy picked by k:
+    plan-constant JVM fold for small k (bitwise-reproducible, whole-
+    stage-codegen), Arrow-batched numpy for large k (√N-sized cluster
+    counts at corpus scale)."""
+    if len(centroids) <= PLAN_LITERAL_MAX_LISTS:
+        return ivf_assign_col(vec_col, centroids)
+    return ivf_assign_pandas_col(vec_col, centroids)
+
+
 def ivf_train(
     df: DataFrame,
     n_lists: int = 8,
@@ -153,7 +208,7 @@ def ivf_train(
     centroids = [np.asarray(r[0], dtype=np.float64) for r in init]
     for _ in range(n_iters):
         assigned = df.select(
-            ivf_assign_col(F.col(vec_col), centroids).alias("list_id"),
+            assign_nearest_col(F.col(vec_col), centroids).alias("list_id"),
             F.col(vec_col).alias("v"),
         )
         means = (
@@ -312,10 +367,22 @@ def mmr_rerank(
     def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([id_col]).reset_index(drop=True)
         vecs = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
-        norms = np.linalg.norm(vecs, axis=1)
         rel = pdf["cos_sim"].to_numpy()
         n = len(pdf)
-        sim = (vecs @ vecs.T) / np.outer(norms, norms)
+        # Pairwise cosine as a SEQUENTIAL per-dimension fold (one
+        # rank-1 update per dim, accumulated left-to-right), not
+        # vecs @ vecs.T: BLAS pairwise/blocked summation rounds
+        # differently in the last ulp, and the DuckDB oracle replays
+        # this exact fold (list comprehension + list_sum) — the pair
+        # sims, and therefore every greedy pick, match bitwise.
+        dot = np.zeros((n, n))
+        nsq = np.zeros(n)
+        for d in range(vecs.shape[1]):
+            col = vecs[:, d]
+            dot += np.outer(col, col)
+            nsq += col * col
+        norms = np.sqrt(nsq)
+        sim = dot / np.outer(norms, norms)
         chosen: list[int] = []
         scores: list[float] = []
         avail = np.ones(n, dtype=bool)
@@ -342,10 +409,60 @@ def mmr_rerank(
     return cand.groupBy("g").applyInPandas(_greedy, out_schema)
 
 
+def _assigned_with_norms(
+    df: DataFrame, centroids: list[np.ndarray], id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, v, nrm, cluster) — the one-pass materialization both the
+    pair stage and the keep/drop join read. Norms ride along: each
+    vector's ‖v‖ is computed once here instead of once per PAIR
+    inside the cosine (the pair stage is Σ cluster² — precomputing
+    the norm cuts 2/3 of its fold work; same fold and same division
+    as cosine() → bitwise-identical keep/drop decisions)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
+        assign_nearest_col(F.col(vec_col), centroids).alias("cluster"),
+    )
+
+
+def semantic_pair_candidates(assigned: DataFrame, threshold: float) -> DataFrame:
+    """Within-cluster pair stage over an (id, v, nrm, cluster) table:
+    one row per (lower-id, higher-id) pair at ≥ ``threshold`` cosine,
+    projected to the higher id (pre-dedup — the caller distincts).
+    When ``assigned`` is a bucketed-by-cluster table
+    (``semantic_dedup_at_rest``) this self-join plans with NO Exchange
+    on either side (asserted in tests/test_spandedup.py) — the 100 TB
+    shape."""
+    a = assigned.select(F.col("id").alias("id1"), F.col("v").alias("v1"), F.col("nrm").alias("n1"), "cluster")
+    b = assigned.select(F.col("id").alias("id2"), F.col("v").alias("v2"), F.col("nrm").alias("n2"), "cluster")
+    return (
+        a.join(b, "cluster")
+        .where(F.col("id1") < F.col("id2"))
+        .where(_dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")) >= threshold)
+        .select(F.col("id2").alias("id"))
+    )
+
+
+def semantic_pair_dropped(assigned: DataFrame, threshold: float) -> DataFrame:
+    """Distinct higher-ids with a ≥-threshold lower-id twin — the
+    drop set. The distinct's exchange moves only the (small) dropped
+    ids, never vectors."""
+    return semantic_pair_candidates(assigned, threshold).distinct()
+
+
+def _keep_flags(assigned: DataFrame, dropped: DataFrame, id_col: str) -> DataFrame:
+    return assigned.join(dropped.withColumn("gone", F.lit(True)), "id", "left").select(
+        F.col("id").alias(id_col),
+        "cluster",
+        F.coalesce(~F.col("gone"), F.lit(True)).alias("is_kept"),
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     threshold: float = 0.9,
-    n_lists: int = 8,
+    n_lists: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -355,41 +472,54 @@ def semantic_dedup(
     the engine-wide dedup convention).
 
     Cluster blocking makes the pairwise stage Σ cluster² instead of
-    corpus² — the published SemDeDup recipe. Approximation is
+    corpus² — the published SemDeDup recipe. ``n_lists`` defaults to
+    ``auto_n_lists`` (≈√N, one count job), which keeps the pair work
+    ≈ N·√N as the corpus grows; a FIXED k would degrade to N²/k, so
+    pass an explicit value only when you mean it. Approximation is
     one-sided: precision 1.0 (every dropped vector really has a
     ≥-threshold twin); recall < 1 only when a duplicate pair is split
-    across clusters. At corpus scale the assignment is an ingest-time
-    map (centroids are plan constants) and the table is written
-    partitioned by cluster, so the self-join is partition-local.
+    across clusters. This in-memory form cuts the assignment with a
+    localCheckpoint; the at-rest form (``semantic_dedup_at_rest``)
+    writes it bucketed by cluster so the pair join is Exchange-free.
     Returns (id, cluster, is_kept).
     """
+    if n_lists is None:
+        n_lists = auto_n_lists(df.count())
     centroids = ivf_train(df, n_lists=n_lists, id_col=id_col, vec_col=vec_col)
-    # The assignment feeds BOTH sides of the self-join and the final
-    # keep/drop join — cut once so the k×dim distance map runs one
-    # pass over the corpus, not three (at rest this materialization
-    # is the partition-by-cluster layout write_ivf_index performs).
-    # Norms ride along: each vector's ‖v‖ is computed once here
-    # instead of once per PAIR inside the cosine (the pair stage is
-    # Σ cluster² — precomputing the norm cuts 2/3 of its fold work;
-    # same fold and same division as cosine() → bitwise-identical
-    # keep/drop decisions).
-    assigned = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        _norm(F.col(vec_col)).alias("nrm"),
-        ivf_assign_col(F.col(vec_col), centroids).alias("cluster"),
-    ).localCheckpoint(eager=True)
-    a = assigned.select(F.col("id").alias("id1"), F.col("v").alias("v1"), F.col("nrm").alias("n1"), "cluster")
-    b = assigned.select(F.col("id").alias("id2"), F.col("v").alias("v2"), F.col("nrm").alias("n2"), "cluster")
-    dropped = (
-        a.join(b, "cluster")
-        .where(F.col("id1") < F.col("id2"))
-        .where(_dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")) >= threshold)
-        .select(F.col("id2").alias("id"))
-        .distinct()
-    )
-    return assigned.join(dropped.withColumn("gone", F.lit(True)), "id", "left").select(
-        F.col("id").alias(id_col),
-        "cluster",
-        F.coalesce(~F.col("gone"), F.lit(True)).alias("is_kept"),
-    )
+    # Cut the assignment once: it feeds BOTH self-join sides and the
+    # final keep/drop join, so the k×dim distance map runs one pass
+    # over the corpus, not three.
+    assigned = _assigned_with_norms(df, centroids, id_col, vec_col).localCheckpoint(eager=True)
+    dropped = semantic_pair_dropped(assigned, threshold)
+    return _keep_flags(assigned, dropped, id_col)
+
+
+def semantic_dedup_at_rest(
+    spark,
+    df: DataFrame,
+    table: str,
+    threshold: float = 0.9,
+    n_lists: int | None = None,
+    n_buckets: int = 16,
+    path: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``semantic_dedup`` with the assignment materialized AT REST,
+    bucketed by cluster: the Σ cluster² pair self-join then plans
+    with ZERO Exchange on either side (bucketed scans already provide
+    the hash partitioning — asserted in tests/test_spandedup.py), and
+    the same table serves later probes/re-runs without re-assigning.
+    Same keep/drop decisions as the in-memory form (same centroids,
+    same folds). Choose ``n_buckets`` so one bucket (≈N/n_buckets
+    rows, √N-ish clusters each) fits an executor core."""
+    from netcdf_olap_spark.operators.shuffle import write_bucketed
+
+    if n_lists is None:
+        n_lists = auto_n_lists(df.count())
+    centroids = ivf_train(df, n_lists=n_lists, id_col=id_col, vec_col=vec_col)
+    assigned = _assigned_with_norms(df, centroids, id_col, vec_col)
+    write_bucketed(assigned, table, ["cluster"], n_buckets=n_buckets, path=path, sort_cols=["cluster", "id"])
+    at_rest = spark.table(table)
+    dropped = semantic_pair_dropped(at_rest, threshold)
+    return _keep_flags(at_rest, dropped, id_col)

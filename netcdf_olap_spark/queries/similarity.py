@@ -283,9 +283,17 @@ def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversity re-ranking: retrieve-then-rerank — native cosine
     top-50 pool (distributed TakeOrderedAndProject), then one
     Arrow-batched greedy MMR pass over the 50-row pool (λ=0.7,
-    k=10). rows-only: the greedy argmax loop isn't SQL-expressible;
-    equality to a pure-numpy reference is asserted in
-    tests/test_similarity.py."""
+    k=10).
+
+    ORACLE-CHECKED (r6): the greedy argmax loop IS SQL — a DuckDB
+    recursive CTE whose state row carries the chosen-id list, one
+    LATERAL argmax per iteration. Bitwise parity holds because every
+    float on both sides shares one arithmetic: the pool's relevance
+    scores are the verified cross-engine cosine fold, the pandas
+    stage computes pairwise sims as a sequential per-dimension
+    rank-1-update fold (NOT BLAS — see mmr_rerank), and the MMR
+    combine uses the literal 1−λ double (0.30000000000000004, not
+    0.3) in both engines."""
     e = _emb(spark, sf_dir)
     qvec = [r[0] for r in e.where(F.col("vec_id") == 0).select(F.explode("embedding")).collect()]
     return similarity.mmr_rerank(
@@ -293,14 +301,59 @@ def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+_MMR_DOT = "list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) FOR i IN generate_series(1, len(a.embedding))])"
+
+
+def _mmr_nrm(t: str) -> str:
+    return (
+        f"sqrt(list_sum([CAST({t}.embedding[i] AS DOUBLE) * CAST({t}.embedding[i] AS DOUBLE)"
+        f" FOR i IN generate_series(1, len({t}.embedding))]))"
+    )
+
+
+_MMR_LAM = "0.7"
+_MMR_OML = repr(1.0 - 0.7)  # the double Python/numpy actually use for 1−λ
+
+EMB_MMR_SQL = f"""
+WITH RECURSIVE pool AS (
+  SELECT e.vec_id, e.embedding, {_duck_cos('e.embedding', 'q.qv')} AS cos
+  FROM embeddings e CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+  WHERE e.vec_id != 0
+  ORDER BY cos DESC, e.vec_id LIMIT 50
+), sims AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         {_MMR_DOT} / ({_mmr_nrm('a')} * {_mmr_nrm('b')}) AS s
+  FROM pool a, pool b
+), sel AS (
+  SELECT 1 AS rank, [c.vec_id] AS chosen, c.vec_id, c.cos AS cos_sim, c.mmr AS mmr_score
+  FROM (SELECT vec_id, cos, {_MMR_LAM}*cos - {_MMR_OML}*0.0 AS mmr
+        FROM pool ORDER BY mmr DESC, vec_id LIMIT 1) c
+  UNION ALL
+  SELECT s.rank + 1, list_append(s.chosen, c.vec_id), c.vec_id, c.cos, c.mmr
+  FROM sel s, LATERAL (
+    SELECT p.vec_id, p.cos,
+           {_MMR_LAM}*p.cos - {_MMR_OML}*(SELECT max(ss.s) FROM sims ss
+                                          WHERE ss.id1 = p.vec_id AND list_contains(s.chosen, ss.id2)) AS mmr
+    FROM pool p
+    WHERE NOT list_contains(s.chosen, p.vec_id)
+    ORDER BY mmr DESC, p.vec_id LIMIT 1
+  ) c
+  WHERE s.rank < 10
+)
+SELECT vec_id, cos_sim, mmr_score, CAST(rank AS INT) AS rank FROM sel ORDER BY rank
+"""
+
+
 def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: k-means cluster blocking +
-    within-cluster cosine ≥ 0.95 → min-id keeper. rows-only: the
+    within-cluster cosine ≥ 0.95 → min-id keeper. ``n_lists`` is
+    derived as ≈√N from the corpus count (the published SemDeDup
+    sizing — pair work stays ≈N·√N instead of N²/k). rows-only: the
     Lloyd-trained centroids aren't SQL-expressible; precision-1.0 and
     blocked-recall properties are asserted in
-    tests/test_similarity.py."""
+    tests/test_similarity.py / test_spandedup.py."""
     return similarity.semantic_dedup(
-        _emb(spark, sf_dir), threshold=0.95, n_lists=8
+        _emb(spark, sf_dir), threshold=0.95
     ).orderBy("vec_id")
 
 
@@ -314,6 +367,6 @@ QUERIES = {
     "emb_knn_ivf_exact": (emb_knn_ivf_exact, EMB_KNN_BRUTE_SQL),
     "emb_pq_topk": (emb_pq_topk, None),
     "emb_label_topk": (emb_label_topk, EMB_LABEL_TOPK_SQL),
-    "emb_mmr_rerank": (emb_mmr_rerank, None),
+    "emb_mmr_rerank": (emb_mmr_rerank, EMB_MMR_SQL),
     "emb_semantic_dedup": (emb_semantic_dedup, None),
 }

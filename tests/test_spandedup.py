@@ -239,3 +239,83 @@ def test_countmin_zero_frequency_probe_returns_zero(spark, docs):
     est = {r["tok"]: r["cm_est"] for r in
            sketches.countmin_estimate(sk, probes, "tok", depth=3, hex_digits=3).collect()}
     assert est == {"zzz-not-in-any-document-zzz": 0, "qqq-also-absent-qqq": 0}
+
+
+def test_semantic_dedup_auto_n_lists_is_sqrt_n():
+    assert similarity.auto_n_lists(0) == 1
+    assert similarity.auto_n_lists(1) == 1
+    assert similarity.auto_n_lists(64) == 8
+    assert similarity.auto_n_lists(500) == 22
+    assert similarity.auto_n_lists(1_000_000) == 1000
+
+
+def test_semantic_dedup_pair_work_sublinear_with_auto_k(spark):
+    """With k = √N the pair-stage work Σ cluster² must shrink
+    RELATIVE to N² as the corpus grows (≈N^1.5 absolute) — the
+    property a fixed k does not have. Measured on two deterministic
+    slices of the sf0.1 embeddings corpus."""
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+
+    def pair_ratio(n: int) -> float:
+        sub = emb.where(F.col("vec_id") < n)
+        k = similarity.auto_n_lists(n)
+        cents = similarity.ivf_train(sub, n_lists=k)
+        sizes = (
+            sub.select(similarity.assign_nearest_col(F.col("embedding"), cents).alias("c"))
+            .groupBy("c")
+            .count()
+            .collect()
+        )
+        return sum(r["count"] ** 2 for r in sizes) / n**2
+
+    r_small, r_big = pair_ratio(250), pair_ratio(2000)
+    assert r_big < r_small, (r_small, r_big)
+    # and absolutely sub-quadratic: far below the fixed-k=8 N²/8 bound
+    assert r_big < 1 / 8
+
+
+def test_assign_pandas_agrees_with_literal_path(spark):
+    """The Arrow assignment path (large k) and the plan-constant fold
+    path must agree on spread (tie-free) data."""
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").limit(200)
+    cents = similarity.ivf_train(emb, n_lists=10)
+    lit = emb.select(
+        "vec_id", similarity.ivf_assign_col(F.col("embedding"), cents).alias("c")
+    ).collect()
+    pnd = emb.select(
+        "vec_id", similarity.ivf_assign_pandas_col(F.col("embedding"), cents).alias("c")
+    ).collect()
+    assert {r["vec_id"]: r["c"] for r in lit} == {r["vec_id"]: r["c"] for r in pnd}
+
+
+def test_semantic_dedup_at_rest_matches_and_pair_join_is_exchange_free(spark, tmp_path):
+    """The bucketed-by-cluster at-rest layout: identical keep/drop
+    decisions to the in-memory form, and the Σ cluster² pair
+    self-join plans with ZERO Exchange of any kind (bucketed scans
+    already provide the hash partitioning)."""
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    thr = 0.95
+    want = {
+        (r["vec_id"], r["cluster"], r["is_kept"])
+        for r in similarity.semantic_dedup(emb, threshold=thr).collect()
+    }
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        out = similarity.semantic_dedup_at_rest(
+            spark, emb, "t_semdedup_rest", threshold=thr, path=str(tmp_path / "sd")
+        )
+        got = {(r["vec_id"], r["cluster"], r["is_kept"]) for r in out.collect()}
+        assert got == want
+
+        pairs = similarity.semantic_pair_candidates(spark.table("t_semdedup_rest"), thr)
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, f"pair join still shuffles:\n{plan}"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_semdedup_rest")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
