@@ -96,6 +96,7 @@ def synthesize_media(
     seed_mod: int | None = None,
     perturb_bytes: int = 0,
     scene_len: int | None = None,
+    pixel_mode: str = "rng",
 ) -> DataFrame:
     """Deterministic fake media table from any id column: blob bytes
     are a pure function of (media_id, shape), so every run and every
@@ -111,10 +112,18 @@ def synthesize_media(
     ``scene_len`` (video only): frame f's pixels are seeded by
     (media seed, f // scene_len) — every scene_len-th boundary is a
     hard scene cut, frames within a scene are identical. The planted
-    structure scene-cut detection must recover."""
+    structure scene-cut detection must recover.
+
+    ``pixel_mode="arith"``: pixels are the CLOSED-FORM pattern
+    ``(seed·31 + scene·101 + p·7) mod 256`` instead of RNG bytes —
+    same decode/feature plumbing, but every downstream statistic
+    (frame diffs, means) becomes pure integer arithmetic an SQL
+    oracle can restate. The 101-per-scene step makes consecutive-
+    scene mean |diff| ≥ 101 (wrap adds 155s), far above any sane cut
+    threshold; within-scene diffs are exactly 0."""
     ids = df.select(F.col(id_col).cast("long").alias("media_id"))
     k, w, h, c, nf = kind, width, height, channels, n_frames
-    sm, pb, sl = seed_mod, perturb_bytes, scene_len
+    sm, pb, sl, pm = seed_mod, perturb_bytes, scene_len, pixel_mode
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
@@ -127,7 +136,19 @@ def synthesize_media(
             rows = []
             for mid in pdf["media_id"]:
                 seed = int(mid) % sm if sm else int(mid)
-                if sl and k == "video":
+                if pm == "arith":
+                    p = np.arange(h * w * c, dtype=np.int64)
+
+                    def _frame(scene: int) -> np.ndarray:
+                        return ((seed * 31 + scene * 101 + p * 7) % 256).astype(np.uint8)
+
+                    if k == "video":
+                        payload_a = np.concatenate(
+                            [_frame(f // sl if sl else f) for f in range(frames)]
+                        )
+                    else:
+                        payload_a = _frame(0)
+                elif sl and k == "video":
                     parts = [
                         np.random.default_rng((seed + 7_777_777) * 1000 + f // sl)
                         .integers(0, 256, h * w * c, dtype=np.uint8)
@@ -261,12 +282,33 @@ AUDIO_FRAMES_SCHEMA = StructType(
 )
 
 
-def synthesize_audio(df: DataFrame, id_col: str = "doc_id", sample_rate: int = 16000, n_samples: int = 4096) -> DataFrame:
+def synthesize_audio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sample_rate: int = 16000,
+    n_samples: int = 4096,
+    wave: str = "noise",
+) -> DataFrame:
     """Deterministic fake PCM clips (int16 mono), one per id — the
     audio analog of synthesize_media: bytes are a pure function of
-    (media_id, shape), so every run and engine agrees."""
+    (media_id, shape), so every run and engine agrees.
+
+    ``wave`` plants CLOSED-FORM signals whose features an SQL oracle
+    can restate exactly:
+
+    - ``"noise"`` (default): seeded-RNG white samples — deterministic
+      but not SQL-expressible (flatness invariants live in pytest).
+    - ``"square"``: constant-magnitude square wave, amplitude
+      Q = 4096 + (id mod 7)·3777. Every |sample| is Q, so per-frame
+      RMS is sqrt of a perfect square = EXACTLY Q in float64 (all
+      intermediate sums are integers < 2⁵³), and peak = Q.
+    - ``"tone"``: int16-quantized full-scale cosine at FFT bin
+      128 + 256·(id mod 8) — band-centered for an 8-band split of a
+      4096-sample clip. Quantization noise is ~98 dB down, so band
+      energy fractions are 1/0 to well past 6 decimals.
+    """
     ids = df.select(F.col(id_col).cast("long").alias("media_id"))
-    sr, n = sample_rate, n_samples
+    sr, n, wv = sample_rate, n_samples, wave
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
@@ -277,8 +319,22 @@ def synthesize_audio(df: DataFrame, id_col: str = "doc_id", sample_rate: int = 1
         for pdf in batches:
             rows = []
             for mid in pdf["media_id"]:
-                rng = np.random.default_rng(int(mid) + 424_242)
-                pcm = rng.integers(-(2**15), 2**15, n, dtype=np.int64).astype("<i2")
+                if wv == "square":
+                    q = 4096 + (int(mid) % 7) * 3777
+                    half = np.full(32, q, dtype=np.int64)
+                    period = np.concatenate([half, -half])
+                    pcm = np.tile(period, -(-n // 64))[:n].astype("<i2")
+                elif wv == "tone":
+                    kbin = 128 + 256 * (int(mid) % 8)
+                    t = np.arange(n, dtype=np.float64)
+                    pcm = (
+                        np.round(30000.0 * np.cos(2.0 * np.pi * kbin * t / n))
+                        .astype(np.int64)
+                        .astype("<i2")
+                    )
+                else:
+                    rng = np.random.default_rng(int(mid) + 424_242)
+                    pcm = rng.integers(-(2**15), 2**15, n, dtype=np.int64).astype("<i2")
                 head = b"FAKA1" + struct.pack("<ii", sr, n)
                 rows.append(
                     {

@@ -1,10 +1,13 @@
-"""Multimodal queries for the driver registry. Mostly rows-only (the
-blob payload is a seeded-RNG function of media_id — deterministic
-across runs, not expressible in SQL; correctness is pinned by
-tests/test_multimodal.py against independently regenerated pixels).
-Exception: media_phash_dedup IS oracle-checked — its planted
-duplicate groups are pure id arithmetic, so the expected pair set is
-SQL even though the blobs aren't."""
+"""Multimodal queries for the driver registry. Six of seven are
+oracle-checked via PLANTED payloads whose downstream features are
+pure id/shape arithmetic (duplicate groups mod 50, square-wave RMS,
+band-centered tones, closed-form pixel patterns) — the blobs
+themselves never need decoding on the oracle side, and the hash only
+matches if the Spark-side decode/fan-out/feature plumbing is exact.
+The one rows-only query (media_image_features) keeps the seeded-RNG
+payload on purpose: pixel mean/std of RNG bytes isn't SQL, and the
+RNG decode path deserves driver coverage; it's pinned against
+independently regenerated pixels in tests/test_multimodal.py."""
 
 from __future__ import annotations
 
@@ -22,7 +25,10 @@ def _doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize one fake image per document, decode, extract pixel
-    statistics — the full binary-column pipeline at sf scale."""
+    statistics — the full binary-column pipeline at sf scale.
+    rows-only: pixel mean/std of seeded-RNG bytes has no SQL form;
+    values are pinned against independently regenerated pixels in
+    tests/test_multimodal.py."""
     media = mm.synthesize_media(_doc_ids(spark, sf_dir))
     return mm.image_features(media).orderBy("media_id")
 
@@ -68,11 +74,22 @@ ORDER BY media_id
 
 def media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio path: synthesize PCM clips, window into overlapping
-    frames (1024/512), per-clip rollup of RMS/ZCR/peak — the
+    frames (1024/512), per-clip rollup of RMS/peak — the
     feature-extraction stage of an audio training pipeline. Blob →
     frame fan-out stays inside Arrow-batched mapInPandas; only small
-    feature rows reach the shuffle."""
-    clips = mm.synthesize_audio(_doc_ids(spark, sf_dir).where(F.col("doc_id") < 500))
+    feature rows reach the shuffle.
+
+    ORACLE-CHECKED (r6): the clips are planted square waves of
+    amplitude Q = 4096 + (id mod 7)·3777, so every per-frame RMS is
+    EXACTLY Q in float64 (perfect-square mean of integer sums < 2⁵³)
+    and peak = Q — DuckDB states the whole rollup as id arithmetic
+    without decoding a blob, and the hash only matches if the decode
+    → frame → feature fan-out neither drops, duplicates, nor rounds
+    anything. RNG white-noise feature invariants stay in
+    tests/test_multimodal.py."""
+    clips = mm.synthesize_audio(
+        _doc_ids(spark, sf_dir).where(F.col("doc_id") < 500), wave="square"
+    )
     frames = mm.audio_frame_features(clips, frame=1024, hop=512)
     return (
         frames.groupBy("media_id")
@@ -83,6 +100,16 @@ def media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+MEDIA_AUDIO_STATS_SQL = """
+SELECT doc_id AS media_id,
+       CAST(7 AS BIGINT) AS n_frames,
+       CAST(4096 + (doc_id % 7) * 3777 AS INT) AS max_peak,
+       CAST(7 * (4096 + (doc_id % 7) * 3777) AS DOUBLE) AS sum_rms
+FROM documents WHERE doc_id < 500
+ORDER BY media_id
+"""
 
 
 def media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -125,8 +152,16 @@ ORDER BY id1, id2
 def media_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shot-boundary detection over synthetic videos with planted
     scene structure (scene_len=4 of 12 frames → cuts at frames 4 and
-    8): per-boundary mean-abs-diff, thresholded. rows-only; planted-
-    cut recovery asserted in tests/test_multimodal.py."""
+    8): per-boundary mean-abs-diff, thresholded.
+
+    ORACLE-CHECKED (r6): the frames use the closed-form arithmetic
+    pixel pattern ((id·31 + scene·101 + p·7) mod 256), so every
+    boundary's mean |diff| — not just the cut flag — is exact integer
+    arithmetic DuckDB restates pixel by pixel (within-scene 0,
+    cross-scene a mix of 101s and 155-wraps, division by 64 pixels is
+    a power of two → the double is exact). The RNG-video recovery
+    property stays in tests/test_multimodal.py and in
+    media_scene_cut_flags."""
     vids = mm.synthesize_media(
         _doc_ids(spark, sf_dir).where(F.col("doc_id") < 200),
         kind="video",
@@ -135,11 +170,33 @@ def media_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         channels=1,
         n_frames=12,
         scene_len=4,
+        pixel_mode="arith",
     )
     return (
         mm.scene_cuts(vids, threshold=30.0)
         .orderBy("media_id", "frame_idx")
     )
+
+
+MEDIA_SCENE_CUTS_SQL = """
+WITH bounds AS (
+  SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx
+  FROM documents, unnest(generate_series(1, 11)) u(f)
+  WHERE doc_id < 200
+), diffs AS (
+  SELECT b.media_id, b.frame_idx,
+         CAST(SUM(ABS(
+             ((b.media_id * 31 + (b.frame_idx // 4) * 101 + p * 7) % 256)
+           - ((b.media_id * 31 + ((b.frame_idx - 1) // 4) * 101 + p * 7) % 256)
+         )) AS DOUBLE) / 64 AS mean_abs_diff
+  FROM bounds b, unnest(generate_series(0, 63)) t(p)
+  GROUP BY b.media_id, b.frame_idx
+)
+SELECT media_id, frame_idx, mean_abs_diff,
+       CASE WHEN mean_abs_diff > 30.0 THEN 'Y' ELSE 'N' END AS is_cut
+FROM diffs
+ORDER BY media_id, frame_idx
+"""
 
 
 def media_scene_cut_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -180,18 +237,50 @@ ORDER BY media_id, frame_idx
 
 def media_audio_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spectral band-energy features per synthetic PCM clip (8 bands,
-    rfft power fractions). rows-only; white-noise flatness + unit-sum
-    invariants asserted in tests/test_multimodal.py."""
-    clips = mm.synthesize_audio(_doc_ids(spark, sf_dir).where(F.col("doc_id") < 200))
-    return mm.audio_band_energies(clips, n_bands=8).orderBy("media_id", "band")
+    rfft power fractions).
+
+    ORACLE-CHECKED (r6): the clips are int16-quantized full-scale
+    cosines planted at the CENTER BIN of band (id mod 8), so the
+    planted band holds all signal energy and quantization noise is
+    ~98 dB down (measured worst-case band deviation 2e-10) — the
+    fractions snap to exactly 1/0 under the decimal(18,6) quantize,
+    and DuckDB states them as id arithmetic. The FFT itself is only
+    checked for not leaking across band edges — white-noise flatness
+    and unit-sum invariants stay in tests/test_multimodal.py."""
+    clips = mm.synthesize_audio(
+        _doc_ids(spark, sf_dir).where(F.col("doc_id") < 200), wave="tone"
+    )
+    return (
+        mm.audio_band_energies(clips, n_bands=8)
+        .select(
+            "media_id",
+            "band",
+            "lo_hz",
+            "hi_hz",
+            F.col("energy_frac").cast("decimal(18,6)").cast("double").alias("energy_frac"),
+        )
+        .orderBy("media_id", "band")
+    )
+
+
+MEDIA_AUDIO_BANDS_SQL = """
+SELECT doc_id AS media_id,
+       CAST(b AS INT) AS band,
+       8000.0 * b / 8 AS lo_hz,
+       8000.0 * (b + 1) / 8 AS hi_hz,
+       CASE WHEN b = doc_id % 8 THEN 1.0 ELSE 0.0 END AS energy_frac
+FROM documents, unnest(generate_series(0, 7)) u(b)
+WHERE doc_id < 200
+ORDER BY media_id, band
+"""
 
 
 QUERIES = {
     "media_image_features": (media_image_features, None),
     "media_frame_stats": (media_frame_stats, MEDIA_FRAME_STATS_SQL),
-    "media_audio_stats": (media_audio_stats, None),
+    "media_audio_stats": (media_audio_stats, MEDIA_AUDIO_STATS_SQL),
     "media_phash_dedup": (media_phash_dedup, MEDIA_PHASH_SQL),
-    "media_scene_cuts": (media_scene_cuts, None),
+    "media_scene_cuts": (media_scene_cuts, MEDIA_SCENE_CUTS_SQL),
     "media_scene_cut_flags": (media_scene_cut_flags, MEDIA_SCENE_FLAGS_SQL),
-    "media_audio_bands": (media_audio_bands, None),
+    "media_audio_bands": (media_audio_bands, MEDIA_AUDIO_BANDS_SQL),
 }
