@@ -139,10 +139,16 @@ def ivf_assign_col(vec_col: Column, centroids: list[np.ndarray]) -> Column:
 
 #: Above this cluster count the plan-constant assignment expression
 #: (k×dim literals baked into the plan) stops being the right shape —
-#: the literal array bloats the plan and serialized task binaries. The
+#: the literal array bloats the plan and serialized task binaries, and
+#: codegen/JIT of the k-way fold dominates the actual math. The
 #: vectorized Arrow path takes over: centroids ride the closure once
 #: per executor, the distance matrix is one BLAS call per batch.
-PLAN_LITERAL_MAX_LISTS = 64
+#: Measured at k=45/dim=64 on the sf0.1 corpus: the literal fold costs
+#: ~3.0 s vs ~0.8 s via Arrow (mostly expression compile time), so the
+#: crossover sits well below the old 64 — 16 keeps the
+#: bitwise-reproducible literal path for the small oracle-checked
+#: configurations (IVF n_lists=8) and routes everything larger to BLAS.
+PLAN_LITERAL_MAX_LISTS = 16
 
 
 def auto_n_lists(n_rows: int) -> int:
@@ -174,6 +180,8 @@ def ivf_assign_pandas_col(vec_col: Column, centroids: list[np.ndarray]) -> Colum
 
     @F.pandas_udf("int")
     def _assign(s: pd.Series) -> pd.Series:
+        if len(s) == 0:  # empty Arrow batch (post-filter / empty partition)
+            return pd.Series([], dtype="int32")
         V = np.stack(s.map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
         d2 = cn[None, :] - 2.0 * (V @ C.T)
         return pd.Series(np.argmin(d2, axis=1).astype("int32"))
@@ -227,6 +235,85 @@ def ivf_train(
     return centroids
 
 
+#: Quantizer-training sample cap (vectors). The published SemDeDup /
+#: FAISS recipe trains k-means on a bounded sample, never the corpus:
+#: centroid quality saturates at a few hundred points per centroid,
+#: while full-corpus Lloyd pays O(iters · N · k · dim) — at 100 TB
+#: that is the pipeline, not a preamble. cap×dim float64 ≈ 50 MB at
+#: the default — a driver-bounded collect by construction.
+TRAIN_SAMPLE_CAP = 100_000
+
+_HEX13 = 16**13  # 52-bit md5-hex-prefix space (exact in BIGINT)
+
+
+def train_sample(
+    df: DataFrame, n_rows: int, cap: int = TRAIN_SAMPLE_CAP, id_col: str = "vec_id"
+) -> DataFrame:
+    """Deterministic ≈``cap``-row Bernoulli sample for quantizer
+    training: keep a row iff its 13-hex-digit md5(id) prefix, as an
+    integer u ∈ [0, 16¹³), satisfies u·n_rows < cap·16¹³ — an exact
+    integer cross-multiply in DECIMAL(38,0), no floats, no RNG, and
+    independent of partitioning (pure function of the id). The same
+    portable-sampling construction as queries/pipeline.py's
+    doc_weighted_sample."""
+    if n_rows <= cap:
+        return df
+    u = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10).cast("long")
+    dec = "decimal(38,0)"
+    return df.where(
+        u.cast(dec) * F.lit(str(n_rows)).cast(dec) < F.lit(str(cap * _HEX13)).cast(dec)
+    )
+
+
+def lloyd_local(vecs: np.ndarray, n_lists: int, n_iters: int = 2) -> list[np.ndarray]:
+    """Vectorized Lloyd over an in-memory (sample) matrix. Same
+    conventions as the distributed ``ivf_train``: init = the first
+    ``n_lists`` rows (callers pass rows sorted by id → no RNG), empty
+    clusters keep their previous centroid. Because the input is a
+    deterministically-sampled, id-sorted matrix, the result is
+    bitwise-identical run-to-run AND partition-order-independent —
+    two independent trainings on a real cluster cannot drift by an
+    ulp the way partition-order-dependent distributed averaging can."""
+    n_lists = min(n_lists, len(vecs))
+    C = vecs[:n_lists].astype(np.float64).copy()
+    for _ in range(n_iters):
+        d2 = (C * C).sum(axis=1)[None, :] - 2.0 * (vecs @ C.T)
+        a = np.argmin(d2, axis=1)
+        for i in range(n_lists):
+            members = vecs[a == i]
+            if len(members):
+                C[i] = members.mean(axis=0)
+    return [C[i] for i in range(n_lists)]
+
+
+def ivf_train_sample(
+    df: DataFrame,
+    n_lists: int,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_rows: int | None = None,
+    cap: int = TRAIN_SAMPLE_CAP,
+) -> list[np.ndarray]:
+    """Sample-trained coarse quantizer — the published SemDeDup/FAISS
+    recipe. ONE Spark job total (the ≤``cap``-row deterministic
+    sample collect — bounded at cap×dim doubles however large the
+    corpus); Lloyd runs vectorized on the driver, so there is no
+    per-iteration distributed pass, no posexplode aggregation, and no
+    k×dim literal codegen rebuilt every iteration. ``n_rows`` should
+    come from ingest-time stats (sources/stats.py:parquet_num_rows or
+    a catalog row count); a ``df.count()`` job is only the fallback
+    when the caller genuinely doesn't know N."""
+    if n_rows is None:
+        n_rows = df.count()
+    rows = train_sample(df, n_rows, cap=cap, id_col=id_col).select(id_col, vec_col).collect()
+    rows.sort(key=lambda r: r[0])
+    if not rows:
+        raise ValueError("ivf_train_sample: empty training input")
+    vecs = np.asarray([r[1] for r in rows], dtype=np.float64)
+    return lloyd_local(vecs, n_lists=n_lists, n_iters=n_iters)
+
+
 def knn_ivf(
     df: DataFrame,
     query_vec: list[float],
@@ -243,12 +330,16 @@ def knn_ivf(
     table written partitioned by ``list_id``; a probe then scans
     nprobe/n_lists of the data (partition pruning) — this function
     fuses those stages for the benchmark corpus. ``nprobe == n_lists``
-    degenerates to exact brute force (asserted in tests)."""
+    degenerates to exact brute force (asserted in tests). The
+    candidate filter uses ``assign_nearest_col`` so the assignment
+    strategy (and its tie behavior) always matches training — at
+    large k the probe filter must not re-bake k×dim literals into the
+    plan that the Arrow-path training avoided."""
     centroids = ivf_train(df, n_lists=n_lists, id_col=id_col, vec_col=vec_col)
     qv = np.asarray(query_vec, dtype=np.float64)
     order = np.argsort([float(np.sum((qv - c) ** 2)) for c in centroids], kind="stable")
     probe = [int(i) for i in order[:nprobe]]
-    cand = df.where(ivf_assign_col(F.col(vec_col), centroids).isin(probe))
+    cand = df.where(assign_nearest_col(F.col(vec_col), centroids).isin(probe))
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     return (
         cand.select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim"))
@@ -270,9 +361,11 @@ def write_ivf_index(
     nprobe/n_lists of the files (demonstrated in
     tests/test_similarity.py by inputFiles + PartitionFilters
     assertions). The same layout works for LSH buckets — partition by
-    ``lsh_bucket_col`` instead."""
+    ``lsh_bucket_col`` instead. Assignment goes through
+    ``assign_nearest_col`` so the at-rest list membership matches
+    whatever strategy trained the centroids at any k."""
     (
-        df.withColumn("list_id", ivf_assign_col(F.col(vec_col), centroids))
+        df.withColumn("list_id", assign_nearest_col(F.col(vec_col), centroids))
         .repartition("list_id")  # one writer per list -> no tiny files
         .write.partitionBy("list_id")
         .mode("overwrite")
@@ -459,12 +552,33 @@ def _keep_flags(assigned: DataFrame, dropped: DataFrame, id_col: str) -> DataFra
     )
 
 
+def _semantic_centroids(
+    df: DataFrame,
+    n_lists: int | None,
+    n_rows: int | None,
+    id_col: str,
+    vec_col: str,
+) -> list[np.ndarray]:
+    """Centroids for SemDeDup blocking: k = √N (``auto_n_lists``)
+    sized from caller-provided N (ingest-time stats — no count job),
+    trained on the bounded deterministic sample
+    (``ivf_train_sample``). ``df.count()`` only when the caller knows
+    neither N nor k."""
+    if n_rows is None and n_lists is None:
+        n_rows = df.count()
+    if n_lists is None:
+        n_lists = auto_n_lists(n_rows)
+    return ivf_train_sample(df, n_lists=n_lists, id_col=id_col, vec_col=vec_col, n_rows=n_rows)
+
+
 def semantic_dedup(
     df: DataFrame,
     threshold: float = 0.9,
     n_lists: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_rows: int | None = None,
+    centroids: list[np.ndarray] | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: k-means-cluster the
     embeddings, then drop any vector that is ≥ ``threshold`` cosine
@@ -473,19 +587,23 @@ def semantic_dedup(
 
     Cluster blocking makes the pairwise stage Σ cluster² instead of
     corpus² — the published SemDeDup recipe. ``n_lists`` defaults to
-    ``auto_n_lists`` (≈√N, one count job), which keeps the pair work
-    ≈ N·√N as the corpus grows; a FIXED k would degrade to N²/k, so
-    pass an explicit value only when you mean it. Approximation is
-    one-sided: precision 1.0 (every dropped vector really has a
-    ≥-threshold twin); recall < 1 only when a duplicate pair is split
-    across clusters. This in-memory form cuts the assignment with a
-    localCheckpoint; the at-rest form (``semantic_dedup_at_rest``)
-    writes it bucketed by cluster so the pair join is Exchange-free.
-    Returns (id, cluster, is_kept).
+    ``auto_n_lists`` (≈√N), which keeps the pair work ≈ N·√N as the
+    corpus grows; a FIXED k would degrade to N²/k, so pass an
+    explicit value only when you mean it. Pass ``n_rows`` from
+    ingest-time stats (sources/stats.py) to skip the fallback count
+    job, and/or pre-trained ``centroids`` to skip training entirely
+    (the train-once path shared with ``semantic_dedup_at_rest``).
+    Training itself is the bounded-sample driver-local Lloyd
+    (``ivf_train_sample``) — one Spark job, not per-iteration corpus
+    passes. Approximation is one-sided: precision 1.0 (every dropped
+    vector really has a ≥-threshold twin); recall < 1 only when a
+    duplicate pair is split across clusters. This in-memory form cuts
+    the assignment with a localCheckpoint; the at-rest form
+    (``semantic_dedup_at_rest``) writes it bucketed by cluster so the
+    pair join is Exchange-free. Returns (id, cluster, is_kept).
     """
-    if n_lists is None:
-        n_lists = auto_n_lists(df.count())
-    centroids = ivf_train(df, n_lists=n_lists, id_col=id_col, vec_col=vec_col)
+    if centroids is None:
+        centroids = _semantic_centroids(df, n_lists, n_rows, id_col, vec_col)
     # Cut the assignment once: it feeds BOTH self-join sides and the
     # final keep/drop join, so the k×dim distance map runs one pass
     # over the corpus, not three.
@@ -504,20 +622,26 @@ def semantic_dedup_at_rest(
     path: str | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_rows: int | None = None,
+    centroids: list[np.ndarray] | None = None,
 ) -> DataFrame:
     """``semantic_dedup`` with the assignment materialized AT REST,
     bucketed by cluster: the Σ cluster² pair self-join then plans
     with ZERO Exchange on either side (bucketed scans already provide
     the hash partitioning — asserted in tests/test_spandedup.py), and
     the same table serves later probes/re-runs without re-assigning.
-    Same keep/drop decisions as the in-memory form (same centroids,
-    same folds). Choose ``n_buckets`` so one bucket (≈N/n_buckets
-    rows, √N-ish clusters each) fits an executor core."""
+    To guarantee keep/drop decisions identical to an in-memory run,
+    train once and pass the same ``centroids`` to both forms; absent
+    that, the default training (``ivf_train_sample``) is itself
+    partition-order-independent — a pure function of ids and values,
+    computed driver-local on an id-sorted sample — so two independent
+    trainings over the same rows also coincide. Choose ``n_buckets``
+    so one bucket (≈N/n_buckets rows, √N-ish clusters each) fits an
+    executor core."""
     from netcdf_olap_spark.operators.shuffle import write_bucketed
 
-    if n_lists is None:
-        n_lists = auto_n_lists(df.count())
-    centroids = ivf_train(df, n_lists=n_lists, id_col=id_col, vec_col=vec_col)
+    if centroids is None:
+        centroids = _semantic_centroids(df, n_lists, n_rows, id_col, vec_col)
     assigned = _assigned_with_norms(df, centroids, id_col, vec_col)
     write_bucketed(assigned, table, ["cluster"], n_buckets=n_buckets, path=path, sort_cols=["cluster", "id"])
     at_rest = spark.table(table)

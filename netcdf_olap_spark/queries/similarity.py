@@ -346,14 +346,19 @@ SELECT vec_id, cos_sim, mmr_score, CAST(rank AS INT) AS rank FROM sel ORDER BY r
 
 def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: k-means cluster blocking +
-    within-cluster cosine ≥ 0.95 → min-id keeper. ``n_lists`` is
-    derived as ≈√N from the corpus count (the published SemDeDup
-    sizing — pair work stays ≈N·√N instead of N²/k). rows-only: the
-    Lloyd-trained centroids aren't SQL-expressible; precision-1.0 and
-    blocked-recall properties are asserted in
-    tests/test_similarity.py / test_spandedup.py."""
+    within-cluster cosine ≥ 0.95 → min-id keeper. ``n_lists`` ≈ √N
+    (the published SemDeDup sizing — pair work stays ≈N·√N instead of
+    N²/k), with N read from parquet footers (ingest-time stats — no
+    count job) and centroids trained on the bounded deterministic
+    sample, driver-local (the published recipe: k-means on a sample,
+    never the corpus). rows-only: the Lloyd-trained centroids aren't
+    SQL-expressible; precision-1.0 and blocked-recall properties are
+    asserted in tests/test_similarity.py / test_spandedup.py."""
+    from netcdf_olap_spark.sources.stats import parquet_num_rows
+
+    n = parquet_num_rows(os.path.join(sf_dir, "embeddings.parquet"))
     return similarity.semantic_dedup(
-        _emb(spark, sf_dir), threshold=0.95
+        _emb(spark, sf_dir), threshold=0.95, n_rows=n
     ).orderBy("vec_id")
 
 

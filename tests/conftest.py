@@ -12,8 +12,10 @@ if REPO not in sys.path:
 # Test-scale split size (opt-in; see session.get_spark).
 os.environ.setdefault("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m")
 
-SF_SMALL = "/root/testdata/sf0.001"
-SF_ORACLE = "/root/testdata/sf0.01"
+TESTDATA_ROOT = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+SF_SMALL = os.path.join(TESTDATA_ROOT, "sf0.001")
+SF_ORACLE = os.path.join(TESTDATA_ROOT, "sf0.01")
+SF_MED = os.path.join(TESTDATA_ROOT, "sf0.1")
 
 
 @pytest.fixture(scope="session")

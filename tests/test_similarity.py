@@ -7,8 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from netcdf_olap_spark.operators import aggregates, similarity
-
-SF = "/root/testdata/sf0.01"
+from tests.conftest import SF_ORACLE as SF
 
 
 def _emb(spark):
@@ -150,3 +149,74 @@ def test_ivf_at_rest_index_prunes_partitions(spark, tmp_path):
     assert all(any(f"list_id={i}/" in f for i in (0, 1, 2)) for f in read_files)
     plan = cand._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"PartitionFilters: \[(?!\])", plan), plan[:500]
+
+
+def test_train_sample_bounded_and_deterministic(spark):
+    """The md5-Bernoulli training sample: ≈cap rows out of n_rows,
+    identical membership across runs and partitionings (pure function
+    of ids), and a no-op when the corpus already fits the cap."""
+    e = _emb(spark)
+    n = e.count()
+    assert similarity.train_sample(e, n_rows=n, cap=n + 1) is e  # no-op under cap
+
+    cap = 100
+    s1 = {r["vec_id"] for r in similarity.train_sample(e, n_rows=n, cap=cap).select("vec_id").collect()}
+    s2 = {
+        r["vec_id"]
+        for r in similarity.train_sample(e.repartition(13), n_rows=n, cap=cap)
+        .select("vec_id")
+        .collect()
+    }
+    assert s1 == s2
+    # Bernoulli at rate cap/n: expect ≈cap, allow 4σ
+    sigma = (cap * (1 - cap / n)) ** 0.5
+    assert abs(len(s1) - cap) < 4 * sigma + 1, (len(s1), cap)
+
+
+def test_ivf_train_sample_matches_local_lloyd(spark):
+    """Sample-trained centroids == numpy Lloyd over the same id-sorted
+    sample matrix (bitwise), independent of input partitioning."""
+    import numpy as np
+
+    e = _emb(spark)
+    n = e.count()
+    c1 = similarity.ivf_train_sample(e, n_lists=6, n_rows=n)
+    c2 = similarity.ivf_train_sample(e.repartition(17), n_lists=6, n_rows=n)
+    assert all(np.array_equal(a, b) for a, b in zip(c1, c2))
+
+    rows = sorted(e.select("vec_id", "embedding").collect(), key=lambda r: r[0])
+    V = np.asarray([r[1] for r in rows], dtype=np.float64)
+    ref = similarity.lloyd_local(V, n_lists=6)
+    assert all(np.array_equal(a, b) for a, b in zip(c1, ref))
+
+
+def test_semantic_dedup_centroid_passthrough(spark):
+    """Train-once: passing pre-trained centroids into semantic_dedup
+    gives the same keep/drop set as letting it train internally (same
+    deterministic sample → same centroids), with no training jobs."""
+    e = _emb(spark)
+    n = e.count()
+    k = similarity.auto_n_lists(n)
+    cents = similarity.ivf_train_sample(e, n_lists=k, n_rows=n)
+    via_param = {
+        (r["vec_id"], r["cluster"], r["is_kept"])
+        for r in similarity.semantic_dedup(e, threshold=0.95, centroids=cents).collect()
+    }
+    internal = {
+        (r["vec_id"], r["cluster"], r["is_kept"])
+        for r in similarity.semantic_dedup(e, threshold=0.95, n_rows=n).collect()
+    }
+    assert via_param == internal
+
+
+def test_parquet_num_rows_matches_count(spark, tmp_path):
+    from netcdf_olap_spark.sources.stats import parquet_num_rows
+
+    e = _emb(spark)
+    assert parquet_num_rows(f"{SF}/embeddings.parquet") == e.count()
+    # directory-of-files form
+    out = str(tmp_path / "multi")
+    e.repartition(5).write.parquet(out)
+    assert parquet_num_rows(out) == e.count()
+    with pytest.raises(FileNotFoundError):
+        parquet_num_rows(str(tmp_path / "empty_dir_nope"))

@@ -7,7 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from netcdf_olap_spark.operators import sketches, similarity, spandedup
-from tests.conftest import SF_SMALL
+from tests.conftest import SF_MED, SF_SMALL
 
 
 @pytest.fixture(scope="module")
@@ -254,7 +254,7 @@ def test_semantic_dedup_pair_work_sublinear_with_auto_k(spark):
     RELATIVE to N² as the corpus grows (≈N^1.5 absolute) — the
     property a fixed k does not have. Measured on two deterministic
     slices of the sf0.1 embeddings corpus."""
-    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    emb = spark.read.parquet(f"{SF_MED}/embeddings.parquet")
 
     def pair_ratio(n: int) -> float:
         sub = emb.where(F.col("vec_id") < n)
