@@ -1,0 +1,276 @@
+"""Cross-library interop for the vendored netCDF-3 / HDF5 format stack.
+
+The vendored readers+writers (sources/netcdf3.py, sources/hdf5.py) are
+validated in-container by self-roundtrips and spec-level golden bytes —
+but a COMPLEMENTARY reader/writer misreading of the spec would pass
+every such test while breaking interop with real tools (the reference
+bar: NetCDF-Java reads anything, reference Gddp.scala:53-56). These
+tests close that hole by cross-reading against the canonical C
+libraries in BOTH directions:
+
+  our write_netcdf3 (CDF-1/2/5)      -> netCDF4 (libnetcdf) reads
+  our write_hdf5 (every chunk index) -> h5py (libhdf5) reads
+  netCDF4 writes (all classic fmts)  -> our read_netcdf3
+  h5py writes (contig/chunk/filters,
+    unlimited dims -> EA & v2-B-tree) -> our read_hdf5
+
+netCDF4/h5py wheels are NOT in this build container, so the module is
+GATED the same way as tests/test_remote_ingest.py: it skips here with
+instructions and runs unchanged wherever the libs exist:
+
+    pip install netCDF4 h5py          # any normal dev machine / CI
+    SPARK_GRAFT_INTEROP=1 python -m pytest tests/test_interop.py -q
+
+Set SPARK_GRAFT_INTEROP=1 explicitly so CI opts in on purpose (the
+suite stays hermetic by default even where the wheels happen to exist).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+from netcdf_olap_spark.sources.hdf5 import read_hdf5, write_hdf5
+from netcdf_olap_spark.sources.netcdf3 import read_netcdf3, write_netcdf3
+
+
+def _lib(name):
+    try:
+        return __import__(name)
+    except ImportError:
+        return None
+
+
+_GATE = os.environ.get("SPARK_GRAFT_INTEROP") == "1"
+netCDF4 = _lib("netCDF4") if _GATE else None
+h5py = _lib("h5py") if _GATE else None
+
+requires_netcdf4 = pytest.mark.skipif(
+    netCDF4 is None,
+    reason=(
+        "netCDF4 interop is opt-in: pip install netCDF4 and set "
+        "SPARK_GRAFT_INTEROP=1 to cross-validate the vendored classic "
+        "reader/writer against libnetcdf"
+    ),
+)
+requires_h5py = pytest.mark.skipif(
+    h5py is None,
+    reason=(
+        "h5py interop is opt-in: pip install h5py and set "
+        "SPARK_GRAFT_INTEROP=1 to cross-validate the vendored HDF5 "
+        "reader/writer against libhdf5"
+    ),
+)
+
+NC3_FORMATS = {
+    1: "NETCDF3_CLASSIC",
+    2: "NETCDF3_64BIT_OFFSET",
+    5: "NETCDF3_64BIT_DATA",
+}
+
+#: every chunk-index family write_hdf5 emits (ask: interop over ALL of
+#: them) -> (chunk_index kwarg, chunk shape for a (4, 6) f8 array)
+CHUNK_INDEXES = {
+    "v1_btree": (None, (2, 3)),
+    "single": ("single", (4, 6)),
+    "implicit": ("implicit", (2, 3)),
+    "fixed_array": ("fixed_array", (2, 3)),
+    "extensible_array": ("extensible_array", (1, 6)),
+    "btree_v2": ("btree_v2", (2, 2)),
+}
+
+
+def _grid(nt=2, ny=3, nx=4):
+    data = np.arange(nt * ny * nx, dtype=np.float64).reshape(nt, ny, nx)
+    return {
+        "dimensions": {"time": None, "lat": ny, "lon": nx},
+        "variables": {
+            "time": (("time",), (np.arange(nt) * 24).astype(np.int32), {"units": "hours"}),
+            "lat": (("lat",), 40.0 + np.arange(ny), {"long_name": "latitude"}),
+            "lon": (("lon",), -90.0 + np.arange(nx), {"long_name": "longitude"}),
+            "t2m": (("time", "lat", "lon"), data, {"_FillValue": -9999.0, "scale_factor": 0.5}),
+        },
+        "global_attrs": {"title": "interop probe", "history": "vendored writer"},
+    }
+
+
+# --------------------------------------------------------------------------
+# our writer -> canonical reader
+# --------------------------------------------------------------------------
+
+
+@requires_netcdf4
+@pytest.mark.parametrize("version", [1, 2, 5])
+def test_netcdf4_reads_our_classic(tmp_path, version):
+    g = _grid()
+    path = tmp_path / f"ours_cdf{version}.nc"
+    path.write_bytes(
+        write_netcdf3(g["dimensions"], g["variables"], g["global_attrs"], version=version)
+    )
+    with netCDF4.Dataset(str(path), "r") as ds:
+        assert ds.data_model == NC3_FORMATS[version]
+        assert ds.title == "interop probe"
+        assert set(ds.dimensions) == {"time", "lat", "lon"}
+        assert ds.dimensions["time"].isunlimited()
+        assert ds.dimensions["lat"].size == 3
+        for nm, (dims, arr, attrs) in g["variables"].items():
+            v = ds.variables[nm]
+            assert v.dimensions == dims
+            v.set_auto_maskandscale(False)  # raw values, not CF-scaled
+            np.testing.assert_array_equal(np.asarray(v[:]), arr)
+            for ak, av in attrs.items():
+                got = v.getncattr(ak)
+                if isinstance(av, float):
+                    assert float(got) == av
+                else:
+                    assert got == av
+
+
+@requires_h5py
+@pytest.mark.parametrize("index_name", sorted(CHUNK_INDEXES))
+@pytest.mark.parametrize("libver", ["earliest", "latest"])
+def test_h5py_reads_our_hdf5_chunk_indexes(tmp_path, index_name, libver):
+    chunk_index, cshape = CHUNK_INDEXES[index_name]
+    arr = np.arange(24, dtype=np.float64).reshape(4, 6)
+    # deflate+shuffle on the filtered-capable indexes (implicit is
+    # unfiltered by spec)
+    filtered = index_name not in ("implicit",)
+    content = write_hdf5(
+        {"t2m": (arr, {"units": "K", "_FillValue": -1.0}), "plain": (np.arange(5, dtype=np.int32), {})},
+        global_attrs={"title": "interop probe"},
+        chunks={"t2m": cshape},
+        gzip=4 if filtered else None,
+        shuffle=filtered,
+        libver=libver,
+        chunk_index=chunk_index,
+    )
+    path = tmp_path / f"ours_{index_name}_{libver}.h5"
+    path.write_bytes(content)
+    with h5py.File(str(path), "r") as f:
+        assert f.attrs["title"] in ("interop probe", b"interop probe")
+        np.testing.assert_array_equal(f["t2m"][:], arr)
+        np.testing.assert_array_equal(f["plain"][:], np.arange(5, dtype=np.int32))
+        assert float(f["t2m"].attrs["_FillValue"]) == -1.0
+        if chunk_index is not None and index_name != "single":
+            assert f["t2m"].chunks == cshape
+
+
+@requires_h5py
+def test_h5py_appends_to_our_extensible_array(tmp_path):
+    """The point of the EA index is APPEND: libhdf5 must be able to
+    grow a dataset our writer declared unlimited."""
+    arr = np.arange(12, dtype=np.float64).reshape(2, 6)
+    content = write_hdf5(
+        {"series": (arr, {})}, chunks={"series": (1, 6)}, chunk_index="extensible_array"
+    )
+    path = tmp_path / "grow.h5"
+    path.write_bytes(content)
+    with h5py.File(str(path), "a") as f:
+        d = f["series"]
+        assert d.maxshape == (None, 6)
+        d.resize((3, 6))
+        d[2] = np.arange(100, 106, dtype=np.float64)
+    with h5py.File(str(path), "r") as f:
+        np.testing.assert_array_equal(f["series"][:2], arr)
+        np.testing.assert_array_equal(f["series"][2], np.arange(100, 106, dtype=np.float64))
+    # and OUR reader still reads the library-grown file
+    ours = read_hdf5(path.read_bytes())
+    assert ours.variables["series"].shape == (3, 6)
+    np.testing.assert_array_equal(ours.variables["series"].data[:2], arr)
+
+
+# --------------------------------------------------------------------------
+# canonical writer -> our reader
+# --------------------------------------------------------------------------
+
+
+@requires_netcdf4
+@pytest.mark.parametrize("version", [1, 2, 5])
+def test_our_reader_reads_netcdf4_classic(tmp_path, version):
+    path = tmp_path / f"libnetcdf_cdf{version}.nc"
+    nt, ny, nx = 2, 3, 4
+    data = np.arange(nt * ny * nx, dtype=np.float64).reshape(nt, ny, nx)
+    with netCDF4.Dataset(str(path), "w", format=NC3_FORMATS[version]) as ds:
+        ds.title = "libnetcdf probe"
+        ds.createDimension("time", None)
+        ds.createDimension("lat", ny)
+        ds.createDimension("lon", nx)
+        tv = ds.createVariable("time", "i4", ("time",))
+        tv[:] = np.arange(nt) * 24
+        lv = ds.createVariable("lat", "f8", ("lat",))
+        lv[:] = 40.0 + np.arange(ny)
+        lv.long_name = "latitude"
+        xv = ds.createVariable("lon", "f8", ("lon",))
+        xv[:] = -90.0 + np.arange(nx)
+        dv = ds.createVariable("t2m", "f8", ("time", "lat", "lon"), fill_value=-9999.0)
+        dv[:] = data
+    nc = read_netcdf3(path.read_bytes())
+    assert nc.attributes["title"] == "libnetcdf probe"
+    assert nc.dimensions["time"] is None  # record dim
+    assert nc.dimensions["lat"] == ny
+    v = nc.variables["t2m"]
+    assert v.dimensions == ("time", "lat", "lon")
+    assert float(v.attributes["_FillValue"]) == -9999.0
+    np.testing.assert_array_equal(v.data, data)
+    np.testing.assert_array_equal(nc.variables["lat"].data, 40.0 + np.arange(ny))
+    assert nc.variables["lat"].attributes["long_name"] == "latitude"
+
+
+@requires_h5py
+@pytest.mark.parametrize(
+    "case",
+    [
+        "contiguous",
+        "chunked_v1btree",
+        "gzip_shuffle",
+        "latest_fixed_array",
+        "latest_extensible_array",
+        "latest_btree_v2",
+    ],
+)
+def test_our_reader_reads_h5py(tmp_path, case):
+    path = tmp_path / f"h5py_{case}.h5"
+    arr = np.arange(24, dtype=np.float64).reshape(4, 6)
+    libver = "latest" if case.startswith("latest") else "earliest"
+    with h5py.File(str(path), "w", libver=libver) as f:
+        f.attrs["title"] = "h5py probe"
+        if case == "contiguous":
+            d = f.create_dataset("t2m", data=arr)
+        elif case == "chunked_v1btree":
+            d = f.create_dataset("t2m", data=arr, chunks=(2, 3))
+        elif case == "gzip_shuffle":
+            d = f.create_dataset("t2m", data=arr, chunks=(2, 3), compression="gzip", compression_opts=4, shuffle=True)
+        elif case == "latest_fixed_array":
+            d = f.create_dataset("t2m", data=arr, chunks=(2, 3))
+        elif case == "latest_extensible_array":
+            # one unlimited dim -> libhdf5 picks the extensible array
+            d = f.create_dataset("t2m", data=arr, chunks=(1, 6), maxshape=(None, 6))
+        elif case == "latest_btree_v2":
+            # >=2 unlimited dims -> libhdf5 picks the v2 B-tree
+            d = f.create_dataset("t2m", data=arr, chunks=(2, 2), maxshape=(None, None))
+        d.attrs["units"] = "K"
+    ours = read_hdf5(path.read_bytes())
+    assert ours.attributes.get("title") in ("h5py probe", b"h5py probe")
+    v = ours.variables["t2m"]
+    assert v.shape == arr.shape
+    np.testing.assert_array_equal(v.data, arr)
+    units = v.attributes["units"]
+    assert units == "K" or units == b"K"
+
+
+@requires_h5py
+def test_roundtrip_both_stacks_agree(tmp_path):
+    """write_hdf5 -> h5py rewrite -> read_hdf5: the value path survives
+    a full trip through libhdf5's own writer."""
+    arr = np.arange(30, dtype=np.float32).reshape(5, 6)
+    ours = tmp_path / "ours.h5"
+    ours.write_bytes(write_hdf5({"x": (arr, {"units": "m"})}, chunks={"x": (2, 6)}, gzip=2))
+    theirs = tmp_path / "theirs.h5"
+    with h5py.File(str(ours), "r") as src, h5py.File(str(theirs), "w") as dst:
+        dst.create_dataset("x", data=src["x"][:], chunks=(2, 6), compression="gzip")
+        dst["x"].attrs["units"] = src["x"].attrs["units"]
+    back = read_hdf5(theirs.read_bytes())
+    np.testing.assert_array_equal(back.variables["x"].data, arr)
