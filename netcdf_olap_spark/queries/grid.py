@@ -888,6 +888,13 @@ def _ingest_fixture_dir() -> str:
     ea[(tt + yy + xx) % 4 == 0] = INGEST_FILL
     bt = base * 2.0 - 3.0
     bt[(tt + yy + xx) % 3 == 0] = INGEST_FILL
+    # round-7 addition: dense (fractal-heap) group + dense attribute
+    # storage — the libver="latest" layout past max_compact, where
+    # _FillValue itself lives in the heap
+    dn = base * 1.25 + 0.75
+    dn[(tt + yy + xx) % 6 == 0] = INGEST_FILL
+    dn_attrs = {f"aux_{i:02d}": float(i) for i in range(10)}  # force past max_compact
+    dn_attrs["_FillValue"] = INGEST_FILL
 
     targets = {
         "classic.nc": write_netcdf3(
@@ -935,6 +942,21 @@ def _ingest_fixture_dir() -> str:
             chunk_index="btree_v2",
             bt2_node_size=512,  # 24 chunks don't fit one leaf → BTIN root + BTLF leaves
         ),
+        "dense.nc": write_hdf5(  # dense group links + dense attributes
+            {
+                "time": ((t * 24 + 24 * 4 * INGEST_NT).astype("<i4"), {"long_name": "time"}),
+                "lat": (lat, {"long_name": "latitude coordinate"}),
+                "lon": (lon, {"long_name": "longitude coordinate"}),
+                "dn_sw": (dn, dn_attrs),
+            },
+            chunks={"dn_sw": (2, 2, 3)},
+            gzip=6,
+            shuffle=True,
+            libver="latest",
+            chunk_index="fixed_array",
+            dense_attrs=True,   # _FillValue reaches the reader only through
+            dense_groups=True,  # the fractal heap + v2-B-tree name indexes
+        ),
     }
     for name, content in targets.items():
         path = os.path.join(d, name)
@@ -954,7 +976,10 @@ def grid_ingest_nc(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic CDF-1, one 1.8-profile HDF5 (v1 chunk B-tree), one
     "latest"-profile HDF5 with an extensible-array chunk index
     including EASB super blocks (the appended/unlimited-time shape),
-    and one with a depth-1 version-2 B-tree index (≥2 unlimited dims)
+    one with a depth-1 version-2 B-tree index (≥2 unlimited dims),
+    and one with DENSE group links + DENSE attribute storage (fractal
+    heap + v2-B-tree name indexes — where `_FillValue` itself lives
+    past max_compact, so NULL semantics depend on the heap read path)
     — mixed directory, magic-byte dispatch, through
     the distributed ingest (binaryFile → mapInPandas, the rebuild of
     the reference's per-file loop Gddp.scala:119-139), reduced to the
@@ -1014,6 +1039,13 @@ WITH cells AS (
          CASE WHEN (t + y + x) % 3 = 0 THEN NULL
               ELSE CAST(t * 100 + y * 10 + x AS DOUBLE) * 2.0 - 3.0 END,
          DATE '1990-01-01' + CAST(3 * {INGEST_NT} + t AS INT),
+         42.0 + 0.5 * y, -84.0 + 0.5 * x
+  FROM cells
+  UNION ALL
+  SELECT 'dn_sw',
+         CASE WHEN (t + y + x) % 6 = 0 THEN NULL
+              ELSE CAST(t * 100 + y * 10 + x AS DOUBLE) * 1.25 + 0.75 END,
+         DATE '1990-01-01' + CAST(4 * {INGEST_NT} + t AS INT),
          42.0 + 0.5 * y, -84.0 + 0.5 * x
   FROM cells
 )

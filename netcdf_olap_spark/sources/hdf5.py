@@ -31,13 +31,22 @@ version-4 data layouts with all five 1.10+ chunk indexes: the three
 fixed-shape ones (single chunk, implicit, fixed array FAHD/FADB),
 the extensible array (EAHD/EAIB/EASB/EADB — what netCDF-4 files with
 one unlimited dimension, i.e. every appended time series, use) and
-the version-2 B-tree (BTHD/BTIN/BTLF, ≥2 unlimited dimensions;
-depth ≤ 1). Out of scope (clear errors, documented in README's
-format matrix): dense (fractal-heap) groups and dense attribute
-storage, paged fixed arrays / paged extensible-array data blocks,
-v2 B-trees deeper than 1, compound/enum/reference datatypes, szip.
-Attributes with unsupported datatypes (netCDF-4's DIMENSION_LIST /
-REFERENCE_LIST vlen references) are skipped, never fatal.
+the version-2 B-tree (BTHD/BTIN/BTLF, ≥2 unlimited dimensions, ANY
+depth — the generic walker implements H5B2's per-level pointer-width
+math, including the cumulative-count field depth ≥ 2 pointers carry).
+DENSE storage both ways (round 7): dense (fractal-heap) groups and
+dense attribute storage — FRHP/FHDB heaps plus type-5 (link name)
+and type-8 (attribute name) v2-B-tree indexes, the layout
+libver="latest" files switch to past max_compact (default 8), where
+``_FillValue`` itself lives in the heap; the read side additionally
+handles FHIB-rooted (root-indirect) heaps and checksummed direct
+blocks, which libhdf5 produces as heaps grow. Out of scope (clear
+errors, documented in README's format matrix): nested-indirect
+fractal-heap rows, I/O-filtered heaps, huge/tiny heap objects, paged
+fixed arrays / paged extensible-array data blocks, compound/enum/
+reference datatypes, szip. Attributes with unsupported datatypes
+(netCDF-4's DIMENSION_LIST / REFERENCE_LIST vlen references) are
+skipped, never fatal.
 
 The writer exists to make fixtures for the reader (the container has
 no HDF5 library to generate files with) and doubles as an HDF5 sink.
@@ -419,6 +428,136 @@ class _Reader:
         fheap = struct.unpack_from("<Q", self.buf, p)[0]
         return fheap != UNDEF
 
+    # -- fractal heap (dense groups / dense attributes) ---------------------
+
+    def _fractal_heap(self, addr: int):
+        """Parse a fractal heap header (FRHP, spec III.F) and return a
+        ``heap_id -> (absolute offset, length)`` resolver for MANAGED
+        objects — the only kind the dense-link and dense-attribute
+        heaps of ordinary files hold (huge = objects over ~the direct
+        block size, tiny = packed into the ID itself; both raise).
+
+        Heap-ID field widths follow libhdf5's header math: the heap
+        offset field is ceil(max-heap-size-bits / 8) bytes; the length
+        field is min(bytes addressing within the largest direct block,
+        bytes encoding the max managed object size). The stated Heap
+        ID Length header field may be LARGER (dense-attribute heaps
+        declare 8 while encoding 7 meaningful bytes) — trailing pad is
+        ignored. Supports a root direct block (FHDB) or a root
+        indirect block (FHIB) whose rows point at direct blocks;
+        nested indirect rows (heaps past ~width·max_direct bytes)
+        raise cleanly."""
+        buf = self.buf
+        if buf[addr : addr + 4] != b"FRHP":
+            raise ValueError("bad fractal heap signature")
+        _hid_len, filter_len = struct.unpack_from("<HH", buf, addr + 5)
+        flags = buf[addr + 9]
+        (max_man,) = struct.unpack_from("<I", buf, addr + 10)
+        if filter_len:
+            raise NotImplementedError("I/O-filtered fractal heap")
+        # 12 u64 stats (huge/free/managed/tiny counters) before the table
+        p = addr + 14 + 12 * 8
+        width, start_size, max_direct = struct.unpack_from("<HQQ", buf, p)
+        max_heap_bits, _start_rows = struct.unpack_from("<HH", buf, p + 18)
+        (root_blk,) = struct.unpack_from("<Q", buf, p + 22)
+        (cur_rows,) = struct.unpack_from("<H", buf, p + 30)
+        off_size = (max_heap_bits + 7) // 8
+        enc = lambda n: ((n.bit_length() - 1) // 8) + 1 if n else 1  # noqa: E731
+        # length field: min(bytes addressing WITHIN the largest direct
+        # block — i.e. bytes for log2(max_direct) bits — and bytes
+        # encoding the max managed object size), per H5HFhdr
+        dir_off_size = ((max_direct.bit_length() - 1) + 7) // 8
+        len_size = min(dir_off_size, enc(max_man))
+        dblk_hdr = 4 + 1 + 8 + off_size + (4 if flags & 0x02 else 0)  # +checksum
+
+        # (heap offset, block size, file address) for every direct block
+        blocks: list[tuple[int, int, int]] = []
+        if root_blk != UNDEF:
+            if cur_rows == 0:  # root IS a direct block of the starting size
+                blocks.append((0, start_size, root_blk))
+            else:
+                if buf[root_blk : root_blk + 4] != b"FHIB":
+                    raise ValueError("bad fractal heap indirect block signature")
+                q = root_blk + 4 + 1 + 8 + off_size  # sig, version, heap addr, block offset
+                heap_off = 0
+                for r in range(cur_rows):
+                    row_size = start_size if r < 2 else start_size << (r - 1)
+                    if row_size > max_direct:
+                        raise NotImplementedError("nested indirect fractal heap rows")
+                    for _c in range(width):
+                        (daddr,) = struct.unpack_from("<Q", buf, q)
+                        q += 8
+                        if daddr != UNDEF:
+                            blocks.append((heap_off, row_size, daddr))
+                        heap_off += row_size
+
+        def resolve(heap_id: bytes) -> tuple[int, int]:
+            b0 = heap_id[0]
+            version, idtype = (b0 & 0xC0) >> 6, (b0 & 0x30) >> 4
+            if version != 0 or idtype != 0:
+                raise NotImplementedError(f"fractal heap ID version {version} type {idtype}")
+            off = int.from_bytes(heap_id[1 : 1 + off_size], "little")
+            length = int.from_bytes(heap_id[1 + off_size : 1 + off_size + len_size], "little")
+            for hoff, size, faddr in blocks:
+                if hoff <= off < hoff + size:
+                    if buf[faddr : faddr + 4] != b"FHDB":
+                        raise ValueError("bad fractal heap direct block signature")
+                    if off - hoff < dblk_hdr:
+                        raise ValueError("fractal heap object inside block header")
+                    return faddr + (off - hoff), length
+            raise ValueError(f"fractal heap offset {off} outside managed blocks")
+
+        return resolve
+
+    def dense_links(self, pos: int) -> list[tuple[str, int]]:
+        """Links of a DENSE group: Link Info message → fractal heap of
+        Link messages + v2 B-tree name index (record type 5: name hash
+        + heap ID). Enumeration walks the B-tree — the authoritative
+        object index — and resolves each heap ID to a Link message in
+        the heap (spec IV.A.2.c / III.A.2)."""
+        buf = self.buf
+        flags = buf[pos + 1]
+        p = pos + 2 + (8 if flags & 0x01 else 0)  # optional max creation index (u8)
+        fheap, name_bt = struct.unpack_from("<QQ", buf, p)
+        if name_bt == UNDEF:
+            raise NotImplementedError("dense group without a link-name index")
+        resolve = self._fractal_heap(fheap)
+        _bt, rec_size, recs = self._btree2_records(name_bt, expect={5})
+        out = []
+        for e in recs:
+            hid = buf[e + 4 : e + rec_size]  # record: hash (4) + heap ID
+            opos, _olen = resolve(hid)
+            if (lk := self.parse_link(opos)) is not None:
+                out.append(lk)
+        return out
+
+    def dense_attributes(self, pos: int) -> dict[str, Any]:
+        """Attributes in DENSE storage: Attribute Info message →
+        fractal heap of Attribute messages + v2 B-tree name index
+        (record type 8: 8-byte heap ID + message flags + creation
+        order + name hash). This is where ``libver='latest'`` files
+        put EVERY attribute — including ``_FillValue`` — once an
+        object passes max_compact (default 8)."""
+        buf = self.buf
+        flags = buf[pos + 1]
+        p = pos + 2 + (2 if flags & 0x01 else 0)  # optional max creation index (u2)
+        fheap, name_bt = struct.unpack_from("<QQ", buf, p)
+        if name_bt == UNDEF:
+            raise NotImplementedError("dense attributes without a name index")
+        resolve = self._fractal_heap(fheap)
+        _bt, _rec_size, recs = self._btree2_records(name_bt, expect={8})
+        out: dict[str, Any] = {}
+        for e in recs:
+            if buf[e + 8] & 0x03:
+                raise NotImplementedError("shared message in dense attribute storage")
+            opos, _olen = resolve(buf[e : e + 8])
+            try:
+                k, v = self.parse_attribute(opos)
+                out[k] = v
+            except NotImplementedError:
+                continue  # unsupported attr datatype: skip, as in compact storage
+        return out
+
     # -- groups (symbol table path) ----------------------------------------
 
     def group_links(self, btree_addr: int, heap_addr: int) -> list[tuple[str, int]]:
@@ -603,9 +742,7 @@ class _Reader:
             elif mtype == MSG_FILL:
                 fill_pos = pos
             elif mtype == MSG_ATTRIBUTE_INFO and self.attribute_info_is_dense(pos):
-                raise NotImplementedError(
-                    f"dataset {name!r}: dense attribute storage not supported"
-                )
+                attrs.update(self.dense_attributes(pos))
         if dt is None or layout is None:
             raise ValueError(f"dataset {name!r} missing datatype or layout message")
         npdt = dt.numpy()
@@ -883,17 +1020,21 @@ class _Reader:
                 out.append((offs, ent[0], ent[1], ent[2]))
         return out
 
-    def _btree2_entries(
-        self, bt_addr: int, rank: int, chunk_shape: tuple[int, ...], chunk_nbytes: int
-    ) -> list[tuple[tuple[int, ...], int, int, int]]:
-        """Version-2 B-tree chunk index (spec III.A.2: BTHD header,
-        BTIN internal nodes, BTLF leaves) — HDF5 ≥1.10's index for a
-        dataset with MORE THAN ONE unlimited dimension. Record type 10
-        = non-filtered chunk (address + scaled offsets), 11 = filtered
-        (+ stored size + filter mask); 'scaled' offsets are chunk-grid
-        coordinates, multiplied back out here. Depth ≤ 1 supported
-        (leaf root, or one internal level — thousands of chunks);
-        deeper trees raise cleanly."""
+    def _btree2_records(self, bt_addr: int, expect: set[int]) -> tuple[int, int, list[int]]:
+        """Generic version-2 B-tree walk (spec III.A.2: BTHD header,
+        BTIN internal nodes, BTLF leaves) at ANY depth. Returns
+        (record type, record size, [absolute record offsets]) in tree
+        order. Shared by the chunk indexes (types 10/11), the dense-
+        group link-name index (type 5) and the dense-attribute name
+        index (type 8).
+
+        Per-level geometry follows libhdf5's H5B2 header math: leaf
+        capacity fixes the child-record-count field width
+        (H5VM_limit_enc_size of the leaf max); internal capacity at
+        level u accounts for its own pointer size, which embeds the
+        CUMULATIVE subtree-record-count width of level u-1 once the
+        child itself is internal (depth ≥ 2) — that extra field is
+        exactly what the old depth-≤1 reader couldn't parse."""
         buf = self.buf
         if buf[bt_addr : bt_addr + 4] != b"BTHD":
             raise ValueError("bad v2 B-tree header signature")
@@ -902,17 +1043,61 @@ class _Reader:
         rec_size, depth = struct.unpack_from("<HH", buf, bt_addr + 10)
         # split%, merge% (1 byte each) precede the root pointer
         root_addr, root_nrec = struct.unpack_from("<QH", buf, bt_addr + 16)
-        if btype not in (10, 11):
-            raise NotImplementedError(f"v2 B-tree record type {btype} (not a chunk index)")
-        filtered = btype == 11
-        if depth > 1:
-            raise NotImplementedError("v2 B-tree chunk index deeper than 1 level")
+        if btype not in expect:
+            raise NotImplementedError(f"v2 B-tree record type {btype} (expected one of {sorted(expect)})")
         if root_addr == UNDEF:
-            return []
-        # leaf capacity fixes the child-pointer "number of records"
-        # field width (H5VM_limit_enc_size): bytes to encode max_nrec
-        max_nrec_leaf = (node_size - 10) // rec_size
-        max_nrec_size = ((max_nrec_leaf.bit_length() - 1) // 8) + 1
+            return btype, rec_size, []
+        enc_size = lambda n: ((n.bit_length() - 1) // 8) + 1 if n else 1  # noqa: E731
+        max_nrec = [(node_size - 10) // rec_size]  # level 0 = leaf
+        cum_max = [max_nrec[0]]
+        cum_size = [enc_size(cum_max[0])]
+        max_nrec_size = enc_size(max_nrec[0])
+        for u in range(1, depth + 1):
+            ptr = 8 + max_nrec_size + (cum_size[u - 1] if u > 1 else 0)
+            n = (node_size - 10 - ptr) // (rec_size + ptr)
+            max_nrec.append(n)
+            cum_max.append((n + 1) * cum_max[u - 1] + n)
+            cum_size.append(enc_size(cum_max[u]))
+
+        out: list[int] = []
+
+        def walk(addr: int, nrec: int, level: int) -> None:
+            if level == 0:
+                if buf[addr : addr + 4] != b"BTLF":
+                    raise ValueError("bad v2 B-tree leaf signature")
+                out.extend(addr + 6 + i * rec_size for i in range(nrec))
+                return
+            if buf[addr : addr + 4] != b"BTIN":
+                raise ValueError("bad v2 B-tree internal node signature")
+            recs_pos = addr + 6
+            ptr_pos = recs_pos + nrec * rec_size
+            # child pointers: address + record count (+ cumulative
+            # subtree count when the child is itself internal)
+            child_cum = cum_size[level - 1] if level - 1 >= 1 else 0
+            ptr_size = 8 + max_nrec_size + child_cum
+            for i in range(nrec + 1):
+                e = ptr_pos + i * ptr_size
+                (caddr,) = struct.unpack_from("<Q", buf, e)
+                cnrec = int.from_bytes(buf[e + 8 : e + 8 + max_nrec_size], "little")
+                walk(caddr, cnrec, level - 1)
+                if i < nrec:  # in-order: internal nodes carry real records too
+                    out.append(recs_pos + i * rec_size)
+
+        walk(root_addr, root_nrec, depth)
+        return btype, rec_size, out
+
+    def _btree2_entries(
+        self, bt_addr: int, rank: int, chunk_shape: tuple[int, ...], chunk_nbytes: int
+    ) -> list[tuple[tuple[int, ...], int, int, int]]:
+        """Version-2 B-tree chunk index — HDF5 ≥1.10's index for a
+        dataset with MORE THAN ONE unlimited dimension. Record type 10
+        = non-filtered chunk (address + scaled offsets), 11 = filtered
+        (+ stored size + filter mask); 'scaled' offsets are chunk-grid
+        coordinates, multiplied back out here. Any tree depth (the
+        generic ``_btree2_records`` walker)."""
+        buf = self.buf
+        btype, rec_size, recs = self._btree2_records(bt_addr, expect={10, 11})
+        filtered = btype == 11
 
         def parse_rec(e: int) -> tuple[tuple[int, ...], int, int, int]:
             (caddr,) = struct.unpack_from("<Q", buf, e)
@@ -928,27 +1113,7 @@ class _Reader:
             offs = tuple(s * c for s, c in zip(scaled, chunk_shape))
             return (offs, caddr, stored, mask)
 
-        def leaf(addr: int, nrec: int) -> list:
-            if buf[addr : addr + 4] != b"BTLF":
-                raise ValueError("bad v2 B-tree leaf signature")
-            return [parse_rec(addr + 6 + i * rec_size) for i in range(nrec)]
-
-        if depth == 0:
-            return leaf(root_addr, root_nrec)
-        if buf[root_addr : root_addr + 4] != b"BTIN":
-            raise ValueError("bad v2 B-tree internal node signature")
-        out = []
-        recs_pos = root_addr + 6
-        for i in range(root_nrec):  # internal nodes carry real records too
-            out.append(parse_rec(recs_pos + i * rec_size))
-        ptr_pos = recs_pos + root_nrec * rec_size
-        ptr_size = 8 + max_nrec_size  # child addr + record count (no cum field at depth 1)
-        for i in range(root_nrec + 1):
-            e = ptr_pos + i * ptr_size
-            (caddr,) = struct.unpack_from("<Q", buf, e)
-            cnrec = int.from_bytes(buf[e + 8 : e + 8 + max_nrec_size], "little")
-            out.extend(leaf(caddr, cnrec))
-        return out
+        return [parse_rec(e) for e in recs]
 
     def _parse_layout(self, pos: int) -> tuple[Any, ...]:
         buf = self.buf
@@ -1077,9 +1242,9 @@ def read_hdf5(content: bytes, variables: list[str] | None = None) -> H5File:
             if (lk := r.parse_link(pos)) is not None:
                 links.append(lk)
         elif mtype == MSG_LINK_INFO and r.link_info_is_dense(pos):
-            raise NotImplementedError("dense (fractal-heap) groups not supported")
+            links.extend(r.dense_links(pos))
         elif mtype == MSG_ATTRIBUTE_INFO and r.attribute_info_is_dense(pos):
-            raise NotImplementedError("dense attribute storage not supported")
+            out.attributes.update(r.dense_attributes(pos))
     if btree != UNDEF:
         links = r.group_links(btree, heap)
     elif not links:
@@ -1205,6 +1370,199 @@ def _shuffle_bytes(raw: bytes, es: int) -> bytes:
     return np.frombuffer(raw, "u1").reshape(-1, es).T.tobytes()
 
 
+# --- fractal heap writer profile (dense groups / dense attributes) --------
+# libhdf5's default doubling table for link/attribute heaps: width 4,
+# 512-byte starting blocks doubling to 64 KiB, 32-bit heap address
+# space, 4 KiB managed-object ceiling. These fix the heap-ID widths:
+# offset ceil(32/8)=4, length min(bytes for log2(65536) bits,
+# bytes for 4096) = 2 → 7-byte IDs (dense-attribute B-tree records
+# still reserve 8, zero-padded, per spec III.A.2 record type 8).
+_FH_WIDTH = 4
+_FH_START = 512
+_FH_MAX_DIRECT = 65536
+_FH_MAX_HEAP_BITS = 32
+_FH_MAX_MAN_OBJ = 4096
+_FH_OFF_SIZE = (_FH_MAX_HEAP_BITS + 7) // 8
+_FH_LEN_SIZE = 2
+_FH_ID_LEN = 1 + _FH_OFF_SIZE + _FH_LEN_SIZE  # 7 meaningful heap-ID bytes
+_FH_DBLK_HDR = 4 + 1 + 8 + _FH_OFF_SIZE  # FHDB header, unchecksummed (flags=0)
+_FH_NAME_NODE = 2048  # v2 name-index node size (link + attribute indexes)
+
+
+def _fh_layout(obj_sizes: list[int]) -> tuple[list[int], list[bytes], int]:
+    """Back-to-back managed-object layout in a single ROOT DIRECT
+    block: (heap offsets, 7-byte heap IDs, block size). The root
+    direct block is always the starting block size, so the starting
+    size is grown (power of two, ≤ max direct) to fit — a heap
+    needing more than one 64 KiB block raises."""
+    offs, ids = [], []
+    cursor = _FH_DBLK_HDR
+    for sz in obj_sizes:
+        if sz > _FH_MAX_MAN_OBJ:
+            raise ValueError(f"object of {sz} bytes exceeds the managed-object ceiling ({_FH_MAX_MAN_OBJ})")
+        offs.append(cursor)
+        ids.append(
+            bytes([0x00])  # version 0, managed
+            + cursor.to_bytes(_FH_OFF_SIZE, "little")
+            + sz.to_bytes(_FH_LEN_SIZE, "little")
+        )
+        cursor += sz
+    block = _FH_START
+    while block < cursor:
+        block <<= 1
+    if block > _FH_MAX_DIRECT:
+        raise ValueError(f"{cursor} bytes of dense objects exceed one {_FH_MAX_DIRECT}-byte direct block")
+    return offs, ids, block
+
+
+def _fh_header(nobjs: int, used: int, block: int, root_addr: int, hid_len: int) -> bytes:
+    """FRHP bytes for the single-root-direct-block profile."""
+    h = b"FRHP" + struct.pack("<BHHB", 0, hid_len, 0, 0)
+    h += struct.pack("<I", _FH_MAX_MAN_OBJ)
+    h += struct.pack("<QQ", 0, UNDEF)  # next huge id, huge-object B-tree
+    h += struct.pack("<QQ", block - used, UNDEF)  # free space, no free-space manager
+    h += struct.pack("<QQQ", block, block, block)  # managed / allocated / iterator offset
+    h += struct.pack("<QQQQQ", nobjs, 0, 0, 0, 0)  # nobjs; huge/tiny sizes+counts
+    h += struct.pack("<HQQ", _FH_WIDTH, block, _FH_MAX_DIRECT)
+    h += struct.pack("<HH", _FH_MAX_HEAP_BITS, 1)  # max heap size (bits), starting rows
+    h += struct.pack("<QH", root_addr, 0)  # root block addr, cur rows = 0 (root is direct)
+    return h + struct.pack("<I", lookup3(h))
+
+
+def _fh_direct_block(heap_addr: int, objects: list[bytes], block: int) -> bytes:
+    body = b"FHDB" + bytes([0]) + struct.pack("<Q", heap_addr)
+    body += (0).to_bytes(_FH_OFF_SIZE, "little")  # block offset 0 in heap space
+    body += b"".join(objects)
+    return body + b"\x00" * (block - len(body))
+
+
+# --- generic v2 B-tree writer planning (any depth) -------------------------
+
+
+def _b2_enc_size(n: int) -> int:
+    return ((n.bit_length() - 1) // 8) + 1 if n else 1
+
+
+def _b2_capacities(node_size: int, rec_size: int, max_depth: int = 8):
+    """Per-level node capacities and pointer-field widths, mirroring
+    the reader's (and libhdf5's H5B2) header math."""
+    max_nrec = [(node_size - 10) // rec_size]
+    cum = [max_nrec[0]]
+    cum_sz = [_b2_enc_size(cum[0])]
+    mns = _b2_enc_size(max_nrec[0])
+    for u in range(1, max_depth + 1):
+        ptr = 8 + mns + (cum_sz[u - 1] if u > 1 else 0)
+        n = (node_size - 10 - ptr) // (rec_size + ptr)
+        if n < 1:
+            break
+        max_nrec.append(n)
+        cum.append((n + 1) * cum[u - 1] + n)
+        cum_sz.append(_b2_enc_size(cum[u]))
+    return max_nrec, cum, cum_sz, mns
+
+
+def _b2_plan(n: int, node_size: int, rec_size: int):
+    """(depth, plan, mns, cum, cum_sz) for n records: plan is a nested
+    (nrec_in_node, [child plans]) tuple distributing records evenly at
+    every level — the generalization of the old depth-≤1 layout (to
+    which it is byte-identical for depth 0/1)."""
+    max_nrec, cum, cum_sz, mns = _b2_capacities(node_size, rec_size)
+    depth = next((d for d, c in enumerate(cum) if c >= n), None)
+    if depth is None:
+        raise ValueError(f"{n} records exceed v2 B-tree capacity at node size {node_size}")
+
+    def split(m: int, level: int):
+        if level == 0:
+            return (m, [])
+        k_children = -(-(m + 1) // (cum[level - 1] + 1))
+        nrec = k_children - 1
+        rest = m - nrec
+        base, extra = divmod(rest, k_children)
+        sizes = [base + 1] * extra + [base] * (k_children - extra)
+        if nrec > max_nrec[level]:
+            raise ValueError(f"v2 B-tree node overflow at level {level}")
+        return (nrec, [split(s, level - 1) for s in sizes])
+
+    return depth, split(n, depth), mns, cum, cum_sz
+
+
+def _b2_node_sizes(plan, level: int, rec_size: int, mns: int, cum_sz: list[int]):
+    """[(path, level, byte size)] for every node, root first."""
+    nrec, children = plan
+    if level == 0:
+        return [("", 0, 6 + nrec * rec_size + 4)]
+    ptr = 8 + mns + (cum_sz[level - 1] if level - 1 >= 1 else 0)
+    out = [("", level, 6 + nrec * rec_size + (nrec + 1) * ptr + 4)]
+    for i, ch in enumerate(children):
+        for path, lv, sz in _b2_node_sizes(ch, level - 1, rec_size, mns, cum_sz):
+            out.append((f"{i}" if not path else f"{i}.{path}", lv, sz))
+    return out
+
+
+def _b2_totals(plan) -> int:
+    nrec, children = plan
+    return nrec + sum(_b2_totals(ch) for ch in children)
+
+
+def _b2_emit(
+    plan,
+    level: int,
+    records: list[bytes],
+    btype: int,
+    mns: int,
+    cum_sz: list[int],
+    node_addr,  # path -> file address
+) -> list[tuple[int, bytes]]:
+    """(address, bytes) for every node of the tree; records are
+    consumed in order via in-order traversal (child, separator,
+    child, ...)."""
+    pieces: list[tuple[int, bytes]] = []
+    cursor = 0
+
+    def take() -> bytes:
+        nonlocal cursor
+        r = records[cursor]
+        cursor += 1
+        return r
+
+    def emit(p, level: int, path: str) -> tuple[int, int]:
+        """returns (own nrec, subtree total)"""
+        nrec, children = p
+        if level == 0:
+            body = b"BTLF" + bytes([0, btype]) + b"".join(take() for _ in range(nrec))
+            pieces.append((node_addr(path), body + struct.pack("<I", lookup3(body))))
+            return nrec, nrec
+        own: list[bytes] = []
+        ptrs: list[bytes] = []
+        child_cum = cum_sz[level - 1] if level - 1 >= 1 else 0
+        total = nrec
+        for i, ch in enumerate(children):
+            cpath = f"{i}" if not path else f"{path}.{i}"
+            cnrec, ctotal = emit(ch, level - 1, cpath)
+            total += ctotal
+            ptr = struct.pack("<Q", node_addr(cpath)) + cnrec.to_bytes(mns, "little")
+            if child_cum:
+                ptr += ctotal.to_bytes(child_cum, "little")
+            ptrs.append(ptr)
+            if i < len(children) - 1:
+                own.append(take())
+        body = b"BTIN" + bytes([0, btype]) + b"".join(own) + b"".join(ptrs)
+        pieces.append((node_addr(path), body + struct.pack("<I", lookup3(body))))
+        return nrec, total
+
+    emit(plan, level, "")
+    assert cursor == len(records), "v2 B-tree plan/record mismatch"
+    return pieces
+
+
+def _b2_header(btype: int, node_size: int, rec_size: int, depth: int, root_addr: int, root_nrec: int, total: int) -> bytes:
+    h = b"BTHD" + bytes([0, btype])
+    h += struct.pack("<IHH", node_size, rec_size, depth)
+    h += bytes([100, 40])  # split % / merge %
+    h += struct.pack("<QHQ", root_addr, root_nrec, total)
+    return h + struct.pack("<I", lookup3(h))
+
+
 def _chunk_size_len(chunk_nbytes: int) -> int:
     """Encoded width of a filtered chunk's stored-size field — H5D's
     ``1 + ((log2(chunk_size) + 8) / 8)``, capped at 8. Shared by the
@@ -1222,6 +1580,8 @@ def write_hdf5(
     chunk_index: str | None = None,
     ea_params: tuple[int, int, int, int, int] = (32, 4, 4, 16, 10),
     bt2_node_size: int = 2048,
+    dense_attrs: bool = False,
+    dense_groups: bool = False,
 ) -> bytes:
     """Serialize arrays to an HDF5 file.
 
@@ -1248,11 +1608,21 @@ def write_hdf5(
     max_dblk_page_nelmts_bits) in the LAYOUT-message field order
     (library defaults; shrink to exercise super blocks with few
     chunks); ``"btree_v2"`` → the ≥2-unlimited-dimensions index (all
-    dims declared unlimited), single-leaf or depth-1 trees sized by
-    ``bt2_node_size``.
+    dims declared unlimited), tree depth chosen automatically from
+    record count and ``bt2_node_size``.
+
+    ``dense_attrs`` (libver="latest" only): store every variable's
+    attributes DENSELY — in a fractal heap with a v2-B-tree name index
+    (record type 8) — instead of compact header messages; the storage
+    real HDF5 files switch to past max_compact (default 8) attributes.
+    ``dense_groups`` (libver="latest" only): store the root group's
+    links densely (fractal heap + type-5 name index) instead of
+    compact Link messages — the "new style" group storage.
     """
     if libver not in ("earliest", "latest"):
         raise ValueError(f"libver must be 'earliest' or 'latest', got {libver!r}")
+    if (dense_attrs or dense_groups) and libver != "latest":
+        raise ValueError("dense attribute/group storage requires libver='latest'")
     if chunk_index not in (None, "single", "implicit", "fixed_array", "extensible_array", "btree_v2"):
         raise ValueError(f"unknown chunk_index {chunk_index!r}")
     if chunk_index == "implicit" and (gzip is not None or shuffle):
@@ -1348,8 +1718,21 @@ def write_hdf5(
                 msgs.append(enc(MSG_FILTER, fbody))
         else:
             msgs.append(enc(MSG_LAYOUT, struct.pack("<BBQQ", 3, 1, data_addr, arr.nbytes)))
-        for k, v in attrs.items():
-            msgs.append(enc(MSG_ATTRIBUTE, _attr_message(k, v)))
+        if nm in adense_plan:
+            # dense: ONE Attribute Info message pointing at the
+            # variable's fractal heap + name index, no attr messages
+            msgs.append(
+                enc(
+                    MSG_ATTRIBUTE_INFO,
+                    struct.pack(
+                        "<BBQQ", 0, 0,
+                        addr.get(f"afrhp:{nm}", 0), addr.get(f"abthd:{nm}", 0),
+                    ),
+                )
+            )
+        else:
+            for k, v in attrs.items():
+                msgs.append(enc(MSG_ATTRIBUTE, _attr_message(k, v)))
         return hdr(msgs)
 
     def chunk_blobs(nm: str) -> list[tuple[tuple[int, ...], bytes]]:
@@ -1378,6 +1761,24 @@ def write_hdf5(
             pieces.append(
                 (addr[f"ohdr:{nm}"], var_header(nm, addr.get(f"data:{nm}", UNDEF), addr.get(f"cbt:{nm}", UNDEF)))
             )
+            if nm in adense_plan:
+                objs, block, recs_a, depth_a, plan_a, mns_a, cum_sz_a = adense_plan[nm]
+                used = _FH_DBLK_HDR + sum(len(o) for o in objs)
+                fh, db = addr[f"afrhp:{nm}"], addr[f"afhdb:{nm}"]
+                # dense-attribute heaps declare 8-byte IDs (the type-8
+                # record field width) around 7 meaningful bytes
+                pieces.append((fh, _fh_header(len(objs), used, block, db, hid_len=8)))
+                pieces.append((db, _fh_direct_block(fh, objs, block)))
+                pieces.append(
+                    (
+                        addr[f"abthd:{nm}"],
+                        _b2_header(8, _FH_NAME_NODE, 17, depth_a, addr[f"ab2n:{nm}:"], plan_a[0], len(recs_a)),
+                    )
+                )
+                pieces += _b2_emit(
+                    plan_a, depth_a, recs_a, 8, mns_a, cum_sz_a,
+                    lambda p, _nm=nm: addr[f"ab2n:{_nm}:{p}"],
+                )
             if nm in chunks:
                 blobs = addr[f"blobs:{nm}"]
                 if chunk_index is None:
@@ -1469,7 +1870,7 @@ def write_hdf5(
                         sbb += struct.pack("<I", lookup3(sbb))
                         pieces.append((sblk_addr_map[u], sbb))
                 elif chunk_index == "btree_v2":
-                    client, size_len, rec_size, groups, max_nrec_size = addr[f"bt2plan:{nm}"]
+                    client, size_len, rec_size, depth, plan, mns, cum_sz = addr[f"bt2plan:{nm}"]
                     cs = chunks[nm]
                     btype = 11 if client else 10
 
@@ -1481,40 +1882,20 @@ def write_hdf5(
                         rb += b"".join(struct.pack("<Q", o // c) for o, c in zip(offs, cs))
                         return rb
 
-                    if len(groups) == 1:
-                        depth, root_key, root_nrec = 0, f"btlf:{nm}:0", len(blobs)
-                        leaf_recs, root_recs = [blobs], []
-                    else:
-                        depth = 1
-                        leaf_recs, root_recs, pos = [], [], 0
-                        for i, g in enumerate(groups):
-                            leaf_recs.append(blobs[pos : pos + g])
-                            pos += g
-                            if i < len(groups) - 1:  # separator record → root
-                                root_recs.append(blobs[pos])
-                                pos += 1
-                        root_key, root_nrec = f"btin:{nm}", len(root_recs)
-                    hdrb = b"BTHD" + bytes([0, btype])
-                    hdrb += struct.pack("<IHH", bt2_node_size, rec_size, depth)
-                    hdrb += bytes([100, 40])  # split % / merge %
-                    hdrb += struct.pack("<QHQ", addr[root_key], root_nrec, len(blobs))
-                    hdrb += struct.pack("<I", lookup3(hdrb))
-                    pieces.append((addr[f"bthd:{nm}"], hdrb))
-                    for i, recs in enumerate(leaf_recs):
-                        lb = b"BTLF" + bytes([0, btype])
-                        for offs, raw, caddr in recs:
-                            lb += enc_rec(offs, raw, caddr)
-                        lb += struct.pack("<I", lookup3(lb))
-                        pieces.append((addr[f"btlf:{nm}:{i}"], lb))
-                    if depth == 1:
-                        inb = b"BTIN" + bytes([0, btype])
-                        for offs, raw, caddr in root_recs:
-                            inb += enc_rec(offs, raw, caddr)
-                        for i, recs in enumerate(leaf_recs):
-                            inb += struct.pack("<Q", addr[f"btlf:{nm}:{i}"])
-                            inb += len(recs).to_bytes(max_nrec_size, "little")
-                        inb += struct.pack("<I", lookup3(inb))
-                        pieces.append((addr[f"btin:{nm}"], inb))
+                    records = [enc_rec(offs, raw, caddr) for offs, raw, caddr in blobs]
+                    pieces.append(
+                        (
+                            addr[f"bthd:{nm}"],
+                            _b2_header(
+                                btype, bt2_node_size, rec_size, depth,
+                                addr[f"bt2n:{nm}:"], plan[0], len(blobs),
+                            ),
+                        )
+                    )
+                    pieces += _b2_emit(
+                        plan, depth, records, btype, mns, cum_sz,
+                        lambda p, _nm=nm: addr[f"bt2n:{_nm}:{p}"],
+                    )
                 # "single"/"implicit": the layout message itself is the index
                 for offs, raw, caddr in blobs:
                     pieces.append((caddr, raw))
@@ -1574,18 +1955,44 @@ def write_hdf5(
         return assemble(bytes(sb), pieces, patch_eof_at=44)
 
     def root_header_latest(addr: dict[str, Any]) -> bytes:
-        # link info: no creation-order tracking, compact (fractal heap
-        # + name index both undefined); group info: defaults
-        msgs = [
-            _msg_v2(MSG_LINK_INFO, struct.pack("<BBQQ", 0, 0, UNDEF, UNDEF)),
-            _msg_v2(MSG_GROUP_INFO, struct.pack("<BB", 0, 0)),
-        ]
-        msgs += [_msg_v2(MSG_LINK, _link_msg(nm, addr.get(f"ohdr:{nm}", 0))) for nm in names]
+        if gdense_plan is not None:
+            # dense group: Link Info points at the fractal heap + name
+            # index; links live there, not as header messages
+            msgs = [
+                _msg_v2(
+                    MSG_LINK_INFO,
+                    struct.pack("<BBQQ", 0, 0, addr.get("gfrhp", 0), addr.get("gbthd", 0)),
+                ),
+                _msg_v2(MSG_GROUP_INFO, struct.pack("<BB", 0, 0)),
+            ]
+        else:
+            # link info: no creation-order tracking, compact (fractal
+            # heap + name index both undefined); group info: defaults
+            msgs = [
+                _msg_v2(MSG_LINK_INFO, struct.pack("<BBQQ", 0, 0, UNDEF, UNDEF)),
+                _msg_v2(MSG_GROUP_INFO, struct.pack("<BB", 0, 0)),
+            ]
+            msgs += [_msg_v2(MSG_LINK, _link_msg(nm, addr.get(f"ohdr:{nm}", 0))) for nm in names]
         msgs += [_msg_v2(MSG_ATTRIBUTE, _attr_message(k, v)) for k, v in global_attrs.items()]
         return _object_header_v2(msgs)
 
     def build_latest(addr: dict[str, Any]) -> bytes:
         pieces = [(addr["root"], root_header_latest(addr))] + data_pieces(addr)
+        if gdense_plan is not None:
+            _gids, gblock, grecs, gdepth, gplan, gmns, gcum_sz = gdense_plan
+            gobjs = [_link_msg(nm, addr[f"ohdr:{nm}"]) for nm in names]
+            used = _FH_DBLK_HDR + sum(len(o) for o in gobjs)
+            pieces.append(
+                (addr["gfrhp"], _fh_header(len(gobjs), used, gblock, addr["gfhdb"], hid_len=_FH_ID_LEN))
+            )
+            pieces.append((addr["gfhdb"], _fh_direct_block(addr["gfrhp"], gobjs, gblock)))
+            pieces.append(
+                (
+                    addr["gbthd"],
+                    _b2_header(5, _FH_NAME_NODE, 4 + _FH_ID_LEN, gdepth, addr["gb2n:"], gplan[0], len(grecs)),
+                )
+            )
+            pieces += _b2_emit(gplan, gdepth, grecs, 5, gmns, gcum_sz, lambda p: addr[f"gb2n:{p}"])
         # superblock v2: sig, ver, offset/length sizes, flags, base,
         # extension, EOF (patched), root header addr, lookup3 checksum
         sb = HDF5_MAGIC + struct.pack("<BBBB", 2, 8, 8, 0)
@@ -1619,6 +2026,41 @@ def write_hdf5(
                     f"(cap {leaf_cap}); use larger chunks or chunk_index='fixed_array'"
                 )
 
+    # --- dense-storage planning (all sizes are address-independent) -----
+    # per-variable dense attributes: heap objects are the encoded
+    # Attribute messages; B-tree records are type 8 (8-byte heap ID +
+    # message flags + creation order + lookup3 name hash), sorted by
+    # (hash, name) — the name-index comparator
+    adense_plan: dict[str, tuple] = {}
+    if dense_attrs:
+        for nm in names:
+            a_attrs = variables[nm][1]
+            if not a_attrs:
+                continue
+            keys = list(a_attrs)
+            objs = [_attr_message(k, v) for k, v in a_attrs.items()]
+            _offs, ids, block = _fh_layout([len(o) for o in objs])
+            hs = [lookup3(k.encode("utf-8")) for k in keys]
+            order = sorted(range(len(keys)), key=lambda i: (hs[i], keys[i]))
+            recs = [
+                ids[i] + b"\x00" + b"\x00" + struct.pack("<II", i, hs[i])
+                for i in order
+            ]
+            depth_a, plan_a, mns_a, _c, cum_sz_a = _b2_plan(len(recs), _FH_NAME_NODE, 17)
+            adense_plan[nm] = (objs, block, recs, depth_a, plan_a, mns_a, cum_sz_a)
+
+    # dense root group: heap objects are the Link message bodies
+    # (fixed-size: addresses are 8-byte fields); records are type 5
+    # (hash + heap ID)
+    gdense_plan: tuple | None = None
+    if dense_groups and names:
+        _goffs, gids, gblock = _fh_layout([len(_link_msg(nm, 0)) for nm in names])
+        ghs = [lookup3(nm.encode("utf-8")) for nm in names]
+        gorder = sorted(range(len(names)), key=lambda i: (ghs[i], names[i]))
+        grecs = [struct.pack("<I", ghs[i]) + gids[i] for i in gorder]
+        gdepth, gplan, gmns, _gc, gcum_sz = _b2_plan(len(grecs), _FH_NAME_NODE, 4 + _FH_ID_LEN)
+        gdense_plan = (gids, gblock, grecs, gdepth, gplan, gmns, gcum_sz)
+
     addr: dict[str, Any] = {}
     # v1 superblock is 100 bytes; start allocation at the next 8-byte
     # boundary so object headers (and their messages) stay 8-aligned
@@ -1633,6 +2075,13 @@ def write_hdf5(
 
     if libver == "latest":
         alloc("root", len(root_header_latest({f"ohdr:{nm}": 0 for nm in names})))
+        if gdense_plan is not None:
+            _gids, gblock, grecs, gdepth, gplan, gmns, gcum_sz = gdense_plan
+            alloc("gfrhp", 146)
+            alloc("gfhdb", gblock)
+            alloc("gbthd", 38)
+            for path, _lv, sz in _b2_node_sizes(gplan, gdepth, 4 + _FH_ID_LEN, gmns, gcum_sz):
+                alloc(f"gb2n:{path}", sz)
     else:
         root_hdr_size = len(
             _object_header(
@@ -1648,6 +2097,13 @@ def write_hdf5(
     for nm in names:
         hdr_bytes = var_header(nm, 0, 0)
         alloc(f"ohdr:{nm}", len(hdr_bytes))
+        if nm in adense_plan:
+            _objs, block, recs_a, depth_a, plan_a, mns_a, cum_sz_a = adense_plan[nm]
+            alloc(f"afrhp:{nm}", 146)
+            alloc(f"afhdb:{nm}", block)
+            alloc(f"abthd:{nm}", 38)
+            for path, _lv, sz in _b2_node_sizes(plan_a, depth_a, 17, mns_a, cum_sz_a):
+                alloc(f"ab2n:{nm}:{path}", sz)
         if nm in chunks:
             blobs_src = all_blobs[nm]
             if chunk_index is None:
@@ -1744,32 +2200,12 @@ def write_hdf5(
                 client = 1 if (gzip is not None or shuffle) else 0
                 size_len = _chunk_size_len(chunk_nbytes) if client else 0
                 rec_size = 8 + (size_len + 4 if client else 0) + 8 * rank
-                max_leaf = (bt2_node_size - 10) // rec_size
-                max_nrec_size = ((max_leaf.bit_length() - 1) // 8) + 1
-                n = len(placed)
-                if n <= max_leaf:
-                    groups = [n]
-                else:  # depth 1: L leaves, L-1 separator records in the root
-                    n_leaves = -(-(n + 1) // (max_leaf + 1))
-                    in_leaves = n - (n_leaves - 1)
-                    base, extra = divmod(in_leaves, n_leaves)
-                    groups = [base + 1] * extra + [base] * (n_leaves - extra)
-                    ptr_size = 8 + max_nrec_size
-                    max_internal = (bt2_node_size - 10 - ptr_size) // (rec_size + ptr_size)
-                    if n_leaves - 1 > max_internal:
-                        raise ValueError(
-                            f"{n} chunks need a v2 B-tree deeper than 1; raise bt2_node_size"
-                        )
+                depth, plan, mns, _cum, cum_sz = _b2_plan(len(placed), bt2_node_size, rec_size)
                 alloc(f"bthd:{nm}", 38)
                 addr[f"cbt:{nm}"] = addr[f"bthd:{nm}"]
-                for i, g in enumerate(groups):
-                    alloc(f"btlf:{nm}:{i}", 6 + g * rec_size + 4)
-                if len(groups) > 1:
-                    alloc(
-                        f"btin:{nm}",
-                        6 + (len(groups) - 1) * rec_size + len(groups) * (8 + max_nrec_size) + 4,
-                    )
-                addr[f"bt2plan:{nm}"] = (client, size_len, rec_size, groups, max_nrec_size)
+                for path, _lv, sz in _b2_node_sizes(plan, depth, rec_size, mns, cum_sz):
+                    alloc(f"bt2n:{nm}:{path}", sz)
+                addr[f"bt2plan:{nm}"] = (client, size_len, rec_size, depth, plan, mns, cum_sz)
             addr[f"blobs:{nm}"] = placed
         else:
             alloc(f"data:{nm}", variables[nm][0].nbytes)

@@ -47,7 +47,7 @@ def test_grid_ingest_nc_matches_inline_oracle(spark):
     got = [tuple(r) for r in grid_ingest_nc(spark, "unused").collect()]
     want = duckdb.sql(GRID_INGEST_NC_SQL).fetchall()
     assert got == want
-    assert [r[0] for r in got] == ["bt_rh", "ea_t2m", "pr", "tas"]
+    assert [r[0] for r in got] == ["bt_rh", "dn_sw", "ea_t2m", "pr", "tas"]
     # n_rows is the full cube; n_vals excludes the planted fill cells
     for _var, n_rows, n_vals, *_rest in got:
         assert n_rows == 120 and n_vals < n_rows
@@ -227,7 +227,7 @@ def test_grid_ingest_nc_survives_external_driver_shape():
         "spark = SparkSession.builder.master('local[2]').getOrCreate()\n"
         "import __spark_entry__ as e\n"
         "rows = e.queries()['grid_ingest_nc'](spark, 'unused').collect()\n"
-        "assert sorted(r[0] for r in rows) == ['bt_rh', 'ea_t2m', 'pr', 'tas'], rows\n"
+        "assert sorted(r[0] for r in rows) == ['bt_rh', 'dn_sw', 'ea_t2m', 'pr', 'tas'], rows\n"
         "print('DRIVER_SHAPE_OK')\n" % REPO
     )
     env = dict(os.environ, TZ="America/New_York")

@@ -274,3 +274,63 @@ def test_roundtrip_both_stacks_agree(tmp_path):
         dst["x"].attrs["units"] = src["x"].attrs["units"]
     back = read_hdf5(theirs.read_bytes())
     np.testing.assert_array_equal(back.variables["x"].data, arr)
+
+
+@requires_h5py
+def test_h5py_reads_our_dense_storage(tmp_path):
+    """Dense group links + dense attributes (fractal heap + v2-B-tree
+    name indexes): libhdf5 must enumerate both, and read the
+    heap-resident _FillValue."""
+    arr = np.arange(24, dtype=np.float64).reshape(4, 6)
+    attrs = {f"attr_{i:02d}": float(i) * 1.5 for i in range(12)}
+    attrs["_FillValue"] = -1.0
+    content = write_hdf5(
+        {"t2m": (arr, attrs), "plain": (np.arange(5, dtype=np.int32), {"units": "m"})},
+        global_attrs={"title": "dense interop"},
+        chunks={"t2m": (2, 3)},
+        gzip=4,
+        libver="latest",
+        chunk_index="fixed_array",
+        dense_attrs=True,
+        dense_groups=True,
+    )
+    path = tmp_path / "dense_ours.h5"
+    path.write_bytes(content)
+    with h5py.File(str(path), "r") as f:
+        assert set(f.keys()) == {"t2m", "plain"}
+        np.testing.assert_array_equal(f["t2m"][:], arr)
+        got = dict(f["t2m"].attrs)
+        assert float(got["_FillValue"]) == -1.0
+        assert all(float(got[f"attr_{i:02d}"]) == i * 1.5 for i in range(12))
+
+
+@requires_h5py
+def test_our_reader_reads_h5py_dense_attributes(tmp_path):
+    """h5py past max_compact (default 8 attrs) spills into dense
+    storage — libhdf5's own fractal heap + name index, including the
+    checksummed direct blocks our writer never emits."""
+    path = tmp_path / "dense_theirs.h5"
+    arr = np.arange(24, dtype=np.float64).reshape(4, 6)
+    with h5py.File(str(path), "w", libver="latest") as f:
+        d = f.create_dataset("t2m", data=arr)
+        for i in range(15):  # > max_compact -> dense
+            d.attrs[f"attr_{i:02d}"] = float(i) * 2.5
+    ours = read_hdf5(path.read_bytes())
+    got = ours.variables["t2m"].attributes
+    assert all(float(got[f"attr_{i:02d}"]) == i * 2.5 for i in range(15)), got
+    np.testing.assert_array_equal(ours.variables["t2m"].data, arr)
+
+
+@requires_h5py
+def test_our_reader_reads_h5py_dense_group(tmp_path):
+    """Many links in a libver='latest' group -> libhdf5 switches to
+    dense (fractal-heap) link storage; our reader must enumerate all
+    of them through the type-5 name index."""
+    path = tmp_path / "dense_links.h5"
+    with h5py.File(str(path), "w", libver="latest") as f:
+        for i in range(40):
+            f.create_dataset(f"var_{i:02d}", data=np.full(3, float(i)))
+    ours = read_hdf5(path.read_bytes())
+    assert set(ours.variables) == {f"var_{i:02d}" for i in range(40)}
+    for i in range(40):
+        np.testing.assert_array_equal(ours.variables[f"var_{i:02d}"].data, np.full(3, float(i)))
