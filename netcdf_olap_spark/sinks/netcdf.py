@@ -52,6 +52,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from netcdf_olap_spark.sinks import limits as _limits
 from netcdf_olap_spark.sinks.naming import safe_component
 
 NC_EXPORT_SCHEMA = StructType(
@@ -318,15 +319,20 @@ def nc_filename(ds: str, variable: str, fmt: str) -> str:
     return f"{ds}_{variable}_{fmt}.nc"
 
 
-def save_netcdf(artifacts: DataFrame, out_dir: str) -> list[str]:
+def save_netcdf(
+    artifacts: DataFrame, out_dir: str, max_bytes: int | None = _limits.MAX_DRIVER_ARTIFACT_BYTES
+) -> list[str]:
     """Materialize blob-carrying export artifacts (from
     :func:`export_netcdf`) to files — the small-slice path. Written
     atomically (tempfile + ``os.replace``) so a concurrent reader of
-    ``out_dir`` never ingests a partial file. For large exports use
-    :func:`export_netcdf_files`, which never moves bytes through the
-    driver."""
+    ``out_dir`` never ingests a partial file. Guarded: raises before
+    collecting if the blob total exceeds ``max_bytes`` (default 256
+    MiB; ``None`` accepts the driver collect explicitly) — for large
+    exports use :func:`export_netcdf_files`, which never moves bytes
+    through the driver."""
     import tempfile
 
+    _limits.guard_driver_collect(artifacts, "nc", "sinks.netcdf.export_netcdf_files", max_bytes)
     os.makedirs(out_dir, exist_ok=True)
     paths = []
     for row in artifacts.collect():

@@ -42,6 +42,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from netcdf_olap_spark.sinks import limits as _limits
 from netcdf_olap_spark.sinks.naming import safe_component
 
 RENDER_SCHEMA = StructType(
@@ -277,14 +278,22 @@ def render_png_files(
 
 
 def save_pngs(
-    rendered: DataFrame, out_dir: str, start_date: str, end_date: str, prefix: str = "gddp"
+    rendered: DataFrame,
+    out_dir: str,
+    start_date: str,
+    end_date: str,
+    prefix: str = "gddp",
+    max_bytes: int | None = _limits.MAX_DRIVER_ARTIFACT_BYTES,
 ) -> list[str]:
     """Materialize blob-carrying rendered images (from
     :func:`render_png`) to files with the reference's filename
-    contract — atomic writes, small-slice path. For large renders use
-    :func:`render_png_files`."""
+    contract — atomic writes, small-slice path. Guarded: raises before
+    collecting if the blob total exceeds ``max_bytes`` (default 256
+    MiB; ``None`` accepts the driver collect explicitly) — for large
+    renders use :func:`render_png_files`."""
     import tempfile
 
+    _limits.guard_driver_collect(rendered, "png", "sinks.png.render_png_files", max_bytes)
     os.makedirs(out_dir, exist_ok=True)
     paths = []
     for row in rendered.collect():

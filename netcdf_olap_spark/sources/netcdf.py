@@ -393,7 +393,32 @@ def ensure_package_on_workers(spark: SparkSession) -> None:
     spark.sparkContext.addPyFile(dst)
 
 
-def object_store_session_confs(store: str = "s3a") -> dict[str, str]:
+def runtime_hadoop_version(default: str = "3.3.4") -> str:
+    """Hadoop version bundled with the RUNNING PySpark, read off the
+    ``hadoop-client-api-<ver>.jar`` name in pyspark's jars directory —
+    no JVM needed. Connector jars (hadoop-aws, hadoop-azure) must
+    match this version exactly: a 3.4.x connector on a 3.3.x runtime
+    (AWS SDK v1 vs v2) fails with linkage errors, not a clean message.
+    Falls back to ``default`` (the Hadoop of the common Spark 3.5.x
+    distribution) when the jar layout is unrecognizable — e.g. a
+    hadoop-provided build — in which case pass the version
+    explicitly."""
+    import glob
+    import os
+
+    import pyspark
+
+    jars = glob.glob(
+        os.path.join(os.path.dirname(pyspark.__file__), "jars", "hadoop-client-api-*.jar")
+    )
+    for j in sorted(jars):
+        ver = os.path.basename(j)[len("hadoop-client-api-") : -len(".jar")]
+        if ver and ver[0].isdigit():
+            return ver
+    return default
+
+
+def object_store_session_confs(store: str = "s3a", hadoop_version: str | None = None) -> dict[str, str]:
     """SparkSession configs for ingesting ``.nc`` directly from a
     remote object store — the reference reads S3 through NetCDF-Java
     (README.md:10); this engine reads it through Hadoop FileSystem
@@ -407,17 +432,23 @@ def object_store_session_confs(store: str = "s3a") -> dict[str, str]:
     jars baked in): tests/test_remote_ingest.py carries the gated
     integration test that runs unchanged on a real cluster with
     ``SPARK_GRAFT_REMOTE_URI`` set.
+
+    ``hadoop_version`` pins the connector jar version; by default it
+    is DERIVED from the running PySpark's bundled Hadoop
+    (:func:`runtime_hadoop_version`) so hadoop-aws always matches the
+    runtime — a mismatched pair (e.g. a 3.4.x connector with its AWS
+    SDK v2 classes on a 3.3.x/SDK-v1 runtime) fails with
+    ClassNotFound/linkage errors. No credentials-provider key is set:
+    s3a's own default chain (env vars → instance profile → profile
+    file) applies correctly on every Hadoop version, where naming a
+    provider class would couple the conf to one SDK generation.
     """
+    hv = hadoop_version or runtime_hadoop_version()
     if store == "s3a":
         return {
             # cluster images usually ship hadoop-aws already; if not,
-            # match the aws-sdk/hadoop versions of the runtime:
-            "spark.jars.packages": "org.apache.hadoop:hadoop-aws:3.4.1",
-            # default chain: env vars → instance profile → profile file;
-            # override with fs.s3a.access.key/secret.key for static keys
-            "spark.hadoop.fs.s3a.aws.credentials.provider": (
-                "software.amazon.awssdk.auth.credentials.DefaultCredentialsProvider"
-            ),
+            # this matches the connector to the runtime's Hadoop/SDK
+            "spark.jars.packages": f"org.apache.hadoop:hadoop-aws:{hv}",
             # whole-file reads (binaryFile) stream best with sequential
             # fadvise; random is for footer-seeking columnar formats
             "spark.hadoop.fs.s3a.experimental.input.fadvise": "sequential",
@@ -431,7 +462,7 @@ def object_store_session_confs(store: str = "s3a") -> dict[str, str]:
         return {}
     if store == "abfs":
         return {
-            "spark.jars.packages": "org.apache.hadoop:hadoop-azure:3.4.1",
+            "spark.jars.packages": f"org.apache.hadoop:hadoop-azure:{hv}",
         }
     if store == "gs":
         return {

@@ -49,8 +49,20 @@ def _write_fixture(dirpath) -> int:
 
 
 def test_conf_helper_shapes():
+    from netcdf_olap_spark.sources.netcdf import runtime_hadoop_version
+
     s3 = object_store_session_confs("s3a")
     assert "spark.jars.packages" in s3 and "hadoop-aws" in s3["spark.jars.packages"]
+    # connector version tracks the RUNTIME's bundled Hadoop (this
+    # container ships pyspark with hadoop-client-api jars), and no
+    # credentials-provider class is pinned — the s3a default chain
+    # applies per Hadoop version
+    hv = runtime_hadoop_version()
+    assert s3["spark.jars.packages"].endswith(f":{hv}")
+    assert not any("credentials.provider" in k for k in s3)
+    assert object_store_session_confs("s3a", hadoop_version="3.3.6")[
+        "spark.jars.packages"
+    ] == "org.apache.hadoop:hadoop-aws:3.3.6"
     assert any(k.startswith("spark.hadoop.fs.s3a.") for k in s3)
     assert object_store_session_confs("hdfs") == {}
     assert "hadoop-azure" in object_store_session_confs("abfs")["spark.jars.packages"]

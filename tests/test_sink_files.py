@@ -182,3 +182,30 @@ def test_ragged_selection_roundtrip_identity(spark, tmp_path):
         F.min("lon").alias("c"), F.max("lon").alias("d"),
     ).collect()[0]
     assert all(np.isfinite(v) for v in agg)
+
+
+def test_legacy_collect_sinks_guarded(spark, tmp_path):
+    """save_netcdf/save_pngs price the driver collect FIRST (Spark-side
+    octet_length sum) and raise over the ceiling, pointing at the
+    executor-side manifest path; max_bytes=None accepts explicitly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from netcdf_olap_spark.sinks.netcdf import export_netcdf, save_netcdf
+    from netcdf_olap_spark.sinks.png import render_png, save_pngs
+    from netcdf_olap_spark.session import load_grid
+
+    var = load_grid(spark, register=False).select("variable").first()[0]
+    g = load_grid(spark, register=False).where(F.col("variable") == var).limit(400)
+    arts = export_netcdf(g)
+    with pytest.raises(ValueError, match="render_png_files|export_netcdf_files"):
+        save_netcdf(arts, str(tmp_path / "nc"), max_bytes=10)
+    # explicit opt-out collects
+    paths = save_netcdf(arts, str(tmp_path / "nc2"), max_bytes=None)
+    assert paths and all(p.endswith(".nc") for p in paths)
+
+    imgs = render_png(g)
+    with pytest.raises(ValueError, match="render_png_files"):
+        save_pngs(imgs, str(tmp_path / "png"), "2020-01-01", "2020-01-02", max_bytes=10)
+    paths = save_pngs(imgs, str(tmp_path / "png2"), "2020-01-01", "2020-01-02")
+    assert paths and all(p.endswith(".png") for p in paths)
