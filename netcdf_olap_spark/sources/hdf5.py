@@ -40,11 +40,15 @@ and type-8 (attribute name) v2-B-tree indexes, the layout
 libver="latest" files switch to past max_compact (default 8), where
 ``_FillValue`` itself lives in the heap; the read side additionally
 handles FHIB-rooted (root-indirect) heaps and checksummed direct
-blocks, which libhdf5 produces as heaps grow. Out of scope (clear
-errors, documented in README's format matrix): nested-indirect
-fractal-heap rows, I/O-filtered heaps, huge/tiny heap objects, paged
-fixed arrays / paged extensible-array data blocks, compound/enum/
-reference datatypes, szip. Attributes with unsupported datatypes
+blocks, which libhdf5 produces as heaps grow. Compound and enum
+datatypes decode for ATTRIBUTES (v1/v2/v3 member encodings; 1-field
+compounds — a wild-type ``_FillValue`` shape — unwrap to the scalar,
+enums to their base integers with symbol names kept on the datatype);
+enum data variables read as base integers. Out of scope (clear
+errors, documented in README's format matrix): compound data
+variables, reference/opaque datatypes, nested-indirect fractal-heap
+rows, I/O-filtered heaps, huge/tiny heap objects, paged fixed arrays
+/ paged extensible-array data blocks, szip. Attributes with unsupported datatypes
 (netCDF-4's DIMENSION_LIST / REFERENCE_LIST vlen references) are
 skipped, never fatal.
 
@@ -96,6 +100,9 @@ CLS_FLOAT = 1
 CLS_TIME = 2
 CLS_STRING = 3
 CLS_OPAQUE = 5
+CLS_COMPOUND = 6
+CLS_REFERENCE = 7
+CLS_ENUM = 8
 CLS_VLEN = 9
 
 # filter ids
@@ -185,13 +192,25 @@ def is_hdf5(content: bytes) -> bool:
 class _DT:
     """Decoded datatype message: enough to map to a numpy dtype."""
 
-    def __init__(self, cls: int, size: int, little: bool, signed: bool, base: "_DT | None" = None, vlen_string: bool = False):
+    def __init__(
+        self,
+        cls: int,
+        size: int,
+        little: bool,
+        signed: bool,
+        base: "_DT | None" = None,
+        vlen_string: bool = False,
+        members: "list[tuple[str, int, _DT]] | None" = None,
+        enum_names: dict[int, str] | None = None,
+    ):
         self.cls = cls
         self.size = size
         self.little = little
         self.signed = signed
         self.base = base
         self.vlen_string = vlen_string
+        self.members = members  # compound: (name, byte offset, member dt)
+        self.enum_names = enum_names  # enum: base value -> symbol
 
     def numpy(self) -> np.dtype:
         bo = "<" if self.little else ">"
@@ -203,6 +222,17 @@ class _DT:
             return np.dtype(f"{bo}f{self.size}")
         if self.cls == CLS_STRING:
             return np.dtype(f"S{self.size}")
+        if self.cls == CLS_ENUM and self.base is not None:
+            return self.base.numpy()  # enums read as their base integers
+        if self.cls == CLS_COMPOUND and self.members is not None:
+            return np.dtype(
+                {
+                    "names": [m[0] for m in self.members],
+                    "formats": [m[2].numpy() for m in self.members],
+                    "offsets": [m[1] for m in self.members],
+                    "itemsize": self.size,
+                }
+            )
         raise NotImplementedError(f"datatype class {self.cls} has no numpy mapping")
 
 
@@ -231,7 +261,47 @@ def _parse_datatype(buf: bytes, pos: int) -> tuple[_DT, int]:
     if cls == CLS_TIME:
         consumed += 2
         return _DT(cls, size, little, False), consumed
-    raise NotImplementedError(f"datatype class {cls} (compound/enum/reference not supported)")
+    if cls == CLS_COMPOUND:
+        # member count in class bit-field bits 0-15; member encoding
+        # differs by version: v1 pads names to 8 and carries a 4-D
+        # array stanza, v2 pads names only, v3 drops padding and
+        # shrinks the offset field to the minimum bytes for `size`
+        nmembers = bits[0] | (bits[1] << 8)
+        members: list[tuple[str, int, _DT]] = []
+        p = pos + 8
+        # v3 offset width = H5VM_limit_enc_size(size): floor(log2)/8 + 1
+        off_len = ((size.bit_length() - 1) // 8) + 1 if size else 1
+        for _ in range(nmembers):
+            end = buf.index(b"\x00", p)
+            name = buf[p:end].decode("utf-8")
+            p += (end - p + 8) & ~7 if version in (1, 2) else end - p + 1
+            if version == 3:
+                off = int.from_bytes(buf[p : p + off_len], "little")
+                p += off_len
+            else:
+                (off,) = struct.unpack_from("<I", buf, p)
+                p += 4
+            if version == 1:  # dimensionality(1) + reserved(3) + perm(4) + reserved(4) + 4 dims
+                p += 1 + 3 + 4 + 4 + 16
+            mdt, used = _parse_datatype(buf, p)
+            p += used
+            members.append((name, off, mdt))
+        return _DT(cls, size, True, False, members=members), p - pos
+    if cls == CLS_ENUM:
+        base, base_used = _parse_datatype(buf, pos + 8)
+        nmembers = bits[0] | (bits[1] << 8)
+        p = pos + 8 + base_used
+        names = []
+        for _ in range(nmembers):
+            end = buf.index(b"\x00", p)
+            names.append(buf[p:end].decode("utf-8"))
+            p += (end - p + 8) & ~7 if version in (1, 2) else end - p + 1
+        bnp = base.numpy()
+        vals = np.frombuffer(buf, dtype=bnp, count=nmembers, offset=p)
+        p += nmembers * bnp.itemsize
+        enum_names = {int(v): n for n, v in zip(names, vals)}
+        return _DT(cls, size, base.little, base.signed, base=base, enum_names=enum_names), p - pos
+    raise NotImplementedError(f"datatype class {cls} (reference/opaque not supported)")
 
 
 def _parse_dataspace(buf: bytes, pos: int) -> tuple[int, ...]:
@@ -631,6 +701,15 @@ class _Reader:
             return vals[0] if not shape else vals
         npdt = dt.numpy()
         arr = np.frombuffer(self.buf, dtype=npdt, count=n, offset=pos)
+        if dt.cls == CLS_COMPOUND:
+            # 1-field compounds (``_FillValue`` in the wild) unwrap to
+            # the field's scalar; wider compounds become name→value maps
+            def one(rec):
+                if len(dt.members) == 1:
+                    return rec[dt.members[0][0]].item()
+                return {m[0]: rec[m[0]].item() for m in dt.members}
+
+            return one(arr[0]) if not shape else [one(r) for r in arr]
         if dt.cls == CLS_STRING:
             s = arr[0].rstrip(b"\x00").decode("utf-8")
             return s if not shape else [v.rstrip(b"\x00").decode("utf-8") for v in arr]

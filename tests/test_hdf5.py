@@ -1169,3 +1169,108 @@ def test_fractal_heap_indirect_and_checksummed_blocks():
             opos, ln = resolve(hid)
             assert ln == len(objs[i])
             assert buf[opos : opos + ln] == objs[i]
+
+
+# ---------------------------------------------------------------------------
+# compound / enum attribute datatypes (round 7)
+# ---------------------------------------------------------------------------
+
+from netcdf_olap_spark.sources.hdf5 import _dt_message, _ds_message, _parse_datatype, _pad8  # noqa: E402
+
+
+def _attr_msg(name: str, dt_body: bytes, ds_body: bytes, value: bytes) -> bytes:
+    nameb = name.encode() + b"\x00"
+    head = struct.pack("<BxHHH", 1, len(nameb), len(dt_body), len(ds_body))
+    return head + _pad8(nameb) + _pad8(dt_body) + _pad8(ds_body) + value
+
+
+def _compound_dt_v1(fields: list[tuple[str, np.dtype, int]], size: int) -> bytes:
+    body = bytes([0x16, len(fields) & 0xFF, len(fields) >> 8, 0]) + struct.pack("<I", size)
+    for nm, ft, off in fields:
+        body += _pad8(nm.encode() + b"\x00")
+        body += struct.pack("<I", off)
+        body += bytes(1) + bytes(3) + struct.pack("<I", 0) + struct.pack("<I", 0) + bytes(16)
+        body += _dt_message(np.zeros(1, dtype=ft))
+    return body
+
+
+def _compound_dt_v3(fields: list[tuple[str, np.dtype, int]], size: int) -> bytes:
+    off_len = ((size.bit_length() - 1) // 8) + 1
+    body = bytes([0x36, len(fields) & 0xFF, len(fields) >> 8, 0]) + struct.pack("<I", size)
+    for nm, ft, off in fields:
+        body += nm.encode() + b"\x00"
+        body += off.to_bytes(off_len, "little")
+        body += _dt_message(np.zeros(1, dtype=ft))
+    return body
+
+
+def _enum_dt(version: int, base: np.dtype, mapping: dict[str, int]) -> bytes:
+    body = bytes([(version << 4) | 8, len(mapping) & 0xFF, len(mapping) >> 8, 0])
+    body += struct.pack("<I", base.itemsize)
+    body += _dt_message(np.zeros(1, dtype=base))
+    for nm in mapping:
+        nb = nm.encode() + b"\x00"
+        body += _pad8(nb) if version in (1, 2) else nb
+    body += np.array(list(mapping.values()), dtype=base).tobytes()
+    return body
+
+
+def _parse_attr_bytes(msg: bytes):
+    r = _Reader.__new__(_Reader)
+    r.buf = msg
+    return r.parse_attribute(0)
+
+
+@pytest.mark.parametrize("builder", [_compound_dt_v1, _compound_dt_v3])
+def test_compound_fillvalue_attribute_unwraps(builder):
+    """`_FillValue` as a 1-field compound (seen in the wild from tools
+    that wrap the sentinel): parse as the field's scalar, both the v1
+    (padded names + array stanza) and v3 (packed) member encodings."""
+    dtb = builder([("fill", np.dtype("<f8"), 0)], 8)
+    msg = _attr_msg("_FillValue", dtb, _ds_message(()), struct.pack("<d", -9999.0))
+    k, v = _parse_attr_bytes(msg)
+    assert k == "_FillValue" and v == -9999.0
+
+
+@pytest.mark.parametrize("builder", [_compound_dt_v1, _compound_dt_v3])
+def test_compound_multifield_attribute_maps(builder):
+    """Multi-field compound attribute → name→value map (offsets honored,
+    mixed member types)."""
+    fields = [("lo", np.dtype("<f8"), 0), ("hi", np.dtype("<f8"), 8), ("n", np.dtype("<i4"), 16)]
+    dtb = builder(fields, 20)
+    val = struct.pack("<ddi", 1.5, 99.25, 7)
+    k, v = _parse_attr_bytes(_attr_msg("valid_range", dtb, _ds_message(()), val))
+    assert k == "valid_range"
+    assert v == {"lo": 1.5, "hi": 99.25, "n": 7}
+
+
+@pytest.mark.parametrize("builder", [_compound_dt_v1, _compound_dt_v3])
+def test_compound_array_attribute(builder):
+    dtb = builder([("fill", np.dtype("<i4"), 0)], 4)
+    val = struct.pack("<3i", 10, 20, 30)
+    _k, v = _parse_attr_bytes(_attr_msg("levels", dtb, _ds_message((3,)), val))
+    assert v == [10, 20, 30]
+
+
+@pytest.mark.parametrize("version", [1, 3])
+def test_enum_attribute_reads_base_values(version):
+    """Enum attributes decode to their base integers (the portable
+    semantic); symbol names are parsed and kept on the datatype."""
+    dtb = _enum_dt(version, np.dtype("<i4"), {"CLEAR": 0, "CLOUDY": 1, "MISSING": 255})
+    msg = _attr_msg("flag", dtb, _ds_message(()), struct.pack("<i", 255))
+    k, v = _parse_attr_bytes(msg)
+    assert k == "flag" and v == 255
+
+    dt, used = _parse_datatype(dtb, 0)
+    assert used == len(dtb)
+    assert dt.enum_names == {0: "CLEAR", 1: "CLOUDY", 255: "MISSING"}
+    assert dt.numpy() == np.dtype("<i4")
+
+
+def test_compound_datatype_numpy_mapping():
+    dtb = _compound_dt_v3([("a", np.dtype("<f4"), 0), ("b", np.dtype("<i8"), 4)], 12)
+    dt, used = _parse_datatype(dtb, 0)
+    assert used == len(dtb)
+    nd = dt.numpy()
+    assert nd.names == ("a", "b") and nd.itemsize == 12
+    assert nd.fields["b"][1] == 4  # byte offset honored

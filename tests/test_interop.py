@@ -334,3 +334,26 @@ def test_our_reader_reads_h5py_dense_group(tmp_path):
     assert set(ours.variables) == {f"var_{i:02d}" for i in range(40)}
     for i in range(40):
         np.testing.assert_array_equal(ours.variables[f"var_{i:02d}"].data, np.full(3, float(i)))
+
+
+@requires_h5py
+def test_our_reader_reads_h5py_compound_and_enum_attrs(tmp_path):
+    """libhdf5-written compound + enum attributes: 1-field compound
+    unwraps to the scalar, multi-field maps by name, enum decodes to
+    its base integer."""
+    path = tmp_path / "cmp_enum.h5"
+    with h5py.File(str(path), "w") as f:
+        d = f.create_dataset("t2m", data=np.arange(6, dtype=np.float64))
+        one = np.zeros((), dtype=[("fill", "<f8")])
+        one["fill"] = -9999.0
+        d.attrs.create("_FillValue_wrapped", one)
+        rng = np.zeros((), dtype=[("lo", "<f8"), ("hi", "<f8")])
+        rng["lo"], rng["hi"] = 1.5, 99.25
+        d.attrs.create("valid_range_c", rng)
+        flag_t = h5py.enum_dtype({"CLEAR": 0, "MISSING": 255}, basetype="i4")
+        d.attrs.create("flag", 255, dtype=flag_t)
+    ours = read_hdf5(path.read_bytes())
+    got = ours.variables["t2m"].attributes
+    assert got["_FillValue_wrapped"] == -9999.0
+    assert got["valid_range_c"] == {"lo": 1.5, "hi": 99.25}
+    assert got["flag"] == 255
