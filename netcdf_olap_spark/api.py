@@ -129,6 +129,30 @@ def create_app(spark=None):
     def get_boundary():
         return jsonify(boundary)
 
+    # dataset registry for the map UI — the engine-computed form of the
+    # reference's hardcoded Dataset entries (map.jsx:15-23: id, boundary,
+    # description, headerAttributes), one rectangle + tooltip each
+    from netcdf_olap_spark.session import datasets_catalog
+
+    cat_rows = [
+        {
+            "ds": r["ds"],
+            "variables": list(r["variables"]),
+            "lat_min": r["lat_min"],
+            "lat_max": r["lat_max"],
+            "lon_min": r["lon_min"],
+            "lon_max": r["lon_max"],
+            "n_cells": r["n_cells"],
+            "time_min": r["time_min"].isoformat(),
+            "time_max": r["time_max"].isoformat(),
+        }
+        for r in datasets_catalog(spark).collect()
+    ]
+
+    @app.get("/datasets")
+    def get_datasets():
+        return jsonify(cat_rows)
+
     @app.post("/fetchResult")
     def fetch_result():
         payload = request.get_json(force=True) or {}

@@ -201,3 +201,64 @@ def test_api_fetch_result_as_netcdf(spark):
     payload["format"] = "tiff"
     r = client.post("/fetchResult", data=json.dumps(payload), content_type="application/json")
     assert r.status_code == 400
+
+
+def test_api_datasets_catalog_route(spark):
+    """/datasets — the map UI's dataset registry (one Leaflet rectangle
+    + tooltip per entry, reference map.jsx:174-178): boundary,
+    variable dictionary, temporal extent, JSON-serializable."""
+    from netcdf_olap_spark.api import create_app
+
+    client = create_app(spark).test_client()
+    r = client.get("/datasets")
+    assert r.status_code == 200
+    cat = r.get_json()
+    assert len(cat) == 1
+    d = cat[0]
+    assert d["ds"] == "five_lakes"
+    assert d["variables"] == sorted(d["variables"]) and len(d["variables"]) == 3
+    assert d["lat_min"] < d["lat_max"] and d["lon_min"] < d["lon_max"]
+    assert d["time_min"].startswith("1990-01-01") and d["time_max"] > d["time_min"]
+    assert d["n_cells"] == 32 * 32
+
+
+def test_api_leaflet_client_payload_shape(spark):
+    """Payload-shape coverage for the Leaflet client (round-5 ask #8):
+    the served page is the tiled-map client (tile layer + rectangle
+    draw + /datasets registry + canvas fallback), and the EXACT
+    payload it builds — closed 5-point bbox ring as a geoJson STRING,
+    comma-joined variables, format selector — round-trips through
+    /fetchResult for every format."""
+    from netcdf_olap_spark.api import create_app
+
+    client = create_app(spark).test_client()
+    html = client.get("/").data.decode()
+    # Leaflet-grade surface: tile basemap, rectangle draw, dataset
+    # tooltips, offline fallback
+    assert "leaflet" in html
+    assert "tile.openstreetmap.org/{z}/{x}/{y}.png" in html
+    assert "L.rectangle" in html and "bindTooltip" in html
+    assert "/datasets" in html and "/getBoundary" in html and "/fetchResult" in html
+    assert "canvas" in html  # air-gapped fallback retained
+    for key in ("selectDate", "variables", "geoJson", "format"):
+        assert key in html
+
+    b = client.get("/getBoundary").get_json()
+    # the client's bboxGeoJson(): closed ring, lon/lat order, STRING field
+    lon0, lon1 = b["lon_min"], (b["lon_min"] + b["lon_max"]) / 2
+    lat0, lat1 = b["lat_min"], (b["lat_min"] + b["lat_max"]) / 2
+    ring = [[lon0, lat0], [lon1, lat0], [lon1, lat1], [lon0, lat1], [lon0, lat0]]
+    for fmt, check in (("png", ".png"), ("nc", ".nc"), ("nc4", ".nc")):
+        payload = {
+            "selectDate": "1990-01-05,1990-01-12",
+            "variables": "LST_LWST_avg_daily,avg_night_temp",
+            "geoJson": json.dumps(
+                {"type": "Feature", "geometry": {"type": "Polygon", "coordinates": [ring]}}
+            ),
+            "format": fmt,
+        }
+        r = client.post("/fetchResult", data=json.dumps(payload), content_type="application/json")
+        assert r.status_code == 200, (fmt, r.data[:200])
+        with zipfile.ZipFile(io.BytesIO(r.data)) as z:
+            names = z.namelist()
+            assert len(names) == 2 and all(n.endswith(check) for n in names), names
