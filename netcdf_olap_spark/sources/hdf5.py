@@ -47,8 +47,9 @@ enums to their base integers with symbol names kept on the datatype);
 enum data variables read as base integers. Out of scope (clear
 errors, documented in README's format matrix): compound data
 variables, reference/opaque datatypes, nested-indirect fractal-heap
-rows, I/O-filtered heaps, huge/tiny heap objects, paged fixed arrays
-/ paged extensible-array data blocks, szip. Attributes with unsupported datatypes
+rows, I/O-filtered heaps, huge/tiny heap objects, paged
+extensible-array data blocks, szip. Paged FIXED-array data blocks
+(page bitmap + per-page checksums) are supported read+write. Attributes with unsupported datatypes
 (netCDF-4's DIMENSION_LIST / REFERENCE_LIST vlen references) are
 skipped, never fatal.
 
@@ -941,14 +942,41 @@ class _Reader:
             entry_size = buf[fa_addr + 6]
             page_bits = buf[fa_addr + 7]
             max_entries, db_addr = struct.unpack_from("<QQ", buf, fa_addr + 8)
-            if max_entries > (1 << page_bits):
-                raise NotImplementedError("paged fixed-array chunk index")
             if buf[db_addr : db_addr + 4] != b"FADB":
                 raise ValueError("bad fixed-array data block signature")
-            p = db_addr + 6 + 8  # sig, version, client id, header address
+            hdr_end = db_addr + 6 + 8  # sig, version, client id, header address
+            page_nelmts = 1 << page_bits
+
+            if max_entries > page_nelmts:
+                # PAGED data block (spec III.K): header, page bitmap
+                # (1 bit per page, LSB-first — set = page initialized),
+                # checksum, then the pages back-to-back, each
+                # page_nelmts elements (last page truncated) + checksum
+                npages = -(-int(max_entries) // page_nelmts)
+                bitmap = buf[hdr_end : hdr_end + (npages + 7) // 8]
+                page0 = hdr_end + (npages + 7) // 8 + 4
+                page_starts = []
+                pos = page0
+                for pg in range(npages):
+                    n_in_pg = min(page_nelmts, int(max_entries) - pg * page_nelmts)
+                    page_starts.append(pos)
+                    pos += n_in_pg * entry_size + 4
+
+                def entry_pos(i: int) -> int | None:
+                    pg, within = divmod(i, page_nelmts)
+                    if not (bitmap[pg // 8] >> (pg % 8)) & 1:
+                        return None  # uninitialized page → all fill
+                    return page_starts[pg] + within * entry_size
+            else:
+
+                def entry_pos(i: int) -> int | None:
+                    return hdr_end + i * entry_size
+
             out = []
             for i in range(int(max_entries)):
-                e = p + i * entry_size
+                e = entry_pos(i)
+                if e is None:
+                    continue
                 (caddr,) = struct.unpack_from("<Q", buf, e)
                 if caddr == UNDEF:
                     continue
@@ -1661,6 +1689,7 @@ def write_hdf5(
     bt2_node_size: int = 2048,
     dense_attrs: bool = False,
     dense_groups: bool = False,
+    fa_page_bits: int = 10,
 ) -> bytes:
     """Serialize arrays to an HDF5 file.
 
@@ -1697,6 +1726,11 @@ def write_hdf5(
     ``dense_groups`` (libver="latest" only): store the root group's
     links densely (fractal heap + type-5 name index) instead of
     compact Link messages — the "new style" group storage.
+
+    ``fa_page_bits``: fixed-array page size (2^bits elements, library
+    default 10); more chunks than one page → a PAGED data block (page
+    bitmap + per-page checksums), the layout any large fixed-shape
+    chunked dataset gets. Shrink to exercise paging at fixture size.
     """
     if libver not in ("earliest", "latest"):
         raise ValueError(f"libver must be 'earliest' or 'latest', got {libver!r}")
@@ -1776,7 +1810,7 @@ def write_hdf5(
                 elif chunk_index == "implicit":
                     body += struct.pack("<Q", btree_addr)
                 elif chunk_index == "fixed_array":
-                    body += struct.pack("<B", 10) + struct.pack("<Q", btree_addr)  # page bits, FAHD
+                    body += struct.pack("<B", fa_page_bits) + struct.pack("<Q", btree_addr)  # page bits, FAHD
                 elif chunk_index == "extensible_array":
                     # layout-message param order: max bits, index elmts,
                     # MIN POINTERS, MIN ELEMENTS, page bits — note the
@@ -1875,16 +1909,36 @@ def write_hdf5(
                     client = 1 if (gzip is not None or shuffle) else 0
                     entry_size = 20 if client else 8
                     fahd_addr, fadb_addr = addr[f"cbt:{nm}"], addr[f"fadb:{nm}"]
-                    fahd = b"FAHD" + struct.pack("<BBBB", 0, client, entry_size, 10)
+                    fahd = b"FAHD" + struct.pack("<BBBB", 0, client, entry_size, fa_page_bits)
                     fahd += struct.pack("<QQ", len(blobs), fadb_addr)
                     fahd += struct.pack("<I", lookup3(fahd))
                     pieces.append((fahd_addr, fahd))
-                    fadb = b"FADB" + struct.pack("<BB", 0, client) + struct.pack("<Q", fahd_addr)
-                    for _offs, raw, caddr in blobs:
-                        fadb += struct.pack("<Q", caddr)
+
+                    def fa_entry(b) -> bytes:
+                        _offs, raw, caddr = b
+                        e = struct.pack("<Q", caddr)
                         if client:
-                            fadb += struct.pack("<QI", len(raw), 0)
-                    fadb += struct.pack("<I", lookup3(fadb))
+                            e += struct.pack("<QI", len(raw), 0)
+                        return e
+
+                    pg_n = 1 << fa_page_bits
+                    fadb = b"FADB" + struct.pack("<BB", 0, client) + struct.pack("<Q", fahd_addr)
+                    if len(blobs) > pg_n:
+                        # paged: bitmap (every page initialized) + header
+                        # checksum, then pages each with its own checksum
+                        npages = -(-len(blobs) // pg_n)
+                        bitmap = bytearray((npages + 7) // 8)
+                        for pg in range(npages):
+                            bitmap[pg // 8] |= 1 << (pg % 8)
+                        fadb += bytes(bitmap)
+                        fadb += struct.pack("<I", lookup3(fadb))
+                        for pg in range(npages):
+                            page = b"".join(fa_entry(b) for b in blobs[pg * pg_n : (pg + 1) * pg_n])
+                            fadb += page + struct.pack("<I", lookup3(page))
+                    else:
+                        for b in blobs:
+                            fadb += fa_entry(b)
+                        fadb += struct.pack("<I", lookup3(fadb))
                     pieces.append((fadb_addr, fadb))
                 elif chunk_index == "extensible_array":
                     (client, elmt_size, size_len, arr_off, sblk_info,
@@ -2217,7 +2271,15 @@ def write_hdf5(
                 entry_size = 20 if (gzip is not None or shuffle) else 8
                 alloc(f"fahd:{nm}", 28)
                 addr[f"cbt:{nm}"] = addr[f"fahd:{nm}"]
-                alloc(f"fadb:{nm}", 6 + 8 + len(placed) * entry_size + 4)
+                pg_n = 1 << fa_page_bits
+                if len(placed) > pg_n:  # paged: bitmap + hdr checksum + per-page checksums
+                    npages = -(-len(placed) // pg_n)
+                    alloc(
+                        f"fadb:{nm}",
+                        6 + 8 + (npages + 7) // 8 + 4 + len(placed) * entry_size + 4 * npages,
+                    )
+                else:
+                    alloc(f"fadb:{nm}", 6 + 8 + len(placed) * entry_size + 4)
             elif chunk_index == "extensible_array":
                 placed = []
                 for offs, raw in blobs_src:

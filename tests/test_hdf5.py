@@ -1274,3 +1274,60 @@ def test_compound_datatype_numpy_mapping():
     nd = dt.numpy()
     assert nd.names == ("a", "b") and nd.itemsize == 12
     assert nd.fields["b"][1] == 4  # byte offset honored
+
+
+# ---------------------------------------------------------------------------
+# paged fixed-array chunk index (round 7)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("kw", [dict(), dict(gzip=4, shuffle=True)])
+def test_paged_fixed_array_roundtrip_and_structure(kw):
+    """fa_page_bits=2 (4-element pages) with 24 chunks → a PAGED data
+    block: bitmap + header checksum + 6 pages with per-page checksums
+    — the layout any large fixed-shape chunked dataset gets. Verify
+    the on-disk page geometry and value-exact decode."""
+    data, th, lat, lon = _cube(61)
+    b = _h5_bytes(data, th, lat, lon, chunks={"tas": (1, 2, 3)},
+                  chunk_index="fixed_array", fa_page_bits=2, **kw)
+    r = _Reader(b)
+    links = dict(r.group_links(r.root_btree, r.root_heap))
+    tas = {t: p for t, p, _ in r.messages(links["tas"])}
+    _k, _d, index_type, (fa_addr,) = r._parse_layout(tas[MSG_LAYOUT])
+    assert index_type == 3
+    assert b[fa_addr : fa_addr + 4] == b"FAHD"
+    client, entry_size, page_bits = b[fa_addr + 5], b[fa_addr + 6], b[fa_addr + 7]
+    assert page_bits == 2
+    assert client == (1 if kw else 0) and entry_size == (20 if kw else 8)
+    max_entries, db_addr = struct.unpack_from("<QQ", b, fa_addr + 8)
+    nchunks = NT * -(-NY // 2) * -(-NX // 3)  # 4 * 2 * 2 = 16
+    assert max_entries == nchunks == 16
+    assert b[db_addr : db_addr + 4] == b"FADB"
+    npages = -(-int(max_entries) // 4)
+    assert npages > 1
+    # bitmap: all pages initialized
+    bitmap = b[db_addr + 14 : db_addr + 14 + (npages + 7) // 8]
+    assert all((bitmap[pg // 8] >> (pg % 8)) & 1 for pg in range(npages))
+
+    f = read_hdf5(b)
+    np.testing.assert_array_equal(f.variables["tas"].data, data)
+
+
+def test_paged_fixed_array_uninitialized_page_reads_fill():
+    """Clearing a page's bitmap bit must surface that page's chunks as
+    fill (HDF5 semantics for unallocated space), not garbage."""
+    data, th, lat, lon = _cube(67)
+    b = bytearray(_h5_bytes(data, th, lat, lon, chunks={"tas": (1, 2, 3)},
+                            chunk_index="fixed_array", fa_page_bits=2))
+    r = _Reader(bytes(b))
+    links = dict(r.group_links(r.root_btree, r.root_heap))
+    tas = {t: p for t, p, _ in r.messages(links["tas"])}
+    _k, _d, _it, (fa_addr,) = r._parse_layout(tas[MSG_LAYOUT])
+    (_me, db_addr) = struct.unpack_from("<QQ", b, fa_addr + 8)
+    b[db_addr + 14] &= ~1  # clear page 0's bit
+    f = read_hdf5(bytes(b))
+    got = f.variables["tas"].data
+    # page 0 = first 4 chunks (linear order) → those cells read FILL
+    assert np.all(got[0, 0:4, 0:3] == FILL) or np.all(got[0, 0:2, 0:3] == FILL)
+    # later chunks untouched
+    np.testing.assert_array_equal(got[3], data[3])

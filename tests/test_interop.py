@@ -357,3 +357,30 @@ def test_our_reader_reads_h5py_compound_and_enum_attrs(tmp_path):
     assert got["_FillValue_wrapped"] == -9999.0
     assert got["valid_range_c"] == {"lo": 1.5, "hi": 99.25}
     assert got["flag"] == 255
+
+
+@requires_h5py
+def test_h5py_reads_our_paged_fixed_array(tmp_path):
+    """Paged fixed-array data block (page bitmap + per-page checksums):
+    libhdf5 must read our paged emission."""
+    arr = np.arange(240, dtype=np.float64).reshape(10, 24)
+    content = write_hdf5(
+        {"t2m": (arr, {})}, chunks={"t2m": (1, 6)},
+        chunk_index="fixed_array", fa_page_bits=3,  # 40 chunks / 8-elt pages
+    )
+    path = tmp_path / "paged_fa.h5"
+    path.write_bytes(content)
+    with h5py.File(str(path), "r") as f:
+        np.testing.assert_array_equal(f["t2m"][:], arr)
+
+
+@requires_h5py
+def test_our_reader_reads_h5py_paged_fixed_array(tmp_path):
+    """>1024 chunks (the default page size) force libhdf5 itself into
+    a paged fixed-array data block; our reader must decode it."""
+    arr = np.arange(1200 * 4, dtype=np.float64).reshape(1200, 4)
+    path = tmp_path / "paged_theirs.h5"
+    with h5py.File(str(path), "w", libver="latest") as f:
+        f.create_dataset("t2m", data=arr, chunks=(1, 4))  # 1200 chunks > 1024
+    ours = read_hdf5(path.read_bytes())
+    np.testing.assert_array_equal(ours.variables["t2m"].data, arr)
