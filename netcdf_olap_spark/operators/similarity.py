@@ -612,6 +612,43 @@ def semantic_dedup(
     return _keep_flags(assigned, dropped, id_col)
 
 
+def semantic_dedup_lsh(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Semantic dedup with signed-random-projection blocking instead
+    of k-means: cluster = the LSH bucket (bit i = sign(v·plane_i),
+    planes are seeded plan constants), then the SAME within-block
+    ≥-threshold / min-id-keeper machinery as ``semantic_dedup``.
+
+    Random-projection blocking is the other published blocking choice
+    for embedding dedup: no training pass at all, and the expected
+    block size N/2^planes keeps pair work sub-quadratic when planes
+    scale with log N. Because every stage — bucket bits, pair cosine,
+    keep/drop — is the engine-portable sequential double fold over
+    plan constants, the WHOLE pipeline is replayable in DuckDB SQL,
+    so this variant carries the hard value-level oracle for the
+    semantic-dedup family (queries/similarity.py
+    emb_semantic_dedup_portable); the k-means form's Lloyd training
+    stays rows-only by nature. Same one-sided guarantee: precision
+    1.0, recall < 1 only for pairs split across buckets. Returns
+    (id, cluster, is_kept). ``dim`` is the embedding width (the plane
+    matrix is a plan constant, so it must be known at build time)."""
+    planes = _planes(n_planes, dim)
+    assigned = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
+        lsh_bucket_col(F.col(vec_col), planes).alias("cluster"),
+    ).localCheckpoint(eager=True)
+    dropped = semantic_pair_dropped(assigned, threshold)
+    return _keep_flags(assigned, dropped, id_col)
+
+
 def semantic_dedup_at_rest(
     spark,
     df: DataFrame,

@@ -362,6 +362,54 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def emb_semantic_dedup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup with signed-random-projection blocking — the
+    HARD-ORACLE member of the semantic-dedup family: cluster = 8-bit
+    LSH bucket from seeded plan-constant hyperplanes (no training
+    pass), then the same within-block cosine ≥ 0.95 → min-id-keeper
+    machinery as emb_semantic_dedup. Every stage — bucket sign bits,
+    pair cosine, keep/drop — is the sequential double fold DuckDB
+    replays bitwise (the EMB_KNN_LSH pattern), so blocking, pair
+    generation AND keeper semantics all sit behind the value hash;
+    the k-means variant's Lloyd training stays rows-only by nature."""
+    return similarity.semantic_dedup_lsh(
+        _emb(spark, sf_dir), threshold=0.95, n_planes=8
+    ).orderBy("vec_id")
+
+
+def _semantic_lsh_sql(n_planes: int = 8, dim: int = 64) -> str:
+    from netcdf_olap_spark.operators.similarity import _planes
+
+    planes = _planes(n_planes, dim)
+    rows = ",\n    ".join(
+        "({}, [{}])".format(i, ", ".join(f"CAST({x!r} AS DOUBLE)" for x in p))
+        for i, p in enumerate(planes)
+    )
+    pdot = (
+        "list_sum([CAST(embedding[i] AS DOUBLE) * pv[i] "
+        "FOR i IN generate_series(1, len(embedding))])"
+    )
+    return f"""
+WITH planes AS (SELECT * FROM (VALUES
+    {rows}) AS t(pi, pv)),
+b AS (
+  SELECT vec_id, embedding,
+         CAST(SUM(CASE WHEN {pdot} >= 0 THEN (1 << pi) ELSE 0 END) AS INT) AS cluster
+  FROM embeddings CROSS JOIN planes
+  GROUP BY vec_id, embedding),
+dropped AS (
+  SELECT DISTINCT b2.vec_id AS id
+  FROM b b1 JOIN b b2 ON b1.cluster = b2.cluster AND b1.vec_id < b2.vec_id
+  WHERE {_duck_cos('b1.embedding', 'b2.embedding')} >= 0.95)
+SELECT b.vec_id, b.cluster, d.id IS NULL AS is_kept
+FROM b LEFT JOIN dropped d ON d.id = b.vec_id
+ORDER BY vec_id
+"""
+
+
+EMB_SEMANTIC_LSH_SQL = _semantic_lsh_sql()
+
+
 QUERIES = {
     "emb_knn_brute": (emb_knn_brute, EMB_KNN_BRUTE_SQL),
     "doc_embedding_near_dup": (doc_embedding_near_dup, DOC_NEAR_DUP_SQL),
@@ -374,4 +422,5 @@ QUERIES = {
     "emb_label_topk": (emb_label_topk, EMB_LABEL_TOPK_SQL),
     "emb_mmr_rerank": (emb_mmr_rerank, EMB_MMR_SQL),
     "emb_semantic_dedup": (emb_semantic_dedup, None),
+    "emb_semantic_dedup_portable": (emb_semantic_dedup_portable, EMB_SEMANTIC_LSH_SQL),
 }
