@@ -118,3 +118,99 @@ def test_cross_format_same_cube(data, shape):
     np.testing.assert_array_equal(via_nc3, cube)
     np.testing.assert_array_equal(via_cdf5, cube)
     np.testing.assert_array_equal(via_h5, cube)
+
+
+# ---------------------------------------------------------------------------
+# v2 B-tree planner/walker and fractal heap (round 7) — property tests
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=900),
+    node_size=st.sampled_from([128, 256, 512, 2048]),
+    rec_size=st.sampled_from([11, 17, 32]),
+)
+def test_btree2_plan_emit_walk_roundtrip(n, node_size, rec_size):
+    """For arbitrary record counts and node geometries: the writer's
+    plan distributes exactly n records, the emitted nodes parse back
+    through the reader's generic walker, and records come back in
+    the exact order they were inserted (in-order traversal on both
+    sides). Exercises depths 0-3 and both pointer encodings (with and
+    without the cumulative-count field)."""
+    import struct as _struct
+
+    from netcdf_olap_spark.sources.hdf5 import (
+        _b2_emit,
+        _b2_header,
+        _b2_node_sizes,
+        _b2_plan,
+        _b2_totals,
+        _Reader,
+    )
+
+    try:
+        depth, plan, mns, _cum, cum_sz = _b2_plan(n, node_size, rec_size)
+    except ValueError:
+        return  # capacity exceeded for this geometry — legal reject
+    assert _b2_totals(plan) == n
+
+    # lay the nodes into a buffer at arbitrary (8-aligned) addresses
+    sizes = _b2_node_sizes(plan, depth, rec_size, mns, cum_sz)
+    addr = {}
+    cursor = 64
+    for path, _lv, sz in sizes:
+        addr[path] = cursor
+        cursor += (sz + 7) & ~7
+    records = [i.to_bytes(8, "little") + bytes(rec_size - 8) for i in range(n)]
+    buf = bytearray(cursor + 48)
+    hdr_addr = cursor
+    buf[hdr_addr : hdr_addr + 38] = _b2_header(10, node_size, rec_size, depth, addr[""], plan[0], n)
+    for a, bts in _b2_emit(plan, depth, records, 10, mns, cum_sz, lambda p: addr[p]):
+        buf[a : a + len(bts)] = bts
+
+    r = _Reader.__new__(_Reader)
+    r.buf = bytes(buf)
+    btype, got_rec_size, recs = r._btree2_records(hdr_addr, expect={10})
+    assert btype == 10 and got_rec_size == rec_size
+    got = [int.from_bytes(r.buf[e : e + 8], "little") for e in recs]
+    assert got == list(range(n))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=900), min_size=1, max_size=60),
+)
+def test_fractal_heap_layout_resolves_every_object(sizes):
+    """_fh_layout → FRHP/FHDB bytes → _fractal_heap: every heap ID
+    resolves to exactly its object's bytes for arbitrary object-size
+    mixes (or the layout legally rejects an over-capacity heap)."""
+    from netcdf_olap_spark.sources.hdf5 import (
+        _FH_DBLK_HDR,
+        _fh_direct_block,
+        _fh_header,
+        _fh_layout,
+        _Reader,
+    )
+
+    try:
+        offs, ids, block = _fh_layout(sizes)
+    except ValueError:
+        assert sum(sizes) + _FH_DBLK_HDR > 65536  # only the capacity reject
+        return
+    objects = [bytes([i % 251]) * sz for i, sz in enumerate(sizes)]
+    fh_addr = 64
+    db_addr = fh_addr + 152  # 146 rounded up
+    used = _FH_DBLK_HDR + sum(sizes)
+    buf = bytearray(db_addr + block)
+    buf[fh_addr : fh_addr + 146] = _fh_header(len(objects), used, block, db_addr, hid_len=8)
+    db = _fh_direct_block(fh_addr, objects, block)
+    buf[db_addr : db_addr + len(db)] = db
+
+    r = _Reader.__new__(_Reader)
+    r.buf = bytes(buf)
+    resolve = r._fractal_heap(fh_addr)
+    for i, hid in enumerate(ids):
+        pos, ln = resolve(hid)
+        assert ln == sizes[i]
+        assert r.buf[pos : pos + ln] == objects[i]
