@@ -88,3 +88,21 @@ def portable_sample_key(col: Column | str, hex_digits: int = 4) -> Column:
     oracle-checked)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.substring(F.md5(c.cast("string")), 1, hex_digits)
+
+
+#: size of the 13-hex-digit (52-bit) md5-prefix space — exact in BIGINT
+#: and in DOUBLE, which is why 13 digits and not 16
+HEX13 = 16**13
+
+
+def portable_uniform52(col: Column | str) -> Column:
+    """Engine-portable uniform integer draw u ∈ [0, 16¹³): the first
+    13 hex digits of md5(value-as-string) as a BIGINT. The integer
+    form of :func:`portable_sample_key` for rate arithmetic — keep
+    a row iff ``u · N < k · 16¹³`` (exact DECIMAL cross-multiply)
+    selects the same rows in any engine and under any partitioning.
+    Single definition shared by quantizer training samples
+    (operators/similarity.py) and weighted corpus resampling
+    (queries/pipeline.py)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 13), 16, 10).cast("long")

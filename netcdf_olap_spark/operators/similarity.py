@@ -243,25 +243,25 @@ def ivf_train(
 #: the default — a driver-bounded collect by construction.
 TRAIN_SAMPLE_CAP = 100_000
 
-_HEX13 = 16**13  # 52-bit md5-hex-prefix space (exact in BIGINT)
-
 
 def train_sample(
     df: DataFrame, n_rows: int, cap: int = TRAIN_SAMPLE_CAP, id_col: str = "vec_id"
 ) -> DataFrame:
     """Deterministic ≈``cap``-row Bernoulli sample for quantizer
-    training: keep a row iff its 13-hex-digit md5(id) prefix, as an
-    integer u ∈ [0, 16¹³), satisfies u·n_rows < cap·16¹³ — an exact
-    integer cross-multiply in DECIMAL(38,0), no floats, no RNG, and
-    independent of partitioning (pure function of the id). The same
-    portable-sampling construction as queries/pipeline.py's
-    doc_weighted_sample."""
+    training: keep a row iff its 52-bit md5-prefix draw u satisfies
+    u·n_rows < cap·16¹³ — an exact integer cross-multiply in
+    DECIMAL(38,0), no floats, no RNG, and independent of partitioning
+    (pure function of the id). The draw is the ONE shared
+    ``portable_uniform52`` (operators/decontam.py) that weighted
+    corpus resampling also uses."""
+    from netcdf_olap_spark.operators.decontam import HEX13, portable_uniform52
+
     if n_rows <= cap:
         return df
-    u = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10).cast("long")
+    u = portable_uniform52(F.col(id_col))
     dec = "decimal(38,0)"
     return df.where(
-        u.cast(dec) * F.lit(str(n_rows)).cast(dec) < F.lit(str(cap * _HEX13)).cast(dec)
+        u.cast(dec) * F.lit(str(n_rows)).cast(dec) < F.lit(str(cap * HEX13)).cast(dec)
     )
 
 
@@ -322,6 +322,7 @@ def knn_ivf(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[np.ndarray] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: train the coarse quantizer, probe the
     ``nprobe`` inverted lists nearest the query, exact cosine within.
@@ -329,13 +330,18 @@ def knn_ivf(
     At corpus scale the assignment is computed once at ingest and the
     table written partitioned by ``list_id``; a probe then scans
     nprobe/n_lists of the data (partition pruning) — this function
-    fuses those stages for the benchmark corpus. ``nprobe == n_lists``
-    degenerates to exact brute force (asserted in tests). The
-    candidate filter uses ``assign_nearest_col`` so the assignment
-    strategy (and its tie behavior) always matches training — at
-    large k the probe filter must not re-bake k×dim literals into the
-    plan that the Arrow-path training avoided."""
-    centroids = ivf_train(df, n_lists=n_lists, id_col=id_col, vec_col=vec_col)
+    fuses those stages for the benchmark corpus. Repeated probes (or
+    any corpus big enough that training is the cost) should train
+    ONCE — ``ivf_train_sample`` for the bounded-sample recipe — and
+    pass ``centroids``; the internal default keeps the small
+    distributed ``ivf_train`` for the oracle-checked configurations.
+    ``nprobe == n_lists`` degenerates to exact brute force (asserted
+    in tests). The candidate filter uses ``assign_nearest_col`` so
+    the assignment strategy (and its tie behavior) always matches
+    training — at large k the probe filter must not re-bake k×dim
+    literals into the plan that the Arrow-path training avoided."""
+    if centroids is None:
+        centroids = ivf_train(df, n_lists=n_lists, id_col=id_col, vec_col=vec_col)
     qv = np.asarray(query_vec, dtype=np.float64)
     order = np.argsort([float(np.sum((qv - c) ** 2)) for c in centroids], kind="stable")
     probe = [int(i) for i in order[:nprobe]]
@@ -618,7 +624,7 @@ def semantic_dedup_lsh(
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int = 64,
+    dim: int | None = None,
 ) -> DataFrame:
     """Semantic dedup with signed-random-projection blocking instead
     of k-means: cluster = the LSH bucket (bit i = sign(v·plane_i),
@@ -637,7 +643,17 @@ def semantic_dedup_lsh(
     stays rows-only by nature. Same one-sided guarantee: precision
     1.0, recall < 1 only for pairs split across buckets. Returns
     (id, cluster, is_kept). ``dim`` is the embedding width (the plane
-    matrix is a plan constant, so it must be known at build time)."""
+    matrix is a plan constant, so it must be known at build time);
+    when omitted it is read from the first row — a mismatched width
+    must NOT proceed, because zip_with against a wrong-length plane
+    yields NULL dot products, every sign bit falls to the
+    otherwise-branch, and the whole corpus silently lands in ONE
+    bucket (a quadratic pair join at scale)."""
+    if dim is None:
+        first = df.select(F.size(vec_col).alias("d")).first()
+        if first is None:
+            raise ValueError("semantic_dedup_lsh: empty input")
+        dim = int(first["d"])
     planes = _planes(n_planes, dim)
     assigned = df.select(
         F.col(id_col).alias("id"),

@@ -327,7 +327,7 @@ FROM sc ORDER BY doc_id
 
 # --- weighted acceptance sampling -------------------------------------------
 
-HEX13 = 16**13  # 52-bit hex-prefix space → exact in BIGINT/DOUBLE
+from netcdf_olap_spark.operators.decontam import HEX13, portable_uniform52  # one shared draw
 
 
 def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -342,7 +342,7 @@ def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical in any engine and under any partitioning. max(w) is
     a 1-row broadcast; the filter itself is map-side."""
     d = _docs(spark, sf_dir)
-    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10).cast("long")
+    u = portable_uniform52(F.col("doc_id"))
     mx = d.agg(F.max("n_chars").alias("max_w"))
     dec = "decimal(38,0)"
     kept = (

@@ -332,7 +332,9 @@ def save_netcdf(
     through the driver."""
     import tempfile
 
-    _limits.guard_driver_collect(artifacts, "nc", "sinks.netcdf.export_netcdf_files", max_bytes)
+    artifacts = _limits.guard_driver_collect(
+        artifacts, "nc", "sinks.netcdf.export_netcdf_files", max_bytes
+    )
     os.makedirs(out_dir, exist_ok=True)
     paths = []
     for row in artifacts.collect():

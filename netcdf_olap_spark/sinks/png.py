@@ -293,7 +293,7 @@ def save_pngs(
     renders use :func:`render_png_files`."""
     import tempfile
 
-    _limits.guard_driver_collect(rendered, "png", "sinks.png.render_png_files", max_bytes)
+    rendered = _limits.guard_driver_collect(rendered, "png", "sinks.png.render_png_files", max_bytes)
     os.makedirs(out_dir, exist_ok=True)
     paths = []
     for row in rendered.collect():

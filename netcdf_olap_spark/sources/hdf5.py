@@ -1154,17 +1154,14 @@ class _Reader:
             raise NotImplementedError(f"v2 B-tree record type {btype} (expected one of {sorted(expect)})")
         if root_addr == UNDEF:
             return btype, rec_size, []
-        enc_size = lambda n: ((n.bit_length() - 1) // 8) + 1 if n else 1  # noqa: E731
-        max_nrec = [(node_size - 10) // rec_size]  # level 0 = leaf
-        cum_max = [max_nrec[0]]
-        cum_size = [enc_size(cum_max[0])]
-        max_nrec_size = enc_size(max_nrec[0])
-        for u in range(1, depth + 1):
-            ptr = 8 + max_nrec_size + (cum_size[u - 1] if u > 1 else 0)
-            n = (node_size - 10 - ptr) // (rec_size + ptr)
-            max_nrec.append(n)
-            cum_max.append((n + 1) * cum_max[u - 1] + n)
-            cum_size.append(enc_size(cum_max[u]))
+        # ONE definition of the per-level H5B2 geometry, shared with
+        # the writer's planner (_b2_capacities below) — reader and
+        # writer cannot drift apart
+        _max_nrec, _cum_max, cum_size, max_nrec_size = _b2_capacities(
+            node_size, rec_size, max_depth=depth
+        )
+        if depth >= len(cum_size):
+            raise ValueError(f"v2 B-tree depth {depth} impossible at node size {node_size}")
 
         out: list[int] = []
 
