@@ -47,9 +47,14 @@ enums to their base integers with symbol names kept on the datatype);
 enum data variables read as base integers. Out of scope (clear
 errors, documented in README's format matrix): compound data
 variables, reference/opaque datatypes, nested-indirect fractal-heap
-rows, I/O-filtered heaps, huge/tiny heap objects, paged
-extensible-array data blocks, szip. Paged FIXED-array data blocks
-(page bitmap + per-page checksums) are supported read+write. Attributes with unsupported datatypes
+rows, I/O-filtered heaps, huge/tiny heap objects, paged EA
+index-block-direct blocks (impossible at library defaults), szip.
+Paged FIXED-array data blocks (page bitmap in the block) and paged
+EXTENSIBLE-array data blocks (page-init bitmap in the parent super
+block, flat dblk·npages+page indexing) are supported read+write, with
+per-page checksums; bitmap bits are MSB-first within each byte, per
+libhdf5's H5VM bit macros ("bit offset 0 in the first byte's high-bit
+position"). Attributes with unsupported datatypes
 (netCDF-4's DIMENSION_LIST / REFERENCE_LIST vlen references) are
 skipped, never fatal.
 
@@ -949,9 +954,11 @@ class _Reader:
 
             if max_entries > page_nelmts:
                 # PAGED data block (spec III.K): header, page bitmap
-                # (1 bit per page, LSB-first — set = page initialized),
-                # checksum, then the pages back-to-back, each
-                # page_nelmts elements (last page truncated) + checksum
+                # (1 bit per page, MSB-first within each byte — libhdf5's
+                # H5VM_bit_get places bit offset 0 in the first byte's
+                # HIGH-bit position; set = page initialized), checksum,
+                # then the pages back-to-back, each page_nelmts elements
+                # (last page truncated) + checksum
                 npages = -(-int(max_entries) // page_nelmts)
                 bitmap = buf[hdr_end : hdr_end + (npages + 7) // 8]
                 page0 = hdr_end + (npages + 7) // 8 + 4
@@ -964,7 +971,7 @@ class _Reader:
 
                 def entry_pos(i: int) -> int | None:
                     pg, within = divmod(i, page_nelmts)
-                    if not (bitmap[pg // 8] >> (pg % 8)) & 1:
+                    if not (bitmap[pg // 8] >> (7 - pg % 8)) & 1:
                         return None  # uninitialized page → all fill
                     return page_starts[pg] + within * entry_size
             else:
@@ -1022,7 +1029,10 @@ class _Reader:
         linear index over the chunk grid SWIZZLED so the unlimited
         dimension varies slowest (H5VM_swizzle_coords) — identity for
         netCDF-4's (time, y, x) since time is already first. Paged
-        data blocks (dblk_nelmts > 2^page_bits) raise."""
+        data blocks (dblk_nelmts > 2^page_bits — super-block children
+        past ~½M chunks at libhdf5 defaults) are read via the parent
+        super block's page-init bitmap; only the index-block-direct
+        paged case (impossible at library defaults) raises."""
         buf = self.buf
         if buf[ea_addr : ea_addr + 4] != b"EAHD":
             raise ValueError("bad extensible-array header signature")
@@ -1076,15 +1086,35 @@ class _Reader:
         p += 8 * ib_ndblk_addrs
         sblk_addrs = struct.unpack_from(f"<{ib_nsblk_addrs}Q", buf, p)
 
-        def read_dblk(daddr: int, nelmts: int) -> list:
+        def read_dblk(
+            daddr: int, nelmts: int, page_init: "Callable[[int], bool] | None" = None
+        ) -> list:
             if daddr == UNDEF:
                 return [None] * nelmts
-            if nelmts > page_nelmts:
-                raise NotImplementedError("paged extensible-array data block")
+            if nelmts > page_nelmts and page_init is None:
+                # an index-block-direct data block could only page if
+                # page_bits < the early data-block sizes — libhdf5's
+                # defaults (page 1024, dblk_min 16, min_ptrs 4) never
+                # produce this, and the page-init bitmap for direct
+                # blocks has no on-disk home we know of
+                raise NotImplementedError("paged index-block-direct extensible-array data block")
             if buf[daddr : daddr + 4] != b"EADB":
                 raise ValueError("bad extensible-array data block signature")
             # sig, version, client id, header addr, block offset
-            return decode_elems(daddr + 6 + 8 + arr_off, nelmts)
+            body = daddr + 6 + 8 + arr_off
+            if nelmts <= page_nelmts:
+                return decode_elems(body, nelmts)
+            # PAGED (spec IV.A.2 / H5EAdblkpage): the block on disk is
+            # prefix + checksum only; pages follow back-to-back, each
+            # page_nelmts elements + its own checksum. Which pages are
+            # initialized lives in the PARENT super block's bitmap.
+            out: list = []
+            for pg in range(nelmts // page_nelmts):
+                if not page_init(pg):
+                    out.extend([None] * page_nelmts)
+                    continue
+                out.extend(decode_elems(body + 4 + pg * (page_nelmts * elmt_size + 4), page_nelmts))
+            return out
 
         grid_dims = tuple(-(-s // c) for s, c in zip(shape, chunk_shape))
         nchunks = int(np.prod(grid_dims)) if grid_dims else 1
@@ -1103,11 +1133,31 @@ class _Reader:
                     continue
                 if buf[saddr : saddr + 4] != b"EASB":
                     raise ValueError("bad extensible-array super block signature")
-                if nelmts > page_nelmts:
-                    raise NotImplementedError("paged extensible-array data block")
                 sp = saddr + 6 + 8 + arr_off
-                for daddr in struct.unpack_from(f"<{ndblks}Q", buf, sp):
-                    elements.extend(read_dblk(daddr, nelmts))
+                if nelmts > page_nelmts:
+                    # paged data blocks: the super block carries one flat
+                    # page-init bitstream for all its data blocks' pages
+                    # (ndblks × ceil(npages/8) bytes allocated; bit for
+                    # (dblk j, page p) at flat index j·npages + p,
+                    # MSB-first per byte — libhdf5 H5VM_bit_get)
+                    npg = nelmts // page_nelmts
+                    bm = buf[sp : sp + ndblks * ((npg + 7) // 8)]
+                    sp += len(bm)
+
+                    def pinit(j: int, p: int, _bm=bm, _npg=npg) -> bool:
+                        i = j * _npg + p
+                        return bool((_bm[i // 8] >> (7 - i % 8)) & 1)
+
+                else:
+                    pinit = None
+                for j, daddr in enumerate(struct.unpack_from(f"<{ndblks}Q", buf, sp)):
+                    elements.extend(
+                        read_dblk(
+                            daddr,
+                            nelmts,
+                            None if pinit is None else (lambda p, _j=j: pinit(_j, p)),
+                        )
+                    )
 
         unlim = 0
         if maxshape:
@@ -1921,13 +1971,14 @@ def write_hdf5(
                     pg_n = 1 << fa_page_bits
                     fadb = b"FADB" + struct.pack("<BB", 0, client) + struct.pack("<Q", fahd_addr)
                     if len(blobs) > pg_n:
-                        # paged: bitmap (every page initialized) + header
-                        # checksum, then pages each with its own checksum
+                        # paged: bitmap (every page initialized — emitted as
+                        # all-ones bytes, which reads as "all initialized"
+                        # under any bit-order interpretation; libhdf5's
+                        # H5VM bit macros are MSB-first and never consult
+                        # bits past the page count) + header checksum,
+                        # then pages each with its own checksum
                         npages = -(-len(blobs) // pg_n)
-                        bitmap = bytearray((npages + 7) // 8)
-                        for pg in range(npages):
-                            bitmap[pg // 8] |= 1 << (pg % 8)
-                        fadb += bytes(bitmap)
+                        fadb += b"\xff" * ((npages + 7) // 8)
                         fadb += struct.pack("<I", lookup3(fadb))
                         for pg in range(npages):
                             page = b"".join(fa_entry(b) for b in blobs[pg * pg_n : (pg + 1) * pg_n])
@@ -1955,8 +2006,26 @@ def write_hdf5(
 
                     eahd_addr, ib_addr = addr[f"eahd:{nm}"], addr[f"eaib:{nm}"]
                     used_sblks = sorted({u for u, _, _ in dblks if u >= ib_nsblks})
-                    ndata_bytes = sum(6 + 8 + arr_off + ne * elmt_size + 4 for _, ne, _ in dblks)
-                    nsblk_bytes = sum(6 + 8 + arr_off + 8 * sblk_info[u][0] + 4 for u in used_sblks)
+                    _pg = 1 << page_bits
+                    ndata_bytes = sum(
+                        6 + 8 + arr_off + 4 + (ne // _pg) * (_pg * elmt_size + 4)
+                        if ne > _pg
+                        else 6 + 8 + arr_off + ne * elmt_size + 4
+                        for _, ne, _ in dblks
+                    )
+                    nsblk_bytes = sum(
+                        6
+                        + 8
+                        + arr_off
+                        + (
+                            sblk_info[u][0] * ((sblk_info[u][1] // _pg + 7) // 8)
+                            if sblk_info[u][1] > _pg
+                            else 0
+                        )
+                        + 8 * sblk_info[u][0]
+                        + 4
+                        for u in used_sblks
+                    )
                     # EAHD config order: idx elmts, MIN ELEMENTS, MIN
                     # POINTERS, page bits — middle two swapped vs the
                     # layout message (H5EAhdr vs H5Dlayout field order)
@@ -1982,18 +2051,37 @@ def write_hdf5(
                     ib += struct.pack("<I", lookup3(ib))
                     pieces.append((ib_addr, ib))
 
+                    ea_page = 1 << page_bits
                     for i, (u, nelmts_u, eoff) in enumerate(dblks):
                         db = b"EADB" + bytes([0, client]) + struct.pack("<Q", eahd_addr)
                         db += eoff.to_bytes(arr_off, "little")
-                        for k in range(nelmts_u):
-                            db += enc_elmt(eoff + k)
-                        db += struct.pack("<I", lookup3(db))
+                        if nelmts_u > ea_page:
+                            # paged: prefix carries its own checksum; pages
+                            # (elements + page checksum) follow back-to-back
+                            db += struct.pack("<I", lookup3(db))
+                            for pg in range(nelmts_u // ea_page):
+                                page = b"".join(
+                                    enc_elmt(eoff + pg * ea_page + k) for k in range(ea_page)
+                                )
+                                db += page + struct.pack("<I", lookup3(page))
+                        else:
+                            for k in range(nelmts_u):
+                                db += enc_elmt(eoff + k)
+                            db += struct.pack("<I", lookup3(db))
                         pieces.append((addr[f"eadb:{nm}:{i}"], db))
 
                     for u in used_sblks:
-                        ndblks_u, _ne, start_u, _sd = sblk_info[u]
+                        ndblks_u, nelmts_u, start_u, _sd = sblk_info[u]
                         sbb = b"EASB" + bytes([0, client]) + struct.pack("<Q", eahd_addr)
                         sbb += (idx_elmts + start_u).to_bytes(arr_off, "little")
+                        if nelmts_u > ea_page:
+                            # page-init bitmap for every child data block's
+                            # pages — all pages initialized, emitted as
+                            # all-ones bytes so any bit-order interpretation
+                            # reads "initialized" (libhdf5's H5VM macros are
+                            # MSB-first; bits past the page count are never
+                            # consulted)
+                            sbb += b"\xff" * (ndblks_u * ((nelmts_u // ea_page + 7) // 8))
                         addrs_u = [addr[f"eadb:{nm}:{i}"] for i, (du, _, _) in enumerate(dblks) if du == u]
                         sbb += b"".join(struct.pack("<Q", a) for a in addrs_u)
                         sbb += struct.pack("<Q", UNDEF) * (ndblks_u - len(addrs_u))
@@ -2301,13 +2389,15 @@ def write_hdf5(
                 needed = max(0, n - idx_elmts)
                 dblks: list[tuple[int, int, int]] = []
                 cov = 0
+                ea_page = 1 << page_bits
                 for u, (ndblks_u, nelmts_u, start_u, _sd) in enumerate(sblk_info):
                     if cov >= needed:
                         break
-                    if nelmts_u > (1 << page_bits):
+                    if nelmts_u > ea_page and u < ib_nsblks:
                         raise ValueError(
-                            f"{n} chunks for {nm!r} need paged extensible-array "
-                            "data blocks (unsupported); raise page_bits or chunk larger"
+                            f"{n} chunks for {nm!r} would page an index-block-direct "
+                            "extensible-array data block (no on-disk page bitmap "
+                            "exists there); raise page_bits or min_ptrs"
                         )
                     for j in range(ndblks_u):
                         if cov >= needed:
@@ -2320,9 +2410,22 @@ def write_hdf5(
                 addr[f"cbt:{nm}"] = addr[f"eahd:{nm}"]
                 alloc(f"eaib:{nm}", 6 + 8 + idx_elmts * elmt_size + 8 * (ib_ndblk + ib_nsblk) + 4)
                 for i, (u, nelmts_u, _eoff) in enumerate(dblks):
-                    alloc(f"eadb:{nm}:{i}", 6 + 8 + arr_off + nelmts_u * elmt_size + 4)
+                    if nelmts_u > ea_page:
+                        # paged: prefix + its checksum, then per-page
+                        # (elements + checksum) laid back-to-back
+                        npg = nelmts_u // ea_page
+                        alloc(
+                            f"eadb:{nm}:{i}",
+                            6 + 8 + arr_off + 4 + npg * (ea_page * elmt_size + 4),
+                        )
+                    else:
+                        alloc(f"eadb:{nm}:{i}", 6 + 8 + arr_off + nelmts_u * elmt_size + 4)
                 for u in sorted({u for u, _, _ in dblks if u >= ib_nsblks}):
-                    alloc(f"easb:{nm}:{u}", 6 + 8 + arr_off + 8 * sblk_info[u][0] + 4)
+                    ndblks_u, nelmts_u = sblk_info[u][0], sblk_info[u][1]
+                    bm_bytes = (
+                        ndblks_u * ((nelmts_u // ea_page + 7) // 8) if nelmts_u > ea_page else 0
+                    )
+                    alloc(f"easb:{nm}:{u}", 6 + 8 + arr_off + bm_bytes + 8 * ndblks_u + 4)
                 addr[f"eaplan:{nm}"] = (
                     client, elmt_size, size_len, arr_off, sblk_info, ib_nsblks, ib_ndblk, ib_nsblk, dblks
                 )

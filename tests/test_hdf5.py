@@ -1305,9 +1305,10 @@ def test_paged_fixed_array_roundtrip_and_structure(kw):
     assert b[db_addr : db_addr + 4] == b"FADB"
     npages = -(-int(max_entries) // 4)
     assert npages > 1
-    # bitmap: all pages initialized
+    # bitmap: all pages initialized (all-ones bytes — readable under
+    # any bit order; the reader itself is MSB-first per H5VM_bit_get)
     bitmap = b[db_addr + 14 : db_addr + 14 + (npages + 7) // 8]
-    assert all((bitmap[pg // 8] >> (pg % 8)) & 1 for pg in range(npages))
+    assert bitmap == b"\xff" * len(bitmap)
 
     f = read_hdf5(b)
     np.testing.assert_array_equal(f.variables["tas"].data, data)
@@ -1324,10 +1325,115 @@ def test_paged_fixed_array_uninitialized_page_reads_fill():
     tas = {t: p for t, p, _ in r.messages(links["tas"])}
     _k, _d, _it, (fa_addr,) = r._parse_layout(tas[MSG_LAYOUT])
     (_me, db_addr) = struct.unpack_from("<QQ", b, fa_addr + 8)
-    b[db_addr + 14] &= ~1  # clear page 0's bit
+    # clear page 0's bit — bit offset 0 lives in the HIGH-bit position
+    # of the first bitmap byte (libhdf5 H5VM_bit_get is MSB-first)
+    b[db_addr + 14] &= 0x7F
     f = read_hdf5(bytes(b))
     got = f.variables["tas"].data
     # page 0 = first 4 chunks (linear order) → those cells read FILL
     assert np.all(got[0, 0:4, 0:3] == FILL) or np.all(got[0, 0:2, 0:3] == FILL)
     # later chunks untouched
     np.testing.assert_array_equal(got[3], data[3])
+
+
+# ---------------------------------------------------------------------------
+# paged extensible-array data blocks (round 7)
+# ---------------------------------------------------------------------------
+
+# (max_bits, idx_elmts, min_ptrs, min_elmts, page_bits=2 → 4-element
+# pages). Super-block table: u0 1×2, u1 1×4 (both index-block-direct,
+# unpaged), u2 2×4, u3 2×8 — u3's data blocks exceed one page → PAGED.
+# 24 chunks land exactly one paged data block (2 pages) under u3's EASB.
+_EA_PAGED = (32, 2, 2, 2, 2)
+
+
+def _u3_easb(b: bytes, arr_off: int) -> int:
+    """Address of u3's super block — the PAGED one (u2's EASB exists
+    too but its 4-element data blocks fit one page). Identified by its
+    block-offset field: idx(2) + u0(2) + u1(4) + u2(8) = 16."""
+    pos = -1
+    while True:
+        pos = b.find(b"EASB", pos + 1)
+        assert pos != -1, "no u3 EASB found"
+        if int.from_bytes(b[pos + 14 : pos + 14 + arr_off], "little") == 16:
+            return pos
+
+
+def _ea_paged_file(seed: int, **kw):
+    data, th, lat, lon = _cube(seed)
+    b = _h5_bytes(data, th, lat, lon, chunks={"tas": (1, 2, 2)},
+                  chunk_index="extensible_array", ea_params=_EA_PAGED, **kw)
+    r = _Reader(b)
+    links = dict(r.group_links(r.root_btree, r.root_heap))
+    tas = {t: p for t, p, _ in r.messages(links["tas"])}
+    _k, _d, it, info = r._parse_layout(tas[MSG_LAYOUT])
+    assert it == 4
+    return data, b, r, info
+
+
+@pytest.mark.parametrize("kw", [dict(), dict(gzip=4, shuffle=True)])
+def test_paged_extensible_array_roundtrip_and_structure(kw):
+    """A super-block data block larger than one page is stored as
+    prefix+checksum followed by per-page (elements+checksum) runs,
+    with the page-init bitmap in the PARENT super block (spec IV.A.2 /
+    H5EAdblkpage) — the shape a >~half-million-chunk appended
+    time-series reaches at libhdf5 defaults. Verify on-disk geometry
+    and value-exact decode."""
+    from netcdf_olap_spark.sources.hdf5 import lookup3
+
+    data, b, r, info = _ea_paged_file(71, **kw)
+    arr_off = 4  # (max_bits=32+7)//8
+    saddr = _u3_easb(b, arr_off)
+    sp = saddr + 6 + 8 + arr_off
+    # bitmap: 2 dblks × ceil(2 pages / 8) = 2 bytes, all-ones
+    assert b[sp : sp + 2] == b"\xff\xff"
+    (daddr,) = struct.unpack_from("<Q", b, sp + 2)
+    assert b[daddr : daddr + 4] == b"EADB"
+    prefix_len = 6 + 8 + arr_off
+    assert struct.unpack_from("<I", b, daddr + prefix_len)[0] == lookup3(
+        b[daddr : daddr + prefix_len]
+    )
+    from netcdf_olap_spark.sources.hdf5 import _chunk_size_len
+
+    # addr [+ stored-size (width from the chunk byte size) + mask]
+    elmt_size = 8 if not kw else 8 + _chunk_size_len(1 * 2 * 2 * 8) + 4
+    page_bytes = 4 * elmt_size
+    pg0 = daddr + prefix_len + 4
+    assert struct.unpack_from("<I", b, pg0 + page_bytes)[0] == lookup3(
+        b[pg0 : pg0 + page_bytes]
+    )
+    entries = r._chunk_entries_v4((NT, NY, NX), (1, 2, 2), 8, 4, info, bool(kw),
+                                  (UNDEF, NY, NX))
+    assert len(entries) == 4 * 2 * 3
+    f = read_hdf5(b)
+    np.testing.assert_array_equal(f.variables["tas"].data, data)
+
+
+def test_paged_extensible_array_uninitialized_page_reads_fill():
+    """Clearing a page's bit in the super block's bitmap must surface
+    exactly that page's chunks as fill — flat MSB-first indexing
+    (dblk j · npages + page, per libhdf5 H5VM_bit_get)."""
+    data, b, r, info = _ea_paged_file(73)
+    mb = bytearray(b)
+    saddr = _u3_easb(b, 4)
+    sp = saddr + 6 + 8 + 4
+    mb[sp] &= 0x7F  # dblk 0, page 0 → flat bit 0 = first byte's high bit
+    got = read_hdf5(bytes(mb)).variables["tas"].data
+    # elements 16..19 of the array = page 0 of u3's first data block;
+    # chunk grid is (4,2,3) over chunk shape (1,2,2)
+    fill_mask = np.zeros_like(data, dtype=bool)
+    for lin in range(16, 20):
+        t, rem = divmod(lin, 6)
+        cy, cx = divmod(rem, 3)
+        fill_mask[t, cy * 2 : cy * 2 + 2, cx * 2 : cx * 2 + 2] = True
+    assert np.all(got[fill_mask] == FILL)
+    np.testing.assert_array_equal(got[~fill_mask], data[~fill_mask])
+
+
+def test_paged_extensible_array_direct_block_raises():
+    """page_bits below the index-block-direct data-block sizes has no
+    on-disk bitmap home — the writer must refuse, not corrupt."""
+    data, th, lat, lon = _cube(79)
+    with pytest.raises(ValueError, match="index-block-direct"):
+        _h5_bytes(data, th, lat, lon, chunks={"tas": (1, 2, 3)},
+                  chunk_index="extensible_array", ea_params=(32, 2, 2, 2, 1))

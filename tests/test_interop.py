@@ -384,3 +384,22 @@ def test_our_reader_reads_h5py_paged_fixed_array(tmp_path):
         f.create_dataset("t2m", data=arr, chunks=(1, 4))  # 1200 chunks > 1024
     ours = read_hdf5(path.read_bytes())
     np.testing.assert_array_equal(ours.variables["t2m"].data, arr)
+
+
+@requires_h5py
+def test_h5py_reads_our_paged_extensible_array(tmp_path):
+    """Paged extensible-array data blocks (page-init bitmap in the
+    parent super block, prefix + per-page checksums in the block):
+    libhdf5 must read our paged emission. libhdf5 itself only pages
+    EA chunk indexes past ~½M chunks, so the reverse direction is
+    impractical to fixture — this direction is the one that validates
+    our bitmap/page layout against the real library."""
+    arr = np.arange(24 * 4, dtype=np.float64).reshape(24, 4)
+    content = write_hdf5(
+        {"t2m": (arr, {})}, chunks={"t2m": (1, 4)},  # 24 chunks along time
+        chunk_index="extensible_array", ea_params=(32, 2, 2, 2, 2),
+    )
+    path = tmp_path / "paged_ea.h5"
+    path.write_bytes(content)
+    with h5py.File(str(path), "r") as f:
+        np.testing.assert_array_equal(f["t2m"][:], arr)
