@@ -185,6 +185,9 @@ def minhash_lsh_pairs_portable(
     banded = sigs.select("id", F.explode(F.array(*band_cols)).alias("bk")).select(
         "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
+    # same rationale as the fast path: don't re-derive the signature
+    # subtree for the second side of the self-join
+    banded = banded.localCheckpoint(eager=True)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -275,6 +278,12 @@ def minhash_lsh_pairs(
     banded = sigs.select("id", F.explode(F.array(*band_cols)).alias("bs")).select(
         "id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
+    # Both sides of the candidate self-join read `banded`; without a cut
+    # each side re-derives the FULL signature subtree (tokenize + shingle
+    # + k min-aggs over the whole corpus — ReusedExchange is not
+    # guaranteed under AQE). Materializing bands×1 long per doc is tiny
+    # next to re-scanning the corpus, at any scale.
+    banded = banded.localCheckpoint(eager=True)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig")) & (F.col("a.id") < F.col("b.id")))

@@ -44,10 +44,11 @@ blocks, which libhdf5 produces as heaps grow. Compound and enum
 datatypes decode for ATTRIBUTES (v1/v2/v3 member encodings; 1-field
 compounds — a wild-type ``_FillValue`` shape — unwrap to the scalar,
 enums to their base integers with symbol names kept on the datatype);
-enum data variables read as base integers. Out of scope (clear
-errors, documented in README's format matrix): compound data
-variables, reference/opaque datatypes, nested-indirect fractal-heap
-rows, I/O-filtered heaps, huge/tiny heap objects, paged EA
+enum data variables read as base integers. Fractal heaps read at ANY
+depth — rows past max_direct_rows recurse into child indirect blocks
+per the doubling table. Out of scope (clear errors, documented in
+README's format matrix): compound data variables, reference/opaque
+datatypes, I/O-filtered heaps, huge/tiny heap objects, paged EA
 index-block-direct blocks (impossible at library defaults), szip.
 Paged FIXED-array data blocks (page bitmap in the block) and paged
 EXTENSIBLE-array data blocks (page-init bitmap in the parent super
@@ -520,9 +521,11 @@ class _Reader:
         ID Length header field may be LARGER (dense-attribute heaps
         declare 8 while encoding 7 meaningful bytes) — trailing pad is
         ignored. Supports a root direct block (FHDB) or a root
-        indirect block (FHIB) whose rows point at direct blocks;
-        nested indirect rows (heaps past ~width·max_direct bytes)
-        raise cleanly."""
+        indirect block (FHIB); rows past max_direct_rows hold CHILD
+        indirect blocks (the doubling table, spec III.G), walked
+        recursively — a child at row r spans start_size·2^(r-1) bytes
+        and has log2(span) − log2(start_size·width) + 1 rows of its
+        own (H5HF__dtable_size_to_rows)."""
         buf = self.buf
         if buf[addr : addr + 4] != b"FRHP":
             raise ValueError("bad fractal heap signature")
@@ -548,24 +551,36 @@ class _Reader:
 
         # (heap offset, block size, file address) for every direct block
         blocks: list[tuple[int, int, int]] = []
+        # doubling-table row geometry: rows 0/1 are start_size, then
+        # doubling; rows whose block size exceeds max_direct hold
+        # CHILD indirect blocks instead of direct ones
+        max_direct_rows = (max_direct.bit_length() - start_size.bit_length()) + 2
+        first_row_bits = (start_size.bit_length() - 1) + (width.bit_length() - 1)
+
+        def walk_iblock(iaddr: int, nrows: int, base_off: int) -> None:
+            if buf[iaddr : iaddr + 4] != b"FHIB":
+                raise ValueError("bad fractal heap indirect block signature")
+            q = iaddr + 4 + 1 + 8 + off_size  # sig, version, heap addr, block offset
+            heap_off = base_off
+            for r in range(nrows):
+                row_size = start_size if r < 2 else start_size << (r - 1)
+                for _c in range(width):
+                    (caddr,) = struct.unpack_from("<Q", buf, q)
+                    q += 8
+                    if caddr != UNDEF:
+                        if r < max_direct_rows:
+                            blocks.append((heap_off, row_size, caddr))
+                        else:
+                            # nested indirect child spanning row_size bytes
+                            child_rows = (row_size.bit_length() - 1) - first_row_bits + 1
+                            walk_iblock(caddr, child_rows, heap_off)
+                    heap_off += row_size
+
         if root_blk != UNDEF:
             if cur_rows == 0:  # root IS a direct block of the starting size
                 blocks.append((0, start_size, root_blk))
             else:
-                if buf[root_blk : root_blk + 4] != b"FHIB":
-                    raise ValueError("bad fractal heap indirect block signature")
-                q = root_blk + 4 + 1 + 8 + off_size  # sig, version, heap addr, block offset
-                heap_off = 0
-                for r in range(cur_rows):
-                    row_size = start_size if r < 2 else start_size << (r - 1)
-                    if row_size > max_direct:
-                        raise NotImplementedError("nested indirect fractal heap rows")
-                    for _c in range(width):
-                        (daddr,) = struct.unpack_from("<Q", buf, q)
-                        q += 8
-                        if daddr != UNDEF:
-                            blocks.append((heap_off, row_size, daddr))
-                        heap_off += row_size
+                walk_iblock(root_blk, cur_rows, 0)
 
         def resolve(heap_id: bytes) -> tuple[int, int]:
             b0 = heap_id[0]

@@ -1171,6 +1171,76 @@ def test_fractal_heap_indirect_and_checksummed_blocks():
             assert buf[opos : opos + ln] == objs[i]
 
 
+def test_fractal_heap_nested_indirect_rows():
+    """Rows past max_direct_rows hold CHILD indirect blocks (spec
+    III.G doubling table) — the shape a dense group reaches past
+    ~width·max_direct bytes of link messages. width=4, start=512,
+    max_direct=1024 → max_direct_rows=3; row 3's children each span
+    2048 bytes and carry one row of four 512-byte direct blocks."""
+    width, start, max_direct = 4, 512, 1024
+    dblk_hdr = 13 + _FH_OFF_SIZE
+    out = bytearray(HDF5_MAGIC + struct.pack("<BBBB", 2, 8, 8, 0) + struct.pack("<QQQQ", 0, UNDEF, 0, UNDEF))
+    out += struct.pack("<I", lookup3(bytes(out)))
+
+    def put(bts: bytes) -> int:
+        out.extend(b"\x00" * (-len(out) % 8))
+        a = len(out)
+        out.extend(bts)
+        return a
+
+    hdr_addr = put(b"\x00" * 146)
+
+    def direct_block(heap_off: int, objs: list[bytes]):
+        body = bytearray(b"FHDB" + bytes([0]) + struct.pack("<Q", hdr_addr) + heap_off.to_bytes(4, "little"))
+        ids = []
+        for ob in objs:
+            off = heap_off + len(body)
+            ids.append((bytes([0]) + off.to_bytes(4, "little") + len(ob).to_bytes(2, "little"), ob))
+            body += ob
+        body += b"\x00" * (start - len(body))
+        return put(bytes(body)), ids
+
+    objs_root = [b"A" * 100, b"B" * 150]
+    objs_c0 = [b"C" * 200, b"D" * 120]
+    objs_c1 = [b"E" * 90]
+    all_ids = []
+    d_root, ids = direct_block(0, objs_root)
+    all_ids += ids
+    # child indirect block at root row 3, col 0 → heap base
+    # 2·(4·512) + 4·1024 = 8192; its row-0 direct blocks at 8192, 8704
+    d_c0, ids = direct_block(8192, objs_c0)
+    all_ids += ids
+    d_c1, ids = direct_block(8192 + 512, objs_c1)
+    all_ids += ids
+    child = bytearray(b"FHIB" + bytes([0]) + struct.pack("<Q", hdr_addr) + (8192).to_bytes(4, "little"))
+    child += struct.pack("<QQQQ", d_c0, d_c1, UNDEF, UNDEF)
+    child_addr = put(bytes(child))
+    root = bytearray(b"FHIB" + bytes([0]) + struct.pack("<Q", hdr_addr) + (0).to_bytes(4, "little"))
+    entries = [d_root] + [UNDEF] * 11  # rows 0-2: direct (only col 0 of row 0 used)
+    entries += [child_addr, UNDEF, UNDEF, UNDEF]  # row 3: indirect children
+    for e in entries:
+        root += struct.pack("<Q", e)
+    root_addr = put(bytes(root))
+
+    h = bytearray(b"FRHP" + struct.pack("<BHHB", 0, 7, 0, 0))
+    h += struct.pack("<I", 4096)
+    h += struct.pack("<QQ", 0, UNDEF) + struct.pack("<QQ", 0, UNDEF)
+    h += struct.pack("<QQQ", 16384, 16384, 16384)
+    h += struct.pack("<QQQQQ", len(all_ids), 0, 0, 0, 0)
+    h += struct.pack("<HQQ", width, start, max_direct)
+    h += struct.pack("<HH", 32, 1)
+    h += struct.pack("<QH", root_addr, 4)
+    h += struct.pack("<I", lookup3(bytes(h)))
+    out[hdr_addr : hdr_addr + len(h)] = h
+
+    buf = bytes(out)
+    resolve = _Reader(buf)._fractal_heap(hdr_addr)
+    for hid, ob in all_ids:
+        opos, ln = resolve(hid)
+        assert ln == len(ob)
+        assert buf[opos : opos + ln] == ob
+
+
 # ---------------------------------------------------------------------------
 # compound / enum attribute datatypes (round 7)
 # ---------------------------------------------------------------------------
