@@ -44,12 +44,15 @@ blocks, which libhdf5 produces as heaps grow. Compound and enum
 datatypes decode for ATTRIBUTES (v1/v2/v3 member encodings; 1-field
 compounds — a wild-type ``_FillValue`` shape — unwrap to the scalar,
 enums to their base integers with symbol names kept on the datatype);
-enum data variables read as base integers. Fractal heaps read at ANY
-depth — rows past max_direct_rows recurse into child indirect blocks
-per the doubling table. Out of scope (clear errors, documented in
-README's format matrix): compound data variables, reference/opaque
-datatypes, I/O-filtered heaps, huge/tiny heap objects, paged EA
-index-block-direct blocks (impossible at library defaults), szip.
+enum data variables read as base integers; compound DATA variables
+(station-record shapes) read as numpy structured arrays and write as
+v3 compound datatype messages, member offsets honored (padding holes
+kept). Fractal heaps read at ANY depth — rows past max_direct_rows
+recurse into child indirect blocks per the doubling table. Out of
+scope (clear errors, documented in README's format matrix):
+reference/opaque datatypes, I/O-filtered heaps, huge/tiny heap
+objects, paged EA index-block-direct blocks (impossible at library
+defaults), szip.
 Paged FIXED-array data blocks (page bitmap in the block) and paged
 EXTENSIBLE-array data blocks (page-init bitmap in the parent super
 block, flat dblk·npages+page indexing) are supported read+write, with
@@ -1460,6 +1463,20 @@ def _dt_message(arr: np.ndarray) -> bytes:
         return bytes([0x10]) + bits + struct.pack("<I", dt.itemsize) + props
     if dt.kind == "S":
         return bytes([0x13, 0x00, 0x00, 0x00]) + struct.pack("<I", dt.itemsize)
+    if dt.kind == "V" and dt.names:
+        # compound, VERSION 3 encoding (spec IV.A.2.d): member names
+        # NUL-terminated without padding, byte offsets in the minimum
+        # width for the compound's size; nested member messages reuse
+        # the scalar emitters above
+        off_len = ((dt.itemsize.bit_length() - 1) // 8) + 1 if dt.itemsize else 1
+        n = len(dt.names)
+        body = bytearray(bytes([0x36, n & 0xFF, (n >> 8) & 0xFF, 0]) + struct.pack("<I", dt.itemsize))
+        for name in dt.names:
+            mdt, moff = dt.fields[name][0], dt.fields[name][1]
+            body += name.encode("utf-8") + b"\x00"
+            body += int(moff).to_bytes(off_len, "little")
+            body += _dt_message(np.zeros((), dtype=mdt))
+        return bytes(body)
     raise NotImplementedError(f"cannot write dtype {dt}")
 
 

@@ -1171,6 +1171,42 @@ def test_fractal_heap_indirect_and_checksummed_blocks():
             assert buf[opos : opos + ln] == objs[i]
 
 
+@pytest.mark.parametrize(
+    "kw", [dict(), dict(chunks={"station": (2, 2)}), dict(chunks={"station": (2, 2)}, gzip=4, shuffle=True)]
+)
+def test_compound_data_variable_roundtrip(kw):
+    """Compound DATA variables (station-record shapes) read as numpy
+    structured arrays through every layout: contiguous, chunked, and
+    shuffled+deflated chunks. Writer emits a v3 compound datatype
+    message; reader maps it through _DT.numpy()."""
+    rec = np.dtype([("temp", "<f8"), ("nobs", "<i4"), ("flag", "u1")])
+    arr = np.zeros((4, 3), dtype=rec)
+    arr["temp"] = np.arange(12).reshape(4, 3) * 1.5
+    arr["nobs"] = np.arange(12).reshape(4, 3)
+    arr["flag"] = (np.arange(12) % 2).reshape(4, 3).astype("u1")
+    b = write_hdf5({"station": (arr, {"long_name": "station record"})}, **kw)
+    got = read_hdf5(b).variables["station"]
+    assert got.data.dtype.names == ("temp", "nobs", "flag")
+    for f_ in rec.names:
+        np.testing.assert_array_equal(got.data[f_], arr[f_])
+    assert got.attributes["long_name"] == "station record"
+
+
+def test_compound_data_variable_padded_offsets():
+    """Aligned compounds carry padding holes; member byte offsets in
+    the v3 message must be honored, not recomputed packed."""
+    rec = np.dtype({"names": ["a", "b"], "formats": ["<i2", "<f8"], "offsets": [0, 8], "itemsize": 16})
+    arr = np.zeros((5,), dtype=rec)
+    arr["a"] = np.arange(5)
+    arr["b"] = np.arange(5) * 0.25
+    b = write_hdf5({"v": (arr, {})})
+    got = read_hdf5(b).variables["v"].data
+    assert got.dtype.itemsize == 16
+    assert got.dtype.fields["b"][1] == 8
+    np.testing.assert_array_equal(got["a"], arr["a"])
+    np.testing.assert_array_equal(got["b"], arr["b"])
+
+
 def test_fractal_heap_nested_indirect_rows():
     """Rows past max_direct_rows hold CHILD indirect blocks (spec
     III.G doubling table) — the shape a dense group reaches past

@@ -387,6 +387,29 @@ def test_our_reader_reads_h5py_paged_fixed_array(tmp_path):
 
 
 @requires_h5py
+def test_compound_data_variable_both_directions(tmp_path):
+    """Compound DATA variables: h5py reads our v3 compound emission;
+    our reader decodes an h5py-written compound dataset (including
+    libhdf5's own member layout choices)."""
+    rec = np.dtype([("temp", "<f8"), ("nobs", "<i4")])
+    arr = np.zeros((6,), dtype=rec)
+    arr["temp"] = np.arange(6) * 0.5
+    arr["nobs"] = np.arange(6)
+    ours = tmp_path / "comp_ours.h5"
+    ours.write_bytes(write_hdf5({"station": (arr, {})}, chunks={"station": (2,)}, gzip=4))
+    with h5py.File(str(ours), "r") as f:
+        got = f["station"][:]
+        np.testing.assert_array_equal(got["temp"], arr["temp"])
+        np.testing.assert_array_equal(got["nobs"], arr["nobs"])
+    theirs = tmp_path / "comp_theirs.h5"
+    with h5py.File(str(theirs), "w") as f:
+        f.create_dataset("station", data=arr, chunks=(2,), compression="gzip")
+    back = read_hdf5(theirs.read_bytes()).variables["station"].data
+    np.testing.assert_array_equal(back["temp"], arr["temp"])
+    np.testing.assert_array_equal(back["nobs"], arr["nobs"])
+
+
+@requires_h5py
 def test_h5py_reads_our_paged_extensible_array(tmp_path):
     """Paged extensible-array data blocks (page-init bitmap in the
     parent super block, prefix + per-page checksums in the block):
