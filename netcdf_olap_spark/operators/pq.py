@@ -171,13 +171,13 @@ def write_ivfpq_index(
     (IVF) and the I/O *density* (PQ, ~16×) legs of billion-scale ANN.
     Assignment and encoding are pure maps against plan constants; one
     writer per list avoids tiny files."""
-    from netcdf_olap_spark.operators.similarity import ivf_assign_col
+    from netcdf_olap_spark.operators.similarity import assign_nearest_col
 
     (
         df.select(
             F.col(id_col),
             pq_codes_col(F.col(vec_col), codebooks).alias("codes"),
-            ivf_assign_col(F.col(vec_col), centroids).alias("list_id"),
+            assign_nearest_col(F.col(vec_col), centroids).alias("list_id"),
         )
         .repartition("list_id")
         .write.partitionBy("list_id")

@@ -126,7 +126,7 @@ def _lsh_oracle_sql(n_planes: int = 8, dim: int = 64) -> str:
 
     planes = _planes(n_planes, dim)
     rows = ",\n    ".join(
-        "({}, [{}])".format(i, ", ".join(f"CAST({x!r} AS DOUBLE)" for x in p))
+        "({}, [{}])".format(i, ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in p))
         for i, p in enumerate(planes)
     )
     pdot = (
@@ -382,7 +382,7 @@ def _semantic_lsh_sql(n_planes: int = 8, dim: int = 64) -> str:
 
     planes = _planes(n_planes, dim)
     rows = ",\n    ".join(
-        "({}, [{}])".format(i, ", ".join(f"CAST({x!r} AS DOUBLE)" for x in p))
+        "({}, [{}])".format(i, ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in p))
         for i, p in enumerate(planes)
     )
     pdot = (

@@ -337,7 +337,12 @@ def save_netcdf(
     )
     os.makedirs(out_dir, exist_ok=True)
     paths = []
-    for row in artifacts.collect():
+    try:
+        rows = artifacts.collect()
+    finally:
+        # release the guard's executor-side pin (no-op when unpinned)
+        artifacts.unpersist()
+    for row in rows:
         p = os.path.join(out_dir, nc_filename(row.ds, row.variable, row.fmt))
         fd, tmp = tempfile.mkstemp(dir=out_dir, suffix=".nc.tmp")
         with os.fdopen(fd, "wb") as f:

@@ -296,7 +296,12 @@ def save_pngs(
     rendered = _limits.guard_driver_collect(rendered, "png", "sinks.png.render_png_files", max_bytes)
     os.makedirs(out_dir, exist_ok=True)
     paths = []
-    for row in rendered.collect():
+    try:
+        rows = rendered.collect()
+    finally:
+        # release the guard's executor-side pin (no-op when unpinned)
+        rendered.unpersist()
+    for row in rows:
         p = os.path.join(out_dir, png_filename(row.variable, start_date, end_date, prefix))
         fd, tmp = tempfile.mkstemp(dir=out_dir, suffix=".png.tmp")
         with os.fdopen(fd, "wb") as f:

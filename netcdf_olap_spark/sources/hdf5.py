@@ -1447,6 +1447,12 @@ def read_hdf5(content: bytes, variables: list[str] | None = None) -> H5File:
 def _dt_message(arr: np.ndarray) -> bytes:
     """Datatype message body for the array's dtype (v1, little-endian)."""
     dt = arr.dtype
+    if dt.byteorder == ">":
+        # the emitted descriptors below hard-code little-endian bit
+        # order while the data path writes raw ``tobytes()`` — a
+        # big-endian dtype would round-trip byte-swapped; callers
+        # byteswap to native first
+        raise NotImplementedError(f"cannot write big-endian dtype {dt}")
     if dt.kind == "f":
         if dt.itemsize == 8:
             props = struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023)
@@ -1473,6 +1479,14 @@ def _dt_message(arr: np.ndarray) -> bytes:
         body = bytearray(bytes([0x36, n & 0xFF, (n >> 8) & 0xFF, 0]) + struct.pack("<I", dt.itemsize))
         for name in dt.names:
             mdt, moff = dt.fields[name][0], dt.fields[name][1]
+            if mdt.subdtype is not None:
+                # a sub-array member would need an array datatype
+                # (class 10) wrapper; emitting the scalar base type
+                # alone would describe only the first element and
+                # every reader would silently drop the rest
+                raise NotImplementedError(
+                    f"cannot write compound sub-array member {name!r}: {mdt}"
+                )
             body += name.encode("utf-8") + b"\x00"
             body += int(moff).to_bytes(off_len, "little")
             body += _dt_message(np.zeros((), dtype=mdt))

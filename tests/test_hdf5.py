@@ -1543,3 +1543,25 @@ def test_paged_extensible_array_direct_block_raises():
     with pytest.raises(ValueError, match="index-block-direct"):
         _h5_bytes(data, th, lat, lon, chunks={"tas": (1, 2, 3)},
                   chunk_index="extensible_array", ea_params=(32, 2, 2, 2, 1))
+
+
+def test_compound_subarray_member_raises():
+    """A sub-array member would need a class-10 array datatype wrapper;
+    the scalar fallback would describe only element [0] and readers
+    would silently drop the rest — must refuse, not corrupt."""
+    rec = np.dtype([("a", "<f8", (2,)), ("b", "<i4")])
+    arr = np.zeros((3,), dtype=rec)
+    with pytest.raises(NotImplementedError, match="sub-array"):
+        write_hdf5({"v": (arr, {})})
+
+
+def test_big_endian_dtype_raises():
+    """The writer's datatype descriptors hard-code little-endian while
+    the data path writes raw tobytes() — a big-endian array would
+    round-trip byte-swapped. Refuse both scalar and compound-member
+    forms."""
+    with pytest.raises(NotImplementedError, match="big-endian"):
+        write_hdf5({"v": (np.arange(4, dtype=">f8"), {})})
+    rec = np.dtype([("a", ">i4"), ("b", "<f4")])
+    with pytest.raises(NotImplementedError, match="big-endian"):
+        write_hdf5({"v": (np.zeros((3,), dtype=rec), {})})

@@ -145,3 +145,32 @@ def test_adc_is_pure_map_plan(emb, codebooks):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_write_ivfpq_assignment_matches_arrow_path_at_large_k(emb, codebooks, spark, tmp_path):
+    """write_ivfpq_index routes through assign_nearest_col, so above
+    PLAN_LITERAL_MAX_LISTS the coarse assignment comes from the Arrow
+    path — no k×dim literal bloat — and the at-rest list membership
+    matches the in-memory assignment exactly (regression: it used to
+    call ivf_assign_col unconditionally)."""
+    from netcdf_olap_spark.operators import similarity
+
+    rng_rows = emb.orderBy("vec_id").limit(similarity.PLAN_LITERAL_MAX_LISTS + 4).collect()
+    cents = [np.asarray(r.embedding, dtype=np.float64) for r in rng_rows]
+    assert len(cents) > similarity.PLAN_LITERAL_MAX_LISTS
+
+    idx = str(tmp_path / "ivfpq_large_k")
+    corpus = emb.limit(300)
+    pq.write_ivfpq_index(corpus, idx, cents, codebooks)
+
+    got = {
+        r.vec_id: r.list_id
+        for r in spark.read.parquet(idx).select("vec_id", "list_id").collect()
+    }
+    want = {
+        r.vec_id: r.l
+        for r in corpus.select(
+            "vec_id", similarity.assign_nearest_col(F.col("embedding"), cents).alias("l")
+        ).collect()
+    }
+    assert got == want

@@ -220,3 +220,14 @@ def test_parquet_num_rows_matches_count(spark, tmp_path):
     assert parquet_num_rows(out) == e.count()
     with pytest.raises(FileNotFoundError):
         parquet_num_rows(str(tmp_path / "empty_dir_nope"))
+
+
+def test_oracle_sql_plane_literals_are_plain_floats():
+    """Plane literals in the generated DuckDB SQL must interpolate
+    builtin floats: repr(np.float64(x)) becomes 'np.float64(x)' under
+    numpy >= 2, which is a DuckDB syntax error (regression: the VALUES
+    rows used {x!r} on raw numpy scalars)."""
+    from netcdf_olap_spark.queries.similarity import EMB_KNN_LSH_SQL, EMB_SEMANTIC_LSH_SQL
+
+    assert "np." not in EMB_KNN_LSH_SQL
+    assert "np." not in EMB_SEMANTIC_LSH_SQL

@@ -207,5 +207,10 @@ def test_legacy_collect_sinks_guarded(spark, tmp_path):
     imgs = render_png(g)
     with pytest.raises(ValueError, match="render_png_files"):
         save_pngs(imgs, str(tmp_path / "png"), "2020-01-01", "2020-01-02", max_bytes=10)
+    # success path must release the guard's executor-side pin — a
+    # long-lived API process calling save_* repeatedly must not
+    # accumulate pinned artifact blocks
+    n_before = spark.sparkContext._jsc.getPersistentRDDs().size()
     paths = save_pngs(imgs, str(tmp_path / "png2"), "2020-01-01", "2020-01-02")
     assert paths and all(p.endswith(".png") for p in paths)
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == n_before
