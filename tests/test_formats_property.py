@@ -214,3 +214,143 @@ def test_fractal_heap_layout_resolves_every_object(sizes):
         pos, ln = resolve(hid)
         assert ln == sizes[i]
         assert r.buf[pos : pos + ln] == objects[i]
+
+
+# ---------------------------------------------------------------------------
+# round-7 structures: dynamic chunk indexes, paging, dense storage, compounds
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=20, **_COMMON)
+@given(
+    data=st.data(),
+    shape=st.tuples(st.integers(1, 10), st.integers(1, 6), st.integers(1, 6)),
+    index=st.sampled_from(["extensible_array", "btree_v2"]),
+    gzip=st.one_of(st.none(), st.integers(1, 9)),
+    shuffle=st.booleans(),
+)
+def test_hdf5_dynamic_index_roundtrip_property(data, shape, index, gzip, shuffle):
+    """The two DYNAMIC chunk indexes (extensible array with random
+    super-block-spilling geometry, v2 B-trees with random node sizes
+    → random depth) round-trip arbitrary cubes bit-exactly, filtered
+    or not. Geometry that the writer legally refuses (paged EA
+    index-block-direct blocks) is a clean reject, never bad bytes."""
+    dtype = data.draw(float_dtype)
+    cube = _arr(data.draw, shape, dtype)
+    chunks = {"v": tuple(data.draw(st.integers(1, s)) for s in shape)}
+    kw: dict = {"chunks": chunks, "gzip": gzip, "shuffle": shuffle, "chunk_index": index}
+    if index == "extensible_array":
+        kw["ea_params"] = data.draw(
+            st.sampled_from([(32, 4, 4, 16, 10), (32, 2, 2, 2, 10), (32, 2, 2, 2, 2), (32, 2, 2, 4, 2)])
+        )
+    else:
+        kw["bt2_node_size"] = data.draw(st.sampled_from([256, 512, 2048]))
+    try:
+        b = write_hdf5({"v": (cube, {"a": 1})}, **kw)
+    except ValueError as e:
+        assert "index-block-direct" in str(e)
+        return
+    f = read_hdf5(b)
+    np.testing.assert_array_equal(f.variables["v"].data, cube)
+    assert f.variables["v"].attributes == {"a": 1}
+
+
+@settings(max_examples=20, **_COMMON)
+@given(
+    data=st.data(),
+    n_vars=st.integers(1, 4),
+    n_attrs=st.integers(1, 20),
+    dense_groups=st.booleans(),
+)
+def test_hdf5_dense_storage_roundtrip_property(data, n_vars, n_attrs, dense_groups):
+    """Dense (fractal-heap + v2-B-tree name index) attribute and group
+    storage round-trips arbitrary attribute sets — names of mixed
+    lengths, str/int/float values — and arbitrary variable counts."""
+    variables = {}
+    want_attrs = {}
+    for vi in range(n_vars):
+        shape = data.draw(st.tuples(st.integers(1, 4), st.integers(1, 4)))
+        arr = _arr(data.draw, shape, "<f8")
+        attrs = {}
+        for ai in range(n_attrs):
+            name = f"a{'x' * data.draw(st.integers(0, 15))}{ai}"
+            attrs[name] = data.draw(
+                st.one_of(
+                    st.integers(-(2**31), 2**31 - 1),
+                    st.floats(allow_nan=False, allow_infinity=False, width=32),
+                    st.text(alphabet="abcdef ", min_size=0, max_size=12),
+                )
+            )
+        variables[f"v{vi}"] = (arr, attrs)
+        want_attrs[f"v{vi}"] = attrs
+    f = read_hdf5(
+        write_hdf5(variables, libver="latest", dense_attrs=True, dense_groups=dense_groups)
+    )
+    assert sorted(f.variables) == sorted(variables)
+    for nm, (arr, _) in variables.items():
+        np.testing.assert_array_equal(f.variables[nm].data, arr)
+        got = {k: v for k, v in f.variables[nm].attributes.items()}
+        for k, v in want_attrs[nm].items():
+            if isinstance(v, float):
+                assert got[k] == np.float64(np.float32(v)) or got[k] == v
+            else:
+                assert got[k] == v
+
+
+@settings(max_examples=15, **_COMMON)
+@given(
+    data=st.data(),
+    fa_page_bits=st.integers(1, 3),
+    gzip=st.one_of(st.none(), st.integers(1, 9)),
+)
+def test_hdf5_paged_fixed_array_roundtrip_property(data, fa_page_bits, gzip):
+    """Fixed-array indexes with tiny page sizes (2^1..2^3 elements)
+    force PAGED data blocks at random chunk counts — bitmap bytes,
+    per-page checksums, and partially-filled last pages all land in
+    the read path."""
+    shape = data.draw(st.tuples(st.integers(2, 12), st.integers(1, 6), st.integers(1, 6)))
+    cube = _arr(data.draw, shape, "<f8")
+    chunks = {"v": tuple(data.draw(st.integers(1, max(1, s // 2))) for s in shape)}
+    f = read_hdf5(
+        write_hdf5(
+            {"v": (cube, {})},
+            chunks=chunks,
+            gzip=gzip,
+            chunk_index="fixed_array",
+            fa_page_bits=fa_page_bits,
+        )
+    )
+    np.testing.assert_array_equal(f.variables["v"].data, cube)
+
+
+@settings(max_examples=15, **_COMMON)
+@given(
+    data=st.data(),
+    n_fields=st.integers(1, 5),
+    chunked=st.booleans(),
+    gzip=st.one_of(st.none(), st.integers(1, 9)),
+)
+def test_hdf5_compound_roundtrip_property(data, n_fields, chunked, gzip):
+    """Compound DATA variables with arbitrary member dtypes (aligned
+    offsets, padding holes included) round-trip as structured arrays
+    through contiguous and chunked+filtered layouts."""
+    member = st.sampled_from(["<f8", "<f4", "<i4", "<i2", "u1"])
+    rec = np.dtype([(f"m{i}", data.draw(member)) for i in range(n_fields)], align=True)
+    shape = data.draw(st.tuples(st.integers(1, 6), st.integers(1, 4)))
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**31 - 1)))
+    arr = np.zeros(shape, dtype=rec)
+    for nm in rec.names:
+        k = arr[nm].dtype.kind
+        if k == "f":
+            arr[nm] = rng.normal(0, 100, shape).astype(arr[nm].dtype)
+        else:
+            info = np.iinfo(arr[nm].dtype)
+            arr[nm] = rng.integers(info.min, info.max, shape, dtype=arr[nm].dtype)
+    kw = {}
+    if chunked:
+        kw = {"chunks": {"v": tuple(data.draw(st.integers(1, s)) for s in shape)}, "gzip": gzip}
+    f = read_hdf5(write_hdf5({"v": (arr, {"long_name": "rec"})}, **kw))
+    got = f.variables["v"].data
+    assert got.dtype.names == rec.names
+    for nm in rec.names:
+        np.testing.assert_array_equal(got[nm], arr[nm])
