@@ -354,3 +354,32 @@ def test_hdf5_compound_roundtrip_property(data, n_fields, chunked, gzip):
     assert got.dtype.names == rec.names
     for nm in rec.names:
         np.testing.assert_array_equal(got[nm], arr[nm])
+
+
+@settings(max_examples=20, **_COMMON)
+@given(
+    data=st.data(),
+    version=st.sampled_from([1, 2, 5]),
+    n_vars=st.integers(1, 5),
+    nrec=st.integers(0, 5),
+)
+def test_netcdf3_multi_record_var_roundtrip_property(data, version, n_vars, nrec):
+    """Several record variables interleave per-record slabs in the
+    record section (the trickiest classic-format layout, including the
+    single-small-record-var no-pad special case); random mixes of
+    fixed and record variables round-trip across CDF-1/2/5."""
+    dims = {"rec": None, "y": data.draw(st.integers(1, 5)), "x": data.draw(st.integers(1, 5))}
+    dtypes = ["<f4", "<f8", "<i4", "<i2", "i1"] + (["<i8", "<u4", "<u2", "u1"] if version == 5 else [])
+    variables = {}
+    for vi in range(n_vars):
+        dtype = data.draw(st.sampled_from(dtypes))
+        isrec = data.draw(st.booleans())
+        dnames = ("rec", "y", "x") if isrec else ("y", "x")
+        shape = (nrec, dims["y"], dims["x"]) if isrec else (dims["y"], dims["x"])
+        variables[f"v{vi}"] = (dnames, _arr(data.draw, shape, dtype), {"n": vi})
+    f = read_netcdf3(write_netcdf3(dims, variables, {"g": "x"}, version=version))
+    for nm, (dn, arr, _) in variables.items():
+        got = f.variables[nm].data
+        if dn[0] == "rec":
+            got = got[:nrec]  # another record var may have more records
+        np.testing.assert_array_equal(got, arr)
