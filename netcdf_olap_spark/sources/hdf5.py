@@ -58,9 +58,14 @@ EXTENSIBLE-array data blocks (page-init bitmap in the parent super
 block, flat dblk·npages+page indexing) are supported read+write, with
 per-page checksums; bitmap bits are MSB-first within each byte, per
 libhdf5's H5VM bit macros ("bit offset 0 in the first byte's high-bit
-position"). Attributes with unsupported datatypes
-(netCDF-4's DIMENSION_LIST / REFERENCE_LIST vlen references) are
-skipped, never fatal.
+position"). Object-reference datatypes (class 7, type 0) decode in
+attributes: netCDF-4's DIMENSION_LIST (vlen reference) resolves to
+per-axis dimension-scale names on ``H5File.dim_scales`` — structural
+coordinate attachment, independent of naming conventions — and
+REFERENCE_LIST (vlen compound back-pointers) is decoded then dropped;
+the writer emits DIMENSION_LIST + a global heap collection via its
+``dim_scales`` parameter. Region references and other remaining
+unsupported attribute datatypes still skip, never fatal.
 
 The writer exists to make fixtures for the reader (the container has
 no HDF5 library to generate files with) and doubles as an HDF5 sink.
@@ -188,6 +193,11 @@ class H5Var:
 class H5File:
     attributes: dict[str, Any] = field(default_factory=dict)
     variables: dict[str, H5Var] = field(default_factory=dict)
+    #: per variable: the dimension-scale variable attached to each axis
+    #: (from the netCDF-4 DIMENSION_LIST object-reference attribute),
+    #: None where an axis has no scale — structural coordinate
+    #: resolution, independent of naming conventions
+    dim_scales: dict[str, list[str | None]] = field(default_factory=dict)
 
 
 def is_hdf5(content: bytes) -> bool:
@@ -243,6 +253,9 @@ class _DT:
                     "itemsize": self.size,
                 }
             )
+        if self.cls == CLS_REFERENCE:
+            # object reference: an 8-byte object-header address
+            return np.dtype(f"<u{self.size}")
         raise NotImplementedError(f"datatype class {self.cls} has no numpy mapping")
 
 
@@ -271,6 +284,13 @@ def _parse_datatype(buf: bytes, pos: int) -> tuple[_DT, int]:
     if cls == CLS_TIME:
         consumed += 2
         return _DT(cls, size, little, False), consumed
+    if cls == CLS_REFERENCE:
+        # class 7: bit-field low nibble = reference type; only OBJECT
+        # references (type 0 — what DIMENSION_LIST/REFERENCE_LIST use)
+        # are 8-byte header addresses we can resolve
+        if bits[0] & 0x0F:
+            raise NotImplementedError("dataset-region reference datatype")
+        return _DT(cls, size, True, False), consumed
     if cls == CLS_COMPOUND:
         # member count in class bit-field bits 0-15; member encoding
         # differs by version: v1 pads names to 8 and carries a 4-D
@@ -715,13 +735,31 @@ class _Reader:
 
     def _attr_values(self, dt: _DT, shape: tuple[int, ...], pos: int) -> Any:
         n = int(np.prod(shape)) if shape else 1
-        if dt.cls == CLS_VLEN and dt.vlen_string:
-            vals = []
+        if dt.cls == CLS_VLEN:
+            # every vlen element is a 16-byte global-heap descriptor:
+            # count(u4) + collection address(u8) + object index(u4).
+            # Strings decode to str; other bases (object references →
+            # DIMENSION_LIST, compounds → REFERENCE_LIST) decode to
+            # lists of base-type values per element
+            vals: list[Any] = []
             for i in range(n):
                 p = pos + i * 16
                 (length,) = struct.unpack_from("<I", self.buf, p)
                 gaddr, gidx = struct.unpack_from("<QI", self.buf, p + 4)
-                vals.append(self._gheap_object(gaddr, gidx)[:length].decode("utf-8"))
+                if length == 0 or gaddr in (0, UNDEF):
+                    vals.append("" if dt.vlen_string else [])
+                    continue
+                raw = self._gheap_object(gaddr, gidx)
+                if dt.vlen_string:
+                    vals.append(raw[:length].decode("utf-8"))
+                    continue
+                base = dt.base
+                assert base is not None
+                seq = np.frombuffer(raw, dtype=base.numpy(), count=length)
+                if base.cls == CLS_COMPOUND and base.members is not None:
+                    vals.append([{m[0]: r[m[0]].item() for m in base.members} for r in seq])
+                else:
+                    vals.append([v.item() for v in seq])
             return vals[0] if not shape else vals
         npdt = dt.numpy()
         arr = np.frombuffer(self.buf, dtype=npdt, count=n, offset=pos)
@@ -1436,6 +1474,24 @@ def read_hdf5(content: bytes, variables: list[str] | None = None) -> H5File:
             if len(shape) == 3 and name not in variables:
                 continue  # pushdown: data never decompressed
         out.variables[name] = r.read_dataset(msgs, name)
+
+    # resolve DIMENSION_LIST object references (header addresses) to
+    # variable names; REFERENCE_LIST is the back-pointer bookkeeping on
+    # the scale itself — drop it so attribute dicts stay export-clean
+    addr_to_name = {ohdr: nm for nm, ohdr in links}
+    for name, var in out.variables.items():
+        dl = var.attributes.pop("DIMENSION_LIST", None)
+        var.attributes.pop("REFERENCE_LIST", None)
+        if dl is None:
+            continue
+        axes = dl if isinstance(dl, list) else [dl]
+        out.dim_scales[name] = [
+            next(
+                (addr_to_name[int(a)] for a in (ax if isinstance(ax, list) else [ax]) if int(a) in addr_to_name),
+                None,
+            )
+            for ax in axes
+        ]
     return out
 
 
@@ -1526,6 +1582,26 @@ def _attr_message(name: str, value: Any) -> bytes:
     dsm = _ds_message(shape)
     head = struct.pack("<BxHHH", 1, len(nameb), len(dtm), len(dsm))
     return head + _pad8(nameb) + _pad8(dtm) + _pad8(dsm) + arr.tobytes()
+
+
+def _dimension_list_attr(gidxs: list[int | None], gcol_addr: int) -> bytes:
+    """netCDF-4's ``DIMENSION_LIST``: a rank-length 1-D attribute of
+    vlen(object reference). Each element is the 16-byte global-heap
+    descriptor (count, collection address, object index) whose heap
+    object holds one 8-byte header address; axes without a scale get
+    an empty (count-0) sequence. Attribute BYTES are address-size
+    invariant, so the two-pass writer can size headers before the
+    global heap's address is known."""
+    nameb = b"DIMENSION_LIST\x00"
+    base = bytes([0x17, 0x00, 0x00, 0x00]) + struct.pack("<I", 8)  # class 7 v1, object ref
+    dtm = bytes([0x19, 0x00, 0x00, 0x00]) + struct.pack("<I", 16) + base  # class 9 v1, sequence
+    dsm = _ds_message((len(gidxs),))
+    val = b"".join(
+        struct.pack("<IQI", 1, gcol_addr, g) if g else struct.pack("<IQI", 0, 0, 0)
+        for g in gidxs
+    )
+    head = struct.pack("<BxHHH", 1, len(nameb), len(dtm), len(dsm))
+    return head + _pad8(nameb) + _pad8(dtm) + _pad8(dsm) + val
 
 
 # single flat B-tree nodes keep the writer simple; the superblock
@@ -1783,6 +1859,7 @@ def write_hdf5(
     dense_attrs: bool = False,
     dense_groups: bool = False,
     fa_page_bits: int = 10,
+    dim_scales: dict[str, tuple[str | None, ...]] | None = None,
 ) -> bytes:
     """Serialize arrays to an HDF5 file.
 
@@ -1824,6 +1901,12 @@ def write_hdf5(
     default 10); more chunks than one page → a PAGED data block (page
     bitmap + per-page checksums), the layout any large fixed-shape
     chunked dataset gets. Shrink to exercise paging at fixture size.
+
+    ``dim_scales``: variable name → per-axis scale variable name (or
+    None) — emits the netCDF-4 ``DIMENSION_LIST`` attribute (vlen
+    object references into a global heap collection), the structural
+    coordinate attachment real netCDF-4 writers produce; the reader
+    surfaces it as ``H5File.dim_scales``.
     """
     if libver not in ("earliest", "latest"):
         raise ValueError(f"libver must be 'earliest' or 'latest', got {libver!r}")
@@ -1939,6 +2022,13 @@ def write_hdf5(
         else:
             for k, v in attrs.items():
                 msgs.append(enc(MSG_ATTRIBUTE, _attr_message(k, v)))
+        if dim_scales and nm in dim_scales:
+            # compact even in dense_attrs mode: readers merge compact
+            # and dense attribute sets, and the message length is
+            # address-independent (gcol address defaults to 0 during
+            # the sizing pass)
+            gidxs = [dl_index.get((nm, ax)) for ax in range(arr.ndim)]
+            msgs.append(enc(MSG_ATTRIBUTE, _dimension_list_attr(gidxs, addr.get("gcol", 0))))
         return hdr(msgs)
 
     def chunk_blobs(nm: str) -> list[tuple[tuple[int, ...], bytes]]:
@@ -2166,6 +2256,16 @@ def write_hdf5(
             else:
                 arr = np.ascontiguousarray(variables[nm][0])
                 pieces.append((addr[f"data:{nm}"], arr.tobytes()))
+        if dl_entries:
+            # global heap collection: one 8-byte header address per
+            # attached (variable, axis), then the index-0 free-space
+            # object covering the remainder of the collection
+            body = bytearray(b"GCOL" + bytes([1, 0, 0, 0]) + struct.pack("<Q", gcol_size))
+            for sn, gidx in dl_entries:
+                body += struct.pack("<HH4xQ", gidx, 1, 8) + struct.pack("<Q", addr[f"ohdr:{sn}"])
+            body += struct.pack("<HH4xQ", 0, 0, gcol_size - len(body))
+            body += bytes(gcol_size - len(body))
+            pieces.append((addr["gcol"], bytes(body)))
         return pieces
 
     def assemble(sb: bytes, pieces: list[tuple[int, bytes]], patch_eof_at: int) -> bytes:
@@ -2324,6 +2424,34 @@ def write_hdf5(
         grecs = [struct.pack("<I", ghs[i]) + gids[i] for i in gorder]
         gdepth, gplan, gmns, _gc, gcum_sz = _b2_plan(len(grecs), _FH_NAME_NODE, 4 + _FH_ID_LEN)
         gdense_plan = (gids, gblock, grecs, gdepth, gplan, gmns, gcum_sz)
+
+    # --- DIMENSION_LIST planning: one global-heap object (an 8-byte
+    # header address) per attached (variable, axis); indexes assigned
+    # up front so attribute bytes are address-independent
+    dl_entries: list[tuple[str, int]] = []  # (scale var name, heap index), heap order
+    dl_index: dict[tuple[str, int], int] = {}  # (var, axis) -> heap index
+    gcol_size = 0
+    if dim_scales:
+        for nm in sorted(dim_scales):
+            if nm not in variables:
+                raise ValueError(f"dim_scales names unknown variable {nm!r}")
+            scales_t = dim_scales[nm]
+            rank = np.asarray(variables[nm][0]).ndim
+            if len(scales_t) != rank:
+                raise ValueError(
+                    f"dim_scales[{nm!r}] has {len(scales_t)} axes, variable has {rank}"
+                )
+            for ax, sn in enumerate(scales_t):
+                if sn is None:
+                    continue
+                if sn not in variables:
+                    raise ValueError(f"dim_scales[{nm!r}] axis {ax} names unknown variable {sn!r}")
+                gidx = len(dl_entries) + 1
+                dl_entries.append((sn, gidx))
+                dl_index[(nm, ax)] = gidx
+        # libhdf5 sizes global heap collections at ≥4096 bytes; honor
+        # that so external readers' buffer math holds
+        gcol_size = max(4096, 16 + 24 * len(dl_entries) + 16)
 
     addr: dict[str, Any] = {}
     # v1 superblock is 100 bytes; start allocation at the next 8-byte
@@ -2496,5 +2624,7 @@ def write_hdf5(
             addr[f"blobs:{nm}"] = placed
         else:
             alloc(f"data:{nm}", variables[nm][0].nbytes)
+    if dl_entries:
+        alloc("gcol", gcol_size)
 
     return build_latest(addr) if libver == "latest" else build(addr)

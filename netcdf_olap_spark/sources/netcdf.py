@@ -223,15 +223,40 @@ def _decode_vendored(nc: Any, ds: str, variables: list[str] | None) -> Iterator[
     attribute then conventional name, rectilinear 1-D axes meshed to
     2-D, ``_FillValue`` → NULL."""
 
-    def by_attr_or_name(long_name: str, names: tuple[str, ...]):
-        for v in nc.variables.values():
-            if v.attributes.get("long_name") == long_name:
-                return v.data
-        return next(nc.variables[n].data for n in names if n in nc.variables)
+    dim_scales = getattr(nc, "dim_scales", None) or {}
 
-    lat = np.asarray(by_attr_or_name(LAT_LONG_NAME, LAT_NAMES))
-    lon = np.asarray(by_attr_or_name(LON_LONG_NAME, LON_NAMES))
-    time_hours = np.asarray(next(nc.variables[n].data for n in TIME_NAMES if n in nc.variables))
+    def scale_axis(axis: int):
+        # structural fallback: the dimension scale attached to this
+        # axis of any 3-D measure variable (netCDF-4 DIMENSION_LIST
+        # object references) — resolves coordinates no matter what
+        # the variables are NAMED, like netCDF4/h5py do
+        for vname, sc in dim_scales.items():
+            v = nc.variables.get(vname)
+            if v is not None and len(v.shape) == 3 and axis < len(sc) and sc[axis]:
+                s = nc.variables.get(sc[axis])
+                if s is not None:
+                    return np.asarray(s.data)
+        return None
+
+    def by_attr_or_name(long_name: str | None, names: tuple[str, ...], axis: int):
+        if long_name is not None:
+            for v in nc.variables.values():
+                if v.attributes.get("long_name") == long_name:
+                    return np.asarray(v.data)
+        for n in names:
+            if n in nc.variables:
+                return np.asarray(nc.variables[n].data)
+        d = scale_axis(axis)
+        if d is None:
+            raise ValueError(
+                f"no coordinate variable for axis {axis}: no long_name={long_name!r} "
+                f"match, none of {names} present, and no dimension scale attached"
+            )
+        return d
+
+    lat = by_attr_or_name(LAT_LONG_NAME, LAT_NAMES, 1)
+    lon = by_attr_or_name(LON_LONG_NAME, LON_NAMES, 2)
+    time_hours = by_attr_or_name(None, TIME_NAMES, 0)
     if lat.ndim == 1 and lon.ndim == 1:
         lon, lat = np.meshgrid(lon, lat)
 

@@ -1565,3 +1565,117 @@ def test_big_endian_dtype_raises():
     rec = np.dtype([("a", ">i4"), ("b", "<f4")])
     with pytest.raises(NotImplementedError, match="big-endian"):
         write_hdf5({"v": (np.zeros((3,), dtype=rec), {})})
+
+
+# ---------------------------------------------------------------------------
+# DIMENSION_LIST / object references (round 7)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("libver", ["earliest", "latest"])
+@pytest.mark.parametrize("chunked", [False, True])
+def test_dimension_list_roundtrip(libver, chunked):
+    """dim_scales → DIMENSION_LIST attr (vlen object references via a
+    global heap) → H5File.dim_scales, both libver profiles, contiguous
+    and chunked+filtered; the raw attribute never leaks into the
+    variable's attribute dict."""
+    t = np.arange(4, dtype="<i4")
+    la = np.linspace(-10, 10, 5)
+    lo = np.linspace(100, 120, 6)
+    cube = np.random.default_rng(0).normal(0, 5, (4, 5, 6))
+    kw = {"chunks": {"m": (2, 2, 3)}, "gzip": 4, "shuffle": True} if chunked else {}
+    b = write_hdf5(
+        {"m": (cube, {"units": "K"}), "tt": (t, {}), "row": (la, {}), "col": (lo, {})},
+        libver=libver,
+        dim_scales={"m": ("tt", "row", "col")},
+        **kw,
+    )
+    f = read_hdf5(b)
+    assert f.dim_scales == {"m": ["tt", "row", "col"]}
+    np.testing.assert_array_equal(f.variables["m"].data, cube)
+    assert "DIMENSION_LIST" not in f.variables["m"].attributes
+    assert f.variables["m"].attributes["units"] == "K"
+
+
+def test_dimension_list_partial_axes_and_dense():
+    """Axes without a scale decode as None (count-0 vlen elements);
+    dense-attribute mode keeps the compact DIMENSION_LIST message and
+    both attribute sets merge."""
+    t = np.arange(4, dtype="<i4")
+    cube = np.zeros((4, 2, 3))
+    f = read_hdf5(write_hdf5({"m": (cube, {}), "tt": (t, {})}, dim_scales={"m": ("tt", None, None)}))
+    assert f.dim_scales == {"m": ["tt", None, None]}
+    f = read_hdf5(
+        write_hdf5(
+            {"m": (cube, {f"a{i}": i for i in range(12)}), "tt": (t, {})},
+            libver="latest",
+            dense_attrs=True,
+            dim_scales={"m": ("tt", None, None)},
+        )
+    )
+    assert f.dim_scales == {"m": ["tt", None, None]}
+    assert f.variables["m"].attributes["a7"] == 7
+
+
+def test_dimension_list_gcol_structure():
+    """Spec-level layout of the emitted global heap collection: GCOL
+    signature, v1, declared size ≥ 4096, 1-based object indexes whose
+    8-byte payloads are the scales' object-header addresses, and an
+    index-0 free-space object covering the remainder."""
+    t = np.arange(3, dtype="<i4")
+    la = np.linspace(0, 1, 2)
+    b = write_hdf5(
+        {"m": (np.zeros((3, 2, 2)), {}), "tt": (t, {}), "row": (la, {})},
+        dim_scales={"m": ("tt", "row", None)},
+    )
+    g = b.find(b"GCOL")
+    assert g != -1
+    assert b[g + 4] == 1  # version
+    size = int.from_bytes(b[g + 8 : g + 16], "little")
+    assert size >= 4096
+    # object 1: index, refcount 1, size 8
+    import struct as _s
+
+    idx, ref = _s.unpack_from("<HH", b, g + 16)
+    osz = _s.unpack_from("<Q", b, g + 24)[0]
+    assert (idx, ref, osz) == (1, 1, 8)
+    addr1 = _s.unpack_from("<Q", b, g + 32)[0]
+    idx2, _ = _s.unpack_from("<HH", b, g + 40)
+    addr2 = _s.unpack_from("<Q", b, g + 56)[0]
+    assert idx2 == 2
+    # both payloads are real object-header addresses of the scales
+    r = _Reader(b)
+    links = dict(r.group_links(r.root_btree, r.root_heap))
+    assert {addr1, addr2} == {links["tt"], links["row"]}
+    # free-space object terminates the used region
+    idx0, _ = _s.unpack_from("<HH", b, g + 64)
+    assert idx0 == 0
+
+
+def test_reference_list_attr_decodes_and_is_dropped():
+    """A hand-built REFERENCE_LIST (vlen of compound{dataset ref,
+    index}) decodes through the general vlen path and is dropped from
+    the scale's attributes by read_hdf5 — never a NotImplementedError
+    skip, never a leaked bookkeeping attr."""
+    import struct as _s
+
+    from netcdf_olap_spark.sources.hdf5 import _DT, CLS_COMPOUND, CLS_REFERENCE, CLS_VLEN
+
+    # vlen(compound{dataset: ref8 @0, dimension: u4 @8}), one element
+    base = _DT(
+        CLS_COMPOUND, 12, True, False,
+        members=[("dataset", 0, _DT(CLS_REFERENCE, 8, True, False)),
+                 ("dimension", 8, _DT(0, 4, True, False))],
+    )
+    dt = _DT(CLS_VLEN, 16, True, False, base=base)
+    # build a buffer: GCOL at 64 with one 12-byte object, descriptor at 0
+    gaddr = 64
+    buf = bytearray(128)
+    buf[0:16] = _s.pack("<IQI", 1, gaddr, 1)
+    gcol = b"GCOL" + bytes([1, 0, 0, 0]) + _s.pack("<Q", 64)
+    gcol += _s.pack("<HH4xQ", 1, 1, 12) + _s.pack("<QI", 0x1234, 0) + b"\x00" * 4
+    buf[gaddr : gaddr + len(gcol)] = gcol
+    r = _Reader.__new__(_Reader)
+    r.buf = bytes(buf)
+    got = r._attr_values(dt, (1,), 0)
+    assert got == [[{"dataset": 0x1234, "dimension": 0}]]

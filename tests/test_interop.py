@@ -426,3 +426,46 @@ def test_h5py_reads_our_paged_extensible_array(tmp_path):
     path.write_bytes(content)
     with h5py.File(str(path), "r") as f:
         np.testing.assert_array_equal(f["t2m"][:], arr)
+
+
+@requires_h5py
+def test_h5py_reads_our_dimension_list(tmp_path):
+    """Our DIMENSION_LIST (vlen object references into a global heap
+    collection) must resolve through libhdf5's dimension-scale API:
+    h5py should see each axis's attached scale dataset."""
+    t = np.arange(4, dtype=np.int32)
+    la = np.linspace(-10, 10, 5)
+    lo = np.linspace(100, 120, 6)
+    cube = np.arange(120, dtype=np.float64).reshape(4, 5, 6)
+    content = write_hdf5(
+        {"m": (cube, {"units": "K"}), "tsteps": (t, {}), "rlat": (la, {}), "rlon": (lo, {})},
+        dim_scales={"m": ("tsteps", "rlat", "rlon")},
+    )
+    path = tmp_path / "dl_ours.h5"
+    path.write_bytes(content)
+    with h5py.File(str(path), "r") as f:
+        refs = f["m"].attrs["DIMENSION_LIST"]
+        names = [f[r[0]].name for r in refs]
+        assert names == ["/tsteps", "/rlat", "/rlon"]
+        np.testing.assert_array_equal(f["m"][:], cube)
+
+
+@requires_h5py
+def test_our_reader_reads_h5py_dimension_scales(tmp_path):
+    """libhdf5-written dimension scales (make_scale/attach_scale — what
+    every real netCDF-4 file carries) must surface as
+    H5File.dim_scales, with REFERENCE_LIST bookkeeping dropped from
+    the attribute dicts."""
+    path = tmp_path / "dl_theirs.h5"
+    cube = np.arange(60, dtype=np.float64).reshape(3, 4, 5)
+    with h5py.File(str(path), "w") as f:
+        m = f.create_dataset("m", data=cube)
+        for ax, (nm, n) in enumerate([("tsteps", 3), ("rlat", 4), ("rlon", 5)]):
+            s = f.create_dataset(nm, data=np.arange(n, dtype=np.float64))
+            s.make_scale(nm)
+            m.dims[ax].attach_scale(s)
+    ours = read_hdf5(path.read_bytes())
+    assert ours.dim_scales["m"] == ["tsteps", "rlat", "rlon"]
+    np.testing.assert_array_equal(ours.variables["m"].data, cube)
+    assert "DIMENSION_LIST" not in ours.variables["m"].attributes
+    assert "REFERENCE_LIST" not in ours.variables["tsteps"].attributes

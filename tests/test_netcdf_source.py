@@ -235,3 +235,34 @@ def test_ingest_directory_accepts_filesystem_uri(spark, tmp_path):
     a = {tuple(r) for r in plain.collect()}
     b = {tuple(r) for r in via_uri.collect()}
     assert a == b
+
+
+def test_decode_resolves_coords_via_dimension_scales():
+    """A netCDF-4 file whose coordinate variables have NO conventional
+    names and NO long_name attributes still ingests: the decoder falls
+    back to the DIMENSION_LIST dimension scales (structural
+    attachment, how netCDF4/h5py resolve coordinates). A file with no
+    resolvable coordinates raises a clean ValueError."""
+    import numpy as np
+
+    from netcdf_olap_spark.sources.hdf5 import write_hdf5
+
+    t = np.arange(3, dtype="<i4") * 24
+    la = np.linspace(40.0, 42.0, 4)
+    lo = np.linspace(-80.0, -78.0, 5)
+    cube = np.random.default_rng(1).normal(10, 3, (3, 4, 5))
+    b = write_hdf5(
+        {"m": (cube, {"units": "K"}), "tsteps": (t, {}), "rlat": (la, {}), "rlon": (lo, {})},
+        dim_scales={"m": ("tsteps", "rlat", "rlon")},
+    )
+    (pdf,) = list(src.hdf5_decoder(b, "ds1"))
+    assert len(pdf) == 3 * 4 * 5
+    got = pdf.sort_values(["time", "y", "x"])["value"].to_numpy().reshape(3, 4, 5)
+    np.testing.assert_allclose(got, cube)
+    assert sorted(pdf["lat"].unique()) == sorted(np.repeat(la, 1))
+
+    import pytest as _pytest
+
+    b_bad = write_hdf5({"m": (cube, {}), "zz": (t, {})})
+    with _pytest.raises(ValueError, match="no coordinate variable"):
+        list(src.hdf5_decoder(b_bad, "ds3"))
