@@ -161,6 +161,10 @@ def _build_nc(pdf, fmt_: str, fill_: float, gzip_):
                 variable: (data, attrs),
             },
             global_attrs={"source": "netcdf_olap_spark export"},
+            # structural coordinate attachment (DIMENSION_LIST), so
+            # external netCDF-4 tools resolve time/y/x as this
+            # variable's dimension scales regardless of name heuristics
+            dim_scales={variable: ("time", "y", "x")},
             **kw,
         )
 

@@ -137,3 +137,20 @@ def test_export_rejects_sub_hour_times_far_from_epoch(spark):
     shifted = cube.withColumn("time", F.col("time") + F.expr("INTERVAL 36 YEARS") + F.expr("INTERVAL 30 MINUTES"))
     with pytest.raises(Exception, match="hour-aligned"):
         export_netcdf(shifted, fmt="classic").collect()
+
+
+def test_hdf5_export_attaches_dimension_scales(spark):
+    """hdf5-flavor exports carry DIMENSION_LIST so external netCDF-4
+    tools resolve time/y/x structurally, and re-ingest through our own
+    reader sees the attachment."""
+    from pyspark.sql import functions as F
+
+    from netcdf_olap_spark.session import load_grid
+    from netcdf_olap_spark.sinks.netcdf import export_netcdf
+    from netcdf_olap_spark.sources.hdf5 import read_hdf5
+
+    var = load_grid(spark, register=False).select("variable").first()[0]
+    g = load_grid(spark, register=False).where(F.col("variable") == var).limit(300)
+    row = export_netcdf(g, fmt="hdf5").first()
+    f = read_hdf5(bytes(row.nc))
+    assert f.dim_scales == {var: ["time", "y", "x"]}
