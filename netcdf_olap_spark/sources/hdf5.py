@@ -331,7 +331,7 @@ def _parse_datatype(buf: bytes, pos: int) -> tuple[_DT, int]:
         p += nmembers * bnp.itemsize
         enum_names = {int(v): n for n, v in zip(names, vals)}
         return _DT(cls, size, base.little, base.signed, base=base, enum_names=enum_names), p - pos
-    raise NotImplementedError(f"datatype class {cls} (reference/opaque not supported)")
+    raise NotImplementedError(f"datatype class {cls} (opaque/array/shared not supported)")
 
 
 def _parse_dataspace(buf: bytes, pos: int) -> tuple[int, ...]:
@@ -2022,11 +2022,12 @@ def write_hdf5(
         else:
             for k, v in attrs.items():
                 msgs.append(enc(MSG_ATTRIBUTE, _attr_message(k, v)))
-        if dim_scales and nm in dim_scales:
-            # compact even in dense_attrs mode: readers merge compact
-            # and dense attribute sets, and the message length is
-            # address-independent (gcol address defaults to 0 during
-            # the sizing pass)
+        if dim_scales and nm in dim_scales and nm not in adense_plan:
+            # compact message (length is address-independent — gcol
+            # address defaults to 0 during the sizing pass); in
+            # dense_attrs mode the attribute rides in the dense plan
+            # instead, because libhdf5 reads attributes EXCLUSIVELY
+            # from dense storage once the heap address is set
             gidxs = [dl_index.get((nm, ax)) for ax in range(arr.ndim)]
             msgs.append(enc(MSG_ATTRIBUTE, _dimension_list_attr(gidxs, addr.get("gcol", 0))))
         return hdr(msgs)
@@ -2058,7 +2059,8 @@ def write_hdf5(
                 (addr[f"ohdr:{nm}"], var_header(nm, addr.get(f"data:{nm}", UNDEF), addr.get(f"cbt:{nm}", UNDEF)))
             )
             if nm in adense_plan:
-                objs, block, recs_a, depth_a, plan_a, mns_a, cum_sz_a = adense_plan[nm]
+                build_objs, block, recs_a, depth_a, plan_a, mns_a, cum_sz_a = adense_plan[nm]
+                objs = build_objs(addr.get("gcol", 0))
                 used = _FH_DBLK_HDR + sum(len(o) for o in objs)
                 fh, db = addr[f"afrhp:{nm}"], addr[f"afhdb:{nm}"]
                 # dense-attribute heaps declare 8-byte IDs (the type-8
@@ -2390,44 +2392,11 @@ def write_hdf5(
                     f"(cap {leaf_cap}); use larger chunks or chunk_index='fixed_array'"
                 )
 
-    # --- dense-storage planning (all sizes are address-independent) -----
-    # per-variable dense attributes: heap objects are the encoded
-    # Attribute messages; B-tree records are type 8 (8-byte heap ID +
-    # message flags + creation order + lookup3 name hash), sorted by
-    # (hash, name) — the name-index comparator
-    adense_plan: dict[str, tuple] = {}
-    if dense_attrs:
-        for nm in names:
-            a_attrs = variables[nm][1]
-            if not a_attrs:
-                continue
-            keys = list(a_attrs)
-            objs = [_attr_message(k, v) for k, v in a_attrs.items()]
-            _offs, ids, block = _fh_layout([len(o) for o in objs])
-            hs = [lookup3(k.encode("utf-8")) for k in keys]
-            order = sorted(range(len(keys)), key=lambda i: (hs[i], keys[i]))
-            recs = [
-                ids[i] + b"\x00" + b"\x00" + struct.pack("<II", i, hs[i])
-                for i in order
-            ]
-            depth_a, plan_a, mns_a, _c, cum_sz_a = _b2_plan(len(recs), _FH_NAME_NODE, 17)
-            adense_plan[nm] = (objs, block, recs, depth_a, plan_a, mns_a, cum_sz_a)
-
-    # dense root group: heap objects are the Link message bodies
-    # (fixed-size: addresses are 8-byte fields); records are type 5
-    # (hash + heap ID)
-    gdense_plan: tuple | None = None
-    if dense_groups and names:
-        _goffs, gids, gblock = _fh_layout([len(_link_msg(nm, 0)) for nm in names])
-        ghs = [lookup3(nm.encode("utf-8")) for nm in names]
-        gorder = sorted(range(len(names)), key=lambda i: (ghs[i], names[i]))
-        grecs = [struct.pack("<I", ghs[i]) + gids[i] for i in gorder]
-        gdepth, gplan, gmns, _gc, gcum_sz = _b2_plan(len(grecs), _FH_NAME_NODE, 4 + _FH_ID_LEN)
-        gdense_plan = (gids, gblock, grecs, gdepth, gplan, gmns, gcum_sz)
-
     # --- DIMENSION_LIST planning: one global-heap object (an 8-byte
     # header address) per attached (variable, axis); indexes assigned
-    # up front so attribute bytes are address-independent
+    # up front so attribute bytes are address-independent. Planned
+    # BEFORE dense attributes so the attribute can ride in the dense
+    # plan when dense_attrs is on.
     dl_entries: list[tuple[str, int]] = []  # (scale var name, heap index), heap order
     dl_index: dict[tuple[str, int], int] = {}  # (var, axis) -> heap index
     gcol_size = 0
@@ -2452,6 +2421,57 @@ def write_hdf5(
         # libhdf5 sizes global heap collections at ≥4096 bytes; honor
         # that so external readers' buffer math holds
         gcol_size = max(4096, 16 + 24 * len(dl_entries) + 16)
+
+    def _dl_gidxs(nm: str) -> list[int | None]:
+        return [dl_index.get((nm, ax)) for ax in range(np.asarray(variables[nm][0]).ndim)]
+
+    # --- dense-storage planning (all sizes are address-independent) -----
+    # per-variable dense attributes: heap objects are the encoded
+    # Attribute messages; B-tree records are type 8 (8-byte heap ID +
+    # message flags + creation order + lookup3 name hash), sorted by
+    # (hash, name) — the name-index comparator. libhdf5 reads attrs
+    # EXCLUSIVELY from dense storage once the attribute-info heap
+    # address is set, so DIMENSION_LIST must live in the heap too —
+    # its bytes depend on the global-heap address, hence heap objects
+    # are a FUNCTION of that address (sizes are address-independent,
+    # so layout/ids/records are planned once with address 0)
+    adense_plan: dict[str, tuple] = {}
+    if dense_attrs:
+        for nm in names:
+            a_attrs = variables[nm][1]
+            has_dl = bool(dim_scales) and nm in dim_scales
+            if not a_attrs and not has_dl:
+                continue
+            keys = list(a_attrs) + (["DIMENSION_LIST"] if has_dl else [])
+
+            def build_objs(gcol_addr: int, _attrs=a_attrs, _nm=nm, _dl=has_dl) -> list[bytes]:
+                out = [_attr_message(k, v) for k, v in _attrs.items()]
+                if _dl:
+                    out.append(_dimension_list_attr(_dl_gidxs(_nm), gcol_addr))
+                return out
+
+            objs = build_objs(0)
+            _offs, ids, block = _fh_layout([len(o) for o in objs])
+            hs = [lookup3(k.encode("utf-8")) for k in keys]
+            order = sorted(range(len(keys)), key=lambda i: (hs[i], keys[i]))
+            recs = [
+                ids[i] + b"\x00" + b"\x00" + struct.pack("<II", i, hs[i])
+                for i in order
+            ]
+            depth_a, plan_a, mns_a, _c, cum_sz_a = _b2_plan(len(recs), _FH_NAME_NODE, 17)
+            adense_plan[nm] = (build_objs, block, recs, depth_a, plan_a, mns_a, cum_sz_a)
+
+    # dense root group: heap objects are the Link message bodies
+    # (fixed-size: addresses are 8-byte fields); records are type 5
+    # (hash + heap ID)
+    gdense_plan: tuple | None = None
+    if dense_groups and names:
+        _goffs, gids, gblock = _fh_layout([len(_link_msg(nm, 0)) for nm in names])
+        ghs = [lookup3(nm.encode("utf-8")) for nm in names]
+        gorder = sorted(range(len(names)), key=lambda i: (ghs[i], names[i]))
+        grecs = [struct.pack("<I", ghs[i]) + gids[i] for i in gorder]
+        gdepth, gplan, gmns, _gc, gcum_sz = _b2_plan(len(grecs), _FH_NAME_NODE, 4 + _FH_ID_LEN)
+        gdense_plan = (gids, gblock, grecs, gdepth, gplan, gmns, gcum_sz)
 
     addr: dict[str, Any] = {}
     # v1 superblock is 100 bytes; start allocation at the next 8-byte

@@ -177,15 +177,34 @@ def _netcdf4_available() -> bool:
         return False
 
 
-def _resolve_coords(nc: Any) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """time/lat/lon resolution: by attribute (geopy.py:51-55), then by
-    conventional variable name."""
-    by_attr = nc.get_variables_by_attributes(long_name=LAT_LONG_NAME)
-    lat_var = by_attr[0] if by_attr else next(nc.variables[n] for n in LAT_NAMES if n in nc.variables)
-    by_attr = nc.get_variables_by_attributes(long_name=LON_LONG_NAME)
-    lon_var = by_attr[0] if by_attr else next(nc.variables[n] for n in LON_NAMES if n in nc.variables)
-    time_var = next(nc.variables[n] for n in TIME_NAMES if n in nc.variables)
-    return np.asarray(time_var[:]), np.asarray(lat_var[:]), np.asarray(lon_var[:])
+def _mesh_coords(lat: np.ndarray, lon: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Rectilinear 1-D axes → the engine's 2-D curvilinear form; mixed
+    ranks (one coordinate 2-D, the other a 1-D axis) broadcast the 1-D
+    side instead of failing the shape check downstream."""
+    if lat.ndim == 1 and lon.ndim == 1:
+        lon, lat = np.meshgrid(lon, lat)
+    elif lat.ndim == 2 and lon.ndim == 1:
+        lon = np.broadcast_to(lon[None, :], lat.shape)
+    elif lat.ndim == 1 and lon.ndim == 2:
+        lat = np.broadcast_to(lat[:, None], lon.shape)
+    return lat, lon
+
+
+def _resolve_coords(nc: Any) -> tuple[np.ndarray | None, np.ndarray | None, np.ndarray | None]:
+    """File-level time/lat/lon resolution: by attribute
+    (geopy.py:51-55), then by conventional variable name. Misses are
+    None — the caller falls back per-variable (dimension names for the
+    netCDF4 library, dimension scales for the vendored reader)."""
+
+    def pick(long_name: str | None, names: tuple[str, ...]):
+        if long_name is not None:
+            by_attr = nc.get_variables_by_attributes(long_name=long_name)
+            if by_attr:
+                return np.asarray(by_attr[0][:])
+        v = next((nc.variables[n] for n in names if n in nc.variables), None)
+        return None if v is None else np.asarray(v[:])
+
+    return pick(None, TIME_NAMES), pick(LAT_LONG_NAME, LAT_NAMES), pick(LON_LONG_NAME, LON_NAMES)
 
 
 def netcdf4_decoder(content: bytes, ds: str, variables: list[str] | None = None) -> Iterator[pd.DataFrame]:
@@ -197,14 +216,31 @@ def netcdf4_decoder(content: bytes, ds: str, variables: list[str] | None = None)
 
     nc = netCDF4.Dataset("inmem", mode="r", memory=content)
     try:
-        time_hours, lat, lon = _resolve_coords(nc)
-        if lat.ndim == 1 and lon.ndim == 1:  # rectilinear → 2-D curvilinear form
-            lon, lat = np.meshgrid(lon, lat)
+        g_time, g_lat, g_lon = _resolve_coords(nc)
         for name, var in nc.variables.items():
             if var.ndim != 3:
                 continue
             if variables is not None and name not in variables:
                 continue
+
+            # per-variable fallback: in the netCDF model a variable's
+            # coordinate variable carries its dimension's NAME — the
+            # library-level view of HDF5 dimension scales. Per variable
+            # so multi-grid files never mix coordinates.
+            def coord(g, axis: int, what: str, _var=var):
+                if g is not None:
+                    return g
+                cv = nc.variables.get(_var.dimensions[axis])
+                if cv is not None:
+                    return np.asarray(cv[:])
+                raise ValueError(
+                    f"no {what} coordinate for variable {name!r}: no long_name match, "
+                    f"no conventional name, and no coordinate variable for dimension "
+                    f"{_var.dimensions[axis]!r}"
+                )
+
+            time_hours = coord(g_time, 0, "time")
+            lat, lon = _mesh_coords(coord(g_lat, 1, "latitude"), coord(g_lon, 2, "longitude"))
             fill = getattr(var, "_FillValue", None)  # Gddp.scala:188-191
             vals = var[:]  # materialize ONCE (I/O + memory)
             if np.ma.isMaskedArray(vals):
@@ -220,25 +256,13 @@ def _decode_vendored(nc: Any, ds: str, variables: list[str] | None) -> Iterator[
     """Shared decode body over either vendored reader's file object
     (``Nc3File`` or ``H5File``: ``variables`` maps name → object with
     ``data``/``shape``/``attributes``). Coords by ``long_name``
-    attribute then conventional name, rectilinear 1-D axes meshed to
-    2-D, ``_FillValue`` → NULL."""
+    attribute, then conventional name, then per-variable dimension
+    scales; rectilinear 1-D axes meshed/broadcast to 2-D,
+    ``_FillValue`` → NULL."""
 
     dim_scales = getattr(nc, "dim_scales", None) or {}
 
-    def scale_axis(axis: int):
-        # structural fallback: the dimension scale attached to this
-        # axis of any 3-D measure variable (netCDF-4 DIMENSION_LIST
-        # object references) — resolves coordinates no matter what
-        # the variables are NAMED, like netCDF4/h5py do
-        for vname, sc in dim_scales.items():
-            v = nc.variables.get(vname)
-            if v is not None and len(v.shape) == 3 and axis < len(sc) and sc[axis]:
-                s = nc.variables.get(sc[axis])
-                if s is not None:
-                    return np.asarray(s.data)
-        return None
-
-    def by_attr_or_name(long_name: str | None, names: tuple[str, ...], axis: int):
+    def by_attr_or_name(long_name: str | None, names: tuple[str, ...]):
         if long_name is not None:
             for v in nc.variables.values():
                 if v.attributes.get("long_name") == long_name:
@@ -246,19 +270,33 @@ def _decode_vendored(nc: Any, ds: str, variables: list[str] | None) -> Iterator[
         for n in names:
             if n in nc.variables:
                 return np.asarray(nc.variables[n].data)
-        d = scale_axis(axis)
-        if d is None:
-            raise ValueError(
-                f"no coordinate variable for axis {axis}: no long_name={long_name!r} "
-                f"match, none of {names} present, and no dimension scale attached"
-            )
-        return d
+        return None
 
-    lat = by_attr_or_name(LAT_LONG_NAME, LAT_NAMES, 1)
-    lon = by_attr_or_name(LON_LONG_NAME, LON_NAMES, 2)
-    time_hours = by_attr_or_name(None, TIME_NAMES, 0)
-    if lat.ndim == 1 and lon.ndim == 1:
-        lon, lat = np.meshgrid(lon, lat)
+    g_lat = by_attr_or_name(LAT_LONG_NAME, LAT_NAMES)
+    g_lon = by_attr_or_name(LON_LONG_NAME, LON_NAMES)
+    g_time = by_attr_or_name(None, TIME_NAMES)
+
+    def var_coords(name: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """time/lat2d/lon2d for ONE measure variable: file-level
+        attr/name resolution first, misses filled from THIS variable's
+        own dimension scales (netCDF-4 DIMENSION_LIST — structural
+        attachment, independent of naming conventions). Per variable
+        so two grids in one file never mix coordinates."""
+        sc = dim_scales.get(name, [])
+
+        def pick(g, axis: int, what: str):
+            if g is not None:
+                return g
+            if axis < len(sc) and sc[axis] and sc[axis] in nc.variables:
+                return np.asarray(nc.variables[sc[axis]].data)
+            raise ValueError(
+                f"no {what} coordinate for variable {name!r}: no long_name match, "
+                f"no conventional name, and no dimension scale on axis {axis}"
+            )
+
+        time_h = pick(g_time, 0, "time")
+        lat, lon = _mesh_coords(pick(g_lat, 1, "latitude"), pick(g_lon, 2, "longitude"))
+        return time_h, lat, lon
 
     def _int_index(name_: str, expect: int) -> np.ndarray | None:
         # INTEGER 1-D y/x variables carry original grid indices (the
@@ -274,13 +312,14 @@ def _decode_vendored(nc: Any, ds: str, variables: list[str] | None) -> Iterator[
             return d.astype(np.int64)
         return None
 
-    y_idx = _int_index("y", lat.shape[0])
-    x_idx = _int_index("x", lat.shape[1])
     for name, var in nc.variables.items():
         if len(var.shape) != 3:
             continue
         if variables is not None and name not in variables:
             continue
+        time_hours, lat, lon = var_coords(name)
+        y_idx = _int_index("y", lat.shape[0])
+        x_idx = _int_index("x", lat.shape[1])
         raw = np.asarray(var.data, dtype=np.float64)
         # CF conventions, matching what netCDF4's auto-maskandscale does:
         # _FillValue/missing_value compare against the PACKED values,

@@ -264,5 +264,59 @@ def test_decode_resolves_coords_via_dimension_scales():
     import pytest as _pytest
 
     b_bad = write_hdf5({"m": (cube, {}), "zz": (t, {})})
-    with _pytest.raises(ValueError, match="no coordinate variable"):
+    with _pytest.raises(ValueError, match="no .* coordinate for variable 'm'"):
         list(src.hdf5_decoder(b_bad, "ds3"))
+
+
+def test_decode_multi_grid_file_keeps_coords_per_variable():
+    """Two 3-D variables on DIFFERENT grids (same shapes, different
+    scale values, no conventional names): each decodes with its OWN
+    dimension scales — coordinates never leak across variables."""
+    import numpy as np
+
+    from netcdf_olap_spark.sources.hdf5 import write_hdf5
+
+    t = np.arange(2, dtype="<i4") * 24
+    la1, lo1 = np.array([40.0, 41.0]), np.array([-80.0, -79.0, -78.0])
+    la2, lo2 = np.array([10.0, 11.0]), np.array([100.0, 101.0, 102.0])
+    c1 = np.arange(12, dtype=np.float64).reshape(2, 2, 3)
+    c2 = c1 * 10
+    b = write_hdf5(
+        {
+            "m1": (c1, {}), "m2": (c2, {}),
+            "ts": (t, {}), "la1": (la1, {}), "lo1": (lo1, {}),
+            "la2": (la2, {}), "lo2": (lo2, {}),
+        },
+        dim_scales={"m1": ("ts", "la1", "lo1"), "m2": ("ts", "la2", "lo2")},
+    )
+    frames = {str(p["variable"].iloc[0]): p for p in src.hdf5_decoder(b, "ds")}
+    assert set(frames) == {"m1", "m2"}
+    assert sorted(frames["m1"]["lat"].unique()) == [40.0, 41.0]
+    assert sorted(frames["m2"]["lat"].unique()) == [10.0, 11.0]
+    assert sorted(frames["m2"]["lon"].unique()) == [100.0, 101.0, 102.0]
+
+
+def test_decode_mixed_rank_coordinates_broadcast():
+    """One coordinate 2-D (curvilinear, by long_name), the other a 1-D
+    dimension scale: the 1-D side broadcasts instead of failing the
+    grid-shape check."""
+    import numpy as np
+
+    from netcdf_olap_spark.sources.hdf5 import write_hdf5
+
+    t = np.arange(2, dtype="<i4") * 24
+    lat2d = np.array([[40.0, 40.1, 40.2], [41.0, 41.1, 41.2]])
+    lo = np.array([-80.0, -79.0, -78.0])
+    cube = np.arange(12, dtype=np.float64).reshape(2, 2, 3)
+    b = write_hdf5(
+        {
+            "m": (cube, {}),
+            "latvar": (lat2d, {"long_name": "latitude coordinate"}),
+            "ts": (t, {}), "lonscale": (lo, {}),
+        },
+        dim_scales={"m": ("ts", None, "lonscale")},
+    )
+    (pdf,) = list(src.hdf5_decoder(b, "ds"))
+    assert len(pdf) == 12
+    assert sorted(pdf["lon"].unique()) == [-80.0, -79.0, -78.0]
+    assert sorted(pdf["lat"].unique()) == sorted(lat2d.ravel())
