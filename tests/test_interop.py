@@ -469,3 +469,28 @@ def test_our_reader_reads_h5py_dimension_scales(tmp_path):
     np.testing.assert_array_equal(ours.variables["m"].data, cube)
     assert "DIMENSION_LIST" not in ours.variables["m"].attributes
     assert "REFERENCE_LIST" not in ours.variables["tsteps"].attributes
+
+
+@requires_h5py
+def test_h5py_reads_our_dimension_list_in_dense_storage(tmp_path):
+    """dense_attrs + dim_scales: libhdf5 reads attributes EXCLUSIVELY
+    from dense storage once the attribute-info heap address is set, so
+    DIMENSION_LIST must be resolvable there — h5py should see both the
+    spilled attribute set and the scale attachment."""
+    t = np.arange(4, dtype=np.int32)
+    cube = np.arange(24, dtype=np.float64).reshape(4, 3, 2)
+    attrs = {f"a{i:02d}": float(i) for i in range(12)}
+    content = write_hdf5(
+        {"m": (cube, attrs), "tsteps": (t, {})},
+        libver="latest",
+        dense_attrs=True,
+        dim_scales={"m": ("tsteps", None, None)},
+    )
+    path = tmp_path / "dl_dense.h5"
+    path.write_bytes(content)
+    with h5py.File(str(path), "r") as f:
+        got = dict(f["m"].attrs)
+        assert all(float(got[f"a{i:02d}"]) == i for i in range(12))
+        refs = got["DIMENSION_LIST"]
+        assert f[refs[0][0]].name == "/tsteps"
+        assert list(refs[1]) == [] and list(refs[2]) == []
