@@ -380,6 +380,93 @@ ORDER BY prev_type, next_type
 """
 
 
+def stream_near_dup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-duplicate gate: documents replayed as ordered
+    micro-batches; a custom applyInPandasWithState operator tracks the
+    first-arrival OWNER of every MinHash band key (16 md5-52 mins, 8
+    bands of 2 — the portable family), with event-time-timeout state
+    eviction; a document survives iff it owned all 8 of its bands.
+
+    Oracle-checked: per-batch ownership is min(ts, doc_id), arrival ts
+    is monotone in doc_id, and the state TTL here covers the replay
+    span, so the drained ownership stream reduces to the deterministic
+    batch twin — owner of a band key = min doc_id — which is plain SQL
+    in the md5-52 hash family (STREAM_NEAR_DUP_SQL). Bounded-state
+    behavior (eviction DROPPING old owners at a short TTL) is pinned
+    separately in tests/test_streaming.py."""
+    from netcdf_olap_spark.streaming.corpus import near_dup_filter
+    from netcdf_olap_spark.streaming.runner import stage_files
+
+    directory = tempfile.mkdtemp(prefix="noss_neardup_")
+    try:
+        base_us = 1_704_067_200_000_000
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+            "doc_id",
+            F.timestamp_micros(F.lit(base_us) + F.col("doc_id") * 60_000_000).alias("ts"),
+            "text",
+        )
+        stage_files(docs, directory, n_files=4, order_cols=["doc_id"])
+        from pyspark.sql.types import LongType, StringType, StructField, StructType, TimestampType
+
+        schema = StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("ts", TimestampType()),
+                StructField("text", StringType()),
+            ]
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(directory)
+        )
+        # TTL >> replay span: horizon effects are pinned in pytest, the
+        # checked surface is the full-history ownership reduction
+        owned = run_to_memory(
+            near_dup_filter(stream, watermark="2 hours", state_ttl_ms=10**12), "append"
+        )
+        return (
+            owned.groupBy("doc_id")
+            .agg(F.sum(F.when(F.col("owned"), 1).otherwise(0)).cast("long").alias("n_owned"))
+            .select("doc_id", "n_owned", (F.col("n_owned") == 8).alias("is_kept"))
+            .orderBy("doc_id")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(directory, ignore_errors=True)
+
+
+# Deterministic min-owner reduction of the band-ownership stream: the
+# owner of a band key is the smallest doc_id presenting it (arrival ts
+# is monotone in doc_id), and a doc is kept iff it owns all 8 bands.
+# Docs with < 3 tokens have no shingles and no row (both engines).
+STREAM_NEAR_DUP_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t != '') AS t
+  FROM documents),
+sh AS (
+  SELECT doc_id AS id,
+         unnest([concat_ws(' ', t[i], t[i+1], t[i+2]) FOR i IN generate_series(1, len(t) - 2)]) AS sh
+  FROM toks),
+mins AS (
+  SELECT id, j,
+         MIN(('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || sh), 1, 13))::BIGINT) AS h
+  FROM sh CROSS JOIN generate_series(0, 15) AS g(j)
+  GROUP BY id, j),
+bands AS (
+  SELECT id, j // 2 AS band, STRING_AGG(CAST(h AS VARCHAR), ',' ORDER BY j) AS key
+  FROM mins GROUP BY id, j // 2),
+owners AS (SELECT band, key, MIN(id) AS owner FROM bands GROUP BY band, key)
+SELECT b.id AS doc_id,
+       CAST(COUNT(*) FILTER (WHERE o.owner = b.id) AS BIGINT) AS n_owned,
+       COUNT(*) FILTER (WHERE o.owner = b.id) = 8 AS is_kept
+FROM bands b JOIN owners o ON o.band = b.band AND o.key = b.key
+GROUP BY b.id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "stream_tumbling_stats": (stream_tumbling_stats, STREAM_TUMBLING_SQL),
     "stream_running_totals": (stream_running_totals, STREAM_RUNNING_SQL),
@@ -388,4 +475,5 @@ QUERIES = {
     "stream_corpus_ingest": (stream_corpus_ingest, STREAM_CORPUS_SQL),
     "stream_heavy_hitters": (stream_heavy_hitters, STREAM_HEAVY_SQL),
     "stream_transition_counts": (stream_transition_counts, STREAM_TRANSITION_SQL),
+    "stream_near_dup_filter": (stream_near_dup_filter, STREAM_NEAR_DUP_SQL),
 }

@@ -45,3 +45,170 @@ def corpus_ingest(
     if watermark:
         return gated.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["fp"])
     return gated.dropDuplicates(["fp"])
+
+
+# ---------------------------------------------------------------------------
+# streaming NEAR-duplicate gate (MinHash band keys, bounded state)
+# ---------------------------------------------------------------------------
+
+
+def minhash_band_rows(df: DataFrame, k: int = 16, bands: int = 8, n: int = 3) -> DataFrame:
+    """(doc_id, ts, band, key) — one row per LSH band, computed
+    entirely MAP-SIDE (per-row higher-order functions, no shuffle, no
+    state), which is what makes MinHash signatures streaming-legal:
+    the batch formulation (explode shingles → groupBy doc) would be a
+    stateful aggregation on an unbounded stream.
+
+    Hash family is the engine-portable md5-52 (same as
+    ``minhash_lsh_pairs_portable``), so every stage is replayable in
+    DuckDB SQL and the streaming query can sit behind a value-level
+    oracle. Docs with fewer than ``n`` tokens have no shingles and
+    produce no rows (identical to the batch operators)."""
+    from netcdf_olap_spark.operators.text import shingles_from_tokens, tokens
+
+    if k % bands != 0:
+        raise ValueError(f"k={k} must be divisible by bands={bands}")
+    r = k // bands
+    toks = df.select("doc_id", "ts", tokens("text").alias("_t"))
+    shing = toks.select(
+        "doc_id", "ts", shingles_from_tokens(F.col("_t"), n).alias("_sh")
+    ).where(F.size("_sh") > 0)
+
+    def hmin(j: int):
+        # min over shingles of the 52-bit md5 prefix — duplicates in
+        # the shingle array cannot change a min, so no distinct pass
+        return F.array_min(
+            F.transform(
+                F.col("_sh"),
+                lambda s: F.conv(
+                    F.substring(F.md5(F.concat_ws("|", F.lit(str(j)), s)), 1, 13), 16, 10
+                ).cast("long"),
+            )
+        )
+
+    mins = shing.select("doc_id", "ts", *[hmin(j).alias(f"_h{j}") for j in range(k)])
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.concat_ws(",", *[F.col(f"_h{bi * r + j}").cast("string") for j in range(r)]).alias("key"),
+        )
+        for bi in range(bands)
+    ]
+    return mins.select("doc_id", "ts", F.explode(F.array(*band_cols)).alias("bk")).select(
+        "doc_id", "ts", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
+def band_owner_stream(rows: DataFrame, watermark: str, state_ttl_ms: int = 7_200_000) -> DataFrame:
+    """Stateful band-key ownership over a stream: the first-arriving
+    document to present a (band, key) OWNS it; every later presenter
+    of the same key within the state horizon emits ``owned=false``.
+    Within one micro-batch the owner is min(ts, doc_id) — replay-
+    deterministic when micro-batches are (files are staged in order).
+
+    State per key is 16 bytes (owner ts + id) and is EVICTED by an
+    event-time timeout ``state_ttl_ms`` past the key's last sighting,
+    so state holds only the recent-horizon key set — the same bounded-
+    state contract as ``dropDuplicatesWithinWatermark``, with the
+    ownership semantics that near-dup filtering needs (the built-in
+    dedup keeps first rows, but cannot say WHICH doc owned the key)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("band", IntegerType()),
+            StructField("key", StringType()),
+            StructField("owned", BooleanType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("ts_us", LongType()), StructField("doc_id", LongType())]
+    )
+    ttl = state_ttl_ms
+
+    def update(key, pdfs, state):  # noqa: ANN001 (Spark-dictated signature)
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        batch = pd.concat(list(pdfs))
+        batch = batch.sort_values(["ts", "doc_id"])
+        # normalize to ns first: pandas may deliver datetime64[ns] or
+        # [us] depending on the Arrow round-trip, and the timeout API
+        # below wants absolute MILLISECONDS
+        ts_ns = batch["ts"].astype("datetime64[ns]").astype("int64")
+        ts_us = ts_ns // 1000
+        if state.exists:
+            owner_us, owner_id = state.get
+        else:
+            owner_us, owner_id = int(ts_us.iloc[0]), int(batch["doc_id"].iloc[0])
+            state.update((owner_us, owner_id))
+        state.setTimeoutTimestamp(int(ts_ns.max() // 1_000_000) + ttl)
+        out = batch[["doc_id", "ts", "band", "key"]].copy()
+        out["owned"] = (batch["doc_id"].astype("int64") == owner_id) & (
+            ts_us.astype("int64") == owner_us
+        )
+        yield out
+
+    return (
+        rows.withWatermark("ts", watermark)
+        .groupBy("band", "key")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def near_dup_filter(
+    df: DataFrame,
+    watermark: str | None = None,
+    k: int = 16,
+    bands: int = 8,
+    n: int = 3,
+    state_ttl_ms: int = 7_200_000,
+) -> DataFrame:
+    """Near-duplicate gate: a document is KEPT iff it owns ALL of its
+    ``bands`` MinHash band keys (no earlier document shared any band —
+    the LSH candidate test of ``minhash_lsh_pairs``, applied as a
+    first-arrival filter instead of a pair join).
+
+    Streaming (``watermark`` set): returns the per-band ownership
+    stream from :func:`band_owner_stream` — drain it, then reduce
+    ``groupBy(doc_id).count_if(owned) == bands`` batch-side (the same
+    drain-then-reduce shape as the streaming sketch queries); the
+    stateful part holds only the horizon's band keys. Precision is
+    the LSH curve (a kept doc may still be a near-dup that collided in
+    no band — recall loss, never false drops of unique docs); exact
+    verification stays a batch/at-rest concern.
+
+    Batch (``watermark=None``): the deterministic min-owner twin —
+    owner of a band key is min(ts, doc_id) — fully reduced to
+    (doc_id, n_owned, is_kept), and SQL-replayable (the md5-52 family;
+    oracle in queries/streaming.py)."""
+    rows = minhash_band_rows(df, k=k, bands=bands, n=n)
+    if watermark is not None:
+        return band_owner_stream(rows, watermark, state_ttl_ms=state_ttl_ms)
+    owners = rows.groupBy("band", "key").agg(F.min(F.struct("ts", "doc_id")).alias("o"))
+    return (
+        rows.join(owners, ["band", "key"])
+        .select("doc_id", (F.col("o.doc_id") == F.col("doc_id")).alias("owned"))
+        .groupBy("doc_id")
+        .agg(F.sum(F.when(F.col("owned"), 1).otherwise(0)).cast("long").alias("n_owned"))
+        .select("doc_id", "n_owned", (F.col("n_owned") == bands).alias("is_kept"))
+    )

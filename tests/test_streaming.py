@@ -22,6 +22,7 @@ from netcdf_olap_spark.streaming.runner import (
     stage_event_files,
 )
 from netcdf_olap_spark.streaming.stateful import running_user_totals
+from tests.conftest import SF_SMALL
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -448,3 +449,129 @@ def test_transition_pairs_multichunk_groups(spark, staged):
     )
     want = {(r["prev_type"], r["next_type"]): r["n"] for r in batch.collect()}
     assert got == want
+
+
+def _doc_stream(spark, tmp_path, rows, n_files=3, minutes_apart=1):
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from netcdf_olap_spark.streaming.runner import stage_files
+
+    base_us = 1_704_067_200_000_000
+    docs = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id",
+        F.timestamp_micros(F.lit(base_us) + F.col("doc_id") * 60_000_000 * minutes_apart).alias("ts"),
+        "text",
+    )
+    directory = str(tmp_path / "neardup_stream")
+    stage_files(docs, directory, n_files=n_files, order_cols=["doc_id"])
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("text", StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(directory)
+    )
+    return docs, stream
+
+
+def test_near_dup_filter_stream_equals_batch(spark, tmp_path):
+    """Band-ownership stream (full-span TTL), reduced per doc, equals
+    the deterministic min-owner batch twin on real documents —
+    including near-dup groups split across micro-batches."""
+    from netcdf_olap_spark.streaming.corpus import near_dup_filter
+
+    docs = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .limit(300)
+        .select(
+            "doc_id",
+            F.timestamp_micros(F.lit(1_704_067_200_000_000) + F.col("doc_id") * 60_000_000).alias("ts"),
+            "text",
+        )
+    )
+    from netcdf_olap_spark.streaming.runner import stage_files
+
+    directory = str(tmp_path / "nd_real")
+    stage_files(docs, directory, n_files=4, order_cols=["doc_id"])
+    from pyspark.sql.types import LongType, StringType, StructField, StructType, TimestampType
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("text", StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(directory)
+    )
+    owned = run_to_memory(near_dup_filter(stream, watermark="2 hours", state_ttl_ms=10**12), "append")
+    got = (
+        owned.groupBy("doc_id")
+        .agg(F.sum(F.when(F.col("owned"), 1).otherwise(0)).cast("long").alias("n_owned"))
+        .select("doc_id", "n_owned", (F.col("n_owned") == 8).alias("is_kept"))
+    )
+    want = near_dup_filter(docs)
+    assert _rows(got, "doc_id") == _rows(want, "doc_id")
+    # exact duplicates exist in the fixture corpus → at least one drop
+    assert got.where(~F.col("is_kept")).count() > 0
+
+
+def test_near_dup_filter_state_horizon_evicts(spark, tmp_path):
+    """Bounded state, pinned: with a short TTL, a near-dup arriving
+    AFTER the horizon re-owns its band keys (the old owner's state was
+    evicted); with a full-span TTL it owns none. This is the
+    recent-horizon contract that keeps state finite on an unbounded
+    stream."""
+    from netcdf_olap_spark.streaming.corpus import near_dup_filter
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    rows = [
+        (0, text),
+        (1, "an entirely different document about spark streaming state stores"),
+        (300, "a third unrelated document mentioning watermarks and timeouts only"),
+        (400, "a fourth unrelated document that advances the event time watermark"),
+        (500, text),
+    ]
+    # one doc per micro-batch: event-time timeouts fire only for keys
+    # receiving NO data in a batch, so the eviction of doc 0's keys
+    # needs a quiet batch (doc 400's) after the watermark passes the
+    # TTL and before the near-dup (doc 500) arrives
+
+    def kept(ttl_ms):
+        docs, stream = _doc_stream(spark, tmp_path, rows, n_files=5)
+        owned = run_to_memory(
+            near_dup_filter(stream, watermark="2 hours", state_ttl_ms=ttl_ms), "append"
+        )
+        import shutil as _sh
+
+        _sh.rmtree(str(tmp_path / "neardup_stream"), ignore_errors=True)
+        return {
+            r.doc_id: r.n_owned
+            for r in owned.groupBy("doc_id")
+            .agg(F.sum(F.when(F.col("owned"), 1).otherwise(0)).cast("long").alias("n_owned"))
+            .collect()
+        }
+
+    # doc 500 arrives 500 min after doc 0; 2 h TTL < 500 min → evicted
+    # during doc 400's quiet batch
+    short = kept(2 * 3600 * 1000)
+    assert short[500] == 8  # re-owns every band: state about doc 0 is gone
+    full = kept(10**12)
+    assert full[500] == 0  # full history: doc 0 still owns all 8 bands
+    assert short[0] == full[0] == 8
