@@ -137,6 +137,22 @@ def minhash_signatures(
     return idx.groupBy("id").agg(*aggs)
 
 
+def md5_band_key_cols(bands: int, r: int, h_col) -> list:
+    """The portable band-key encoding shared by every md5-52 LSH site
+    (batch portable pairs, the streaming near-dup gate, and the DuckDB
+    oracles that replay it): band bi's key is the comma-joined decimal
+    mins h[bi*r] .. h[bi*r+r-1]. ``h_col(j)`` returns the j-th min-hash
+    column. One definition so the key format cannot drift between
+    engines or sites."""
+    return [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.concat_ws(",", *[h_col(bi * r + j).cast("string") for j in range(r)]).alias("key"),
+        )
+        for bi in range(bands)
+    ]
+
+
 def minhash_lsh_pairs_portable(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -175,13 +191,7 @@ def minhash_lsh_pairs_portable(
         return F.conv(hex13, 16, 10).cast("long")
 
     sigs = idx.groupBy("id").agg(*[F.min(h(j)).alias(f"h{j}") for j in range(k)])
-    band_cols = [
-        F.struct(
-            F.lit(bi).alias("band"),
-            F.concat_ws(",", *[F.col(f"h{bi * r + j}").cast("string") for j in range(r)]).alias("key"),
-        )
-        for bi in range(bands)
-    ]
+    band_cols = md5_band_key_cols(bands, r, lambda j: F.col(f"h{j}"))
     banded = sigs.select("id", F.explode(F.array(*band_cols)).alias("bk")).select(
         "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )

@@ -129,6 +129,40 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(directory, ignore_errors=True)
 
 
+def _staged_doc_stream(spark: SparkSession, sf_dir: str, n_files: int = 4):
+    """Documents replayed as an ordered micro-batched file stream with
+    synthetic arrival timestamps (one minute per doc). Arrival base is
+    2024-01-01: doc 0 must NOT land exactly on epoch 0 — the stream's
+    initial watermark is the epoch, and watermark-aware operators
+    discard rows at-or-before it as late (lost doc 0 before). Returns
+    (stream_df, staging_directory); caller removes the directory."""
+    from netcdf_olap_spark.streaming.runner import stage_files
+    from pyspark.sql.types import LongType, StringType, StructField, StructType, TimestampType
+
+    directory = tempfile.mkdtemp(prefix="noss_docstream_")
+    base_us = 1_704_067_200_000_000
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id",
+        F.timestamp_micros(F.lit(base_us) + F.col("doc_id") * 60_000_000).alias("ts"),
+        "text",
+    )
+    stage_files(docs, directory, n_files=n_files, order_cols=["doc_id"])
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("text", StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(directory)
+    )
+    return stream, directory
+
+
 def stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming training-corpus ingestion: documents replayed as
     micro-batches (synthetic arrival ts, one minute per doc), quality
@@ -142,42 +176,9 @@ def stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving set is plain SQL (oracle below). Batch equivalence also
     proven in tests/test_streaming.py."""
     from netcdf_olap_spark.streaming.corpus import corpus_ingest
-    from netcdf_olap_spark.streaming.runner import stage_files
 
-    directory = tempfile.mkdtemp(prefix="noss_docstream_")
+    stream, directory = _staged_doc_stream(spark, sf_dir)
     try:
-        # arrival base 2024-01-01, one doc per minute: doc 0 must NOT
-        # land exactly on epoch 0 — the stream's initial watermark is
-        # the epoch, and dropDuplicatesWithinWatermark discards rows
-        # at-or-before the watermark as late (lost doc 0 before)
-        base_us = 1_704_067_200_000_000
-        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
-            "doc_id",
-            F.timestamp_micros(F.lit(base_us) + F.col("doc_id") * 60_000_000).alias("ts"),
-            "text",
-        )
-        stage_files(docs, directory, n_files=4, order_cols=["doc_id"])
-        from pyspark.sql.types import (
-            LongType,
-            StringType,
-            StructField,
-            StructType,
-            TimestampType,
-        )
-
-        schema = StructType(
-            [
-                StructField("doc_id", LongType()),
-                StructField("ts", TimestampType()),
-                StructField("text", StringType()),
-            ]
-        )
-        stream = (
-            spark.readStream.schema(schema)
-            .format("parquet")
-            .option("maxFilesPerTrigger", "1")
-            .load(directory)
-        )
         out = run_to_memory(corpus_ingest(stream, watermark="2 hours"), "append")
         return out.select("fp", "n_tokens").orderBy("fp").localCheckpoint()
     finally:
@@ -394,45 +395,16 @@ def stream_near_dup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the md5-52 hash family (STREAM_NEAR_DUP_SQL). Bounded-state
     behavior (eviction DROPPING old owners at a short TTL) is pinned
     separately in tests/test_streaming.py."""
-    from netcdf_olap_spark.streaming.corpus import near_dup_filter
-    from netcdf_olap_spark.streaming.runner import stage_files
+    from netcdf_olap_spark.streaming.corpus import near_dup_filter, near_dup_reduce
 
-    directory = tempfile.mkdtemp(prefix="noss_neardup_")
+    stream, directory = _staged_doc_stream(spark, sf_dir)
     try:
-        base_us = 1_704_067_200_000_000
-        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
-            "doc_id",
-            F.timestamp_micros(F.lit(base_us) + F.col("doc_id") * 60_000_000).alias("ts"),
-            "text",
-        )
-        stage_files(docs, directory, n_files=4, order_cols=["doc_id"])
-        from pyspark.sql.types import LongType, StringType, StructField, StructType, TimestampType
-
-        schema = StructType(
-            [
-                StructField("doc_id", LongType()),
-                StructField("ts", TimestampType()),
-                StructField("text", StringType()),
-            ]
-        )
-        stream = (
-            spark.readStream.schema(schema)
-            .format("parquet")
-            .option("maxFilesPerTrigger", "1")
-            .load(directory)
-        )
         # TTL >> replay span: horizon effects are pinned in pytest, the
         # checked surface is the full-history ownership reduction
         owned = run_to_memory(
             near_dup_filter(stream, watermark="2 hours", state_ttl_ms=10**12), "append"
         )
-        return (
-            owned.groupBy("doc_id")
-            .agg(F.sum(F.when(F.col("owned"), 1).otherwise(0)).cast("long").alias("n_owned"))
-            .select("doc_id", "n_owned", (F.col("n_owned") == 8).alias("is_kept"))
-            .orderBy("doc_id")
-            .localCheckpoint()
-        )
+        return near_dup_reduce(owned).orderBy("doc_id").localCheckpoint()
     finally:
         shutil.rmtree(directory, ignore_errors=True)
 

@@ -2404,6 +2404,14 @@ def write_hdf5(
         for nm in sorted(dim_scales):
             if nm not in variables:
                 raise ValueError(f"dim_scales names unknown variable {nm!r}")
+            if "DIMENSION_LIST" in variables[nm][1]:
+                # the generated attribute would collide with the user's
+                # — two same-named attributes make the dense name index
+                # ambiguous and one value is silently lost on read
+                raise ValueError(
+                    f"variable {nm!r} carries a user attribute named DIMENSION_LIST "
+                    "while dim_scales also attaches one; drop the user attribute"
+                )
             scales_t = dim_scales[nm]
             rank = np.asarray(variables[nm][0]).ndim
             if len(scales_t) != rank:

@@ -225,14 +225,29 @@ def netcdf4_decoder(content: bytes, ds: str, variables: list[str] | None = None)
 
             # per-variable fallback: in the netCDF model a variable's
             # coordinate variable carries its dimension's NAME — the
-            # library-level view of HDF5 dimension scales. Per variable
-            # so multi-grid files never mix coordinates.
+            # library-level view of HDF5 dimension scales. Per variable,
+            # and shape-guarded (a file-level match sized for another
+            # grid falls through), so multi-grid files never mix
+            # coordinates.
+            vshape = tuple(var.shape)
+
+            def fits(d, axis: int) -> bool:
+                if axis == 0:
+                    return d.ndim == 1 and len(d) == vshape[0]
+                if d.ndim == 1:
+                    return len(d) == vshape[axis]
+                return d.ndim == 2 and d.shape == (vshape[1], vshape[2])
+
             def coord(g, axis: int, what: str, _var=var):
-                if g is not None:
+                if g is not None and fits(g, axis):
                     return g
                 cv = nc.variables.get(_var.dimensions[axis])
                 if cv is not None:
-                    return np.asarray(cv[:])
+                    d = np.asarray(cv[:])
+                    if fits(d, axis):
+                        return d
+                if g is not None:
+                    return g  # mismatched everywhere: keep the name match's error surface
                 raise ValueError(
                     f"no {what} coordinate for variable {name!r}: no long_name match, "
                     f"no conventional name, and no coordinate variable for dimension "
@@ -276,19 +291,32 @@ def _decode_vendored(nc: Any, ds: str, variables: list[str] | None) -> Iterator[
     g_lon = by_attr_or_name(LON_LONG_NAME, LON_NAMES)
     g_time = by_attr_or_name(None, TIME_NAMES)
 
-    def var_coords(name: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    def var_coords(name: str, var_shape: tuple[int, ...]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """time/lat2d/lon2d for ONE measure variable: file-level
-        attr/name resolution first, misses filled from THIS variable's
+        attr/name resolution first, falling through to THIS variable's
         own dimension scales (netCDF-4 DIMENSION_LIST — structural
-        attachment, independent of naming conventions). Per variable
-        so two grids in one file never mix coordinates."""
+        attachment, independent of naming conventions) when the axis
+        has no file-level match OR the match's shape does not fit this
+        variable's grid. Per variable, with the shape guard, so two
+        grids in one file never mix coordinates."""
         sc = dim_scales.get(name, [])
 
+        def fits(d: np.ndarray, axis: int) -> bool:
+            if axis == 0:
+                return d.ndim == 1 and len(d) == var_shape[0]
+            if d.ndim == 1:
+                return len(d) == var_shape[axis]
+            return d.ndim == 2 and d.shape == (var_shape[1], var_shape[2])
+
         def pick(g, axis: int, what: str):
-            if g is not None:
+            if g is not None and fits(g, axis):
                 return g
             if axis < len(sc) and sc[axis] and sc[axis] in nc.variables:
-                return np.asarray(nc.variables[sc[axis]].data)
+                d = np.asarray(nc.variables[sc[axis]].data)
+                if fits(d, axis):
+                    return d
+            if g is not None:
+                return g  # mismatched everywhere: keep the name match's error surface
             raise ValueError(
                 f"no {what} coordinate for variable {name!r}: no long_name match, "
                 f"no conventional name, and no dimension scale on axis {axis}"
@@ -317,7 +345,7 @@ def _decode_vendored(nc: Any, ds: str, variables: list[str] | None) -> Iterator[
             continue
         if variables is not None and name not in variables:
             continue
-        time_hours, lat, lon = var_coords(name)
+        time_hours, lat, lon = var_coords(name, tuple(var.shape))
         y_idx = _int_index("y", lat.shape[0])
         x_idx = _int_index("x", lat.shape[1])
         raw = np.asarray(var.data, dtype=np.float64)

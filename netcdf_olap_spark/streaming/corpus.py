@@ -87,13 +87,9 @@ def minhash_band_rows(df: DataFrame, k: int = 16, bands: int = 8, n: int = 3) ->
         )
 
     mins = shing.select("doc_id", "ts", *[hmin(j).alias(f"_h{j}") for j in range(k)])
-    band_cols = [
-        F.struct(
-            F.lit(bi).alias("band"),
-            F.concat_ws(",", *[F.col(f"_h{bi * r + j}").cast("string") for j in range(r)]).alias("key"),
-        )
-        for bi in range(bands)
-    ]
+    from netcdf_olap_spark.operators.dedup import md5_band_key_cols
+
+    band_cols = md5_band_key_cols(bands, r, lambda j: F.col(f"_h{j}"))
     return mins.select("doc_id", "ts", F.explode(F.array(*band_cols)).alias("bk")).select(
         "doc_id", "ts", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
@@ -209,6 +205,17 @@ def near_dup_filter(
         rows.join(owners, ["band", "key"])
         .select("doc_id", (F.col("o.doc_id") == F.col("doc_id")).alias("owned"))
         .groupBy("doc_id")
+        .agg(F.sum(F.when(F.col("owned"), 1).otherwise(0)).cast("long").alias("n_owned"))
+        .select("doc_id", "n_owned", (F.col("n_owned") == bands).alias("is_kept"))
+    )
+
+
+def near_dup_reduce(owned: DataFrame, bands: int = 8) -> DataFrame:
+    """Per-document reduction of a drained band-ownership stream:
+    (doc_id, n_owned, is_kept) with kept = owns all ``bands`` bands.
+    One definition shared by the registry query and the tests."""
+    return (
+        owned.groupBy("doc_id")
         .agg(F.sum(F.when(F.col("owned"), 1).otherwise(0)).cast("long").alias("n_owned"))
         .select("doc_id", "n_owned", (F.col("n_owned") == bands).alias("is_kept"))
     )

@@ -1679,3 +1679,15 @@ def test_reference_list_attr_decodes_and_is_dropped():
     r.buf = bytes(buf)
     got = r._attr_values(dt, (1,), 0)
     assert got == [[{"dataset": 0x1234, "dimension": 0}]]
+
+
+def test_dimension_list_user_attr_collision_raises():
+    """A user attribute literally named DIMENSION_LIST on a variable
+    that dim_scales also covers would produce two same-named
+    attributes (ambiguous name index, one silently lost) — refuse."""
+    t = np.arange(3, dtype="<i4")
+    with pytest.raises(ValueError, match="DIMENSION_LIST"):
+        write_hdf5(
+            {"m": (np.zeros((3, 2, 2)), {"DIMENSION_LIST": 1.0}), "tt": (t, {})},
+            dim_scales={"m": ("tt", None, None)},
+        )

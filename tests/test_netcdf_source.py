@@ -320,3 +320,32 @@ def test_decode_mixed_rank_coordinates_broadcast():
     assert len(pdf) == 12
     assert sorted(pdf["lon"].unique()) == [-80.0, -79.0, -78.0]
     assert sorted(pdf["lat"].unique()) == sorted(lat2d.ravel())
+
+
+def test_decode_named_coords_wrong_shape_fall_through_to_scales():
+    """A file-level conventional-name coordinate sized for ANOTHER grid
+    must not be forced onto a variable it cannot fit: the shape guard
+    falls through to that variable's own dimension scales."""
+    import numpy as np
+
+    from netcdf_olap_spark.sources.hdf5 import write_hdf5
+
+    t = np.arange(2, dtype="<i4") * 24
+    # grid A: conventional names, 2x3
+    laA, loA = np.array([40.0, 41.0]), np.array([-80.0, -79.0, -78.0])
+    cA = np.arange(12, dtype=np.float64).reshape(2, 2, 3)
+    # grid B: different SHAPE (4x5), coords only via scales
+    laB, loB = np.linspace(10, 13, 4), np.linspace(100, 104, 5)
+    cB = np.arange(40, dtype=np.float64).reshape(2, 4, 5)
+    b = write_hdf5(
+        {
+            "mA": (cA, {}), "mB": (cB, {}),
+            "time": (t, {}), "lat": (laA, {}), "lon": (loA, {}),
+            "laB": (laB, {}), "loB": (loB, {}),
+        },
+        dim_scales={"mB": ("time", "laB", "loB")},
+    )
+    frames = {str(p["variable"].iloc[0]): p for p in src.hdf5_decoder(b, "ds")}
+    assert sorted(frames["mA"]["lat"].unique()) == [40.0, 41.0]
+    assert sorted(frames["mB"]["lat"].unique()) == sorted(laB)
+    assert sorted(frames["mB"]["lon"].unique()) == sorted(loB)

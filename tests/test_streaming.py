@@ -520,12 +520,10 @@ def test_near_dup_filter_stream_equals_batch(spark, tmp_path):
         .option("maxFilesPerTrigger", "1")
         .load(directory)
     )
+    from netcdf_olap_spark.streaming.corpus import near_dup_reduce
+
     owned = run_to_memory(near_dup_filter(stream, watermark="2 hours", state_ttl_ms=10**12), "append")
-    got = (
-        owned.groupBy("doc_id")
-        .agg(F.sum(F.when(F.col("owned"), 1).otherwise(0)).cast("long").alias("n_owned"))
-        .select("doc_id", "n_owned", (F.col("n_owned") == 8).alias("is_kept"))
-    )
+    got = near_dup_reduce(owned)
     want = near_dup_filter(docs)
     assert _rows(got, "doc_id") == _rows(want, "doc_id")
     # exact duplicates exist in the fixture corpus → at least one drop
@@ -561,12 +559,9 @@ def test_near_dup_filter_state_horizon_evicts(spark, tmp_path):
         import shutil as _sh
 
         _sh.rmtree(str(tmp_path / "neardup_stream"), ignore_errors=True)
-        return {
-            r.doc_id: r.n_owned
-            for r in owned.groupBy("doc_id")
-            .agg(F.sum(F.when(F.col("owned"), 1).otherwise(0)).cast("long").alias("n_owned"))
-            .collect()
-        }
+        from netcdf_olap_spark.streaming.corpus import near_dup_reduce
+
+        return {r.doc_id: r.n_owned for r in near_dup_reduce(owned).collect()}
 
     # doc 500 arrives 500 min after doc 0; 2 h TTL < 500 min → evicted
     # during doc 400's quiet batch
