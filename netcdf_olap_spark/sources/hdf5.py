@@ -64,7 +64,9 @@ per-axis dimension-scale names on ``H5File.dim_scales`` — structural
 coordinate attachment, independent of naming conventions — and
 REFERENCE_LIST (vlen compound back-pointers) is decoded then dropped;
 the writer emits DIMENSION_LIST + a global heap collection via its
-``dim_scales`` parameter. Region references and other remaining
+``dim_scales`` parameter. ARRAY datatypes (class 10, v2+v3) decode —
+compound members with sub-array shapes read as numpy sub-array fields
+and write as v3 array wrappers. Region references and other remaining
 unsupported attribute datatypes still skip, never fatal.
 
 The writer exists to make fixtures for the reader (the container has
@@ -119,6 +121,7 @@ CLS_COMPOUND = 6
 CLS_REFERENCE = 7
 CLS_ENUM = 8
 CLS_VLEN = 9
+CLS_ARRAY = 10
 
 # filter ids
 FILTER_DEFLATE = 1
@@ -222,6 +225,7 @@ class _DT:
         vlen_string: bool = False,
         members: "list[tuple[str, int, _DT]] | None" = None,
         enum_names: dict[int, str] | None = None,
+        array_dims: tuple[int, ...] | None = None,
     ):
         self.cls = cls
         self.size = size
@@ -231,6 +235,7 @@ class _DT:
         self.vlen_string = vlen_string
         self.members = members  # compound: (name, byte offset, member dt)
         self.enum_names = enum_names  # enum: base value -> symbol
+        self.array_dims = array_dims  # array (class 10): element shape
 
     def numpy(self) -> np.dtype:
         bo = "<" if self.little else ">"
@@ -256,6 +261,8 @@ class _DT:
         if self.cls == CLS_REFERENCE:
             # object reference: an 8-byte object-header address
             return np.dtype(f"<u{self.size}")
+        if self.cls == CLS_ARRAY and self.base is not None:
+            return np.dtype((self.base.numpy(), self.array_dims or ()))
         raise NotImplementedError(f"datatype class {self.cls} has no numpy mapping")
 
 
@@ -331,7 +338,19 @@ def _parse_datatype(buf: bytes, pos: int) -> tuple[_DT, int]:
         p += nmembers * bnp.itemsize
         enum_names = {int(v): n for n, v in zip(names, vals)}
         return _DT(cls, size, base.little, base.signed, base=base, enum_names=enum_names), p - pos
-    raise NotImplementedError(f"datatype class {cls} (opaque/array/shared not supported)")
+    if cls == CLS_ARRAY:
+        # v2: ndims(1) + reserved(3) + dims(u32 each) + permutations
+        # (u32 each, v2 only); v3 drops the reserved and permutation
+        # fields. Base datatype message follows.
+        ndims = buf[pos + 8]
+        p = pos + 9 + (3 if version == 2 else 0)
+        dims = tuple(struct.unpack_from(f"<{ndims}I", buf, p))
+        p += 4 * ndims
+        if version == 2:
+            p += 4 * ndims  # permutation indexes (never used by libhdf5)
+        base, base_used = _parse_datatype(buf, p)
+        return _DT(cls, size, base.little, base.signed, base=base, array_dims=dims), p + base_used - pos
+    raise NotImplementedError(f"datatype class {cls} (opaque/shared not supported)")
 
 
 def _parse_dataspace(buf: bytes, pos: int) -> tuple[int, ...]:
@@ -1535,17 +1554,21 @@ def _dt_message(arr: np.ndarray) -> bytes:
         body = bytearray(bytes([0x36, n & 0xFF, (n >> 8) & 0xFF, 0]) + struct.pack("<I", dt.itemsize))
         for name in dt.names:
             mdt, moff = dt.fields[name][0], dt.fields[name][1]
-            if mdt.subdtype is not None:
-                # a sub-array member would need an array datatype
-                # (class 10) wrapper; emitting the scalar base type
-                # alone would describe only the first element and
-                # every reader would silently drop the rest
-                raise NotImplementedError(
-                    f"cannot write compound sub-array member {name!r}: {mdt}"
-                )
             body += name.encode("utf-8") + b"\x00"
             body += int(moff).to_bytes(off_len, "little")
-            body += _dt_message(np.zeros((), dtype=mdt))
+            if mdt.subdtype is not None:
+                # sub-array member → ARRAY datatype (class 10, v3)
+                # wrapper: ndims + u32 dims + the base scalar message
+                base_dt, shape = mdt.subdtype
+                props = bytes([len(shape)]) + b"".join(struct.pack("<I", d) for d in shape)
+                body += (
+                    bytes([0x3A, 0, 0, 0])
+                    + struct.pack("<I", mdt.itemsize)
+                    + props
+                    + _dt_message(np.zeros((), dtype=base_dt))
+                )
+            else:
+                body += _dt_message(np.zeros((), dtype=mdt))
         return bytes(body)
     raise NotImplementedError(f"cannot write dtype {dt}")
 

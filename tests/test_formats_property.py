@@ -335,17 +335,21 @@ def test_hdf5_compound_roundtrip_property(data, n_fields, chunked, gzip):
     offsets, padding holes included) round-trip as structured arrays
     through contiguous and chunked+filtered layouts."""
     member = st.sampled_from(["<f8", "<f4", "<i4", "<i2", "u1"])
-    rec = np.dtype([(f"m{i}", data.draw(member)) for i in range(n_fields)], align=True)
+    mshape = st.sampled_from([(), (2,), (3,), (2, 2)])
+    rec = np.dtype(
+        [(f"m{i}", data.draw(member), data.draw(mshape)) for i in range(n_fields)], align=True
+    )
     shape = data.draw(st.tuples(st.integers(1, 6), st.integers(1, 4)))
     rng = np.random.default_rng(data.draw(st.integers(0, 2**31 - 1)))
     arr = np.zeros(shape, dtype=rec)
     for nm in rec.names:
         k = arr[nm].dtype.kind
+        fshape = arr[nm].shape  # includes any member sub-array dims
         if k == "f":
-            arr[nm] = rng.normal(0, 100, shape).astype(arr[nm].dtype)
+            arr[nm] = rng.normal(0, 100, fshape).astype(arr[nm].dtype)
         else:
             info = np.iinfo(arr[nm].dtype)
-            arr[nm] = rng.integers(info.min, info.max, shape, dtype=arr[nm].dtype)
+            arr[nm] = rng.integers(info.min, info.max, fshape, dtype=arr[nm].dtype)
     kw = {}
     if chunked:
         kw = {"chunks": {"v": tuple(data.draw(st.integers(1, s)) for s in shape)}, "gzip": gzip}

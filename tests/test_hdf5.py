@@ -1545,14 +1545,37 @@ def test_paged_extensible_array_direct_block_raises():
                   chunk_index="extensible_array", ea_params=(32, 2, 2, 2, 1))
 
 
-def test_compound_subarray_member_raises():
-    """A sub-array member would need a class-10 array datatype wrapper;
-    the scalar fallback would describe only element [0] and readers
-    would silently drop the rest — must refuse, not corrupt."""
-    rec = np.dtype([("a", "<f8", (2,)), ("b", "<i4")])
-    arr = np.zeros((3,), dtype=rec)
-    with pytest.raises(NotImplementedError, match="sub-array"):
-        write_hdf5({"v": (arr, {})})
+def test_compound_subarray_member_roundtrip():
+    """Sub-array members ride a class-10 (ARRAY, v3) datatype wrapper:
+    ndims + u32 dims + the base scalar message — round-trips through
+    contiguous and chunked+filtered layouts, padding holes included."""
+    rec = np.dtype([("a", "<f8", (2,)), ("b", "<i4"), ("c", "<f4", (3, 2))])
+    arr = np.zeros((4, 3), dtype=rec)
+    rng = np.random.default_rng(0)
+    arr["a"] = rng.normal(0, 10, (4, 3, 2))
+    arr["b"] = rng.integers(-100, 100, (4, 3))
+    arr["c"] = rng.normal(0, 1, (4, 3, 3, 2)).astype("<f4")
+    for kw in ({}, {"chunks": {"v": (2, 2)}, "gzip": 4, "shuffle": True}):
+        got = read_hdf5(write_hdf5({"v": (arr, {"n": 1})}, **kw)).variables["v"].data
+        assert got.dtype.names == rec.names
+        for nm in rec.names:
+            np.testing.assert_array_equal(got[nm], arr[nm], err_msg=str(kw))
+
+
+def test_array_datatype_v2_encoding_parses():
+    """The v2 array-datatype encoding carries reserved bytes and
+    permutation indexes the v3 writer never emits — hand-built bytes
+    exercise the reader's v2 branch."""
+    import struct as _s
+
+    from netcdf_olap_spark.sources.hdf5 import _parse_datatype
+
+    base = bytes([0x11, 0x20, 63, 0]) + _s.pack("<I", 8) + _s.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023)
+    v2 = bytes([0x2A, 0, 0, 0]) + _s.pack("<I", 16) + bytes([2, 0, 0, 0])
+    v2 += _s.pack("<II", 2, 1) + _s.pack("<II", 0, 1) + base
+    dt, used = _parse_datatype(v2, 0)
+    assert dt.array_dims == (2, 1) and used == len(v2)
+    assert dt.numpy() == np.dtype(("<f8", (2, 1)))
 
 
 def test_big_endian_dtype_raises():

@@ -494,3 +494,27 @@ def test_h5py_reads_our_dimension_list_in_dense_storage(tmp_path):
         refs = got["DIMENSION_LIST"]
         assert f[refs[0][0]].name == "/tsteps"
         assert list(refs[1]) == [] and list(refs[2]) == []
+
+
+@requires_h5py
+def test_compound_subarray_members_both_directions(tmp_path):
+    """Compound variables with ARRAY (class 10) members cross-read:
+    libhdf5 sees our v3 array-wrapper encoding, and our reader decodes
+    h5py's (which also carries the v2 form in older files)."""
+    rec = np.dtype([("a", "<f8", (2,)), ("b", "<i4")])
+    arr = np.zeros((4,), dtype=rec)
+    arr["a"] = np.arange(8, dtype=np.float64).reshape(4, 2)
+    arr["b"] = np.arange(4)
+    path = tmp_path / "sub_ours.h5"
+    path.write_bytes(write_hdf5({"v": (arr, {})}))
+    with h5py.File(str(path), "r") as f:
+        got = f["v"][:]
+        np.testing.assert_array_equal(got["a"], arr["a"])
+        np.testing.assert_array_equal(got["b"], arr["b"])
+
+    path2 = tmp_path / "sub_theirs.h5"
+    with h5py.File(str(path2), "w") as f:
+        f.create_dataset("v", data=arr)
+    ours = read_hdf5(path2.read_bytes()).variables["v"].data
+    np.testing.assert_array_equal(ours["a"], arr["a"])
+    np.testing.assert_array_equal(ours["b"], arr["b"])
