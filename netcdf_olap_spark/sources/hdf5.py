@@ -84,6 +84,7 @@ ingest_directory — binaryFile + mapInPandas, one file per task).
 from __future__ import annotations
 
 import itertools
+import math
 import struct
 import zlib
 from dataclasses import dataclass, field
@@ -246,6 +247,12 @@ class _DT:
                 raise NotImplementedError(f"float datatype of size {self.size}")
             return np.dtype(f"{bo}f{self.size}")
         if self.cls == CLS_STRING:
+            # a corrupt size wraps numpy's int32 itemsize NEGATIVE
+            # (np.dtype("S2181038120").itemsize == -2113929176) and
+            # later element access SEGFAULTS the interpreter — refuse
+            # implausible sizes here, the single choke point
+            if not 0 < self.size <= 2**31 - 1:
+                raise ValueError(f"implausible string datatype size {self.size}")
             return np.dtype(f"S{self.size}")
         if self.cls == CLS_ENUM and self.base is not None:
             return self.base.numpy()  # enums read as their base integers
@@ -753,7 +760,7 @@ class _Reader:
         raise ValueError(f"global heap object {index} not found at {addr:#x}")
 
     def _attr_values(self, dt: _DT, shape: tuple[int, ...], pos: int) -> Any:
-        n = int(np.prod(shape)) if shape else 1
+        n = math.prod(shape) if shape else 1  # exact bigint: corrupt shapes must not overflow
         if dt.cls == CLS_VLEN:
             # every vlen element is a 16-byte global-heap descriptor:
             # count(u4) + collection address(u8) + object index(u4).
@@ -781,6 +788,13 @@ class _Reader:
                     vals.append([v.item() for v in seq])
             return vals[0] if not shape else vals
         npdt = dt.numpy()
+        # bounds check BEFORE touching the buffer: np.frombuffer with a
+        # corrupt count/itemsize combination must become a clean parse
+        # error, never undefined behavior in a Spark executor
+        if npdt.itemsize <= 0 or n < 0 or pos + n * npdt.itemsize > len(self.buf):
+            raise ValueError(
+                f"attribute value out of file bounds (itemsize {npdt.itemsize}, count {n})"
+            )
         arr = np.frombuffer(self.buf, dtype=npdt, count=n, offset=pos)
         if dt.cls == CLS_COMPOUND:
             # 1-field compounds (``_FillValue`` in the wild) unwrap to
@@ -906,7 +920,17 @@ class _Reader:
         if dt is None or layout is None:
             raise ValueError(f"dataset {name!r} missing datatype or layout message")
         npdt = dt.numpy()
-        n = int(np.prod(shape)) if shape else 1
+        n = math.prod(shape) if shape else 1  # exact bigint: corrupt shapes must not overflow
+        # corrupt-shape guard: deflate can legitimately expand far past
+        # the file size, but not by >4096x — beyond that the dataspace
+        # is garbage, and a clean error beats a multi-GiB np.full
+        # allocation inside an executor
+        declared = n * npdt.itemsize
+        if declared > max(1 << 28, 4096 * len(buf)):
+            raise ValueError(
+                f"dataset {name!r} declares {declared} bytes — implausible for a "
+                f"{len(buf)}-byte file"
+            )
 
         # HDF5 semantics: unallocated data reads as the declared fill
         # value; fall back to NaN (floats) / 0 (ints) when undefined
@@ -941,7 +965,7 @@ class _Reader:
             data = background()
             for offs, caddr, nbytes, mask in entries:
                 raw = self._defilter(buf[caddr : caddr + nbytes], filters, mask)
-                chunk = np.frombuffer(raw, dtype=npdt, count=int(np.prod(chunk_shape))).reshape(chunk_shape)
+                chunk = np.frombuffer(raw, dtype=npdt, count=math.prod(chunk_shape)).reshape(chunk_shape)
                 sel = tuple(
                     slice(o, min(o + c, s)) for o, c, s in zip(offs, chunk_shape, shape)
                 )
@@ -998,7 +1022,7 @@ class _Reader:
         version-4 chunk indexes: single chunk (1), implicit (2),
         fixed array (3), extensible array (4), v2 B-tree (5)."""
         buf = self.buf
-        chunk_nbytes = int(np.prod(chunk_shape)) * itemsize
+        chunk_nbytes = math.prod(chunk_shape) * itemsize
         origins = self._chunk_grid(shape, chunk_shape)
         if index_type == 1:  # single chunk
             addr, stored, mask = info
@@ -1022,6 +1046,14 @@ class _Reader:
             entry_size = buf[fa_addr + 6]
             page_bits = buf[fa_addr + 7]
             max_entries, db_addr = struct.unpack_from("<QQ", buf, fa_addr + 8)
+            # the data block stores all pages back-to-back, so a corrupt
+            # max_entries (or zero entry size) cannot describe more
+            # entries than the file holds — guard before the entry loop
+            if entry_size == 0 or max_entries * entry_size > len(buf):
+                raise ValueError(
+                    f"fixed-array index declares {max_entries} entries of "
+                    f"{entry_size} bytes — exceeds the {len(buf)}-byte file"
+                )
             if buf[db_addr : db_addr + 4] != b"FADB":
                 raise ValueError("bad fixed-array data block signature")
             hdr_end = db_addr + 6 + 8  # sig, version, client id, header address
@@ -1129,6 +1161,13 @@ class _Reader:
             return []
         if dblk_min & (dblk_min - 1) or sblk_min_ptrs & (sblk_min_ptrs - 1):
             raise ValueError("extensible-array creation params must be powers of two")
+        if max_bits > 64 or elmt_size == 0:
+            # corrupt creation params would size super blocks at 2^max_bits
+            # elements and drive unbounded decode loops
+            raise ValueError(
+                f"implausible extensible-array params (max_bits {max_bits}, "
+                f"element size {elmt_size})"
+            )
         arr_off = (max_bits + 7) // 8
         sblk_info = _ea_sblk_info(max_bits, dblk_min)
         ib_nsblks = 2 * (sblk_min_ptrs.bit_length() - 1)
@@ -1137,6 +1176,11 @@ class _Reader:
         page_nelmts = 1 << page_bits
 
         def decode_elems(pos: int, n: int) -> list[tuple[int, int, int] | None]:
+            if n * elmt_size > len(buf):
+                raise ValueError(
+                    f"extensible-array block declares {n} elements of "
+                    f"{elmt_size} bytes — exceeds the {len(buf)}-byte file"
+                )
             out: list[tuple[int, int, int] | None] = []
             for i in range(n):
                 e = pos + i * elmt_size
@@ -1184,6 +1228,8 @@ class _Reader:
             # page_nelmts elements + its own checksum. Which pages are
             # initialized lives in the PARENT super block's bitmap.
             out: list = []
+            if (nelmts // page_nelmts) * 4 > len(buf):
+                raise ValueError("paged data block declares more pages than the file can hold")
             for pg in range(nelmts // page_nelmts):
                 if not page_init(pg):
                     out.extend([None] * page_nelmts)
@@ -1192,7 +1238,7 @@ class _Reader:
             return out
 
         grid_dims = tuple(-(-s // c) for s, c in zip(shape, chunk_shape))
-        nchunks = int(np.prod(grid_dims)) if grid_dims else 1
+        nchunks = math.prod(grid_dims) if grid_dims else 1
         dblk_cursor = 0
         for u, (ndblks, nelmts, _si, _sd) in enumerate(sblk_info):
             if len(elements) >= nchunks:

@@ -35,6 +35,7 @@ the distribution story lives a layer up.
 
 from __future__ import annotations
 
+import math
 import struct
 from dataclasses import dataclass, field
 from typing import Any
@@ -210,6 +211,15 @@ def read_netcdf3(content: bytes, variables: list[str] | None = None) -> Nc3File:
         if rec_vars and recsize:
             first = min(m[5] for m in rec_vars)
             numrecs = (len(content) - first) // recsize
+    if rec_vars and recsize:
+        # a corrupt numrecs field must not drive the slab loop past the
+        # file: the record section cannot hold more records than fit
+        first = min(m[5] for m in rec_vars)
+        avail = max(0, (len(content) - first)) // recsize
+        if numrecs > avail:
+            raise ValueError(
+                f"numrecs {numrecs} exceeds the {avail} records the file can hold"
+            )
 
     for nm, dimids, attrs, nc_type, vsize, begin in metas:
         if variables is not None and len(dimids) == 3 and nm not in variables:
@@ -217,7 +227,10 @@ def read_netcdf3(content: bytes, variables: list[str] | None = None) -> Nc3File:
         dims = tuple(dim_names[d] for d in dimids)
         is_rec = bool(dimids) and dimids[0] == rec_dim
         fixed_shape = tuple(dim_sizes[d] for d in (dimids[1:] if is_rec else dimids))
-        count = int(np.prod(fixed_shape, dtype=np.int64)) if fixed_shape else 1
+        # exact bigint product: a corrupt dim list must not overflow
+        # int64 into a negative count (np.frombuffer(count=-1) would
+        # silently read the whole buffer as data)
+        count = math.prod(fixed_shape) if fixed_shape else 1
         dt = _DTYPES[nc_type]
         if is_rec:
             slabs = [

@@ -10,6 +10,7 @@ loops in the per-format test files.
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -387,3 +388,74 @@ def test_netcdf3_multi_record_var_roundtrip_property(data, version, n_vars, nrec
         if dn[0] == "rec":
             got = got[:nrec]  # another record var may have more records
         np.testing.assert_array_equal(got, arr)
+
+
+# ---------------------------------------------------------------------------
+# corruption robustness: a bad file must raise cleanly, never crash
+# ---------------------------------------------------------------------------
+
+
+def _corruptions(good: bytes, n: int, seed: int):
+    import random
+
+    rng = random.Random(seed)
+    for i in range(n):
+        b = bytearray(good)
+        mode = i % 3
+        if mode == 0:
+            b = b[: rng.randrange(1, len(b))]
+        elif mode == 1:
+            for _ in range(rng.randrange(1, 10)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+        else:
+            b = b[: rng.randrange(16, len(b))]
+            if b:
+                b[rng.randrange(len(b))] = rng.randrange(256)
+        yield bytes(b)
+
+
+def test_hdf5_corrupt_bytes_raise_cleanly():
+    """Truncations and random byte flips of a valid file must surface
+    as ordinary exceptions — a 4000-case seeded external sweep found a
+    SEGFAULT here (corrupt string-datatype size wrapping numpy's int32
+    itemsize negative); this bounded twin keeps the guards honest."""
+    t = np.arange(4, dtype="<i4")
+    cube = np.random.default_rng(0).normal(0, 1, (4, 3, 2))
+    good = write_hdf5(
+        {"m": (cube, {"a": 1}), "time": (t, {})}, chunks={"m": (2, 2, 2)}, gzip=4
+    )
+    for b in _corruptions(good, 400, seed=42):
+        try:
+            read_hdf5(b)
+        except Exception:
+            pass  # any ordinary exception is fine; crashes are not
+
+
+def test_hdf5_corrupt_string_size_is_clean_error():
+    """The exact crash class: attribute string datatype whose size
+    field wraps numpy's int32 itemsize negative — must raise, with the
+    bounds check rejecting it before any buffer access."""
+    import struct as _s
+
+    from netcdf_olap_spark.sources.hdf5 import _DT, CLS_STRING, _Reader
+
+    with pytest.raises(ValueError, match="implausible string"):
+        _DT(CLS_STRING, 2181038120, True, False).numpy()
+    r = _Reader.__new__(_Reader)
+    r.buf = bytes(64)
+    with pytest.raises(ValueError, match="out of file bounds"):
+        r._attr_values(_DT(CLS_STRING, 4096, True, False), (), 0)
+
+
+def test_netcdf3_corrupt_bytes_raise_cleanly():
+    t = np.arange(4, dtype="<i4")
+    cube = np.random.default_rng(0).normal(0, 1, (4, 3, 2))
+    good = write_netcdf3(
+        {"time": None, "y": 3, "x": 2},
+        {"time": (("time",), t, {}), "m": (("time", "y", "x"), cube, {"_FillValue": -1.0})},
+    )
+    for b in _corruptions(good, 400, seed=7):
+        try:
+            read_netcdf3(b)
+        except Exception:
+            pass
