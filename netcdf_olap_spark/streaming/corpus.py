@@ -7,10 +7,10 @@ Scale design: ``dropDuplicatesWithinWatermark`` keys state on the
 fingerprint and evicts each key once the watermark passes its arrival
 window — so state holds only the recent-horizon fingerprint set, not
 the full corpus history. For corpus-lifetime dedup at 100 TB the
-horizon state pairs with a periodic compaction join against the
-at-rest fingerprint index (the batch operator); the stream stage's
-job is to stop duplicate floods *within* the horizon before they hit
-storage. The quality gate is a pure column expression — pushed
+horizon state pairs with the periodic compaction join against the
+at-rest fingerprint index (``compact_into_fingerprint_index`` below);
+the stream stage's job is to stop duplicate floods *within* the
+horizon before they hit storage. The quality gate is a pure column expression — pushed
 map-side, filtered docs never enter dedup state at all.
 """
 
@@ -219,3 +219,48 @@ def near_dup_reduce(owned: DataFrame, bands: int = 8) -> DataFrame:
         .agg(F.sum(F.when(F.col("owned"), 1).otherwise(0)).cast("long").alias("n_owned"))
         .select("doc_id", "n_owned", (F.col("n_owned") == bands).alias("is_kept"))
     )
+
+
+def compact_into_fingerprint_index(
+    spark,
+    survivors: DataFrame,
+    index_path: str,
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Corpus-LIFETIME dedup closure for the streaming ingest: the
+    stream's bounded state only suppresses duplicates inside its
+    watermark horizon (the module docstring's contract), so a
+    duplicate of something ingested LAST MONTH sails through. This
+    periodic compaction closes that gap: horizon survivors are
+    anti-joined against the at-rest fingerprint index — docs whose
+    fingerprint is already indexed drop — and the genuinely-new
+    fingerprints are APPENDED to the index for the next cycle.
+
+    100 TB shape: the index stores one small row per distinct
+    fingerprint ever ingested (the minimum any lifetime-dedup scheme
+    must remember), partitioned by a fingerprint prefix so the append
+    touches every partition evenly and the anti-join shuffles only on
+    the fingerprint hash; the survivors side is one horizon's worth of
+    rows, never the corpus. Returns the kept (genuinely new) rows.
+    """
+    import os
+
+    new_rows = survivors
+    if os.path.isdir(index_path) and any(
+        f.endswith(".parquet") for _r, _d, fs in os.walk(index_path) for f in fs
+    ):
+        at_rest = spark.read.parquet(index_path).select(F.col(fp_col))
+        new_rows = survivors.join(at_rest, fp_col, "left_anti")
+    # cut once: the keep-set feeds BOTH the caller's sink and the index
+    # append; without it the anti-join recomputes per consumer
+    new_rows = new_rows.localCheckpoint(eager=True)
+    (
+        new_rows.select(fp_col)
+        .distinct()
+        .withColumn("fp_prefix", F.substring(F.col(fp_col), 1, 2))
+        .repartition("fp_prefix")
+        .write.mode("append")
+        .partitionBy("fp_prefix")
+        .parquet(index_path)
+    )
+    return new_rows

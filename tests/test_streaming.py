@@ -570,3 +570,36 @@ def test_near_dup_filter_state_horizon_evicts(spark, tmp_path):
     full = kept(10**12)
     assert full[500] == 0  # full history: doc 0 still owns all 8 bands
     assert short[0] == full[0] == 8
+
+
+def test_compact_into_fingerprint_index_lifetime_dedup(spark, tmp_path):
+    """Horizon survivors compact against the at-rest fingerprint
+    index: cycle 2 drops docs whose fingerprint cycle 1 already
+    indexed (the cross-horizon duplicates the stream state cannot
+    see), keeps genuinely new ones, and appends them for cycle 3."""
+    from netcdf_olap_spark.streaming.corpus import compact_into_fingerprint_index, corpus_ingest
+
+    idx = str(tmp_path / "fp_index")
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    texts1 = [(1, base), (2, "a distinct document with more than ten whitespace tokens in it")]
+    texts2 = [
+        (10, base),                       # dup of cycle-1 doc 1 — horizon state is gone
+        (11, "another brand new document carrying plenty of whitespace separated tokens"),
+    ]
+
+    def cycle(rows):
+        docs = spark.createDataFrame(rows, "doc_id long, text string").select(
+            "doc_id", F.timestamp_micros(F.lit(1_704_067_200_000_000) + F.col("doc_id") * 60_000_000).alias("ts"), "text"
+        )
+        return compact_into_fingerprint_index(spark, corpus_ingest(docs), idx)
+
+    kept1 = cycle(texts1)
+    assert {r.doc_id for r in kept1.collect()} == {1, 2}
+    kept2 = cycle(texts2)
+    assert {r.doc_id for r in kept2.collect()} == {11}
+    # the index now holds all three distinct fingerprints exactly once
+    idx_df = spark.read.parquet(idx)
+    assert idx_df.count() == idx_df.select("fp").distinct().count() == 3
+    # cycle 3 replaying everything drops it all
+    kept3 = cycle(texts1 + texts2)
+    assert kept3.count() == 0
