@@ -108,3 +108,36 @@ def test_minhash_portable_agrees_with_fast_path_on_documents(spark):
     portable = _pairs(dedup.minhash_lsh_pairs_portable(docs, k=16, bands=8, threshold=0.12))
     assert portable <= truth
     assert portable == fast == truth  # r=2 banding recovers all planted pairs
+
+
+def test_minhash_portable_unicode_cross_engine(spark):
+    """The portable pipeline's cross-engine claims must hold beyond
+    ASCII: CJK, emoji, accents, and mixed whitespace through Java's
+    \\s+ split, md5 over UTF-8, and the hex conv — compared EXACTLY
+    against the DuckDB oracle on the same corpus."""
+    import duckdb
+    import pandas as pd
+
+    from netcdf_olap_spark.queries.text import DOC_MINHASH_PORTABLE_SQL
+
+    docs = [
+        (1, "héllo wörld café naïve résumé déjà vu encore une fois très bien"),
+        (2, "héllo wörld café naïve résumé déjà vu encore une fois très bien"),
+        (3, "日本語 テスト 文書 です これは 形態素 では なく 空白 区切り"),
+        (4, "日本語 テスト 文書 です これは 形態素 では なく 空白 区切り だ"),
+        (5, "emoji 🙂 test 🚀 tokens 🎉 with 🌍 spaces 🔥 between 💡 them ⚡ ok"),
+        (6, "mixed   whitespace\ttabs\nnewlines   and nbsp maybe counts here too"),
+        (7, "ASCII control only plain text document with many simple tokens here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [
+        (r.id1, r.id2, r.shared, r.union_sz)
+        for r in dedup.minhash_lsh_pairs_portable(df, threshold=0.3).orderBy("id1", "id2").collect()
+    ]
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(docs, columns=["doc_id", "text"]))
+    sql = DOC_MINHASH_PORTABLE_SQL.replace(
+        "s.shared * 1000 >= 120 *", "s.shared * 1000 >= 300 *"
+    )
+    want = [tuple(r) for r in con.execute(sql).fetchall()]
+    assert got == want and len(got) == 2
