@@ -218,12 +218,16 @@ def minhash_lsh_pairs_portable(
     # sizes only for candidate docs (the fast path makes the same
     # restriction) — never a full-corpus aggregate for a verify join
     sizes = sub.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    aa, bb = sub.alias("a"), sub.alias("b")
+    # pair-oriented shared counts (same rationale as the fast path:
+    # work bounded by candidate pairs × doc length, no hot-shingle
+    # co-occurrence blowup)
+    s1 = sub.select(F.col("id").alias("id1"), "sh")
+    s2 = sub.select(F.col("id").alias("id2"), "sh")
     shared = (
-        aa.join(bb, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        cand.join(s1, "id1")
+        .join(s2, ["id2", "sh"])
+        .groupBy("id1", "id2")
         .agg(F.count(F.lit(1)).alias("shared"))
-        .join(cand, ["id1", "id2"], "left_semi")
     )
     sz1 = sizes.select(F.col("id").alias("id1"), F.col("sz").alias("sz1"))
     sz2 = sizes.select(F.col("id").alias("id2"), F.col("sz").alias("sz2"))
@@ -323,12 +327,19 @@ def minhash_lsh_pairs(
     # Jaccard arithmetic needs.
     idx = _hashed_shingle_index(docs_cand, id_col, text_col, n).localCheckpoint(eager=True)
     sizes = idx.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    ai, bi_ = idx.alias("ai"), idx.alias("bi")
+    # PAIR-oriented shared counts: route each candidate pair through
+    # id1's shingles then hash-join on (id2, shingle). Work is
+    # Σ_pairs |shingles| — linear in candidate pairs × doc length —
+    # where the co-shingle SELF-join alternative generates a row for
+    # every co-occurring doc pair per shingle (quadratic in the
+    # docs-per-hot-shingle tail) before the candidate filter prunes it.
+    i1 = idx.select(F.col("id").alias("id1"), "h0_")
+    i2 = idx.select(F.col("id").alias("id2"), "h0_")
     shared = (
-        ai.join(bi_, (F.col("ai.h0_") == F.col("bi.h0_")) & (F.col("ai.id") < F.col("bi.id")))
-        .groupBy(F.col("ai.id").alias("id1"), F.col("bi.id").alias("id2"))
+        cand.join(i1, "id1")
+        .join(i2, ["id2", "h0_"])
+        .groupBy("id1", "id2")
         .agg(F.count(F.lit(1)).alias("shared"))
-        .join(cand, ["id1", "id2"], "left_semi")
     )
     sz1 = sizes.select(F.col("id").alias("id1"), F.col("sz").alias("sz1"))
     sz2 = sizes.select(F.col("id").alias("id2"), F.col("sz").alias("sz2"))
