@@ -67,7 +67,9 @@ the writer emits DIMENSION_LIST + a global heap collection via its
 ``dim_scales`` parameter. ARRAY datatypes (class 10, v2+v3) decode —
 compound members with sub-array shapes read as numpy sub-array fields
 and write as v3 array wrappers. Region references and other remaining
-unsupported attribute datatypes still skip, never fatal.
+unsupported attribute datatypes still skip, never fatal. OPAQUE
+datatypes (class 5) read and write as numpy void — the uninterpreted
+fixed-size binary-blob carrier.
 
 The writer exists to make fixtures for the reader (the container has
 no HDF5 library to generate files with) and doubles as an HDF5 sink.
@@ -270,6 +272,10 @@ class _DT:
             return np.dtype(f"<u{self.size}")
         if self.cls == CLS_ARRAY and self.base is not None:
             return np.dtype((self.base.numpy(), self.array_dims or ()))
+        if self.cls == CLS_OPAQUE:
+            if not 0 < self.size <= 2**31 - 1:
+                raise ValueError(f"implausible opaque datatype size {self.size}")
+            return np.dtype(f"V{self.size}")
         raise NotImplementedError(f"datatype class {self.cls} has no numpy mapping")
 
 
@@ -291,6 +297,12 @@ def _parse_datatype(buf: bytes, pos: int) -> tuple[_DT, int]:
         return _DT(cls, size, little, True), consumed
     if cls == CLS_STRING:
         return _DT(cls, size, True, False), consumed
+    if cls == CLS_OPAQUE:
+        # bit field bits 0-7 = ASCII tag length; properties = the tag,
+        # padded to a multiple of 8. The payload is uninterpreted
+        # fixed-size bytes (numpy void)
+        tag_len = bits[0]
+        return _DT(cls, size, True, False), consumed + ((tag_len + 7) & ~7)
     if cls == CLS_VLEN:
         vtype = bits[0] & 0x0F
         base, base_used = _parse_datatype(buf, pos + 8)
@@ -357,7 +369,7 @@ def _parse_datatype(buf: bytes, pos: int) -> tuple[_DT, int]:
             p += 4 * ndims  # permutation indexes (never used by libhdf5)
         base, base_used = _parse_datatype(buf, p)
         return _DT(cls, size, base.little, base.signed, base=base, array_dims=dims), p + base_used - pos
-    raise NotImplementedError(f"datatype class {cls} (opaque/shared not supported)")
+    raise NotImplementedError(f"datatype class {cls} (shared/vlen-data not supported)")
 
 
 def _parse_dataspace(buf: bytes, pos: int) -> tuple[int, ...]:
@@ -1590,6 +1602,10 @@ def _dt_message(arr: np.ndarray) -> bytes:
         return bytes([0x10]) + bits + struct.pack("<I", dt.itemsize) + props
     if dt.kind == "S":
         return bytes([0x13, 0x00, 0x00, 0x00]) + struct.pack("<I", dt.itemsize)
+    if dt.kind == "V" and not dt.names:
+        # plain void → OPAQUE (class 5): uninterpreted fixed-size
+        # bytes; tag is advisory ASCII, NUL-padded to 8
+        return bytes([0x15, 8, 0x00, 0x00]) + struct.pack("<I", dt.itemsize) + b"bytes\x00\x00\x00"
     if dt.kind == "V" and dt.names:
         # compound, VERSION 3 encoding (spec IV.A.2.d): member names
         # NUL-terminated without padding, byte offsets in the minimum

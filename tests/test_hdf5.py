@@ -1714,3 +1714,24 @@ def test_dimension_list_user_attr_collision_raises():
             {"m": (np.zeros((3, 2, 2)), {"DIMENSION_LIST": 1.0}), "tt": (t, {})},
             dim_scales={"m": ("tt", None, None)},
         )
+
+
+def test_opaque_datatype_roundtrip():
+    """OPAQUE (class 5) datatypes — uninterpreted fixed-size bytes —
+    round-trip as numpy void through contiguous, latest-profile, and
+    chunked+deflated layouts, standalone and as compound members; the
+    binary-blob carrier for multimodal payloads inside HDF5."""
+    rng = np.random.default_rng(0)
+    blob = rng.integers(0, 256, (5, 16), dtype=np.uint8).view("V16").reshape(5)
+    for kw in ({}, {"libver": "latest"}, {"chunks": {"v": (2,)}, "gzip": 3}):
+        f = read_hdf5(write_hdf5({"v": (blob, {"note": "opaque"})}, **kw))
+        got = f.variables["v"].data
+        assert got.dtype == np.dtype("V16")
+        assert got.tobytes() == blob.tobytes()
+        assert f.variables["v"].attributes["note"] == "opaque"
+    rec = np.dtype([("tag", "<i4"), ("payload", "V8")])
+    a = np.zeros(3, dtype=rec)
+    a["tag"] = np.arange(3)
+    a["payload"] = rng.integers(0, 256, (3, 8), dtype=np.uint8).view("V8").reshape(3)
+    f = read_hdf5(write_hdf5({"v": (a, {})}))
+    assert f.variables["v"].data.tobytes() == a.tobytes()

@@ -518,3 +518,19 @@ def test_compound_subarray_members_both_directions(tmp_path):
     ours = read_hdf5(path2.read_bytes()).variables["v"].data
     np.testing.assert_array_equal(ours["a"], arr["a"])
     np.testing.assert_array_equal(ours["b"], arr["b"])
+
+
+@requires_h5py
+def test_opaque_datatype_both_directions(tmp_path):
+    """OPAQUE payloads cross-read: h5py sees our class-5 tag+bytes,
+    we decode libhdf5's."""
+    blob = np.arange(32, dtype=np.uint8).reshape(4, 8).view("V8").reshape(4)
+    path = tmp_path / "opq_ours.h5"
+    path.write_bytes(write_hdf5({"v": (blob, {})}))
+    with h5py.File(str(path), "r") as f:
+        assert bytes(f["v"][:].tobytes()) == blob.tobytes()
+    path2 = tmp_path / "opq_theirs.h5"
+    with h5py.File(str(path2), "w") as f:
+        f.create_dataset("v", data=blob, dtype=h5py.opaque_dtype(np.dtype("V8")))
+    ours = read_hdf5(path2.read_bytes()).variables["v"].data
+    assert ours.tobytes() == blob.tobytes()
