@@ -31,11 +31,17 @@ from netcdf_olap_spark.streaming.stateful import running_user_totals
 
 def _staged_stream(spark: SparkSession, sf_dir: str, n_files: int = 4) -> tuple[DataFrame, str]:
     directory = tempfile.mkdtemp(prefix="noss_stream_")
-    batch = load_events(spark, sf_dir).select(
-        "event_id", "ts", "user_id", "event_type", "value", "props"
-    )
-    stage_event_files(batch, directory, n_files=n_files)
-    return events_file_stream(spark, directory), directory
+    try:
+        batch = load_events(spark, sf_dir).select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        )
+        stage_event_files(batch, directory, n_files=n_files)
+        return events_file_stream(spark, directory), directory
+    except BaseException:
+        # the caller's try/finally only starts once we return — a
+        # staging failure must not leave the mkdtemp behind
+        shutil.rmtree(directory, ignore_errors=True)
+        raise
 
 
 def stream_tumbling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -140,27 +146,33 @@ def _staged_doc_stream(spark: SparkSession, sf_dir: str, n_files: int = 4):
     from pyspark.sql.types import LongType, StringType, StructField, StructType, TimestampType
 
     directory = tempfile.mkdtemp(prefix="noss_docstream_")
-    base_us = 1_704_067_200_000_000
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
-        "doc_id",
-        F.timestamp_micros(F.lit(base_us) + F.col("doc_id") * 60_000_000).alias("ts"),
-        "text",
-    )
-    stage_files(docs, directory, n_files=n_files, order_cols=["doc_id"])
-    schema = StructType(
-        [
-            StructField("doc_id", LongType()),
-            StructField("ts", TimestampType()),
-            StructField("text", StringType()),
-        ]
-    )
-    stream = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("maxFilesPerTrigger", "1")
-        .load(directory)
-    )
-    return stream, directory
+    try:
+        base_us = 1_704_067_200_000_000
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+            "doc_id",
+            F.timestamp_micros(F.lit(base_us) + F.col("doc_id") * 60_000_000).alias("ts"),
+            "text",
+        )
+        stage_files(docs, directory, n_files=n_files, order_cols=["doc_id"])
+        schema = StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("ts", TimestampType()),
+                StructField("text", StringType()),
+            ]
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(directory)
+        )
+        return stream, directory
+    except BaseException:
+        # the caller's try/finally only starts once we return — a
+        # staging failure must not leave the mkdtemp behind
+        shutil.rmtree(directory, ignore_errors=True)
+        raise
 
 
 def stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -771,6 +771,13 @@ class _Reader:
             pos += 16 + ((osize + 7) & ~7)
         raise ValueError(f"global heap object {index} not found at {addr:#x}")
 
+    @staticmethod
+    def _elem(v: Any) -> Any:
+        """One numpy element → Python value. ARRAY-typed (class 10)
+        elements and sub-array compound members index out as ndarrays,
+        where ``.item()`` raises — those become nested lists."""
+        return v.tolist() if isinstance(v, np.ndarray) else v.item()
+
     def _attr_values(self, dt: _DT, shape: tuple[int, ...], pos: int) -> Any:
         n = math.prod(shape) if shape else 1  # exact bigint: corrupt shapes must not overflow
         if dt.cls == CLS_VLEN:
@@ -795,9 +802,9 @@ class _Reader:
                 assert base is not None
                 seq = np.frombuffer(raw, dtype=base.numpy(), count=length)
                 if base.cls == CLS_COMPOUND and base.members is not None:
-                    vals.append([{m[0]: r[m[0]].item() for m in base.members} for r in seq])
+                    vals.append([{m[0]: self._elem(r[m[0]]) for m in base.members} for r in seq])
                 else:
-                    vals.append([v.item() for v in seq])
+                    vals.append([self._elem(v) for v in seq])
             return vals[0] if not shape else vals
         npdt = dt.numpy()
         # bounds check BEFORE touching the buffer: np.frombuffer with a
@@ -813,15 +820,17 @@ class _Reader:
             # the field's scalar; wider compounds become name→value maps
             def one(rec):
                 if len(dt.members) == 1:
-                    return rec[dt.members[0][0]].item()
-                return {m[0]: rec[m[0]].item() for m in dt.members}
+                    return self._elem(rec[dt.members[0][0]])
+                return {m[0]: self._elem(rec[m[0]]) for m in dt.members}
 
             return one(arr[0]) if not shape else [one(r) for r in arr]
         if dt.cls == CLS_STRING:
             s = arr[0].rstrip(b"\x00").decode("utf-8")
             return s if not shape else [v.rstrip(b"\x00").decode("utf-8") for v in arr]
         if not shape:
-            return arr[0].item()
+            return self._elem(arr[0])
+        if npdt.shape:  # ARRAY (class 10): frombuffer yields (n, *elem_dims)
+            return arr.reshape(tuple(shape) + npdt.shape).copy()
         return arr.reshape(shape).copy()
 
     def parse_attribute(self, pos: int) -> tuple[str, Any]:

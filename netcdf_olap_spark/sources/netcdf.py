@@ -207,6 +207,19 @@ def _resolve_coords(nc: Any) -> tuple[np.ndarray | None, np.ndarray | None, np.n
     return pick(None, TIME_NAMES), pick(LAT_LONG_NAME, LAT_NAMES), pick(LON_LONG_NAME, LON_NAMES)
 
 
+def _coord_fits(d: np.ndarray, axis: int, var_shape: tuple[int, ...]) -> bool:
+    """Does candidate coordinate array ``d`` fit ``var_shape`` on
+    ``axis``? Axis 0 (time) must be 1-D of the right length; spatial
+    axes accept a 1-D axis of the right length or a full 2-D (y, x)
+    mesh. ONE definition shared by the library and vendored decoders —
+    multi-grid precedence must not drift between the two ingest paths."""
+    if axis == 0:
+        return d.ndim == 1 and len(d) == var_shape[0]
+    if d.ndim == 1:
+        return len(d) == var_shape[axis]
+    return d.ndim == 2 and d.shape == (var_shape[1], var_shape[2])
+
+
 def netcdf4_decoder(content: bytes, ds: str, variables: list[str] | None = None) -> Iterator[pd.DataFrame]:
     """Decode an in-memory NetCDF file into long frames, one per
     measure variable (3-D vars not in the coordinate set). Requires
@@ -231,20 +244,13 @@ def netcdf4_decoder(content: bytes, ds: str, variables: list[str] | None = None)
             # coordinates.
             vshape = tuple(var.shape)
 
-            def fits(d, axis: int) -> bool:
-                if axis == 0:
-                    return d.ndim == 1 and len(d) == vshape[0]
-                if d.ndim == 1:
-                    return len(d) == vshape[axis]
-                return d.ndim == 2 and d.shape == (vshape[1], vshape[2])
-
-            def coord(g, axis: int, what: str, _var=var):
-                if g is not None and fits(g, axis):
+            def coord(g, axis: int, what: str, _var=var, _vs=vshape):
+                if g is not None and _coord_fits(g, axis, _vs):
                     return g
                 cv = nc.variables.get(_var.dimensions[axis])
                 if cv is not None:
                     d = np.asarray(cv[:])
-                    if fits(d, axis):
+                    if _coord_fits(d, axis, _vs):
                         return d
                 if g is not None:
                     return g  # mismatched everywhere: keep the name match's error surface
@@ -301,19 +307,12 @@ def _decode_vendored(nc: Any, ds: str, variables: list[str] | None) -> Iterator[
         grids in one file never mix coordinates."""
         sc = dim_scales.get(name, [])
 
-        def fits(d: np.ndarray, axis: int) -> bool:
-            if axis == 0:
-                return d.ndim == 1 and len(d) == var_shape[0]
-            if d.ndim == 1:
-                return len(d) == var_shape[axis]
-            return d.ndim == 2 and d.shape == (var_shape[1], var_shape[2])
-
         def pick(g, axis: int, what: str):
-            if g is not None and fits(g, axis):
+            if g is not None and _coord_fits(g, axis, var_shape):
                 return g
             if axis < len(sc) and sc[axis] and sc[axis] in nc.variables:
                 d = np.asarray(nc.variables[sc[axis]].data)
-                if fits(d, axis):
+                if _coord_fits(d, axis, var_shape):
                     return d
             if g is not None:
                 return g  # mismatched everywhere: keep the name match's error surface

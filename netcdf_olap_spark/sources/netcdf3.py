@@ -206,20 +206,23 @@ def read_netcdf3(content: bytes, variables: list[str] | None = None) -> Nc3File:
     else:
         recsize = sum(m[4] for m in rec_vars)
 
-    if numrecs == (_STREAMING64 if version == 5 else _STREAMING):
-        numrecs = 0
-        if rec_vars and recsize:
-            first = min(m[5] for m in rec_vars)
-            numrecs = (len(content) - first) // recsize
-    if rec_vars and recsize:
-        # a corrupt numrecs field must not drive the slab loop past the
-        # file: the record section cannot hold more records than fit
+    streaming = numrecs == (_STREAMING64 if version == 5 else _STREAMING)
+    if rec_vars:
+        # one shared record base/capacity: the streaming sentinel means
+        # "records run to EOF" (numrecs = avail), and a concrete numrecs
+        # must fit the record section — a corrupt count (including
+        # zeroed vsizes → recsize 0, which makes the slab loop's offset
+        # stride 0) must raise, not hang the executor
         first = min(m[5] for m in rec_vars)
-        avail = max(0, (len(content) - first)) // recsize
-        if numrecs > avail:
+        avail = max(0, len(content) - first) // recsize if recsize else 0
+        if streaming:
+            numrecs = avail
+        elif numrecs > avail:
             raise ValueError(
                 f"numrecs {numrecs} exceeds the {avail} records the file can hold"
             )
+    elif streaming:
+        numrecs = 0
 
     for nm, dimids, attrs, nc_type, vsize, begin in metas:
         if variables is not None and len(dimids) == 3 and nm not in variables:

@@ -201,13 +201,10 @@ def near_dup_filter(
     if watermark is not None:
         return band_owner_stream(rows, watermark, state_ttl_ms=state_ttl_ms)
     owners = rows.groupBy("band", "key").agg(F.min(F.struct("ts", "doc_id")).alias("o"))
-    return (
-        rows.join(owners, ["band", "key"])
-        .select("doc_id", (F.col("o.doc_id") == F.col("doc_id")).alias("owned"))
-        .groupBy("doc_id")
-        .agg(F.sum(F.when(F.col("owned"), 1).otherwise(0)).cast("long").alias("n_owned"))
-        .select("doc_id", "n_owned", (F.col("n_owned") == bands).alias("is_kept"))
+    owned = rows.join(owners, ["band", "key"]).select(
+        "doc_id", (F.col("o.doc_id") == F.col("doc_id")).alias("owned")
     )
+    return near_dup_reduce(owned, bands)
 
 
 def near_dup_reduce(owned: DataFrame, bands: int = 8) -> DataFrame:
@@ -244,6 +241,24 @@ def compact_into_fingerprint_index(
     rows, never the corpus. Returns the kept (genuinely new) rows.
     """
     import os
+
+    # the drained span can EXCEED the stream's watermark horizon (that
+    # is exactly when this compaction is needed), so the same fp may
+    # appear twice WITHIN one survivors batch — neither copy is in the
+    # index yet, and the anti-join alone would keep both. First-arrival
+    # keeper within the batch, deterministic on (ts, doc_id)
+    order = [c for c in ("ts", "doc_id") if c in survivors.columns]
+    if order:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(fp_col).orderBy(*order)
+        survivors = (
+            survivors.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    else:
+        survivors = survivors.dropDuplicates([fp_col])
 
     new_rows = survivors
     if os.path.isdir(index_path) and any(

@@ -1383,6 +1383,66 @@ def test_compound_datatype_numpy_mapping():
 
 
 # ---------------------------------------------------------------------------
+# ARRAY (class 10) attribute datatypes (round 7 review): decode as
+# nested lists — before the fix these parsed but crashed value decode
+# (`.item()` on a subarray element), turning the non-fatal attribute
+# skip into a whole-file read failure
+# ---------------------------------------------------------------------------
+
+
+def _array_dt(version: int, base: np.dtype, dims: tuple[int, ...]) -> bytes:
+    import math as _math
+
+    size = base.itemsize * _math.prod(dims)
+    body = bytes([(version << 4) | 10, 0, 0, 0]) + struct.pack("<I", size)
+    body += bytes([len(dims)])
+    if version == 2:
+        body += bytes(3)
+    body += b"".join(struct.pack("<I", d) for d in dims)
+    if version == 2:
+        body += b"".join(struct.pack("<I", 0) for _ in dims)  # permutations
+    body += _dt_message(np.zeros((), dtype=base))
+    return body
+
+
+@pytest.mark.parametrize("version", [2, 3])
+def test_array_attribute_scalar_dataspace(version):
+    """A scalar attribute whose DATATYPE is class-10 array<f8,3> →
+    one Python list, not a crash."""
+    dtb = _array_dt(version, np.dtype("<f8"), (3,))
+    val = struct.pack("<3d", 1.5, -2.0, 99.25)
+    k, v = _parse_attr_bytes(_attr_msg("bnds", dtb, _ds_message(()), val))
+    assert k == "bnds" and v == [1.5, -2.0, 99.25]
+
+
+def test_array_attribute_shaped_dataspace():
+    """dataspace (2,) of array<i4,(3,)> elements → (2, 3) ndarray."""
+    dtb = _array_dt(3, np.dtype("<i4"), (3,))
+    val = struct.pack("<6i", 1, 2, 3, 4, 5, 6)
+    _k, v = _parse_attr_bytes(_attr_msg("pairs", dtb, _ds_message((2,)), val))
+    np.testing.assert_array_equal(v, [[1, 2, 3], [4, 5, 6]])
+
+
+def test_compound_subarray_member_attribute():
+    """Compound attribute with a sub-array member — e.g. a netCDF-4
+    `_FillValue` carrying a compound datatype with array fields, the
+    exact shape the class-10 dataset support round introduced. The
+    1-field compound unwraps to the member's nested list; multi-field
+    maps keep lists per sub-array member."""
+    one = np.dtype({"names": ["bnds"], "formats": [("<f8", (2,))], "offsets": [0], "itemsize": 16})
+    dtb = _dt_message(np.zeros((), dtype=one))
+    k, v = _parse_attr_bytes(_attr_msg("cell", dtb, _ds_message(()), struct.pack("<2d", 0.5, 1.5)))
+    assert k == "cell" and v == [0.5, 1.5]
+
+    two = np.dtype(
+        {"names": ["t", "bnds"], "formats": ["<i4", ("<f8", (2,))], "offsets": [0, 8], "itemsize": 24}
+    )
+    val = struct.pack("<i4x2d", 7, 0.25, 0.75)
+    _k, v2 = _parse_attr_bytes(_attr_msg("m", _dt_message(np.zeros((), dtype=two)), _ds_message(()), val))
+    assert v2 == {"t": 7, "bnds": [0.25, 0.75]}
+
+
+# ---------------------------------------------------------------------------
 # paged fixed-array chunk index (round 7)
 # ---------------------------------------------------------------------------
 

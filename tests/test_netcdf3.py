@@ -375,3 +375,44 @@ def test_cdf5_through_ingest_decoder(spark, tmp_path):
     df = src.ingest_directory(spark, str(tmp_path), ds="cdf5")
     assert df.count() == NT * NY * NX
     assert df.where(df.value.isNull()).count() == 2
+
+
+# ---------------------------------------------------------------------------
+# corrupt record geometry (round 7 review)
+# ---------------------------------------------------------------------------
+
+
+def _record_var_header(numrecs: int, vsize: int) -> bytes:
+    """Minimal hand-built CDF-1 header: one record dimension, one
+    NC_INT record variable with a caller-controlled vsize field."""
+
+    def nm(s: str) -> bytes:
+        b = s.encode()
+        return struct.pack(">I", len(b)) + b + b"\x00" * (-len(b) % 4)
+
+    hdr = b"CDF\x01"
+    hdr += struct.pack(">I", numrecs)
+    hdr += struct.pack(">II", 0x0A, 1) + nm("t") + struct.pack(">I", 0)  # record dim
+    hdr += struct.pack(">II", 0, 0)  # no global attrs
+    var = nm("v") + struct.pack(">I", 1) + struct.pack(">I", 0)  # 1 dim, dimid 0
+    var += struct.pack(">II", 0, 0)  # no var attrs
+    var += struct.pack(">I", 4)  # NC_INT
+    var += struct.pack(">I", vsize)
+    hdr += struct.pack(">II", 0x0B, 1) + var
+    return hdr + struct.pack(">I", len(hdr) + 4)  # begin = just past header
+
+
+def test_zeroed_vsize_with_huge_numrecs_raises():
+    """recsize == 0 (zeroed vsize fields) must not bypass the numrecs
+    plausibility guard: the slab loop's offset stride would be 0 and a
+    header-controlled numrecs (up to 2^32-1) would spin billions of
+    frombuffer views instead of raising."""
+    with pytest.raises(ValueError, match="exceeds the 0 records"):
+        read_netcdf3(_record_var_header(numrecs=0xFFFFFF00, vsize=0))
+
+
+def test_streaming_sentinel_with_zeroed_vsize_reads_empty():
+    """The streaming sentinel (numrecs = 0xFFFFFFFF, records-to-EOF)
+    over a zero-recsize header resolves to zero records cleanly."""
+    f = read_netcdf3(_record_var_header(numrecs=0xFFFFFFFF, vsize=0))
+    assert f.variables["v"].shape == (0,)

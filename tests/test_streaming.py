@@ -603,3 +603,25 @@ def test_compact_into_fingerprint_index_lifetime_dedup(spark, tmp_path):
     # cycle 3 replaying everything drops it all
     kept3 = cycle(texts1 + texts2)
     assert kept3.count() == 0
+
+
+def test_compact_dedupes_within_one_survivors_batch(spark, tmp_path):
+    """A drained survivors span can EXCEED the stream's watermark
+    horizon — the same fp then appears twice within ONE compaction
+    batch and neither copy is in the index yet. The compaction must
+    keep only the first arrival (min ts, doc_id), not both."""
+    from netcdf_olap_spark.streaming.corpus import compact_into_fingerprint_index
+
+    idx = str(tmp_path / "fp_index_intra")
+    survivors = spark.createDataFrame(
+        [
+            (3, 300, "aa11"),  # later arrival of fp aa11 — must drop
+            (1, 100, "aa11"),  # first arrival — must keep
+            (2, 200, "bb22"),
+        ],
+        "doc_id long, ts long, fp string",
+    )
+    kept = compact_into_fingerprint_index(spark, survivors, idx)
+    assert {(r.doc_id, r.fp) for r in kept.collect()} == {(1, "aa11"), (2, "bb22")}
+    idx_df = spark.read.parquet(idx)
+    assert idx_df.count() == idx_df.select("fp").distinct().count() == 2
