@@ -805,6 +805,101 @@ LIMIT 20
 """
 
 
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction profile (operators/pii.py), the
+    corpus-scrubbing stage every training pipeline runs first. The
+    synthetic corpus carries no PII, so the query PLANTS one instance
+    per class from ``doc_id`` (pure deterministic expressions,
+    mirrored verbatim in the oracle) — the scan then does real work
+    that the value-level oracle verifies match-for-match: per-source
+    doc counts, per-class match counts, and the net character delta
+    of sequential redaction. Detection/redaction are map-side JVM
+    regex in the Java∩RE2 portable subset; the lone shuffle is the
+    final per-source aggregate (partial+final)."""
+    from netcdf_olap_spark.operators import pii
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+
+    def plant(mod: int, *parts):
+        return F.when(did % mod == 0, F.concat(*parts)).otherwise(F.lit(""))
+
+    aug = d.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            plant(3, F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+            plant(5, F.lit(" ssn 123-45-"), F.lpad((did % 10000).cast("string"), 4, "0")),
+            plant(7, F.lit(" call 555-014-"), F.lpad((did % 10000).cast("string"), 4, "0")),
+            plant(
+                11,
+                F.lit(" from 10."),
+                (did % 200 + 1).cast("string"),
+                F.lit(".0."),
+                (did % 250 + 1).cast("string"),
+            ),
+        ).alias("text"),
+    )
+    scanned = pii.pii_scan(aug)
+    return (
+        scanned.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("has_pii"), 1).otherwise(0)).cast("long").alias("n_pii_docs"),
+            F.sum("n_email").alias("n_emails"),
+            F.sum("n_ssn").alias("n_ssns"),
+            F.sum("n_phone").alias("n_phones"),
+            F.sum("n_ipv4").alias("n_ipv4s"),
+            F.sum(F.length("text") - F.length("redacted_text")).cast("long").alias("chars_delta"),
+        )
+        .orderBy("source")
+    )
+
+
+DOC_PII_SQL = r"""
+WITH aug AS (
+  SELECT doc_id, source,
+    text
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' call 555-014-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+            THEN ' from 10.' || CAST(doc_id % 200 + 1 AS VARCHAR)
+                 || '.0.' || CAST(doc_id % 250 + 1 AS VARCHAR) ELSE '' END
+    AS text
+  FROM documents),
+scanned AS (
+  SELECT source,
+    len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+    len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
+    len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phone,
+    len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+    LENGTH(text) - LENGTH(
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+        '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS delta
+  FROM aug)
+SELECT source,
+  COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN n_email + n_ssn + n_phone + n_ipv4 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_pii_docs,
+  CAST(SUM(n_email) AS BIGINT) AS n_emails,
+  CAST(SUM(n_ssn) AS BIGINT) AS n_ssns,
+  CAST(SUM(n_phone) AS BIGINT) AS n_phones,
+  CAST(SUM(n_ipv4) AS BIGINT) AS n_ipv4s,
+  CAST(SUM(delta) AS BIGINT) AS chars_delta
+FROM scanned
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "doc_token_stats": (doc_token_stats, DOC_TOKEN_STATS_SQL),
     "doc_bpe_token_stats": (doc_bpe_token_stats, DOC_BPE_SQL),
@@ -830,4 +925,5 @@ QUERIES = {
     "doc_countmin_heavy": (doc_countmin_heavy, DOC_COUNTMIN_SQL),
     "doc_chunking": (doc_chunking, DOC_CHUNKING_SQL),
     "doc_token_assoc": (doc_token_assoc, DOC_TOKEN_ASSOC_SQL),
+    "doc_pii_scrub": (doc_pii_scrub, DOC_PII_SQL),
 }
