@@ -367,6 +367,83 @@ ORDER BY doc_id
 """
 
 
+def doc_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (the multilingual/multi-source
+    rebalancing step of mT5/LLaMA-style corpus recipes): sampling
+    weight ∝ n_s^(1/2) per source — temperature 2 — so large sources
+    are downweighted and small ones upsampled relative to natural
+    proportions.
+
+    Everything is engine-portable and partitioning-independent:
+    sqrt is IEEE-correctly-rounded (identical in both engines) and is
+    immediately snapped to integer milli-units (floor(·1000 + 0.5)),
+    so the weight total is an EXACT integer sum (order-free, unlike a
+    float Σsqrt); acceptance is the integer cross-multiply
+    ``u · Σw · n_s < T · w_s · 16¹³`` in DECIMAL(38,0) over the one
+    shared md5-52 draw. Magnitude headroom: u < 2⁵², so the left side
+    stays under 10³⁸ up to ~10¹² rows/source at milli-unit snap —
+    narrow the snap before the decimal, never the other way.
+
+    100 TB shape: the per-source count table is one tiny aggregate
+    (rows = #sources), broadcast back; the corpus itself never
+    shuffles — the acceptance predicate is map-side, and the final
+    per-source rollup is the only exchange over kept rows."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    target = 500  # target total docs after mixing
+    counts = (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_total"))
+        .withColumn(
+            "w_units",
+            F.floor(F.sqrt(F.col("n_total").cast("double")) * F.lit(1000.0) + F.lit(0.5)).cast("long"),
+        )
+    )
+    # exact integer total over the tiny per-source table (order-free)
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    counts = counts.withColumn("sum_units", F.sum("w_units").over(w))
+    u = portable_uniform52(F.col("doc_id"))
+    dec = "decimal(38,0)"
+    kept = (
+        u.cast(dec) * F.col("sum_units").cast(dec) * F.col("n_total").cast(dec)
+        < F.lit(target).cast(dec) * F.col("w_units").cast(dec) * F.lit(HEX13).cast(dec)
+    )
+    return (
+        d.join(F.broadcast(counts), "source")
+        .groupBy("source")
+        .agg(
+            F.max("n_total").alias("n_docs"),
+            F.max("w_units").alias("weight_units"),
+            F.count(F.when(kept, F.lit(1))).alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(F.lit(0))).alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+TEMPERATURE_MIX_SQL = f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_total,
+         CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000.0 + 0.5) AS BIGINT) AS w_units
+  FROM documents GROUP BY source),
+tot AS (SELECT CAST(SUM(w_units) AS BIGINT) AS sum_units FROM counts),
+k AS (
+  SELECT d.source, d.n_chars, c.n_total, c.w_units,
+         CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 13))::BIGINT AS DECIMAL(38,0))
+           * CAST(t.sum_units AS DECIMAL(38,0)) * CAST(c.n_total AS DECIMAL(38,0))
+         < CAST(500 AS DECIMAL(38,0)) * CAST(c.w_units AS DECIMAL(38,0))
+           * CAST({HEX13} AS DECIMAL(38,0)) AS kept
+  FROM documents d JOIN counts c USING (source), tot t)
+SELECT source,
+       MAX(n_total) AS n_docs,
+       MAX(w_units) AS weight_units,
+       COUNT(CASE WHEN kept THEN 1 END) AS n_kept,
+       CAST(SUM(CASE WHEN kept THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+FROM k GROUP BY source ORDER BY source
+"""
+
+
 # --- quality-budgeted selection ---------------------------------------------
 
 
@@ -414,4 +491,5 @@ QUERIES = {
     "doc_budget_select": (doc_budget_select, BUDGET_SQL),
     "doc_importance_weights": (doc_importance_weights, IMPORTANCE_SQL),
     "doc_weighted_sample": (doc_weighted_sample, WEIGHTED_SAMPLE_SQL),
+    "doc_temperature_mix": (doc_temperature_mix, TEMPERATURE_MIX_SQL),
 }
