@@ -367,12 +367,28 @@ ORDER BY doc_id
 """
 
 
-def doc_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Temperature-based source mixing (the multilingual/multi-source
+#: Target total docs after temperature mixing. ONE definition:
+#: interpolated into the oracle SQL below and imported by the tests —
+#: the function, the SQL, and the replay must never disagree. Chosen
+#: well BELOW the sf0.01 corpus size (500 docs) so the acceptance
+#: probability is genuinely < 1 at every oracle-checked scale — a
+#: target ≥ the corpus makes the predicate vacuously true and the
+#: draw untested.
+MIX_TARGET = 100
+
+
+def temperature_mix_stats(d: DataFrame, target: int = MIX_TARGET) -> DataFrame:
+    """Temperature-based source mixing over any
+    ``(doc_id, source, n_chars)`` frame (the multilingual/multi-source
     rebalancing step of mT5/LLaMA-style corpus recipes): sampling
     weight ∝ n_s^(1/2) per source — temperature 2 — so large sources
-    are downweighted and small ones upsampled relative to natural
-    proportions.
+    are kept at a LOWER rate and small sources at a HIGHER rate than
+    natural proportions. The acceptance probability
+    ``T·w_s/(Σw·n_s)`` silently caps at 1: a filter can only keep each
+    row once, so a source small enough that its quota exceeds its size
+    contributes all its rows and the total undershoots ``target`` —
+    true upsampling (replicating small sources) is an epoch/replication
+    concern, deliberately out of scope for a deterministic filter.
 
     Everything is engine-portable and partitioning-independent:
     sqrt is IEEE-correctly-rounded (identical in both engines) and is
@@ -390,8 +406,6 @@ def doc_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-source rollup is the only exchange over kept rows."""
     from pyspark.sql.window import Window
 
-    d = _docs(spark, sf_dir)
-    target = 500  # target total docs after mixing
     counts = (
         d.groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_total"))
@@ -422,6 +436,12 @@ def doc_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: :func:`temperature_mix_stats` over the
+    ``documents`` table at the shared :data:`MIX_TARGET`."""
+    return temperature_mix_stats(_docs(spark, sf_dir))
+
+
 TEMPERATURE_MIX_SQL = f"""
 WITH counts AS (
   SELECT source, COUNT(*) AS n_total,
@@ -432,7 +452,7 @@ k AS (
   SELECT d.source, d.n_chars, c.n_total, c.w_units,
          CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 13))::BIGINT AS DECIMAL(38,0))
            * CAST(t.sum_units AS DECIMAL(38,0)) * CAST(c.n_total AS DECIMAL(38,0))
-         < CAST(500 AS DECIMAL(38,0)) * CAST(c.w_units AS DECIMAL(38,0))
+         < CAST({MIX_TARGET} AS DECIMAL(38,0)) * CAST(c.w_units AS DECIMAL(38,0))
            * CAST({HEX13} AS DECIMAL(38,0)) AS kept
   FROM documents d JOIN counts c USING (source), tot t)
 SELECT source,
