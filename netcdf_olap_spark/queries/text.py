@@ -812,10 +812,14 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     per class from ``doc_id`` (pure deterministic expressions,
     mirrored verbatim in the oracle) — the scan then does real work
     that the value-level oracle verifies match-for-match: per-source
-    doc counts, per-class match counts, and the net character delta
-    of sequential redaction. Detection/redaction are map-side JVM
-    regex in the Java∩RE2 portable subset; the lone shuffle is the
-    final per-source aggregate (partial+final)."""
+    doc counts, PROGRESSIVE per-class match counts (class i counted
+    after classes 0..i-1 redacted, so the counts reconcile exactly
+    with the redaction), and the net character delta. The per-class
+    aggregate columns and the oracle's scan CTE chain are both
+    GENERATED from ``pii.PII_PATTERNS`` — one source of truth, the
+    pattern tables cannot diverge. Detection/redaction are map-side
+    JVM regex in the Java∩RE2 portable subset; the lone shuffle is
+    the final per-source aggregate (partial+final)."""
     from netcdf_olap_spark.operators import pii
 
     d = _docs(spark, sf_dir)
@@ -824,14 +828,15 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     def plant(mod: int, *parts):
         return F.when(did % mod == 0, F.concat(*parts)).otherwise(F.lit(""))
 
+    nnnn = F.lpad((did % 10000).cast("string"), 4, "0")
     aug = d.select(
         "doc_id",
         "source",
         F.concat(
             F.col("text"),
             plant(3, F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
-            plant(5, F.lit(" ssn 123-45-"), F.lpad((did % 10000).cast("string"), 4, "0")),
-            plant(7, F.lit(" call 555-014-"), F.lpad((did % 10000).cast("string"), 4, "0")),
+            plant(5, F.lit(" ssn 123-45-"), nnnn),
+            plant(7, F.lit(" call 555-014-"), nnnn),
             plant(
                 11,
                 F.lit(" from 10."),
@@ -839,6 +844,11 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(".0."),
                 (did % 250 + 1).cast("string"),
             ),
+            plant(13, F.lit(" card 4111-1111-1111-"), nnnn),
+            plant(17, F.lit(" iban GB82WEST"), F.lpad((did % 100000000).cast("string"), 12, "0")),
+            plant(19, F.lit(" tel (212) 555-"), nnnn),
+            plant(23, F.lit(" intl +1-202-555-"), nnnn),
+            plant(29, F.lit(" mac 00:1a:2b:3c:4d:"), F.lpad((did % 100).cast("string"), 2, "0")),
         ).alias("text"),
     )
     scanned = pii.pii_scan(aug)
@@ -847,17 +857,34 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.when(F.col("has_pii"), 1).otherwise(0)).cast("long").alias("n_pii_docs"),
-            F.sum("n_email").alias("n_emails"),
-            F.sum("n_ssn").alias("n_ssns"),
-            F.sum("n_phone").alias("n_phones"),
-            F.sum("n_ipv4").alias("n_ipv4s"),
+            *[F.sum(f"n_{name}").alias(f"n_{name}") for name, _p, _t in pii.PII_PATTERNS],
             F.sum(F.length("text") - F.length("redacted_text")).cast("long").alias("chars_delta"),
         )
         .orderBy("source")
     )
 
 
-DOC_PII_SQL = r"""
+def _pii_oracle_sql() -> str:
+    """DuckDB twin of doc_pii_scrub, generated from the shared
+    ``PII_PATTERNS`` table: the plants mirror the Spark expressions
+    verbatim, and the progressive scan is a CTE chain — r{i} counts
+    class i on t{i-1} and emits t{i} = redacted(t{i-1})."""
+    from netcdf_olap_spark.operators.pii import PII_PATTERNS
+
+    ctes = ["r0 AS (SELECT source, LENGTH(text) AS len0, text AS t0 FROM aug)"]
+    for i, (name, pat, tok) in enumerate(PII_PATTERNS, 1):
+        ctes.append(
+            f"r{i} AS (SELECT * EXCLUDE (t{i - 1}),\n"
+            f"  len(regexp_extract_all(t{i - 1}, '{pat}')) AS n_{name},\n"
+            f"  regexp_replace(t{i - 1}, '{pat}', '{tok}', 'g') AS t{i} FROM r{i - 1})"
+        )
+    last = len(PII_PATTERNS)
+    cte_block = ",\n".join(ctes)
+    any_pii = " + ".join(f"n_{name}" for name, _p, _t in PII_PATTERNS)
+    per_class = ",\n  ".join(
+        f"CAST(SUM(n_{name}) AS BIGINT) AS n_{name}" for name, _p, _t in PII_PATTERNS
+    )
+    return f"""
 WITH aug AS (
   SELECT doc_id, source,
     text
@@ -870,34 +897,31 @@ WITH aug AS (
     || CASE WHEN doc_id % 11 = 0
             THEN ' from 10.' || CAST(doc_id % 200 + 1 AS VARCHAR)
                  || '.0.' || CAST(doc_id % 250 + 1 AS VARCHAR) ELSE '' END
+    || CASE WHEN doc_id % 13 = 0
+            THEN ' card 4111-1111-1111-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+    || CASE WHEN doc_id % 17 = 0
+            THEN ' iban GB82WEST' || lpad(CAST(doc_id % 100000000 AS VARCHAR), 12, '0') ELSE '' END
+    || CASE WHEN doc_id % 19 = 0
+            THEN ' tel (212) 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+    || CASE WHEN doc_id % 23 = 0
+            THEN ' intl +1-202-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+    || CASE WHEN doc_id % 29 = 0
+            THEN ' mac 00:1a:2b:3c:4d:' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ELSE '' END
     AS text
   FROM documents),
-scanned AS (
-  SELECT source,
-    len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
-    len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
-    len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phone,
-    len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
-    LENGTH(text) - LENGTH(
-      regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
-        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
-        '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
-        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS delta
-  FROM aug)
+{cte_block}
 SELECT source,
   COUNT(*) AS n_docs,
-  CAST(SUM(CASE WHEN n_email + n_ssn + n_phone + n_ipv4 > 0 THEN 1 ELSE 0 END) AS BIGINT)
-    AS n_pii_docs,
-  CAST(SUM(n_email) AS BIGINT) AS n_emails,
-  CAST(SUM(n_ssn) AS BIGINT) AS n_ssns,
-  CAST(SUM(n_phone) AS BIGINT) AS n_phones,
-  CAST(SUM(n_ipv4) AS BIGINT) AS n_ipv4s,
-  CAST(SUM(delta) AS BIGINT) AS chars_delta
-FROM scanned
+  CAST(SUM(CASE WHEN {any_pii} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_docs,
+  {per_class},
+  CAST(SUM(len0 - LENGTH(t{last})) AS BIGINT) AS chars_delta
+FROM r{last}
 GROUP BY source
 ORDER BY source
 """
+
+
+DOC_PII_SQL = _pii_oracle_sql()
 
 
 QUERIES = {

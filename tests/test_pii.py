@@ -1,8 +1,9 @@
-"""PII detection/redaction operator (operators/pii.py): per-class
-counts, sequential redaction, precision edges (an SSN is not a phone,
-an email's dotted digits are not an IP). The cross-engine value-level
-check is the doc_pii_scrub parity entry; these tests pin the operator
-semantics the registry query builds on."""
+"""PII detection/redaction operator (operators/pii.py): progressive
+per-class counts, sequential redaction, precision edges (an SSN is not
+a phone, an email-embedded SSN shape counts as email, an invalid octet
+is not an IP). The cross-engine value-level check is the doc_pii_scrub
+parity entry; these tests pin the operator semantics the registry
+query builds on."""
 
 from __future__ import annotations
 
@@ -17,6 +18,16 @@ ROWS = [
     (3, "server at 192.168.0.1 and 10.0.0.255"),
     (4, "clean text with digits 12345 and a date 2024-01-02"),
     (5, "two mails a@b.io c@d.co and ip 8.8.8.8"),
+    # round-8 classes
+    (6, "card 4111-1111-1111-1234 and iban GB82WEST12345698765432"),
+    (7, "call (212) 555-0123 or +1-202-555-0199"),
+    (8, "nic 00:1a:2b:3c:4d:5e up at 10.0.0.7"),
+    # precision edges: invalid octets are not an IP; a version string
+    # of valid octets still is (documented recall-leaning trade-off)
+    (9, "bogus 999.999.999.999 but version 1.2.3.4"),
+    # overlap: the SSN/phone-shaped local part belongs to the EMAIL —
+    # progressive counting must not also bill it to ssn/phone
+    (10, "reach 123-45-6789@x.com please"),
 ]
 
 
@@ -34,10 +45,29 @@ def test_counts_per_class(scanned):
     assert scanned[5].n_email == 2 and scanned[5].n_ipv4 == 1
 
 
+def test_round8_classes(scanned):
+    assert (scanned[6].n_cc, scanned[6].n_iban) == (1, 1)
+    assert (scanned[7].n_phone_paren, scanned[7].n_phone_intl, scanned[7].n_phone) == (1, 1, 0)
+    assert (scanned[8].n_mac, scanned[8].n_ipv4) == (1, 1)
+
+
+def test_ipv4_valid_octets_only(scanned):
+    # 999.* is rejected; 1.2.3.4 (all valid octets) still redacts
+    assert scanned[9].n_ipv4 == 1
+    assert scanned[9].redacted_text == "bogus 999.999.999.999 but version <IP>"
+
+
+def test_progressive_counts_resolve_overlap(scanned):
+    # 123-45-6789@x.com: email wins; ssn/phone see the <EMAIL> token
+    assert scanned[10].n_email == 1
+    assert scanned[10].n_ssn == 0 and scanned[10].n_phone == 0
+    assert scanned[10].redacted_text == "reach <EMAIL> please"
+
+
 def test_has_pii_and_clean_text_untouched(scanned):
     assert not scanned[4].has_pii
     assert scanned[4].redacted_text == ROWS[3][1]
-    assert all(scanned[i].has_pii for i in (1, 2, 3, 5))
+    assert all(scanned[i].has_pii for i in (1, 2, 3, 5, 6, 7, 8, 9, 10))
 
 
 def test_redaction_tokens(scanned):
@@ -45,6 +75,9 @@ def test_redaction_tokens(scanned):
     assert scanned[2].redacted_text == "ssn <SSN> and phone <PHONE>"
     assert scanned[3].redacted_text == "server at <IP> and <IP>"
     assert scanned[5].redacted_text == "two mails <EMAIL> <EMAIL> and ip <IP>"
+    assert scanned[6].redacted_text == "card <CC> and iban <IBAN>"
+    assert scanned[7].redacted_text == "call <PHONE> or <PHONE>"
+    assert scanned[8].redacted_text == "nic <MAC> up at <IP>"
 
 
 def test_ssn_is_not_a_phone_and_date_is_not_an_ssn(scanned):
@@ -52,6 +85,17 @@ def test_ssn_is_not_a_phone_and_date_is_not_an_ssn(scanned):
     # ISO date 2024-01-02 (4-2-2) must not satisfy the SSN shape
     assert scanned[2].n_phone == 1  # only 555-014-2233
     assert scanned[4].n_ssn == 0
+
+
+def test_progressive_counts_sum_to_replacements(scanned):
+    # every n_<class> total must equal the number of <TOKEN>s the
+    # redaction emitted — the reconciliation the r7 advice asked for
+    import re
+
+    for r in scanned.values():
+        n_tokens = len(re.findall(r"<(?:EMAIL|IBAN|CC|SSN|PHONE|MAC|IP)>", r.redacted_text))
+        n_counts = sum(r[f"n_{name}"] for name, _p, _t in pii.PII_PATTERNS)
+        assert n_counts == n_tokens, (r.doc_id, n_counts, n_tokens)
 
 
 def test_scan_is_shuffle_free(spark):
