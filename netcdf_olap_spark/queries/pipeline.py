@@ -386,9 +386,15 @@ def temperature_mix_stats(d: DataFrame, target: int = MIX_TARGET) -> DataFrame:
     natural proportions. The acceptance probability
     ``T·w_s/(Σw·n_s)`` silently caps at 1: a filter can only keep each
     row once, so a source small enough that its quota exceeds its size
-    contributes all its rows and the total undershoots ``target`` —
-    true upsampling (replicating small sources) is an epoch/replication
-    concern, deliberately out of scope for a deterministic filter.
+    contributes all its rows and ``n_kept`` undershoots the quota.
+    The ``n_epochs`` column represents the missing upsampling leg the
+    way mT5/LLaMA recipes do — replicate small sources across epochs:
+    ``ceil(quota_s / n_s)`` with ``quota_s = target·w_s/Σw``, computed
+    as the exact integer ``ceil((target·w_units) / (sum_units·n_s))``
+    (pure BIGINT ceil-division — engine- and partitioning-independent;
+    1 for any source large enough to fill its quota in one pass). Rows
+    are never physically duplicated — the column tells the training
+    loader how many epochs of the source realize the quota.
 
     Everything is engine-portable and partitioning-independent:
     sqrt is IEEE-correctly-rounded (identical in both engines) and is
@@ -417,6 +423,15 @@ def temperature_mix_stats(d: DataFrame, target: int = MIX_TARGET) -> DataFrame:
     # exact integer total over the tiny per-source table (order-free)
     w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     counts = counts.withColumn("sum_units", F.sum("w_units").over(w))
+    # epochs-to-fill-quota: exact BIGINT ceil division (`div`, not `/`
+    # — float division would be the only nondeterminism in the query)
+    counts = counts.withColumn(
+        "n_epochs",
+        F.expr(
+            f"CAST(({int(target)} * w_units + sum_units * n_total - 1)"
+            " DIV (sum_units * n_total) AS BIGINT)"
+        ),
+    )
     u = portable_uniform52(F.col("doc_id"))
     dec = "decimal(38,0)"
     kept = (
@@ -429,6 +444,7 @@ def temperature_mix_stats(d: DataFrame, target: int = MIX_TARGET) -> DataFrame:
         .agg(
             F.max("n_total").alias("n_docs"),
             F.max("w_units").alias("weight_units"),
+            F.max("n_epochs").alias("n_epochs"),
             F.count(F.when(kept, F.lit(1))).alias("n_kept"),
             F.sum(F.when(kept, F.col("n_chars")).otherwise(F.lit(0))).alias("kept_chars"),
         )
@@ -449,7 +465,7 @@ WITH counts AS (
   FROM documents GROUP BY source),
 tot AS (SELECT CAST(SUM(w_units) AS BIGINT) AS sum_units FROM counts),
 k AS (
-  SELECT d.source, d.n_chars, c.n_total, c.w_units,
+  SELECT d.source, d.n_chars, c.n_total, c.w_units, t.sum_units,
          CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 13))::BIGINT AS DECIMAL(38,0))
            * CAST(t.sum_units AS DECIMAL(38,0)) * CAST(c.n_total AS DECIMAL(38,0))
          < CAST({MIX_TARGET} AS DECIMAL(38,0)) * CAST(c.w_units AS DECIMAL(38,0))
@@ -458,6 +474,8 @@ k AS (
 SELECT source,
        MAX(n_total) AS n_docs,
        MAX(w_units) AS weight_units,
+       CAST(({MIX_TARGET} * MAX(w_units) + MAX(sum_units) * MAX(n_total) - 1)
+            // (MAX(sum_units) * MAX(n_total)) AS BIGINT) AS n_epochs,
        COUNT(CASE WHEN kept THEN 1 END) AS n_kept,
        CAST(SUM(CASE WHEN kept THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
 FROM k GROUP BY source ORDER BY source

@@ -30,7 +30,14 @@ def _python_replay(rows, target):
     w = {s: math.floor(math.sqrt(float(n)) * 1000.0 + 0.5) for s, n in n_by_src.items()}
     sum_units = sum(w.values())
     out: dict[str, dict[str, int]] = {
-        s: {"n_docs": n, "weight_units": w[s], "n_kept": 0, "kept_chars": 0}
+        s: {
+            "n_docs": n,
+            "weight_units": w[s],
+            # ceil(quota_s / n_s) = ceil(target*w_s / (sum_units*n_s))
+            "n_epochs": -(-(target * w[s]) // (sum_units * n)),
+            "n_kept": 0,
+            "kept_chars": 0,
+        }
         for s, n in n_by_src.items()
     }
     for did, s, chars in rows:
@@ -51,7 +58,7 @@ def test_matches_exact_python_replay_and_actually_samples(spark):
     want = _python_replay(_doc_rows(), MIX_TARGET)
     assert set(got) == set(want)
     for s in want:
-        for k in ("n_docs", "weight_units", "n_kept", "kept_chars"):
+        for k in ("n_docs", "weight_units", "n_epochs", "n_kept", "kept_chars"):
             assert got[s][k] == want[s][k], (s, k, got[s][k], want[s][k])
     # NON-VACUOUS: the target must sit below the corpus size so the
     # draw decides something — if every row is kept, the predicate
@@ -85,6 +92,19 @@ def test_sqrt_rebalancing_on_skewed_sources(spark):
     assert got["tiny"]["n_kept"] == 4
     # the big source must be genuinely subsampled, not passed through
     assert 0 < got["big"]["n_kept"] < got["big"]["n_docs"]
+
+
+def test_n_epochs_represents_upsampling(spark):
+    """target=100 over (144, 36, 4) docs: quotas 60/30/10 → the tiny
+    source needs ceil(10/4) = 3 epochs; the others fill their quota in
+    one pass. n_kept stays capped at the physical row count — the
+    column REPRESENTS replication, the filter never duplicates rows."""
+    df = spark.createDataFrame(_SKEW, "doc_id long, source string, n_chars long")
+    got = {r.source: r.asDict() for r in temperature_mix_stats(df, target=100).collect()}
+    want = _python_replay(_SKEW, 100)
+    assert got == {s: {"source": s, **v} for s, v in want.items()}
+    assert got["tiny"]["n_epochs"] == 3 and got["tiny"]["n_kept"] == 4
+    assert got["big"]["n_epochs"] == 1 and got["mid"]["n_epochs"] == 1
 
 
 def test_plan_broadcasts_counts_and_keeps_corpus_narrow(spark):
