@@ -50,9 +50,10 @@ v3 compound datatype messages, member offsets honored (padding holes
 kept). Fractal heaps read at ANY depth — rows past max_direct_rows
 recurse into child indirect blocks per the doubling table. Out of
 scope (clear errors, documented in README's format matrix):
-reference/opaque datatypes, I/O-filtered heaps, huge/tiny heap
-objects, paged EA index-block-direct blocks (impossible at library
-defaults), szip.
+I/O-filtered heaps, huge/tiny heap objects, paged EA
+index-block-direct blocks (impossible at library defaults), szip,
+region references. (Object references and opaque datatypes moved IN
+scope late in round 7 — see below.)
 Paged FIXED-array data blocks (page bitmap in the block) and paged
 EXTENSIBLE-array data blocks (page-init bitmap in the parent super
 block, flat dblk·npages+page indexing) are supported read+write, with
@@ -945,12 +946,29 @@ class _Reader:
         # corrupt-shape guard: deflate can legitimately expand far past
         # the file size, but not by >4096x — beyond that the dataspace
         # is garbage, and a clean error beats a multi-GiB np.full
-        # allocation inside an executor
+        # allocation inside an executor. Exemption (r7 advice): a
+        # dataset with NO allocated storage (undefined data address /
+        # chunk index — a valid netCDF-4 never-written variable) reads
+        # as pure fill, so the file-size-relative cap doesn't apply;
+        # it gets a fixed 2 GiB cap instead (the fill array itself
+        # must still be materializable).
         declared = n * npdt.itemsize
-        if declared > max(1 << 28, 4096 * len(buf)):
+        kind = layout[0]
+        if kind == "contiguous" or kind == "chunked":
+            allocated = layout[1] != UNDEF
+        elif kind == "chunked4":
+            allocated = layout[3][0] != UNDEF
+        else:
+            allocated = True  # compact: the data lives in the message
+        if allocated and declared > max(1 << 28, 4096 * len(buf)):
             raise ValueError(
                 f"dataset {name!r} declares {declared} bytes — implausible for a "
                 f"{len(buf)}-byte file"
+            )
+        if not allocated and declared > (1 << 31):
+            raise ValueError(
+                f"dataset {name!r} declares {declared} bytes of never-written fill "
+                f"— above the 2 GiB materialization cap"
             )
 
         # HDF5 semantics: unallocated data reads as the declared fill
@@ -962,7 +980,6 @@ class _Reader:
                 return np.full(shape, fill, dtype=npdt)
             return np.full(shape, np.nan, dtype=npdt) if npdt.kind == "f" else np.zeros(shape, dtype=npdt)
 
-        kind = layout[0]
         if kind == "compact":
             data = np.frombuffer(layout[1], dtype=npdt, count=n).reshape(shape)
         elif kind == "contiguous":
@@ -974,7 +991,8 @@ class _Reader:
         elif kind in ("chunked", "chunked4"):
             if kind == "chunked":
                 chunk_shape = layout[2]
-                entries = self._chunk_entries(layout[1], len(shape))
+                # UNDEF B-tree address = no chunk ever written → all fill
+                entries = self._chunk_entries(layout[1], len(shape)) if allocated else []
             else:
                 _k, dims, index_type, info = layout
                 # v4 chunk dims: tolerate both rank and rank+1 (trailing
@@ -1043,6 +1061,8 @@ class _Reader:
         version-4 chunk indexes: single chunk (1), implicit (2),
         fixed array (3), extensible array (4), v2 B-tree (5)."""
         buf = self.buf
+        if info[0] == UNDEF:  # index never allocated → zero chunks, all fill
+            return []
         chunk_nbytes = math.prod(chunk_shape) * itemsize
         origins = self._chunk_grid(shape, chunk_shape)
         if index_type == 1:  # single chunk

@@ -218,9 +218,22 @@ def read_netcdf3(content: bytes, variables: list[str] | None = None) -> Nc3File:
         if streaming:
             numrecs = avail
         elif numrecs > avail:
-            raise ValueError(
-                f"numrecs {numrecs} exceeds the {avail} records the file can hold"
+            # r7 advice: tolerate a FINAL record whose trailing
+            # alignment padding was truncated (all data bytes present
+            # — scipy and other readers accept these). Required bytes
+            # = full records 0..numrecs-2 plus the last record up to
+            # the end of its last variable's DATA (no padding): for
+            # each record var, its in-record offset + unpadded bytes.
+            unpadded_last = max(
+                (m[5] - first)
+                + _SIZES[m[3]] * math.prod(dim_sizes[d] for d in m[1][1:])
+                for m in rec_vars
             )
+            need = first + (numrecs - 1) * recsize + unpadded_last
+            if numrecs != avail + 1 or len(content) < need:
+                raise ValueError(
+                    f"numrecs {numrecs} exceeds the {avail} records the file can hold"
+                )
     elif streaming:
         numrecs = 0
 

@@ -239,8 +239,16 @@ def compact_into_fingerprint_index(
     touches every partition evenly and the anti-join shuffles only on
     the fingerprint hash; the survivors side is one horizon's worth of
     rows, never the corpus. Returns the kept (genuinely new) rows.
+
+    SINGLE-WRITER contract: read-then-append is not atomic. Exactly
+    one compaction may run against an index path at a time (the
+    natural deployment — one compaction job per ingest stream,
+    scheduled after each horizon). Two concurrent compactions could
+    both miss the other's in-flight fingerprints and each admit a
+    duplicate; serialize them (or layer a table format with optimistic
+    concurrency, e.g. Delta/Iceberg, over the same layout) if the
+    schedule cannot guarantee it.
     """
-    import os
 
     # the drained span can EXCEED the stream's watermark horizon (that
     # is exactly when this compaction is needed), so the same fp may
@@ -260,11 +268,22 @@ def compact_into_fingerprint_index(
     else:
         survivors = survivors.dropDuplicates([fp_col])
 
+    # Probe the at-rest index through the Spark reader itself — NOT
+    # os.path (r7 advice: a driver-local check is always False for
+    # s3a:// / hdfs:// paths, silently skipping the anti-join and
+    # leaking cross-horizon duplicates into the index). A missing or
+    # empty path raises AnalysisException (PATH_NOT_FOUND / unable to
+    # infer schema) on any Hadoop filesystem scheme — that, and only
+    # that, means "first cycle, nothing to anti-join against".
+    from pyspark.errors import AnalysisException
+
     new_rows = survivors
-    if os.path.isdir(index_path) and any(
-        f.endswith(".parquet") for _r, _d, fs in os.walk(index_path) for f in fs
-    ):
+    try:
         at_rest = spark.read.parquet(index_path).select(F.col(fp_col))
+        at_rest.schema  # force analysis so a missing path raises HERE
+    except AnalysisException:
+        at_rest = None
+    if at_rest is not None:
         new_rows = survivors.join(at_rest, fp_col, "left_anti")
     # cut once: the keep-set feeds BOTH the caller's sink and the index
     # append; without it the anti-join recomputes per consumer

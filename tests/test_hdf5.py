@@ -1795,3 +1795,37 @@ def test_opaque_datatype_roundtrip():
     a["payload"] = rng.integers(0, 256, (3, 8), dtype=np.uint8).view("V8").reshape(3)
     f = read_hdf5(write_hdf5({"v": (a, {})}))
     assert f.variables["v"].data.tobytes() == a.tobytes()
+
+
+def test_large_unallocated_dataset_exempt_from_plausibility_cap():
+    """A valid netCDF-4 shape: a variable DECLARED far larger than
+    4096x the file size but never written (contiguous address UNDEF).
+    The corrupt-shape plausibility cap must not reject it — it reads
+    as all-fill (r7 advice). The same declared size WITH an allocated
+    address must still raise, and an unallocated declaration above the
+    fixed 2 GiB materialization cap must also raise."""
+    b = bytearray(write_hdf5({"a": (np.ones((2, 3)), {})}))
+    r = _Reader(bytes(b))
+    links = dict(r.group_links(r.root_btree, r.root_heap))
+    msgs = {t: p for t, p, _ in r.messages(links["a"])}
+    lpos, spos = msgs[MSG_LAYOUT], msgs[MSG_DATASPACE]
+    assert b[lpos] == 3 and b[lpos + 1] == 1  # layout v3, contiguous
+    assert b[spos] == 1  # dataspace v1: dims start at +8
+    # declare (20_000_000, 3) float64 = 480 MB >> max(256 MB, 4096*len)
+    struct.pack_into("<Q", b, spos + 8, 20_000_000)
+
+    # allocated address + implausible declaration -> still rejected
+    with pytest.raises(ValueError, match="implausible"):
+        read_hdf5(bytes(b))
+
+    # unallocated -> exempt, reads as fill
+    struct.pack_into("<Q", b, lpos + 2, UNDEF)
+    f = read_hdf5(bytes(b))
+    assert f.variables["a"].shape == (20_000_000, 3)
+    assert np.isnan(f.variables["a"].data[0]).all()
+    assert np.isnan(f.variables["a"].data[-1]).all()
+
+    # unallocated but above the absolute 2 GiB cap -> clean error
+    struct.pack_into("<Q", b, spos + 8, 200_000_000)  # 4.8 GB
+    with pytest.raises(ValueError, match="2 GiB"):
+        read_hdf5(bytes(b))

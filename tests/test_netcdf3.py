@@ -416,3 +416,25 @@ def test_streaming_sentinel_with_zeroed_vsize_reads_empty():
     over a zero-recsize header resolves to zero records cleanly."""
     f = read_netcdf3(_record_var_header(numrecs=0xFFFFFFFF, vsize=0))
     assert f.variables["v"].shape == (0,)
+
+
+def test_truncated_final_record_padding_tolerated():
+    """A classic file whose FINAL record lost only its trailing
+    alignment padding (all data bytes present) must read — scipy and
+    other readers tolerate these (r7 advice). Losing actual data
+    bytes must still raise."""
+    import numpy as np
+
+    a = np.arange(3, dtype=np.int16)
+    b = np.arange(10, 13, dtype=np.int16)
+    content = write_netcdf3(
+        {"t": None},
+        {"a": (("t",), a, {}), "b": (("t",), b, {})},
+    )
+    # two int16 record vars -> each padded to 4 per record; the file
+    # ends with b's last-record 2 padding bytes
+    nc = read_netcdf3(content[:-2])
+    assert nc.variables["a"].data.tolist() == [0, 1, 2]
+    assert nc.variables["b"].data.tolist() == [10, 11, 12]
+    with pytest.raises(ValueError):
+        read_netcdf3(content[:-4])  # data bytes missing, not padding
