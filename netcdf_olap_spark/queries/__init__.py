@@ -76,12 +76,15 @@ _PRIORITY: tuple[str, ...] = (
     # cell formula — it took agg_exact_quantiles' slot (not a component
     # representative; the quantile family keeps grid_quantile_breaks,
     # and exact quantiles stay parity-checked outside the window).
+    # r8 rotation (judge ask #1): grid_whole_slice left the window —
+    # its plan family (scan+projection) is a strict subset of
+    # grid_hyperslab's, which stays — to free a slot for a round-7
+    # hard-oracle operator. It remains registered + parity-checked.
     "grid_polygon_stats",
     "grid_ingest_nc",
     "grid_bbox_stats",
     "grid_nearest_cell",
     "grid_hyperslab",
-    "grid_whole_slice",
     "grid_time_extent",
     "grid_null_stats",
     "grid_histogram",
@@ -106,8 +109,11 @@ _PRIORITY: tuple[str, ...] = (
     "window_lag_delta",
     "topk_orders",
     "setops_nations",
+    # r8 rotation: the scalar-function family keeps ONE window row
+    # (scalar_string_funcs — the Unicode cross-engine case, the harder
+    # signal); scalar_date_funcs stays registered + parity-checked,
+    # and date functions also ride grid_time_extent/window_range_30d.
     "scalar_string_funcs",
-    "scalar_date_funcs",
     "events_json_extract",
     # extended SQL surface (J8, lateral, RANGE frame, unpivot, F5-F6, exact quantiles)
     "join_outer_custdist",
@@ -140,20 +146,32 @@ _PRIORITY: tuple[str, ...] = (
     # shingle-overlap family's representative; point-read's slot —
     # S6 remains covered by grid_nearest_cell's point lookup)
     "doc_decontaminate",
+    # r7 LLM-pipeline operators, hard-oracle from birth, rotated into
+    # the checked window in r8 (judge ask #1): PII scrub (progressive
+    # per-class counts + sequential redaction over planted PII),
+    # temperature-based source mixing (exact integer acceptance +
+    # n_epochs upsampling), and the streaming near-dup gate's batch
+    # twin (md5-52 band min-owner reduction).
+    "doc_pii_scrub",
+    "doc_temperature_mix",
     # similarity / ANN (N2; emb_knn_ivf_exact = the IVF index path
     # probing all lists — provably brute-equal, so the Lloyd-trained
     # index machinery sits behind the brute-force oracle)
     "emb_knn_brute",
     "emb_knn_ivf_exact",
     "emb_centroids",
-    # events (ST1/ST2 batch twins, interval join)
-    "ev_tumbling_stats",
+    # events (ST2 sessionize + interval join; ev_tumbling_stats left
+    # the window in r8 — it duplicates stream_tumbling_stats'
+    # tumbling-window semantics, which stays below and exercises the
+    # real streaming path; the batch twin remains parity-checked)
     "ev_sessionize",
     "ev_interval_join",
     # streaming (ST1 — oracle-checked since round 5: window() buckets
     # are epoch-aligned integer µs and the sum rides a decimal
-    # accumulator, so the drained sink hash-matches the batch SQL)
+    # accumulator, so the drained sink hash-matches the batch SQL;
+    # r8 adds the near-dup ingest gate — bounded-state band ownership)
     "stream_tumbling_stats",
+    "stream_near_dup_filter",
     # multimodal (N4 — oracle-checked since round 5: the planted
     # near-dup groups are id arithmetic, media_image_features' pixel
     # stats are not; the latter stays registered + pytest-pinned)
