@@ -66,6 +66,81 @@ def pq_codes_col(vec_col: Column, codebooks: Codebooks) -> Column:
     )
 
 
+def md5_codebooks(m: int = 4, k: int = 8, subdim: int = 16, scale: float = 0.25) -> Codebooks:
+    """Deterministic pseudo-random codebooks derived from md5 — the
+    portable-twin trick (cf. doc_minhash_portable): entry (s, c, p) is
+    ``(md5_int("pq:s:c:p") / 16^13) * 2*scale - scale``, computed with
+    hashlib at build time, so the SAME float literals can be embedded
+    in both the Spark plan and a DuckDB oracle. Quantization quality
+    is irrelevant to what this verifies — encoding (per-subspace
+    argmin) and ADC scoring are exercised exactly as with trained
+    codebooks."""
+    import hashlib
+
+    out: Codebooks = []
+    for s in range(m):
+        cb = []
+        for c in range(k):
+            vals = [
+                (
+                    int(hashlib.md5(f"pq:{s}:{c}:{p}".encode()).hexdigest()[:13], 16)
+                    / float(16**13)
+                )
+                * 2.0
+                * scale
+                - scale
+                for p in range(subdim)
+            ]
+            cb.append(np.asarray(vals, dtype=np.float64))
+        out.append(cb)
+    return out
+
+
+def adc_lut_units(query_vec: list[float], codebooks: Codebooks, unit: float = 1e6) -> list[list[int]]:
+    """Integer micro-unit ADC lookup tables: per (subspace, code), the
+    exact sequential-fold squared L2 of the query subvector to the
+    codebook entry, snapped to ``floor(d*unit + 0.5)``. The snap makes
+    the per-candidate ADC score an INTEGER sum — order-free, so a SQL
+    oracle can SUM over an unordered group and still match bit-exactly
+    (a raw double sum would depend on addition order). The fold
+    mirrors F.aggregate / DuckDB list_sum element order."""
+    import math
+
+    subdim = len(codebooks[0][0])
+    luts: list[list[int]] = []
+    for s, cb in enumerate(codebooks):
+        row = []
+        for c in cb:
+            acc = 0.0
+            for p in range(subdim):
+                d = query_vec[s * subdim + p] - float(c[p])
+                acc += d * d
+            row.append(math.floor(acc * unit + 0.5))
+        luts.append(row)
+    return luts
+
+
+def adc_topk_units(
+    encoded: DataFrame,
+    lut_units: list[list[int]],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Integer-unit ADC top-k (the oracle-checkable twin of adc_topk):
+    each candidate costs m element_at lookups + exact long adds."""
+    score = None
+    for s, lut in enumerate(lut_units):
+        term = F.element_at(
+            F.array(*[F.lit(int(v)) for v in lut]), F.element_at("codes", s + 1) + 1
+        ).cast("long")
+        score = term if score is None else score + term
+    return (
+        encoded.select(F.col(id_col), score.alias("adc_units"))
+        .orderBy(F.col("adc_units").asc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def pq_train(
     df: DataFrame,
     m: int = 8,

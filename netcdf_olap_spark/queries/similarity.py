@@ -197,6 +197,71 @@ def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.knn_pq(e.where(F.col("vec_id") != 0), qvec, k=10, m=16, n_codes=16)
 
 
+def emb_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encoding + ADC top-10 under a HARD oracle (judge ask r7#6):
+    codebooks are md5-derived plan constants (operators/pq.py
+    md5_codebooks — the portable-twin trick that made minhash/simhash
+    hash-checkable), so the identical float literals drive both
+    engines; encoding is the same per-subspace argmin the trained
+    path uses (pq_codes_col), and ADC scores are integer micro-units
+    (adc_lut_units) so the per-candidate sum is order-free and the
+    oracle's unordered SUM matches bit-exactly. Lloyd-trained
+    codebooks stay on emb_pq_topk (rows-only, training pinned in
+    tests/test_pq.py); THIS row puts the encode+score machinery
+    behind a value-level cross-engine check."""
+    from netcdf_olap_spark.operators import pq
+
+    e = _emb(spark, sf_dir)
+    qvec = [r[0] for r in e.where(F.col("vec_id") == 0).select(F.explode("embedding")).collect()]
+    cbs = pq.md5_codebooks(m=4, k=8, subdim=16)
+    enc = pq.pq_encode(e.where(F.col("vec_id") != 0), cbs)
+    return pq.adc_topk_units(enc, pq.adc_lut_units(qvec, cbs), k=10)
+
+
+def _pq_portable_sql(m: int = 4, k: int = 8, subdim: int = 16) -> str:
+    """DuckDB twin of emb_pq_portable: the md5 codebooks as a VALUES
+    literal, per-subspace argmin via ROW_NUMBER (dist, c) — first
+    minimal code, matching array_position's first-match — and the
+    micro-unit LUT summed per candidate (integer, order-free)."""
+    from netcdf_olap_spark.operators.pq import md5_codebooks
+
+    cbs = md5_codebooks(m=m, k=k, subdim=subdim)
+    rows = []
+    for s, cb in enumerate(cbs):
+        for c, vec in enumerate(cb):
+            lits = ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in vec)
+            rows.append(f"({s}, {c}, [{lits}])")
+    rows_sql = ",\n    ".join(rows)
+    diff = f"(CAST(e.embedding[cb.s*{subdim} + i] AS DOUBLE) - cb.cv[i])"
+    qdiff = f"(CAST(q.qv[cb.s*{subdim} + i] AS DOUBLE) - cb.cv[i])"
+    return f"""
+WITH cb AS (SELECT * FROM (VALUES
+    {rows_sql}) AS t(s, c, cv)),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+d AS (
+  SELECT e.vec_id, cb.s, cb.c,
+         list_sum([{diff} * {diff} FOR i IN generate_series(1, {subdim})]) AS dist
+  FROM embeddings e CROSS JOIN cb WHERE e.vec_id != 0),
+codes AS (
+  SELECT vec_id, s, c FROM (
+    SELECT vec_id, s, c, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, c) AS rn
+    FROM d) WHERE rn = 1),
+lut AS (
+  SELECT cb.s, cb.c,
+         CAST(floor(list_sum([{qdiff} * {qdiff} FOR i IN generate_series(1, {subdim})])
+                    * 1000000.0 + 0.5) AS BIGINT) AS units
+  FROM cb CROSS JOIN q)
+SELECT vec_id, CAST(SUM(units) AS BIGINT) AS adc_units
+FROM codes JOIN lut USING (s, c)
+GROUP BY vec_id
+ORDER BY adc_units, vec_id
+LIMIT 10
+"""
+
+
+EMB_PQ_PORTABLE_SQL = _pq_portable_sql()
+
+
 def emb_label_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked all-pairs cosine (same-label blocks) with per-vector
     top-3 — embedding-cosine near-dup detection shape. Subset to
@@ -419,6 +484,7 @@ QUERIES = {
     "emb_knn_ivf": (emb_knn_ivf, None),
     "emb_knn_ivf_exact": (emb_knn_ivf_exact, EMB_KNN_BRUTE_SQL),
     "emb_pq_topk": (emb_pq_topk, None),
+    "emb_pq_portable": (emb_pq_portable, EMB_PQ_PORTABLE_SQL),
     "emb_label_topk": (emb_label_topk, EMB_LABEL_TOPK_SQL),
     "emb_mmr_rerank": (emb_mmr_rerank, EMB_MMR_SQL),
     "emb_semantic_dedup": (emb_semantic_dedup, None),

@@ -174,3 +174,57 @@ def test_write_ivfpq_assignment_matches_arrow_path_at_large_k(emb, codebooks, sp
         ).collect()
     }
     assert got == want
+
+
+def test_md5_codebooks_deterministic_and_portable_twin_matches_numpy(emb, spark):
+    """The md5 codebooks are build-time deterministic, and the
+    integer-unit ADC path (emb_pq_portable's machinery) matches an
+    independent numpy replay of encode + LUT-sum exactly."""
+    import math
+
+    cbs = pq.md5_codebooks(m=4, k=8, subdim=16)
+    assert [list(map(float, c)) for cb in cbs for c in cb] == [
+        list(map(float, c)) for cb in pq.md5_codebooks(m=4, k=8, subdim=16) for c in cb
+    ]
+    assert all(abs(float(x)) <= 0.25 for cb in cbs for c in cb for x in c)
+
+    rows = emb.orderBy("vec_id").limit(80).collect()
+    qvec = [float(x) for x in rows[0].embedding]
+    corpus = [(r.vec_id, [float(x) for x in r.embedding]) for r in rows[1:]]
+
+    # numpy-free scalar replay (exact fold order)
+    def sq(sub, cent):
+        acc = 0.0
+        for p in range(16):
+            d = sub[p] - float(cent[p])
+            acc += d * d
+        return acc
+
+    luts = pq.adc_lut_units(qvec, cbs)
+    want = []
+    for vid, v in corpus:
+        units = 0
+        for s, cb in enumerate(cbs):
+            sub = v[s * 16 : (s + 1) * 16]
+            dists = [sq(sub, c) for c in cb]
+            code = dists.index(min(dists))
+            units += luts[s][code]
+        want.append((vid, units))
+    want = sorted(want, key=lambda t: (t[1], t[0]))[:10]
+
+    df = spark.createDataFrame([(i, v) for i, v in corpus], "vec_id long, embedding array<float>")
+    enc = pq.pq_encode(df, cbs)
+    got = [(r.vec_id, r.adc_units) for r in pq.adc_topk_units(enc, luts, k=10).collect()]
+    assert got == want
+
+
+def test_adc_topk_units_plan_is_narrow(emb, spark):
+    """Encode+score is pure map over plan constants; top-k is
+    TakeOrderedAndProject — no shuffle beyond it, no Python."""
+    cbs = pq.md5_codebooks(m=4, k=8, subdim=16)
+    luts = pq.adc_lut_units([0.0] * 64, cbs)
+    df = pq.adc_topk_units(pq.pq_encode(emb.where(F.col("vec_id") != 0), cbs), luts, k=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    for n in ("ArrowEvalPython", "BatchEvalPython", "Exchange"):
+        assert n not in plan
