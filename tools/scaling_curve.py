@@ -1,0 +1,81 @@
+"""Scaling-curve measurement (judge ask r7#8): wall-time of the five
+most expensive headline queries across scale factors, so superlinear
+growth is a recorded number instead of an argument. Run
+tools/gen_scale.py first to materialize the amplified sf1.0 dir.
+
+Each query runs REPS times per scale factor (median reported) through
+the same noop-sink protocol as bench.py. Output: one JSON line with
+per-query medians per sf + the growth exponent alpha fitted between
+the two largest scale factors (time ~ N^alpha; alpha <= ~1.1 is the
+linear-ish band, >1.3 flags superlinear growth worth explaining).
+
+Usage: python tools/scaling_curve.py [sf_dir ...]
+  default: /root/testdata/sf0.01 /root/testdata/sf0.1 <repo>/.scaledata/sf1.0
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+os.environ.setdefault("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m")
+
+QUERIES = [
+    "q1_pricing_summary",
+    "q21_lone_late_supplier",
+    "join_asof_last_order",
+    "doc_minhash_dedup_pairs",
+    "doc_span_contamination",
+]
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+
+def main() -> None:
+    dirs = sys.argv[1:] or [
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+        os.path.join(REPO, ".scaledata", "sf1.0"),
+    ]
+    from netcdf_olap_spark.queries import all_queries
+    from netcdf_olap_spark.session import get_spark
+
+    spark = get_spark("scaling-curve")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = all_queries()
+
+    out: dict[str, dict[str, float]] = {}
+    sizes: dict[str, int] = {}
+    for d in dirs:
+        sf = os.path.basename(d.rstrip("/"))
+        sizes[sf] = (
+            spark.read.parquet(os.path.join(d, "lineitem.parquet")).count()
+        )
+        # warm the session on this dir (JIT/codegen, not results)
+        registry["q1_pricing_summary"](spark, d).write.format("noop").mode("overwrite").save()
+        for name in QUERIES:
+            samples = []
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                registry[name](spark, d).write.format("noop").mode("overwrite").save()
+                samples.append(round(time.perf_counter() - t0, 3))
+            out.setdefault(name, {})[sf] = sorted(samples)[len(samples) // 2]
+
+    sfs = list(sizes)
+    alpha = {}
+    if len(sfs) >= 2:
+        a, b = sfs[-2], sfs[-1]
+        ratio_n = sizes[b] / sizes[a]
+        for name, t in out.items():
+            alpha[name] = round(math.log(t[b] / t[a]) / math.log(ratio_n), 2)
+    print(json.dumps({"sizes": sizes, "queries": out, "alpha_last_step": alpha, "reps": REPS}))
+
+
+if __name__ == "__main__":
+    main()
