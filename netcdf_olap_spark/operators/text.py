@@ -111,6 +111,97 @@ def lang_id_expr(text_col: str = "text") -> Column:
     return best
 
 
+def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style within-document repetition signals (the quality
+    filters of Rae et al. 2021 §A1.1 / the Dolma and FineWeb
+    pipelines): duplicate-token fraction, the occurrence fraction of
+    the most frequent token 2-gram, and duplicate-sentence fraction,
+    plus the composite ``is_repetitive`` flag (dup_sent_frac > 0.30 or
+    top_bigram_frac > 0.18 — thresholds of the published recipe).
+
+    100 TB shape: everything is higher-order functions over per-row
+    arrays — a PURE MAP, no shuffle, no Python. The mode multiplicity
+    of the bigram multiset is the maximum run length over the SORTED
+    bigram array (array_sort groups equal elements adjacently), folded
+    with one ``aggregate`` — not an explode + groupBy, which would
+    shuffle the entire token stream on (doc, bigram) keys.
+
+    Degenerate docs (no bigrams / no tokens / no sentences) yield NULL
+    fractions and ``is_repetitive`` false — never errors.
+
+    Determinism: counts are integers; every fraction is one IEEE
+    division of two exact integers — bit-identical in any engine and
+    under any partitioning (the DuckDB twin is DOC_REPETITION_SQL)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = tokens(text_col)
+    d = df.select(
+        "doc_id",
+        toks.alias("t"),
+        # sentence segmentation: same portable regex as doc_sentence_stats
+        F.filter(
+            F.transform(
+                F.regexp_extract_all(c, F.lit(r"[^.!?]+[.!?]?"), F.lit(0)),
+                lambda s: F.trim(s),
+            ),
+            lambda s: s != F.lit(""),
+        ).alias("ss"),
+    )
+    n_tok = F.size("t")
+    n_uniq = F.size(F.array_distinct("t"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n_tok - 1),
+        lambda i: F.concat_ws(" ", F.element_at("t", i), F.element_at("t", i + 1)),
+    )
+    d = d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_uniq.alias("n_uniq_tokens"),
+        F.when(n_tok > 0, (n_tok - n_uniq).cast("double") / n_tok).alias("dup_token_frac"),
+        F.when(n_tok >= 2, F.array_sort(bigrams)).otherwise(F.array().cast("array<string>")).alias("b"),
+        F.size("ss").alias("n_sents"),
+        F.size(F.array_distinct("ss")).alias("n_uniq_sents"),
+        F.when(
+            F.size("ss") > 0,
+            (F.size("ss") - F.size(F.array_distinct("ss"))).cast("double") / F.size("ss"),
+        ).alias("dup_sent_frac"),
+    )
+    # run-length max over the sorted bigram array = mode multiplicity
+    zero = F.lit(0).cast("long")
+    run_state = F.aggregate(
+        F.col("b"),
+        F.struct(F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    n_big = F.size("b")
+    d = d.select(
+        "doc_id",
+        "n_tokens",
+        "n_uniq_tokens",
+        "dup_token_frac",
+        n_big.cast("long").alias("n_bigrams"),
+        run_state.alias("top_bigram_count"),
+        F.when(n_big > 0, run_state.cast("double") / n_big).alias("top_bigram_frac"),
+        "n_sents",
+        "n_uniq_sents",
+        "dup_sent_frac",
+    )
+    return d.select(
+        "*",
+        (
+            F.coalesce(F.col("dup_sent_frac") > 0.30, F.lit(False))
+            | F.coalesce(F.col("top_bigram_frac") > 0.18, F.lit(False))
+        ).alias("is_repetitive"),
+    )
+
+
 def fingerprint(col: Column | str = "text") -> Column:
     """Document fingerprint: md5 of the casefolded,
     whitespace-collapsed text — the exact-dedup key."""

@@ -805,6 +805,56 @@ LIMIT 20
 """
 
 
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filter
+    (operators/text.repetition_metrics): duplicate-token fraction,
+    mode-bigram occurrence fraction (run-length max over the sorted
+    bigram array — shuffle-free), duplicate-sentence fraction, and the
+    published-recipe composite flag. Pure map per document; the only
+    exchange is the presentation sort."""
+    return text.repetition_metrics(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+DOC_REPETITION_SQL = f"""
+WITH toks AS (SELECT doc_id, text, {DUCK_TOKS} AS t FROM documents),
+big AS (
+  SELECT doc_id, [t[i] || ' ' || t[i+1] FOR i IN generate_series(1, len(t) - 1)] AS b
+  FROM toks),
+topb AS (
+  SELECT doc_id, MAX(c) AS topc FROM (
+    SELECT doc_id, bg, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(b) AS bg FROM big)
+    GROUP BY doc_id, bg)
+  GROUP BY doc_id),
+sent AS (
+  SELECT doc_id,
+         list_filter(list_transform(regexp_extract_all(text, '[^.!?]+[.!?]?'), s -> trim(s)),
+                     s -> s != '') AS ss
+  FROM documents)
+SELECT k.doc_id,
+       len(t) AS n_tokens,
+       len(list_distinct(t)) AS n_uniq_tokens,
+       CASE WHEN len(t) > 0
+            THEN CAST(len(t) - len(list_distinct(t)) AS DOUBLE) / len(t) END AS dup_token_frac,
+       CAST(CASE WHEN len(t) >= 2 THEN len(t) - 1 ELSE 0 END AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(tb.topc, 0) AS BIGINT) AS top_bigram_count,
+       CASE WHEN len(t) >= 2
+            THEN CAST(COALESCE(tb.topc, 0) AS DOUBLE) / (len(t) - 1) END AS top_bigram_frac,
+       len(ss) AS n_sents,
+       len(list_distinct(ss)) AS n_uniq_sents,
+       CASE WHEN len(ss) > 0
+            THEN CAST(len(ss) - len(list_distinct(ss)) AS DOUBLE) / len(ss) END AS dup_sent_frac,
+       COALESCE(CASE WHEN len(ss) > 0
+                     THEN CAST(len(ss) - len(list_distinct(ss)) AS DOUBLE) / len(ss) END > 0.30,
+                FALSE)
+       OR COALESCE(CASE WHEN len(t) >= 2
+                        THEN CAST(COALESCE(tb.topc, 0) AS DOUBLE) / (len(t) - 1) END > 0.18,
+                   FALSE) AS is_repetitive
+FROM toks k LEFT JOIN topb tb USING (doc_id) JOIN sent USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction profile (operators/pii.py), the
     corpus-scrubbing stage every training pipeline runs first. The
@@ -950,4 +1000,5 @@ QUERIES = {
     "doc_chunking": (doc_chunking, DOC_CHUNKING_SQL),
     "doc_token_assoc": (doc_token_assoc, DOC_TOKEN_ASSOC_SQL),
     "doc_pii_scrub": (doc_pii_scrub, DOC_PII_SQL),
+    "doc_repetition_stats": (doc_repetition_stats, DOC_REPETITION_SQL),
 }
