@@ -405,6 +405,52 @@ def probe_ivf_index(
     )
 
 
+def int8_quantize(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization — the standard
+    4× embedding-compression step of a vector-store ingest (FAISS
+    ScalarQuantizer QT_8bit-style): ``scale = max|x_i|``, ``q_i =
+    clamp(floor(x_i/scale·127 + 0.5), -127, 127)``; returns
+    ``(id, scale, qv array<long>, embedding)``. Zero vectors
+    (scale = 0) are dropped — they carry no direction to preserve.
+
+    Determinism: x/scale and ·127 are IEEE correctly-rounded, and
+    floor(·+0.5) is exact half-up rounding — bit-identical in any
+    engine, so the codes themselves sit behind a value-level oracle
+    (emb_int8_quantize), unlike k-means-trained codebooks.
+
+    100 TB shape: pure map, no shuffle, no UDF — the scale is a
+    per-row array max, not a corpus statistic, so quantization
+    parallelizes embarrassingly and re-quantizing a shard never
+    touches another."""
+    ed = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    d = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double")))).alias(
+            "scale"
+        ),
+    ).where(F.col("scale") > 0)
+    # scale is materialized in its own projection FIRST: referenced
+    # inside the per-element lambda it would re-evaluate the array max
+    # per element (no CSE in higher-order lambdas — O(d²))
+    return d.select(
+        F.col(id_col),
+        F.col("scale"),
+        F.transform(
+            ed,
+            lambda x: F.greatest(
+                F.least(F.floor(x / F.col("scale") * 127 + F.lit(0.5)), F.lit(127).cast("long")),
+                F.lit(-127).cast("long"),
+            ),
+        ).alias("qv"),
+        F.col(vec_col),
+    )
+
+
 def pairwise_topk_per_label(
     df: DataFrame,
     k: int = 3,

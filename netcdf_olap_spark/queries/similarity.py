@@ -262,6 +262,52 @@ LIMIT 10
 EMB_PQ_PORTABLE_SQL = _pq_portable_sql()
 
 
+def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization profile
+    (operators/similarity.int8_quantize): per vector, the symmetric
+    scale, code checksum + L1 mass (exact integer sums over the int8
+    codes — order-free), and the max reconstruction error snapped to
+    integer micro-units. Every arithmetic step is IEEE
+    correctly-rounded (÷, ×127, floor-half-up), so the CODES — not
+    just aggregates of them — are engine-exact; the oracle replays
+    quantization end-to-end in DuckDB. Pure map + presentation sort."""
+    q = similarity.int8_quantize(_emb(spark, sf_dir))
+    ed = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    err = F.array_max(
+        F.zip_with(ed, F.col("qv"), lambda x, c: F.abs(x - c * F.col("scale") / F.lit(127.0)))
+    )
+    zero = F.lit(0).cast("long")
+    return q.select(
+        "vec_id",
+        "scale",
+        F.aggregate(F.col("qv"), zero, lambda acc, c: acc + c).alias("q_sum"),
+        F.aggregate(F.col("qv"), zero, lambda acc, c: acc + F.abs(c)).alias("q_l1"),
+        F.floor(err * F.lit(1000000.0) + F.lit(0.5)).cast("long").alias("max_err_units"),
+    ).orderBy("vec_id")
+
+
+EMB_INT8_SQL = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+  FROM embeddings),
+q AS (
+  SELECT vec_id, scale, embedding,
+         [GREATEST(LEAST(CAST(floor(CAST(embedding[i] AS DOUBLE) / scale * 127 + 0.5) AS BIGINT),
+                         127), -127)
+          FOR i IN generate_series(1, len(embedding))] AS qv
+  FROM s WHERE scale > 0)
+SELECT vec_id, scale,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+       CAST(list_sum(list_transform(qv, c -> abs(c))) AS BIGINT) AS q_l1,
+       CAST(floor(list_max([abs(CAST(embedding[i] AS DOUBLE) - qv[i] * scale / 127.0)
+                            FOR i IN generate_series(1, len(embedding))])
+                  * 1000000.0 + 0.5) AS BIGINT) AS max_err_units
+FROM q
+ORDER BY vec_id
+"""
+
+
 def emb_label_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked all-pairs cosine (same-label blocks) with per-vector
     top-3 — embedding-cosine near-dup detection shape. Subset to
@@ -485,6 +531,7 @@ QUERIES = {
     "emb_knn_ivf_exact": (emb_knn_ivf_exact, EMB_KNN_BRUTE_SQL),
     "emb_pq_topk": (emb_pq_topk, None),
     "emb_pq_portable": (emb_pq_portable, EMB_PQ_PORTABLE_SQL),
+    "emb_int8_quantize": (emb_int8_quantize, EMB_INT8_SQL),
     "emb_label_topk": (emb_label_topk, EMB_LABEL_TOPK_SQL),
     "emb_mmr_rerank": (emb_mmr_rerank, EMB_MMR_SQL),
     "emb_semantic_dedup": (emb_semantic_dedup, None),

@@ -231,3 +231,33 @@ def test_oracle_sql_plane_literals_are_plain_floats():
 
     assert "np." not in EMB_KNN_LSH_SQL
     assert "np." not in EMB_SEMANTIC_LSH_SQL
+
+
+def test_int8_quantize_matches_scalar_replay_and_is_shuffle_free(spark):
+    """int8 codes equal an exact scalar replay (floor-half-up on IEEE
+    division), zero vectors drop, and the plan is a pure map."""
+    import math
+
+    from netcdf_olap_spark.operators.similarity import int8_quantize
+
+    rows = [
+        (1, [0.5, -1.0, 0.25, 0.0]),
+        (2, [0.001, 0.002, -0.003, 0.004]),
+        (3, [0.0, 0.0, 0.0, 0.0]),  # zero vector -> dropped
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.vec_id: r for r in int8_quantize(df).collect()}
+    assert set(got) == {1, 2}
+    for vid, vec in rows[:2]:
+        fv = [float(__import__("numpy").float32(x)) for x in vec]
+        scale = max(abs(x) for x in fv)
+        want = [max(min(math.floor(x / scale * 127 + 0.5), 127), -127) for x in fv]
+        assert got[vid].qv == want, (vid, got[vid].qv, want)
+        assert got[vid].scale == scale
+    # clamp edge: exactly representable max hits +/-127, never wraps
+    assert max(got[1].qv) == 127 or min(got[1].qv) == -127
+
+    plan = int8_quantize(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    for n in ("ArrowEvalPython", "BatchEvalPython"):
+        assert n not in plan
