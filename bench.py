@@ -90,6 +90,18 @@ HEADLINE += [
     "media_phash_dedup",
 ]
 
+# Round-8 additions: the new LLM-pipeline operators (PII scrub,
+# repetition filter, temperature mixing, portable PQ, int8
+# quantization) — excluded from shared16, present from BENCH_r08 on.
+EXTRA_R8 = [
+    "doc_pii_scrub",
+    "doc_repetition_stats",
+    "doc_temperature_mix",
+    "emb_pq_portable",
+    "emb_int8_quantize",
+]
+HEADLINE += EXTRA_R8
+
 
 def plan_fingerprint(df) -> str:
     """Stable fingerprint of a DataFrame's physical plan: the
@@ -173,8 +185,8 @@ def main() -> None:
             plan_fp[name] = "error"
 
     total = round(sum(timings.values()), 3)
-    shared16 = round(sum(v for k, v in timings.items() if k not in
-                         ("doc_span_contamination", "emb_semantic_dedup", "media_phash_dedup")), 3)
+    late = {"doc_span_contamination", "emb_semantic_dedup", "media_phash_dedup", *EXTRA_R8}
+    shared16 = round(sum(v for k, v in timings.items() if k not in late), 3)
     print(
         json.dumps(
             {
