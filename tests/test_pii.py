@@ -110,3 +110,19 @@ def test_count_cols_match_manual(spark):
     row = df.select(*pii.pii_count_cols("text"), pii.redact_pii("text").alias("r")).first()
     assert row.n_email == 3
     assert row.r == "<EMAIL> x <EMAIL> y <EMAIL>"
+
+
+def test_pii_scan_composes_with_structured_streaming(spark, tmp_path):
+    """The scan is pure column expressions, so the SAME operator runs
+    unchanged inside a streaming pipeline (the scrub-at-ingest shape):
+    a file stream of documents through pii_scan drains to exactly the
+    batch result."""
+    from netcdf_olap_spark.streaming.runner import run_to_memory
+
+    d = str(tmp_path / "docs")
+    df = spark.createDataFrame(ROWS, "doc_id long, text string")
+    df.coalesce(2).write.parquet(d)
+    batch = {tuple(r) for r in pii.pii_scan(spark.read.parquet(d)).collect()}
+    stream = spark.readStream.schema("doc_id long, text string").parquet(d)
+    got = {tuple(r) for r in run_to_memory(pii.pii_scan(stream)).collect()}
+    assert got == batch and len(got) == len(ROWS)
