@@ -131,6 +131,14 @@ def main() -> None:
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # Untruncated FileScan metadata for plan fingerprinting: the
+    # default 100-char cut lands mid-expression, and because raw
+    # expression ids vary in WIDTH (#7 vs #4132), the cut point — and
+    # with it the normalized text — would depend on the session's id
+    # counter, making fingerprints sensitive to unrelated upstream
+    # changes. With full metadata, normalization removes every
+    # id-width effect (verified: fp stable under forced id shifts).
+    spark.conf.set("spark.sql.maxMetadataStringLength", "100000")
     registry = all_queries()
 
     # Warm up JVM JIT, codegen, and the Python worker pool so one-time
@@ -172,6 +180,7 @@ def main() -> None:
             continue
         fn = registry[name]
         samples = []
+        df = None
         for _ in range(reps):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
@@ -179,8 +188,12 @@ def main() -> None:
             samples.append(round(time.perf_counter() - t0, 3))
         runs[name] = samples
         timings[name] = sorted(samples)[len(samples) // 2]  # median
-        try:  # untimed: fingerprint the plan once, after the reps
-            plan_fp[name] = plan_fingerprint(fn(spark, sf_dir))
+        try:
+            # fingerprint the last rep's DataFrame (its own
+            # QueryExecution is never executed by the write, so this
+            # is the pre-execution plan) — re-invoking fn() would
+            # redo driver-side work like PQ training for nothing
+            plan_fp[name] = plan_fingerprint(df)
         except Exception:
             plan_fp[name] = "error"
 

@@ -96,7 +96,16 @@ def md5_codebooks(m: int = 4, k: int = 8, subdim: int = 16, scale: float = 0.25)
     return out
 
 
-def adc_lut_units(query_vec: list[float], codebooks: Codebooks, unit: float = 1e6) -> list[list[int]]:
+#: Micro-unit snap for integer ADC scores. ONE definition: the Spark
+#: LUT builder below and the oracle SQL generator
+#: (queries/similarity._pq_portable_sql) both derive from it — a
+#: one-sided change would silently break cross-engine parity.
+ADC_UNIT = 1e6
+
+
+def adc_lut_units(
+    query_vec: list[float], codebooks: Codebooks, unit: float = ADC_UNIT
+) -> list[list[int]]:
     """Integer micro-unit ADC lookup tables: per (subspace, code), the
     exact sequential-fold squared L2 of the query subvector to the
     codebook entry, snapped to ``floor(d*unit + 0.5)``. The snap makes

@@ -223,7 +223,7 @@ def _pq_portable_sql(m: int = 4, k: int = 8, subdim: int = 16) -> str:
     literal, per-subspace argmin via ROW_NUMBER (dist, c) — first
     minimal code, matching array_position's first-match — and the
     micro-unit LUT summed per candidate (integer, order-free)."""
-    from netcdf_olap_spark.operators.pq import md5_codebooks
+    from netcdf_olap_spark.operators.pq import ADC_UNIT, md5_codebooks
 
     cbs = md5_codebooks(m=m, k=k, subdim=subdim)
     rows = []
@@ -249,7 +249,7 @@ codes AS (
 lut AS (
   SELECT cb.s, cb.c,
          CAST(floor(list_sum([{qdiff} * {qdiff} FOR i IN generate_series(1, {subdim})])
-                    * 1000000.0 + 0.5) AS BIGINT) AS units
+                    * {ADC_UNIT!r} + 0.5) AS BIGINT) AS units
   FROM cb CROSS JOIN q)
 SELECT vec_id, CAST(SUM(units) AS BIGINT) AS adc_units
 FROM codes JOIN lut USING (s, c)

@@ -811,11 +811,19 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     mode-bigram occurrence fraction (run-length max over the sorted
     bigram array — shuffle-free), duplicate-sentence fraction, and the
     published-recipe composite flag. Pure map per document; the only
-    exchange is the presentation sort."""
+    exchange is the presentation sort.
+
+    Complementary to queries/analytics.doc_repetition_metrics (the
+    explode+groupBy n-gram census): THIS query adds token/sentence
+    duplicate fractions and the composite flag via a shuffle-free
+    per-doc fold (best when the token-stream exchange is the
+    bottleneck); that one computes distributional bigram/trigram
+    counts via two-level aggregation (best when single documents are
+    huge and need cross-core spreading)."""
     return text.repetition_metrics(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
-DOC_REPETITION_SQL = f"""
+DOC_REPETITION_STATS_SQL = f"""
 WITH toks AS (SELECT doc_id, text, {DUCK_TOKS} AS t FROM documents),
 big AS (
   SELECT doc_id, [t[i] || ' ' || t[i+1] FOR i IN generate_series(1, len(t) - 1)] AS b
@@ -1000,5 +1008,5 @@ QUERIES = {
     "doc_chunking": (doc_chunking, DOC_CHUNKING_SQL),
     "doc_token_assoc": (doc_token_assoc, DOC_TOKEN_ASSOC_SQL),
     "doc_pii_scrub": (doc_pii_scrub, DOC_PII_SQL),
-    "doc_repetition_stats": (doc_repetition_stats, DOC_REPETITION_SQL),
+    "doc_repetition_stats": (doc_repetition_stats, DOC_REPETITION_STATS_SQL),
 }

@@ -271,17 +271,24 @@ def compact_into_fingerprint_index(
     # Probe the at-rest index through the Spark reader itself — NOT
     # os.path (r7 advice: a driver-local check is always False for
     # s3a:// / hdfs:// paths, silently skipping the anti-join and
-    # leaking cross-horizon duplicates into the index). A missing or
-    # empty path raises AnalysisException (PATH_NOT_FOUND / unable to
-    # infer schema) on any Hadoop filesystem scheme — that, and only
-    # that, means "first cycle, nothing to anti-join against".
+    # leaking cross-horizon duplicates into the index). ONLY a missing
+    # or empty path (PATH_NOT_FOUND / UNABLE_TO_INFER_SCHEMA — the two
+    # conditions an absent index raises on any Hadoop filesystem
+    # scheme) means "first cycle, nothing to anti-join against"; any
+    # OTHER analysis error (e.g. an index written under a different
+    # fingerprint column, or the path pointing at an unrelated
+    # dataset) re-raises — swallowing it would silently disable
+    # lifetime dedup AND append a second schema into the index.
     from pyspark.errors import AnalysisException
 
     new_rows = survivors
     try:
         at_rest = spark.read.parquet(index_path).select(F.col(fp_col))
         at_rest.schema  # force analysis so a missing path raises HERE
-    except AnalysisException:
+    except AnalysisException as e:
+        cond = e.getCondition() or ""
+        if cond.split(".")[0] not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+            raise
         at_rest = None
     if at_rest is not None:
         new_rows = survivors.join(at_rest, fp_col, "left_anti")

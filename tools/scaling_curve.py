@@ -53,7 +53,9 @@ def main() -> None:
     out: dict[str, dict[str, float]] = {}
     sizes: dict[str, int] = {}
     for d in dirs:
-        sf = os.path.basename(d.rstrip("/"))
+        # key by the full path — two dirs sharing a basename (e.g.
+        # two amplified sf1.0 builds) must not silently collapse
+        sf = os.path.abspath(d.rstrip("/"))
         sizes[sf] = (
             spark.read.parquet(os.path.join(d, "lineitem.parquet")).count()
         )
@@ -73,7 +75,11 @@ def main() -> None:
         a, b = sfs[-2], sfs[-1]
         ratio_n = sizes[b] / sizes[a]
         for name, t in out.items():
-            alpha[name] = round(math.log(t[b] / t[a]) / math.log(ratio_n), 2)
+            # guard degenerate medians (0.0 after rounding) and equal sizes
+            if t[a] > 0 and t[b] > 0 and ratio_n > 0 and ratio_n != 1:
+                alpha[name] = round(math.log(t[b] / t[a]) / math.log(ratio_n), 2)
+            else:
+                alpha[name] = None
     print(json.dumps({"sizes": sizes, "queries": out, "alpha_last_step": alpha, "reps": REPS}))
 
 
