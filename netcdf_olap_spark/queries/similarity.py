@@ -187,14 +187,24 @@ def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-10 (operators/pq.py): 16 subspaces
     × 16-entry codebooks (64 floats → 16 small codes, 16× at rest),
     asymmetric-distance scoring against plan-constant lookup tables.
-    rows-only: Lloyd codebook training isn't SQL-expressible;
-    distributed-vs-local training exactness and ADC recall vs exact
-    L2 are pinned in tests/test_pq.py."""
+    Codebooks are SAMPLE-trained (r8): one bounded md5-Bernoulli
+    sample collect + driver-local vectorized per-subspace Lloyd with N
+    from parquet-footer stats — the FAISS recipe and the same shape
+    that fixed emb_semantic_dedup in r7 (was: 2 distributed Lloyd
+    passes re-JIT-compiling a 256-tree assignment expression per
+    iteration; 6.9 s → ~1 s at sf0.1). rows-only: Lloyd training
+    isn't SQL-expressible; sample-training determinism, ADC recall vs
+    exact L2, and distributed-pq_train exactness are pinned in
+    tests/test_pq.py."""
     from netcdf_olap_spark.operators import pq
+    from netcdf_olap_spark.sources.stats import parquet_num_rows
 
     e = _emb(spark, sf_dir)
     qvec = [r[0] for r in e.where(F.col("vec_id") == 0).select(F.explode("embedding")).collect()]
-    return pq.knn_pq(e.where(F.col("vec_id") != 0), qvec, k=10, m=16, n_codes=16)
+    corpus = e.where(F.col("vec_id") != 0)
+    n = parquet_num_rows(os.path.join(sf_dir, "embeddings.parquet"))
+    cbs = pq.pq_train_sample(corpus, m=16, k=16, n_rows=n)
+    return pq.knn_pq(corpus, qvec, k=10, m=16, n_codes=16, codebooks=cbs)
 
 
 def emb_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:

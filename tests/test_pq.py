@@ -228,3 +228,37 @@ def test_adc_topk_units_plan_is_narrow(emb, spark):
     assert "TakeOrderedAndProject" in plan
     for n in ("ArrowEvalPython", "BatchEvalPython", "Exchange"):
         assert n not in plan
+
+
+def test_pq_train_sample_deterministic_and_adc_recall(emb, spark):
+    """Sample-trained codebooks are bitwise run-to-run identical (no
+    RNG; id-sorted sample, first-k init) and the resulting ADC top-10
+    overlaps the exact L2 top-10 — the recall bar the distributed
+    training path is held to."""
+    corpus = emb.where(F.col("vec_id") != 0)
+    c1 = pq.pq_train_sample(corpus, m=M, k=K, n_iters=ITERS)
+    c2 = pq.pq_train_sample(corpus, m=M, k=K, n_iters=ITERS)
+    assert all(
+        (a == b).all() for cb1, cb2 in zip(c1, c2) for a, b in zip(cb1, cb2)
+    )
+    qvec = [r[0] for r in emb.where(F.col("vec_id") == 0).select(F.explode("embedding")).collect()]
+    got = {r.vec_id for r in pq.knn_pq(corpus, qvec, k=10, codebooks=c1).collect()}
+    exact = {
+        r.vec_id
+        for r in corpus.select(
+            "vec_id",
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    F.array(*[F.lit(float(v)) for v in qvec]),
+                    lambda x, y: x.cast("double") - y,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v * v,
+            ).alias("d2"),
+        )
+        .orderBy("d2", "vec_id")
+        .limit(10)
+        .collect()
+    }
+    assert len(got & exact) >= 5, (got, exact)
