@@ -207,3 +207,54 @@ def fingerprint(col: Column | str = "text") -> Column:
     whitespace-collapsed text — the exact-dedup key."""
     c = F.col(col) if isinstance(col, str) else col
     return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+def content_cutpoints(t: Column, k: int = 3, modulus: int = 8) -> Column:
+    """Content-defined chunk boundaries (Rabin-style CDC over the
+    token stream): position ``p`` (1-based) ends a chunk iff the
+    md5-52 hash of the ``k``-token window ending at ``p`` is ``0 mod
+    modulus``.  Returned as the cutpoint array ``[0, p1, p2, …, n]``
+    — expected chunk length ≈ ``modulus`` tokens.
+
+    Unlike fixed-stride chunking (``doc_chunking``), boundaries move
+    WITH the content: inserting a prefix into a document shifts every
+    token offset but re-synchronizes the cutpoints after at most one
+    window, so chunks of shared content hash identically across the
+    two documents — the property that makes chunk-level dedup robust
+    to shifted/embedded duplicates (the case fixed-stride span keys
+    miss by construction).
+
+    Engine-portable (md5-hex 52-bit family, registry rule) and fully
+    native: one ``filter`` over a ``sequence`` — no UDF, no shuffle.
+    ``t`` MUST be a materialized token-array column reference (the
+    same O(tokens²) caveat as ``shingles_from_tokens``).
+    """
+    n = F.size(t)
+
+    def _window_hash(p: Column) -> Column:
+        win = F.concat_ws(" ", F.slice(t, p - (k - 1), k))
+        return F.conv(F.substring(F.md5(win), 1, 13), 16, 10).cast("long")
+
+    inner = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda p: (p >= F.lit(k)) & (p < n) & (_window_hash(p) % modulus == 0),
+    )
+    return F.concat(F.array(F.lit(0)), inner, F.array(n))
+
+
+def chunks_from_cuts(t: Column, cuts: Column) -> Column:
+    """Materialize chunk texts from a cutpoint array: chunk ``i`` =
+    tokens ``cuts[i]+1 .. cuts[i+1]`` joined by single spaces.  Both
+    ``t`` and ``cuts`` must be plain column references (each is
+    referenced per chunk inside the lambda)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(cuts) - 1),
+        lambda i: F.concat_ws(
+            " ",
+            F.slice(
+                t,
+                F.element_at(cuts, i) + 1,
+                F.element_at(cuts, i + 1) - F.element_at(cuts, i),
+            ),
+        ),
+    )

@@ -531,12 +531,62 @@ ORDER BY vec_id
 EMB_SEMANTIC_LSH_SQL = _semantic_lsh_sql()
 
 
+def emb_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection prefilter + exact rerank (the third ANN
+    family beside LSH buckets and IVF lists): corpus ranked by cosine
+    in an 8-dim md5-sign JL sketch, top-50 pool exact-reranked by
+    full-dimension cosine.  Hash-checkable end to end — the sign
+    matrix derives from the md5-hex family (no RNG), and every dot
+    product on both engines is the sequential double fold."""
+    e = _emb(spark, sf_dir)
+    qvec = [r[0] for r in e.where(F.col("vec_id") == 0).select(F.explode("embedding")).collect()]
+    return similarity.knn_rp(e.where(F.col("vec_id") != 0), qvec, k=10, pool=100, d_out=16)
+
+
+def _rp_oracle_sql(d_out: int = 16, pool: int = 100) -> str:
+    """DuckDB twin of knn_rp: signs re-derived inline from md5 (no
+    literals needed), projections via the same sequential fold."""
+    sign_expr = (
+        "[CASE WHEN ('0x' || substr(md5('rp:' || CAST(j AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 1, 13))::BIGINT % 2 = 0 "
+        "THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END FOR i IN generate_series(1, 64)]"
+    )
+    pdot = "list_sum([CAST({v}[i] AS DOUBLE) * sv[i] FOR i IN generate_series(1, len({v}))])"
+    return f"""
+WITH signs AS (
+  SELECT j, {sign_expr} AS sv
+  FROM generate_series(0, {d_out - 1}) AS t(j)),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+proj AS (
+  SELECT vec_id, embedding, list(ps ORDER BY j) AS pv
+  FROM (SELECT vec_id, embedding, j, {pdot.format(v='embedding')} AS ps
+        FROM embeddings CROSS JOIN signs
+        WHERE vec_id != 0)
+  GROUP BY vec_id, embedding),
+qproj AS (
+  SELECT list(ps ORDER BY j) AS qpv
+  FROM (SELECT j, {pdot.format(v='qv')} AS ps FROM q CROSS JOIN signs)),
+pooled AS (
+  SELECT vec_id, embedding, {_duck_cos('pv', 'qpv')} AS proj_sim
+  FROM proj CROSS JOIN qproj
+  ORDER BY proj_sim DESC, vec_id
+  LIMIT {pool})
+SELECT vec_id, {_duck_cos('embedding', 'qv')} AS cos_sim
+FROM pooled CROSS JOIN q
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10
+"""
+
+
+EMB_RP_TOPK_SQL = _rp_oracle_sql()
+
+
 QUERIES = {
     "emb_knn_brute": (emb_knn_brute, EMB_KNN_BRUTE_SQL),
     "doc_embedding_near_dup": (doc_embedding_near_dup, DOC_NEAR_DUP_SQL),
     "emb_threshold_neighbors": (emb_threshold_neighbors, EMB_THRESHOLD_SQL),
     "emb_centroids": (emb_centroids, EMB_CENTROIDS_SQL),
     "emb_knn_lsh": (emb_knn_lsh, EMB_KNN_LSH_SQL),
+    "emb_rp_topk": (emb_rp_topk, EMB_RP_TOPK_SQL),
     "emb_knn_ivf": (emb_knn_ivf, None),
     "emb_knn_ivf_exact": (emb_knn_ivf_exact, EMB_KNN_BRUTE_SQL),
     "emb_pq_topk": (emb_pq_topk, None),

@@ -202,7 +202,10 @@ def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs, d).orderBy("doc_id")
 
 
-DOC_DEDUP_CLUSTERS_SQL = f"""
+# Recursive-CTE replay of jaccard_pairs(0.12, n=3) → connected
+# components (min-label reachability).  Shared by the cluster query
+# and the cluster-aware split below — ends at `comp(id, comp)`.
+_CLUSTERS_CTE = f"""
 WITH RECURSIVE
 toks AS (SELECT doc_id, {DUCK_TOKS} AS t FROM documents),
 sh AS (SELECT doc_id AS id, unnest(list_distinct({DUCK_SHINGLES})) AS sh FROM toks),
@@ -222,11 +225,140 @@ walk(id, comp) AS (
   UNION
   SELECT s.a, w.comp FROM sym s JOIN walk w ON s.b = w.id),
 comp AS (SELECT id, MIN(comp) AS comp FROM walk GROUP BY id)
+"""
+
+DOC_DEDUP_CLUSTERS_SQL = f"""
+{_CLUSTERS_CTE}
 SELECT d.doc_id,
        COALESCE(c.comp, d.doc_id) AS keeper_id,
        COALESCE(c.comp, d.doc_id) = d.doc_id AS is_keeper
 FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
 ORDER BY d.doc_id
+"""
+
+
+def doc_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the split unit is the
+    near-dup CLUSTER, not the document — every doc hashes on its
+    cluster keeper (md5-52 Bernoulli, 80/10/10), so two near-duplicate
+    documents can never straddle splits (the eval-contamination mode a
+    doc-level hash split has by construction; cf. doc_decontaminate,
+    which removes known benchmark text — this prevents the self-made
+    variant).  Deterministic: split(doc) is a pure function of the
+    corpus content, independent of partitioning or execution order.
+
+    100 TB shape: clustering is the jaccard/LSH pair pipeline + min-
+    label propagation (both sub-quadratic, see doc_dedup_clusters);
+    the split itself is one map-side hash — no additional shuffle."""
+    from netcdf_olap_spark.operators.components import dedup_clusters
+
+    d = _docs(spark, sf_dir)
+    pairs = dedup.jaccard_pairs(d, threshold=0.12, n=3)
+    cl = dedup_clusters(pairs, d)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit("split"), F.col("keeper_id"))), 1, 13
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10
+    )
+    return cl.select(
+        "doc_id",
+        "keeper_id",
+        F.when(bucket < 8, "train")
+        .when(bucket == 8, "val")
+        .otherwise("test")
+        .alias("split"),
+    ).orderBy("doc_id")
+
+
+DOC_CLUSTER_SPLIT_SQL = f"""
+{_CLUSTERS_CTE},
+keeper AS (
+  SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS keeper_id
+  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+bucketed AS (
+  SELECT doc_id, keeper_id,
+         ('0x' || substr(md5('split:' || CAST(keeper_id AS VARCHAR)), 1, 13))::BIGINT % 10 AS b
+  FROM keeper)
+SELECT doc_id, keeper_id,
+       CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+FROM bucketed
+ORDER BY doc_id
+"""
+
+
+def doc_shift_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shift-robust chunk-level duplication stats via content-defined
+    chunking (operators/text.py content_cutpoints): chunk boundaries
+    are cut where the rolling k-token window hash ≡ 0 (mod 8), so a
+    duplicate passage embedded at a DIFFERENT offset in another
+    document still produces byte-identical chunks — the case both
+    exact dedup (whole-doc key) and fixed-stride span keys
+    (doc_span_dupes) miss by construction.  Per doc: total chunks,
+    chunks whose text occurs in ≥2 distinct docs, and the token mass
+    of those duplicated chunks.
+
+    100 TB shape: chunking is map-side narrow work (filter over a
+    sequence, no UDF); dup detection is one shuffle on the chunk hash
+    + one join back on the same key (AQE co-partitions) + the per-doc
+    agg — never all-pairs, work ∝ corpus tokens."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", text.tokens("text").alias("t")).where(F.size("t") > 0)
+    cuts = toks.select("doc_id", "t", text.content_cutpoints(F.col("t")).alias("c"))
+    ch = cuts.select(
+        "doc_id",
+        F.explode(text.chunks_from_cuts(F.col("t"), F.col("c"))).alias("chunk_text"),
+    ).select(
+        "doc_id",
+        F.md5("chunk_text").alias("h"),
+        F.size(F.split("chunk_text", " ")).alias("chunk_len"),
+    )
+    hd = ch.groupBy("h").agg(F.count_distinct("doc_id").alias("n_docs"))
+    dup = F.col("n_docs") > 1
+    return (
+        ch.join(hd, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(F.when(dup, 1).otherwise(0)).cast("long").alias("n_dup_chunks"),
+            F.sum(F.when(dup, F.col("chunk_len")).otherwise(0))
+            .cast("long")
+            .alias("n_dup_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOC_SHIFT_DEDUP_SQL = f"""
+WITH toks AS (SELECT doc_id, {DUCK_TOKS} AS t FROM documents),
+cuts AS (
+  SELECT doc_id, t,
+         [0] || [p FOR p IN generate_series(1, len(t))
+                 IF p >= 3 AND p < len(t)
+                 AND ('0x' || substr(md5(array_to_string(t[p-2:p], ' ')), 1, 13))::BIGINT % 8 = 0]
+             || [len(t)] AS c
+  FROM toks WHERE len(t) > 0),
+ch AS (
+  SELECT doc_id,
+         unnest([array_to_string(t[c[i]+1:c[i+1]], ' ')
+                 FOR i IN generate_series(1, len(c) - 1)]) AS chunk_text
+  FROM cuts),
+chh AS (
+  SELECT doc_id, md5(chunk_text) AS h,
+         len(string_split(chunk_text, ' ')) AS chunk_len
+  FROM ch),
+hd AS (SELECT h, COUNT(DISTINCT doc_id) AS n_docs FROM chh GROUP BY h)
+SELECT chh.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN hd.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       CAST(SUM(CASE WHEN hd.n_docs > 1 THEN chunk_len ELSE 0 END) AS BIGINT) AS n_dup_tokens
+FROM chh JOIN hd ON hd.h = chh.h
+GROUP BY chh.doc_id
+ORDER BY chh.doc_id
 """
 
 
@@ -997,6 +1129,8 @@ QUERIES = {
     "doc_sentence_stats": (doc_sentence_stats, DOC_SENTENCE_SQL),
     "grid_midhinge": (grid_midhinge, GRID_MIDHINGE_SQL),
     "doc_dedup_clusters": (doc_dedup_clusters, DOC_DEDUP_CLUSTERS_SQL),
+    "doc_cluster_split": (doc_cluster_split, DOC_CLUSTER_SPLIT_SQL),
+    "doc_shift_dedup": (doc_shift_dedup, DOC_SHIFT_DEDUP_SQL),
     "doc_corpus_prep": (doc_corpus_prep, DOC_CORPUS_PREP_SQL),
     "doc_shard_pack": (doc_shard_pack, DOC_SHARD_PACK_SQL),
     "doc_shard_manifest": (doc_shard_manifest, DOC_SHARD_MANIFEST_SQL),

@@ -1,0 +1,92 @@
+"""Content-defined chunking (doc_shift_dedup) + leakage-safe split
+(doc_cluster_split): the semantic invariants the DuckDB parity hash
+cannot express on its own.
+
+- Reconstruction: CDC chunks partition the token stream exactly.
+- Shift robustness: a passage embedded at a different offset in
+  another document still yields identical chunks (the property
+  fixed-stride span keys lack by construction).
+- No-straddle: no near-dup pair crosses a train/val/test boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from netcdf_olap_spark.operators import dedup, text
+from netcdf_olap_spark.queries.text import doc_cluster_split, doc_shift_dedup
+from tests.conftest import SF_SMALL
+
+
+def _chunks(spark, docs):
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    toks = df.select("doc_id", text.tokens("text").alias("t"))
+    cuts = toks.select("doc_id", "t", text.content_cutpoints(F.col("t")).alias("c"))
+    out = cuts.select(
+        "doc_id", "t", "c", text.chunks_from_cuts(F.col("t"), F.col("c")).alias("ch")
+    )
+    return {r["doc_id"]: r for r in out.collect()}
+
+
+# Non-periodic 60-token passage (a periodic one has too few distinct
+# hash windows to produce any cutpoint): 6 CDC cutpoints, verified.
+PASSAGE = " ".join(f"w{(i * i) % 97}x{i % 7}" for i in range(60))
+
+
+def test_cutpoints_partition_token_stream(spark):
+    rows = _chunks(
+        spark,
+        [(1, PASSAGE), (2, "solo"), (3, "two tokens"), (4, "x " * 200)],
+    )
+    for r in rows.values():
+        cuts, toks, chunks = r["c"], r["t"], r["ch"]
+        assert cuts[0] == 0 and cuts[-1] == len(toks)
+        assert cuts == sorted(set(cuts)), "cutpoints strictly increasing"
+        # chunks concatenate back to the exact token stream
+        assert " ".join(chunks) == " ".join(toks)
+        assert all(c for c in chunks), "no empty chunk"
+
+
+def test_shift_robustness_against_fixed_stride(spark):
+    """Embed PASSAGE at a 7-token offset in doc 2: CDC chunk keys
+    re-synchronize, fixed-stride 16-token span keys cannot match."""
+    shifted = "zig zag wobble qux quux corge grault " + PASSAGE
+    rows = _chunks(spark, [(1, PASSAGE), (2, shifted)])
+    c1, c2 = set(rows[1]["ch"]), set(rows[2]["ch"])
+    shared = c1 & c2
+    # every chunk of doc 1 after the first in-passage cutpoint matches
+    assert len(shared) >= len(rows[1]["ch"]) - 1 >= 2
+    shared_tokens = sum(len(c.split()) for c in shared)
+    assert shared_tokens >= 40, f"most of the 60-token passage rediscovered, got {shared_tokens}"
+    # the fixed-stride comparison: 16-token aligned slices never line up
+    fixed1 = {" ".join(rows[1]["t"][i : i + 16]) for i in range(0, 60, 16)}
+    fixed2 = {" ".join(rows[2]["t"][i : i + 16]) for i in range(0, 67, 16)}
+    assert not (fixed1 & fixed2), "7-token shift defeats stride keys — CDC's advantage"
+
+
+def test_shift_dedup_query_flags_both_docs(spark):
+    out = {r["doc_id"]: r for r in doc_shift_dedup(spark, SF_SMALL).collect()}
+    assert out, "non-empty corpus"
+    assert all(r["n_chunks"] > 0 for r in out.values())
+    assert all(0 <= r["n_dup_chunks"] <= r["n_chunks"] for r in out.values())
+    # duplication is symmetric: a dup chunk exists in >=2 docs, so the
+    # flagged population can never be a single document
+    n_flagged = sum(1 for r in out.values() if r["n_dup_chunks"] > 0)
+    assert n_flagged != 1
+
+
+def test_cluster_split_never_straddles_near_dup_pairs(spark):
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    pairs = dedup.jaccard_pairs(docs, threshold=0.12, n=3)
+    split = doc_cluster_split(spark, SF_SMALL)
+    straddles = (
+        pairs.join(split.select(F.col("doc_id").alias("id1"), F.col("split").alias("s1")), "id1")
+        .join(split.select(F.col("doc_id").alias("id2"), F.col("split").alias("s2")), "id2")
+        .where(F.col("s1") != F.col("s2"))
+        .count()
+    )
+    assert straddles == 0
+    # all three splits materialize and cover every document
+    dist = {r["split"]: r["c"] for r in split.groupBy("split").agg(F.count("*").alias("c")).collect()}
+    assert sum(dist.values()) == docs.count()
+    assert set(dist) <= {"train", "val", "test"} and dist.get("train", 0) > 0

@@ -35,6 +35,34 @@ def test_knn_lsh_subset_of_brute(spark):
         assert abs(brute[r.vec_id] - r.cos_sim) < 1e-12
 
 
+def test_knn_rp_scores_exact_and_recall(spark):
+    """RP-prefilter results carry EXACT full-dimension cosines (the
+    rerank pass), and with pool=50 ≫ k=10 the top-10 should recover
+    most of the brute-force answer on a 64→8-dim sketch."""
+    e = _emb(spark)
+    q = [r[0] for r in e.where(F.col("vec_id") == 0).select(F.explode("embedding")).collect()]
+    corpus = e.where(F.col("vec_id") != 0)
+    brute = similarity.knn_brute(corpus, q, k=10).collect()
+    brute_scores = {r.vec_id: r.cos_sim for r in similarity.knn_brute(corpus, q, k=500).collect()}
+    rp = similarity.knn_rp(corpus, q, k=10, pool=100, d_out=16).collect()
+    assert len(rp) == 10
+    for r in rp:
+        assert abs(brute_scores[r.vec_id] - r.cos_sim) < 1e-12
+    recall = len({r.vec_id for r in rp} & {r.vec_id for r in brute}) / 10
+    # deterministic (fixed data + md5 signs): exactly 0.6 today —
+    # near-random synthetic vectors are the worst case for any sketch
+    assert recall >= 0.5, f"JL sketch recall collapsed: {recall}"
+
+
+def test_rp_signs_deterministic_and_balanced(spark):
+    s = similarity.rp_signs(16, 64)
+    assert s == similarity.rp_signs(16, 64)
+    flat = [x for row in s for x in row]
+    assert set(flat) == {1.0, -1.0}
+    # md5 bits are unbiased: the sign balance can't be degenerate
+    assert 0.35 < flat.count(1.0) / len(flat) < 0.65
+
+
 def test_lsh_bucket_prunes(spark):
     """The probed bucket must be a strict subset of the corpus —
     that's the entire point of the index."""
