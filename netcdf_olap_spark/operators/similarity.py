@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -110,6 +110,50 @@ def knn_lsh(
         cand.select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
+    )
+
+
+def knn_graph_lsh(
+    df: DataFrame,
+    k: int = 3,
+    n_planes: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Blocked k-NN GRAPH: top-k cosine neighbors for EVERY vector,
+    candidates restricted to the vector's own signed-random-projection
+    bucket — the primitive under SemDeDup, graph clustering, and
+    label propagation, where the query set IS the corpus (knn_lsh
+    answers one external query; this answers N at once).
+
+    100 TB shape: the self-join is bucket-equi (one shuffle on the
+    bucket key, AQE splits skewed buckets), pair work ≈ N·E[bucket
+    size] = N²/2^n_planes — n_planes tunes it sub-quadratic; the
+    per-source top-k is a window on the pair output, partitioned by
+    src (never a global sort).  Vectors alone in their bucket simply
+    emit no edges (blocked semantics, mirrored by the oracle).
+
+    Deterministic: plan-constant seeded planes, sequential-fold dots,
+    (cos_sim DESC, dst) rank tie-break."""
+    planes = _planes(n_planes, dim)
+    b = df.select(
+        F.col(id_col), F.col(vec_col), lsh_bucket_col(F.col(vec_col), planes).alias("bucket")
+    )
+    a, c = b.alias("a"), b.alias("c")
+    pairs = a.join(
+        c,
+        (F.col(f"a.bucket") == F.col(f"c.bucket")) & (F.col(f"a.{id_col}") != F.col(f"c.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("src_id"),
+        F.col(f"c.{id_col}").alias("dst_id"),
+        cosine(F.col(f"a.{vec_col}"), F.col(f"c.{vec_col}")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("src_id").orderBy(F.col("cos_sim").desc(), F.col("dst_id"))
+    return (
+        pairs.withColumn("nbr_rank", F.row_number().over(w))
+        .where(F.col("nbr_rank") <= k)
+        .select("src_id", "dst_id", "cos_sim", "nbr_rank")
     )
 
 

@@ -520,6 +520,64 @@ ORDER BY source, doc_id
 """
 
 
+def doc_adaptive_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source ADAPTIVE quality gate: instead of one global
+    stopword-density cutoff (which over-prunes clean sources and
+    under-prunes noisy ones), each source drops its own bottom 10% by
+    quality rank.  Quality = stopword density in basis points —
+    ``(stopword_hits · 10000) DIV n_tokens`` — pure integer
+    arithmetic, so the rank (and therefore the keep/drop frontier) is
+    bit-identical across engines; ties break on doc_id.
+
+    100 TB shape: one shuffle on `source`, one window per source
+    partition (sources parallelize; for a single monster source the
+    documented swap is an approx-quantile threshold broadcast against
+    the scan — same semantics, no giant window partition).  Empty-
+    token docs score 0 and are first to drop, by construction."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", "source", text.tokens("text").alias("_t"))
+    counted = toks.select(
+        "doc_id",
+        "source",
+        F.size(F.filter(F.col("_t"), lambda x: x.isin("the", "a", "of", "and", "to")))
+        .cast("long")
+        .alias("_stop"),
+        F.size("_t").cast("long").alias("_n"),
+    )
+    score = F.expr("CASE WHEN _n > 0 THEN (_stop * 10000) DIV _n ELSE 0 END").cast("long")
+    w = Window.partitionBy("source").orderBy(F.col("score_bp").asc(), F.col("doc_id").asc())
+    nsrc = Window.partitionBy("source")
+    return (
+        counted.select("doc_id", "source", score.alias("score_bp"))
+        .withColumn("src_rank", F.row_number().over(w))
+        .withColumn("n_src", F.count(F.lit(1)).over(nsrc))
+        .withColumn("is_kept", F.col("src_rank") > F.expr("n_src DIV 10"))
+        .select("doc_id", "source", "score_bp", F.col("src_rank").cast("int").alias("src_rank"), "is_kept")
+        .orderBy("doc_id")
+    )
+
+
+ADAPTIVE_QUALITY_SQL = f"""
+WITH toks AS (SELECT doc_id, source, {DUCK_TOKS} AS t FROM documents),
+scored AS (
+  SELECT doc_id, source,
+         CAST(CASE WHEN len(t) = 0 THEN 0
+              ELSE (len(list_filter(t, x -> x IN ('the', 'a', 'of', 'and', 'to'))) * 10000) // len(t)
+              END AS BIGINT) AS score_bp
+  FROM toks),
+ranked AS (
+  SELECT doc_id, source, score_bp,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY score_bp ASC, doc_id ASC) AS INT) AS src_rank,
+         COUNT(*) OVER (PARTITION BY source) AS n_src
+  FROM scored)
+SELECT doc_id, source, score_bp, src_rank, src_rank > n_src // 10 AS is_kept
+FROM ranked
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "doc_decontaminate": (doc_decontaminate, DECONTAM_SQL),
     "doc_stratified_sample": (doc_stratified_sample, STRATIFIED_SQL),
@@ -530,4 +588,5 @@ QUERIES = {
     "doc_importance_weights": (doc_importance_weights, IMPORTANCE_SQL),
     "doc_weighted_sample": (doc_weighted_sample, WEIGHTED_SAMPLE_SQL),
     "doc_temperature_mix": (doc_temperature_mix, TEMPERATURE_MIX_SQL),
+    "doc_adaptive_quality_filter": (doc_adaptive_quality_filter, ADAPTIVE_QUALITY_SQL),
 }

@@ -531,6 +531,56 @@ ORDER BY vec_id
 EMB_SEMANTIC_LSH_SQL = _semantic_lsh_sql()
 
 
+def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked k-NN graph: top-3 cosine neighbors for EVERY vector,
+    candidates limited to the vector's 6-bit signed-random-projection
+    bucket (operators/similarity.knn_graph_lsh) — the all-vectors
+    primitive under SemDeDup/cluster/label-prop pipelines, vs the
+    single-external-query emb_knn_lsh.  Hash-checkable end to end:
+    plan-constant planes, sequential-fold dots, ranked tie-breaks."""
+    return (
+        similarity.knn_graph_lsh(_emb(spark, sf_dir), k=3, n_planes=6, dim=64)
+        .orderBy("src_id", "nbr_rank")
+    )
+
+
+def _knn_graph_sql(k: int = 3, n_planes: int = 6, dim: int = 64) -> str:
+    from netcdf_olap_spark.operators.similarity import _planes
+
+    planes = _planes(n_planes, dim)
+    rows = ",\n    ".join(
+        "({}, [{}])".format(i, ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in p))
+        for i, p in enumerate(planes)
+    )
+    pdot = (
+        "list_sum([CAST(embedding[i] AS DOUBLE) * pv[i] "
+        "FOR i IN generate_series(1, len(embedding))])"
+    )
+    return f"""
+WITH planes AS (SELECT * FROM (VALUES
+    {rows}) AS t(pi, pv)),
+b AS (
+  SELECT vec_id, embedding,
+         CAST(SUM(CASE WHEN {pdot} >= 0 THEN (1 << pi) ELSE 0 END) AS INT) AS bucket
+  FROM embeddings CROSS JOIN planes
+  GROUP BY vec_id, embedding),
+pairs AS (
+  SELECT a.vec_id AS src_id, c.vec_id AS dst_id,
+         {_duck_cos('a.embedding', 'c.embedding')} AS cos_sim
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id != c.vec_id),
+ranked AS (
+  SELECT src_id, dst_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY cos_sim DESC, dst_id) AS INT) AS nbr_rank
+  FROM pairs)
+SELECT src_id, dst_id, cos_sim, nbr_rank
+FROM ranked WHERE nbr_rank <= {k}
+ORDER BY src_id, nbr_rank
+"""
+
+
+EMB_KNN_GRAPH_SQL = _knn_graph_sql()
+
+
 def emb_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-projection prefilter + exact rerank (the third ANN
     family beside LSH buckets and IVF lists): corpus ranked by cosine
@@ -587,6 +637,7 @@ QUERIES = {
     "emb_centroids": (emb_centroids, EMB_CENTROIDS_SQL),
     "emb_knn_lsh": (emb_knn_lsh, EMB_KNN_LSH_SQL),
     "emb_rp_topk": (emb_rp_topk, EMB_RP_TOPK_SQL),
+    "emb_knn_graph": (emb_knn_graph, EMB_KNN_GRAPH_SQL),
     "emb_knn_ivf": (emb_knn_ivf, None),
     "emb_knn_ivf_exact": (emb_knn_ivf_exact, EMB_KNN_BRUTE_SQL),
     "emb_pq_topk": (emb_pq_topk, None),

@@ -362,6 +362,120 @@ ORDER BY chh.doc_id
 """
 
 
+def doc_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate removal (the CCNet/RefinedWeb line-dedup
+    analog, over CDC chunks since this corpus has no line structure):
+    a chunk is boilerplate iff it appears in ≥ max(3, ⌈10%⌉) of the
+    docs of its OWN source — site templates, headers, navigation —
+    and the doc is rewritten without those chunks.  Scoped per source
+    on purpose: a passage shared across sources is quotation/reuse
+    (doc_shift_dedup's subject), not template.  Emits per doc the
+    chunk/boiler counts, boiler token mass, and the md5 of the cleaned
+    text so removal itself is value-checked, not just the counts.
+
+    Deterministic: CDC boundaries are content-defined, the rewrite
+    re-orders chunks by position after the aggregate (collect_list
+    order never reaches the output).  The 10% knob is integer
+    arithmetic ((n+9) DIV 10) — no float threshold to drift.
+
+    100 TB shape: chunking is map-side; the (source, chunk-hash)
+    frequency agg is one shuffle ∝ corpus tokens; the boiler table is
+    tiny by definition (templates, not content) and broadcasts; the
+    rewrite is a per-doc agg on the doc_id key — never all-pairs."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", "source", text.tokens("text").alias("t")).where(F.size("t") > 0)
+    cuts = toks.select("doc_id", "source", "t", text.content_cutpoints(F.col("t")).alias("c"))
+    ch = cuts.select(
+        "doc_id",
+        "source",
+        F.posexplode(text.chunks_from_cuts(F.col("t"), F.col("c"))).alias("pos", "chunk_text"),
+    ).select(
+        "doc_id",
+        "source",
+        "pos",
+        "chunk_text",
+        F.md5("chunk_text").alias("h"),
+        F.size(F.split("chunk_text", " ")).alias("chunk_len"),
+    )
+    srcn = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_src_docs"))
+    boiler = (
+        ch.groupBy("source", "h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .join(srcn, "source")
+        .where(F.col("nd") >= F.greatest(F.lit(3), F.expr("(n_src_docs + 9) DIV 10")))
+        .select("source", "h", F.lit(True).alias("is_b"))
+    )
+    flagged = ch.join(F.broadcast(boiler), ["source", "h"], "left").withColumn(
+        "is_b", F.coalesce("is_b", F.lit(False))
+    )
+    arr = F.array_sort(F.collect_list(F.struct("pos", "chunk_text", "is_b")))
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(F.when(F.col("is_b"), 1).otherwise(0)).cast("long").alias("n_boiler_chunks"),
+            F.sum(F.when(F.col("is_b"), F.col("chunk_len")).otherwise(0))
+            .cast("long")
+            .alias("n_boiler_tokens"),
+            arr.alias("arr"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_boiler_chunks",
+            "n_boiler_tokens",
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.filter("arr", lambda s: ~s["is_b"]), lambda s: s["chunk_text"]
+                    ),
+                )
+            ).alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOC_BOILERPLATE_SQL = f"""
+WITH toks AS (SELECT doc_id, source, {DUCK_TOKS} AS t FROM documents),
+cuts AS (
+  SELECT doc_id, source, t,
+         [0] || [p FOR p IN generate_series(1, len(t))
+                 IF p >= 3 AND p < len(t)
+                 AND ('0x' || substr(md5(array_to_string(t[p-2:p], ' ')), 1, 13))::BIGINT % 8 = 0]
+             || [len(t)] AS c
+  FROM toks WHERE len(t) > 0),
+ch AS (
+  SELECT doc_id, source,
+         unnest(generate_series(1, len(c) - 1)) AS pos,
+         unnest([array_to_string(t[c[i]+1:c[i+1]], ' ')
+                 FOR i IN generate_series(1, len(c) - 1)]) AS chunk_text
+  FROM cuts),
+chh AS (
+  SELECT doc_id, source, pos, chunk_text, md5(chunk_text) AS h,
+         len(string_split(chunk_text, ' ')) AS chunk_len
+  FROM ch),
+srcn AS (SELECT source, COUNT(*) AS n_src_docs FROM documents GROUP BY source),
+boiler AS (
+  SELECT sc.source, sc.h
+  FROM (SELECT source, h, COUNT(DISTINCT doc_id) AS nd FROM chh GROUP BY source, h) sc
+  JOIN srcn USING (source)
+  WHERE sc.nd >= GREATEST(3, (n_src_docs + 9) // 10)),
+flagged AS (
+  SELECT chh.*, b.h IS NOT NULL AS is_b
+  FROM chh LEFT JOIN boiler b ON b.source = chh.source AND b.h = chh.h)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler_chunks,
+       CAST(SUM(CASE WHEN is_b THEN chunk_len ELSE 0 END) AS BIGINT) AS n_boiler_tokens,
+       md5(COALESCE(string_agg(CASE WHEN NOT is_b THEN chunk_text END, ' ' ORDER BY pos), '')) AS clean_md5
+FROM flagged
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 def doc_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-Jaccard-verified at 0.12.
     Seeded xxhash64 banding isn't SQL-expressible → rows-only check;
@@ -1131,6 +1245,7 @@ QUERIES = {
     "doc_dedup_clusters": (doc_dedup_clusters, DOC_DEDUP_CLUSTERS_SQL),
     "doc_cluster_split": (doc_cluster_split, DOC_CLUSTER_SPLIT_SQL),
     "doc_shift_dedup": (doc_shift_dedup, DOC_SHIFT_DEDUP_SQL),
+    "doc_boilerplate": (doc_boilerplate, DOC_BOILERPLATE_SQL),
     "doc_corpus_prep": (doc_corpus_prep, DOC_CORPUS_PREP_SQL),
     "doc_shard_pack": (doc_shard_pack, DOC_SHARD_PACK_SQL),
     "doc_shard_manifest": (doc_shard_manifest, DOC_SHARD_MANIFEST_SQL),

@@ -75,6 +75,45 @@ def test_shift_dedup_query_flags_both_docs(spark):
     assert n_flagged != 1
 
 
+def test_boilerplate_scoped_per_source_and_removed(spark):
+    """Planted template: 4/5 docs of source A share a footer passage →
+    flagged + removed there; the SAME passage in 2 docs of source B is
+    below threshold → untouched (per-source scoping is the point)."""
+    import hashlib
+
+    from netcdf_olap_spark.queries.text import doc_boilerplate
+
+    footer = "copyright acme corp all rights reserved contact us terms of service apply here"
+    bodies = {
+        1: f"{PASSAGE} {footer}",
+        2: f"alpha beta gamma delta {footer}",
+        3: f"{footer} epsilon zeta eta theta iota kappa",
+        4: f"unique content row {footer} trailing words here now",
+        5: "a document with no template at all in it",
+        6: f"other site page one {footer}",
+        7: f"other site page two {footer}",
+    }
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            [(i, t, "en", "srcA" if i <= 5 else "srcB", len(t)) for i, t in bodies.items()],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(f"{td}/documents.parquet")
+        out = {r["doc_id"]: r for r in doc_boilerplate(spark, td).collect()}
+
+    # srcA: the footer's chunks are in 4 of 5 docs ≥ max(3, ceil(0.5)) → boiler
+    assert all(out[i]["n_boiler_chunks"] > 0 for i in (1, 2, 3, 4))
+    assert out[5]["n_boiler_chunks"] == 0
+    # srcB: same text, only 2 docs < 3 → NOT boiler there
+    assert out[6]["n_boiler_chunks"] == 0 and out[7]["n_boiler_chunks"] == 0
+    # removal is real: doc 5 (nothing removed) hashes to its own text
+    assert out[5]["clean_md5"] == hashlib.md5(bodies[5].encode()).hexdigest()
+    # doc 2's cleaned text loses the footer chunks but keeps its prefix
+    assert out[2]["clean_md5"] != hashlib.md5(bodies[2].encode()).hexdigest()
+    assert out[2]["n_chunks"] > out[2]["n_boiler_chunks"] >= 1
+
+
 def test_cluster_split_never_straddles_near_dup_pairs(spark):
     docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
     pairs = dedup.jaccard_pairs(docs, threshold=0.12, n=3)

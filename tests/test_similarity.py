@@ -63,6 +63,34 @@ def test_rp_signs_deterministic_and_balanced(spark):
     assert 0.35 < flat.count(1.0) / len(flat) < 0.65
 
 
+def test_knn_graph_edges_exact_and_bucket_local(spark):
+    """Every graph edge carries the exact pairwise cosine, ranks are
+    contiguous from 1 per source vector, and no source exceeds k."""
+    e = _emb(spark).limit(300)
+    g = similarity.knn_graph_lsh(e, k=3, n_planes=6, dim=64).collect()
+    assert g, "graph has edges"
+    by_src = {}
+    for r in g:
+        by_src.setdefault(r.src_id, []).append(r)
+    vecs = {r.vec_id: r.embedding for r in e.collect()}
+    import math
+
+    for src, rows in by_src.items():
+        rows.sort(key=lambda r: r.nbr_rank)
+        assert [r.nbr_rank for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= 3
+        # scores descend and equal the sequential-fold cosine
+        sims = [r.cos_sim for r in rows]
+        assert sims == sorted(sims, reverse=True)
+        for r in rows:
+            a, b = vecs[r.src_id], vecs[r.dst_id]
+            dot = sum(float(x) * float(y) for x, y in zip(a, b))
+            na = math.sqrt(sum(float(x) * float(x) for x in a))
+            nb = math.sqrt(sum(float(x) * float(x) for x in b))
+            assert abs(dot / (na * nb) - r.cos_sim) < 1e-9
+            assert r.src_id != r.dst_id
+
+
 def test_lsh_bucket_prunes(spark):
     """The probed bucket must be a strict subset of the corpus —
     that's the entire point of the index."""
