@@ -99,6 +99,12 @@ EXTRA_R8 = [
     "doc_temperature_mix",
     "emb_pq_portable",
     "emb_int8_quantize",
+    # second r8 widening pass: shift-robust CDC dedup + per-source
+    # boilerplate removal (both exercise the chunk machinery end to
+    # end) and the bucket-blocked all-vectors k-NN graph
+    "doc_shift_dedup",
+    "doc_boilerplate",
+    "emb_knn_graph",
 ]
 HEADLINE += EXTRA_R8
 

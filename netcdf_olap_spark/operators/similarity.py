@@ -137,17 +137,26 @@ def knn_graph_lsh(
     Deterministic: plan-constant seeded planes, sequential-fold dots,
     (cos_sim DESC, dst) rank tie-break."""
     planes = _planes(n_planes, dim)
+    # norms precomputed ONCE per vector (N folds, not N·E[bucket]) —
+    # the per-pair work is then a single dot fold; dot/(na·nb) is the
+    # same IEEE expression tree as cosine(), so values are bitwise
+    # unchanged and the oracle replays the inline-cosine form
     b = df.select(
-        F.col(id_col), F.col(vec_col), lsh_bucket_col(F.col(vec_col), planes).alias("bucket")
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
+        _norm(F.col(vec_col)).alias("nrm"),
     )
     a, c = b.alias("a"), b.alias("c")
     pairs = a.join(
         c,
-        (F.col(f"a.bucket") == F.col(f"c.bucket")) & (F.col(f"a.{id_col}") != F.col(f"c.{id_col}")),
+        (F.col("a.bucket") == F.col("c.bucket")) & (F.col(f"a.{id_col}") != F.col(f"c.{id_col}")),
     ).select(
         F.col(f"a.{id_col}").alias("src_id"),
         F.col(f"c.{id_col}").alias("dst_id"),
-        cosine(F.col(f"a.{vec_col}"), F.col(f"c.{vec_col}")).alias("cos_sim"),
+        (_dot(F.col(f"a.{vec_col}"), F.col(f"c.{vec_col}")) / (F.col("a.nrm") * F.col("c.nrm"))).alias(
+            "cos_sim"
+        ),
     )
     w = Window.partitionBy("src_id").orderBy(F.col("cos_sim").desc(), F.col("dst_id"))
     return (
