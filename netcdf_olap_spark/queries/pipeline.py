@@ -520,6 +520,50 @@ ORDER BY source, doc_id
 """
 
 
+def doc_fixed_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-k per-group sample (the distributed reservoir): each
+    (lang, source) stratum keeps exactly min(k, n) docs, chosen by
+    md5-rank — the fixed-size eval-subset draw Bernoulli sampling
+    (doc_stratified_sample) cannot give, because a rate never lands
+    an exact count.  Deterministic and engine-portable: the draw key
+    is md5('fk:'||doc_id) compared as a hex string; re-running on any
+    partitioning returns the same k docs.
+
+    100 TB shape: one shuffle on the stratum key; the per-stratum
+    window ranks only that stratum's rows (strata parallelize), and
+    Spark's WindowGroupLimit pushes the rank<=k cut below the sort
+    buffer — no stratum ever materializes fully sorted."""
+    from pyspark.sql.window import Window
+
+    k = 5
+    d = _docs(spark, sf_dir)
+    key = F.md5(F.concat_ws("", F.lit("fk:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang", "source").orderBy(F.col("draw_key").asc(), F.col("doc_id").asc())
+    return (
+        d.select("doc_id", "lang", "source", key.alias("draw_key"))
+        .withColumn("pick_rank", F.row_number().over(w))
+        .where(F.col("pick_rank") <= k)
+        .select("doc_id", "lang", "source", F.col("pick_rank").cast("int").alias("pick_rank"))
+        .orderBy("doc_id")
+    )
+
+
+FIXED_K_SQL = """
+WITH keyed AS (
+  SELECT doc_id, lang, source,
+         md5('fk:' || CAST(doc_id AS VARCHAR)) AS draw_key
+  FROM documents),
+ranked AS (
+  SELECT doc_id, lang, source,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang, source
+                                 ORDER BY draw_key ASC, doc_id ASC) AS INT) AS pick_rank
+  FROM keyed)
+SELECT doc_id, lang, source, pick_rank
+FROM ranked WHERE pick_rank <= 5
+ORDER BY doc_id
+"""
+
+
 def doc_adaptive_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source ADAPTIVE quality gate: instead of one global
     stopword-density cutoff (which over-prunes clean sources and
@@ -589,4 +633,5 @@ QUERIES = {
     "doc_weighted_sample": (doc_weighted_sample, WEIGHTED_SAMPLE_SQL),
     "doc_temperature_mix": (doc_temperature_mix, TEMPERATURE_MIX_SQL),
     "doc_adaptive_quality_filter": (doc_adaptive_quality_filter, ADAPTIVE_QUALITY_SQL),
+    "doc_fixed_k_sample": (doc_fixed_k_sample, FIXED_K_SQL),
 }

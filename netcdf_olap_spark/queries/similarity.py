@@ -400,6 +400,63 @@ ORDER BY id1, id2
 """
 
 
+def emb_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space dedup clusters: the cosine near-dup edges of
+    doc_embedding_near_dup (label-blocked, cos > 0.3) closed into
+    connected components via min-label propagation — every vector gets
+    its cluster keeper, vectors with no near-dup keep themselves.
+    Completes the graph family: pairs (doc_embedding_near_dup) →
+    top-k graph (emb_knn_graph) → components (this).  Same iterative
+    operator as doc_dedup_clusters (operators/components.py), so the
+    100 TB shape is shared: per-round join+agg on the node key,
+    lineage truncated per round, O(diameter) rounds."""
+    from netcdf_olap_spark.operators.components import dedup_clusters
+
+    e = _emb(spark, sf_dir)
+    a, b = e.alias("a"), e.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id1"),
+            F.col("b.vec_id").alias("id2"),
+            similarity.cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") > 0.3)
+    )
+    return (
+        dedup_clusters(pairs, e.select("vec_id"), id_col="vec_id")
+        .withColumnRenamed("doc_id", "vec_id")
+        .orderBy("vec_id")
+    )
+
+
+EMB_CLUSTER_COMPONENTS_SQL = f"""
+WITH RECURSIVE
+pairs AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE {_duck_cos('a.embedding', 'b.embedding')} > 0.3),
+sym AS (
+  SELECT id1 AS a, id2 AS b FROM pairs
+  UNION
+  SELECT id2, id1 FROM pairs),
+walk(id, comp) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+  UNION
+  SELECT s.a, w.comp FROM sym s JOIN walk w ON s.b = w.id),
+comp AS (SELECT id, MIN(comp) AS comp FROM walk GROUP BY id)
+SELECT e.vec_id,
+       COALESCE(c.comp, e.vec_id) AS keeper_id,
+       COALESCE(c.comp, e.vec_id) = e.vec_id AS is_keeper
+FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id
+ORDER BY e.vec_id
+"""
+
+
 def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversity re-ranking: retrieve-then-rerank — native cosine
     top-50 pool (distributed TakeOrderedAndProject), then one
@@ -638,6 +695,7 @@ QUERIES = {
     "emb_knn_lsh": (emb_knn_lsh, EMB_KNN_LSH_SQL),
     "emb_rp_topk": (emb_rp_topk, EMB_RP_TOPK_SQL),
     "emb_knn_graph": (emb_knn_graph, EMB_KNN_GRAPH_SQL),
+    "emb_cluster_components": (emb_cluster_components, EMB_CLUSTER_COMPONENTS_SQL),
     "emb_knn_ivf": (emb_knn_ivf, None),
     "emb_knn_ivf_exact": (emb_knn_ivf_exact, EMB_KNN_BRUTE_SQL),
     "emb_pq_topk": (emb_pq_topk, None),

@@ -33,6 +33,12 @@ QUERIES = [
     "join_asof_last_order",
     "doc_minhash_dedup_pairs",
     "doc_span_contamination",
+    # second r8 pass: the CDC chunk family + the bucket-blocked graph
+    # (the graph's pair work is N^2/2^planes — the curve records how
+    # that grows when N rides the 10x amplification)
+    "doc_shift_dedup",
+    "doc_boilerplate",
+    "emb_knn_graph",
 ]
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
