@@ -400,6 +400,29 @@ ORDER BY id1, id2
 """
 
 
+def emb_knn_graph_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """emb_knn_graph with the SCALE-CORRECT plane count: n_planes
+    grows with the corpus (auto_n_planes — 2^planes ≈ N/64) so
+    expected bucket size, and therefore per-vector pair work, stays
+    constant as N grows.  The fixed-plane twin measured α=1.59 on the
+    10× sf0.1→sf1.0 step (quadratic-trending); this one is the form
+    you would run at 100 TB.  rows-only check: the plane count derives
+    from parquet footer stats at run time, so no single static SQL
+    string can replay it across scale factors (same
+    inexpressibility class as emb_knn_ivf's footer-stats k);
+    bucket-bound + edge-exactness invariants are pinned in
+    tests/test_similarity.py."""
+    from netcdf_olap_spark.sources.stats import parquet_num_rows
+
+    n = parquet_num_rows(os.path.join(sf_dir, "embeddings.parquet"))
+    return (
+        similarity.knn_graph_lsh(
+            _emb(spark, sf_dir), k=3, n_planes=similarity.auto_n_planes(n), dim=64
+        )
+        .orderBy("src_id", "nbr_rank")
+    )
+
+
 def emb_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space dedup clusters: the cosine near-dup edges of
     doc_embedding_near_dup (label-blocked, cos > 0.3) closed into
@@ -696,6 +719,7 @@ QUERIES = {
     "emb_rp_topk": (emb_rp_topk, EMB_RP_TOPK_SQL),
     "emb_knn_graph": (emb_knn_graph, EMB_KNN_GRAPH_SQL),
     "emb_cluster_components": (emb_cluster_components, EMB_CLUSTER_COMPONENTS_SQL),
+    "emb_knn_graph_auto": (emb_knn_graph_auto, None),
     "emb_knn_ivf": (emb_knn_ivf, None),
     "emb_knn_ivf_exact": (emb_knn_ivf_exact, EMB_KNN_BRUTE_SQL),
     "emb_pq_topk": (emb_pq_topk, None),

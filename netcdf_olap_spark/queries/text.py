@@ -476,6 +476,64 @@ ORDER BY doc_id
 """
 
 
+def doc_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source content-overlap matrix (corpus provenance audit):
+    for every source pair, how many distinct CDC chunks of ≥4 tokens
+    appear in BOTH — the who-copies-from-whom signal that decides
+    which sources are redundant before a mixing recipe weights them.
+    The ≥4-token floor keeps single-common-word chunks from lighting
+    the whole matrix (measured: the unfiltered matrix is fully dense;
+    at ≥4 tokens only genuinely shared passages remain).
+
+    100 TB shape: chunking map-side; (source, h) distinct is one
+    shuffle ∝ corpus tokens; the h-key self-join's fan-out per chunk
+    is bounded by #sources² (a universal chunk in every source emits
+    #sources² pairs, not corpus²); output is at most the source-pair
+    matrix."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", "source", text.tokens("text").alias("t")).where(F.size("t") > 0)
+    cuts = toks.select("source", "t", text.content_cutpoints(F.col("t")).alias("c"))
+    raw = cuts.select(
+        "source", F.explode(text.chunks_from_cuts(F.col("t"), F.col("c"))).alias("ct")
+    )
+    ch = (
+        raw.where(F.size(F.split("ct", " ")) >= 4)
+        .select("source", F.md5("ct").alias("h"))
+        .distinct()
+    )
+    a, b = ch.alias("a"), ch.alias("b")
+    return (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("s1"), F.col("b.source").alias("s2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_chunks"))
+        .orderBy("s1", "s2")
+    )
+
+
+DOC_SOURCE_OVERLAP_SQL = f"""
+WITH toks AS (SELECT doc_id, source, {DUCK_TOKS} AS t FROM documents),
+cuts AS (
+  SELECT doc_id, source, t,
+         [0] || [p FOR p IN generate_series(1, len(t))
+                 IF p >= 3 AND p < len(t)
+                 AND ('0x' || substr(md5(array_to_string(t[p-2:p], ' ')), 1, 13))::BIGINT % 8 = 0]
+             || [len(t)] AS c
+  FROM toks WHERE len(t) > 0),
+raw AS (
+  SELECT source,
+         unnest([array_to_string(t[c[i]+1:c[i+1]], ' ')
+                 FOR i IN generate_series(1, len(c) - 1)]) AS ct
+  FROM cuts),
+ch AS (
+  SELECT DISTINCT source, md5(ct) AS h
+  FROM raw WHERE len(string_split(ct, ' ')) >= 4)
+SELECT a.source AS s1, b.source AS s2, CAST(COUNT(*) AS BIGINT) AS n_shared_chunks
+FROM ch a JOIN ch b ON a.h = b.h AND a.source < b.source
+GROUP BY a.source, b.source
+ORDER BY s1, s2
+"""
+
+
 def doc_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-Jaccard-verified at 0.12.
     Seeded xxhash64 banding isn't SQL-expressible → rows-only check;
@@ -1246,6 +1304,7 @@ QUERIES = {
     "doc_cluster_split": (doc_cluster_split, DOC_CLUSTER_SPLIT_SQL),
     "doc_shift_dedup": (doc_shift_dedup, DOC_SHIFT_DEDUP_SQL),
     "doc_boilerplate": (doc_boilerplate, DOC_BOILERPLATE_SQL),
+    "doc_source_overlap": (doc_source_overlap, DOC_SOURCE_OVERLAP_SQL),
     "doc_corpus_prep": (doc_corpus_prep, DOC_CORPUS_PREP_SQL),
     "doc_shard_pack": (doc_shard_pack, DOC_SHARD_PACK_SQL),
     "doc_shard_manifest": (doc_shard_manifest, DOC_SHARD_MANIFEST_SQL),

@@ -91,6 +91,30 @@ def test_knn_graph_edges_exact_and_bucket_local(spark):
             assert r.src_id != r.dst_id
 
 
+def test_auto_n_planes_keeps_pair_work_linear():
+    """2^planes ≈ N/target: expected bucket size stays ≤ target for
+    any N up to the 24-plane clamp, so graph pair work is N·target."""
+    for n in (10, 100, 500, 2_000, 20_000, 10**6, 10**9):
+        p = similarity.auto_n_planes(n)
+        assert 4 <= p <= 24
+        if n > 64 and p < 24:
+            assert n / (1 << p) <= 64, f"N={n}: bucket {n / (1 << p):.0f}"
+
+
+def test_knn_graph_auto_matches_manual_planes(spark):
+    """The auto variant is exactly the fixed-plane operator at the
+    footer-derived plane count — no second code path to drift."""
+    from netcdf_olap_spark.queries.similarity import emb_knn_graph_auto
+    from netcdf_olap_spark.sources.stats import parquet_num_rows
+
+    n = parquet_num_rows(f"{SF}/embeddings.parquet")
+    p = similarity.auto_n_planes(n)
+    e = _emb(spark)
+    manual = similarity.knn_graph_lsh(e, k=3, n_planes=p, dim=64).orderBy("src_id", "nbr_rank")
+    auto = emb_knn_graph_auto(spark, SF)
+    assert [tuple(r) for r in auto.collect()] == [tuple(r) for r in manual.collect()]
+
+
 def test_lsh_bucket_prunes(spark):
     """The probed bucket must be a strict subset of the corpus —
     that's the entire point of the index."""

@@ -33,12 +33,15 @@ QUERIES = [
     "join_asof_last_order",
     "doc_minhash_dedup_pairs",
     "doc_span_contamination",
-    # second r8 pass: the CDC chunk family + the bucket-blocked graph
-    # (the graph's pair work is N^2/2^planes — the curve records how
-    # that grows when N rides the 10x amplification)
+    # second r8 pass: the CDC chunk family + the bucket-blocked graph.
+    # emb_knn_graph (fixed 6 planes) is the measured superlinear case
+    # (alpha 1.59 on the 10x step — pair work N^2/2^planes); its _auto
+    # twin grows the plane count with footer-stats N (bucket size
+    # constant -> linear pair work) and records the remedy's curve.
     "doc_shift_dedup",
     "doc_boilerplate",
     "emb_knn_graph",
+    "emb_knn_graph_auto",
 ]
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
