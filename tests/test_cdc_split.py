@@ -114,6 +114,34 @@ def test_boilerplate_scoped_per_source_and_removed(spark):
     assert out[2]["n_chunks"] > out[2]["n_boiler_chunks"] >= 1
 
 
+def test_source_overlap_counts_shared_passages_once(spark):
+    """Planted: PASSAGE appears in srcA (2 docs) and srcB (1 doc) →
+    the (srcA, srcB) cell counts each shared ≥4-token chunk ONCE
+    (distinct-before-join), and sources sharing nothing emit no row."""
+    import tempfile
+
+    from netcdf_olap_spark.queries.text import doc_source_overlap
+
+    docs = [
+        (1, PASSAGE, "en", "srcA", 0),
+        (2, "prefix words here " + PASSAGE, "en", "srcA", 0),
+        (3, PASSAGE + " suffix tail", "en", "srcB", 0),
+        (4, "totally disjoint content alpha beta gamma delta epsilon zeta", "en", "srcC", 0),
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            docs, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(f"{td}/documents.parquet")
+        out = {(r.s1, r.s2): r.n_shared_chunks for r in doc_source_overlap(spark, td).collect()}
+    assert ("srcA", "srcB") in out and out[("srcA", "srcB")] >= 2
+    assert all("srcC" not in k for k in out)
+    # doc 1 and doc 2 both hold the passage, but the distinct
+    # collapses them: the count is per chunk, not per occurrence
+    rows = _chunks(spark, [(1, PASSAGE)])
+    n_big_chunks = sum(1 for c in rows[1]["ch"] if len(c.split()) >= 4)
+    assert out[("srcA", "srcB")] <= n_big_chunks + 2  # ±re-sync edge chunks
+
+
 def test_cluster_split_never_straddles_near_dup_pairs(spark):
     docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
     pairs = dedup.jaccard_pairs(docs, threshold=0.12, n=3)
