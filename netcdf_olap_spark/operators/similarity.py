@@ -117,13 +117,15 @@ def auto_n_planes(n_rows: int, target_bucket: int = 64) -> int:
     """Plane count that keeps E[bucket size] ≈ target_bucket as the
     corpus grows: 2^planes ≈ N/target → pair work N·target (LINEAR),
     where a fixed plane count is N²/2^planes (quadratic — measured
-    α=1.59 on the 10× sf0.1→sf1.0 step, BASELINE.md). Clamped to
-    [4, 24]; 24 planes ≈ 16M buckets covers 10¹² rows at bucket 64."""
+    α=1.60 on the 10× sf0.1→sf1.0 step, BASELINE.md). Clamped to
+    [4, 30] — 30 is the int-bucket ceiling (lsh_bucket_col packs bit
+    i as 1<<i): 2^30 buckets ≈ 6.9e10 rows at bucket 64; past that
+    the bucket column must widen to long before the clamp can move."""
     import math
 
     if n_rows <= target_bucket:
         return 4
-    return max(4, min(24, math.ceil(math.log2(n_rows / target_bucket))))
+    return max(4, min(30, math.ceil(math.log2(n_rows / target_bucket))))
 
 
 def knn_graph_lsh(

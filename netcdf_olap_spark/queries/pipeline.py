@@ -585,7 +585,7 @@ def doc_adaptive_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted = toks.select(
         "doc_id",
         "source",
-        F.size(F.filter(F.col("_t"), lambda x: x.isin("the", "a", "of", "and", "to")))
+        F.size(F.filter(F.col("_t"), lambda x: x.isin(*text.EN_STOPWORDS)))
         .cast("long")
         .alias("_stop"),
         F.size("_t").cast("long").alias("_n"),

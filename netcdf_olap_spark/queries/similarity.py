@@ -344,6 +344,27 @@ ORDER BY lbl, id1, rk
 """
 
 
+def _near_dup_pairs(e: DataFrame) -> DataFrame:
+    """The canonical cosine near-dup edge set (label-blocked, id1 <
+    id2, cos_sim > 0.3) — single definition shared by the pair report
+    (doc_embedding_near_dup) and the components closure
+    (emb_cluster_components), so the threshold/blocking can never
+    drift between them."""
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id1"),
+            F.col("b.vec_id").alias("id2"),
+            similarity.cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") > 0.3)
+    )
+
+
 def doc_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate detection over *documents*
     (the dedup-family member using the embedding modality): label-
@@ -358,20 +379,7 @@ def doc_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
         "doc_id", "lang"
     )
-    a, b = e.alias("a"), e.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("id1"),
-            F.col("b.vec_id").alias("id2"),
-            similarity.cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos_sim"),
-        )
-        .where(F.col("cos_sim") > 0.3)
-    )
+    pairs = _near_dup_pairs(e)
     d1 = d.select(F.col("doc_id").alias("id1"), F.col("lang").alias("lang1"))
     d2 = d.select(F.col("doc_id").alias("id2"), F.col("lang").alias("lang2"))
     return (
@@ -404,7 +412,7 @@ def emb_knn_graph_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """emb_knn_graph with the SCALE-CORRECT plane count: n_planes
     grows with the corpus (auto_n_planes — 2^planes ≈ N/64) so
     expected bucket size, and therefore per-vector pair work, stays
-    constant as N grows.  The fixed-plane twin measured α=1.59 on the
+    constant as N grows.  The fixed-plane twin measured α=1.60 on the
     10× sf0.1→sf1.0 step (quadratic-trending); this one is the form
     you would run at 100 TB.  rows-only check: the plane count derives
     from parquet footer stats at run time, so no single static SQL
@@ -436,21 +444,8 @@ def emb_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from netcdf_olap_spark.operators.components import dedup_clusters
 
     e = _emb(spark, sf_dir)
-    a, b = e.alias("a"), e.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("id1"),
-            F.col("b.vec_id").alias("id2"),
-            similarity.cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos_sim"),
-        )
-        .where(F.col("cos_sim") > 0.3)
-    )
     return (
-        dedup_clusters(pairs, e.select("vec_id"), id_col="vec_id")
+        dedup_clusters(_near_dup_pairs(e), e.select("vec_id"), id_col="vec_id")
         .withColumnRenamed("doc_id", "vec_id")
         .orderBy("vec_id")
     )
@@ -664,7 +659,7 @@ EMB_KNN_GRAPH_SQL = _knn_graph_sql()
 def emb_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-projection prefilter + exact rerank (the third ANN
     family beside LSH buckets and IVF lists): corpus ranked by cosine
-    in an 8-dim md5-sign JL sketch, top-50 pool exact-reranked by
+    in a 16-dim md5-sign JL sketch, top-100 pool exact-reranked by
     full-dimension cosine.  Hash-checkable end to end — the sign
     matrix derives from the md5-hex family (no RNG), and every dot
     product on both engines is the sequential double fold."""

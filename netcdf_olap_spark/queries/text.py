@@ -21,6 +21,15 @@ from netcdf_olap_spark.operators import dedup, sketches, spandedup, text
 DUCK_TOKS = r"list_filter(string_split_regex(trim(text), '\s+'), t -> t != '')"
 DUCK_SHINGLES = "[concat_ws(' ', t[i], t[i+1], t[i+2]) FOR i IN generate_series(1, len(t) - 2)]"
 
+# DuckDB twins of the CDC chunking expressions (content_cutpoints /
+# chunks_from_cuts at their defaults k=3, modulus=8 — the knobs live
+# HERE and in operators/text.py; every CDC oracle composes these).
+DUCK_CUTS = """[0] || [p FOR p IN generate_series(1, len(t))
+                 IF p >= 3 AND p < len(t)
+                 AND ('0x' || substr(md5(array_to_string(t[p-2:p], ' ')), 1, 13))::BIGINT % 8 = 0]
+             || [len(t)]"""
+DUCK_CHUNKS = "[array_to_string(t[c[i]+1:c[i+1]], ' ') FOR i IN generate_series(1, len(c) - 1)]"
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -336,16 +345,10 @@ def doc_shift_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 DOC_SHIFT_DEDUP_SQL = f"""
 WITH toks AS (SELECT doc_id, {DUCK_TOKS} AS t FROM documents),
 cuts AS (
-  SELECT doc_id, t,
-         [0] || [p FOR p IN generate_series(1, len(t))
-                 IF p >= 3 AND p < len(t)
-                 AND ('0x' || substr(md5(array_to_string(t[p-2:p], ' ')), 1, 13))::BIGINT % 8 = 0]
-             || [len(t)] AS c
+  SELECT doc_id, t, {DUCK_CUTS} AS c
   FROM toks WHERE len(t) > 0),
 ch AS (
-  SELECT doc_id,
-         unnest([array_to_string(t[c[i]+1:c[i+1]], ' ')
-                 FOR i IN generate_series(1, len(c) - 1)]) AS chunk_text
+  SELECT doc_id, unnest({DUCK_CHUNKS}) AS chunk_text
   FROM cuts),
 chh AS (
   SELECT doc_id, md5(chunk_text) AS h,
@@ -397,7 +400,10 @@ def doc_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("chunk_text").alias("h"),
         F.size(F.split("chunk_text", " ")).alias("chunk_len"),
     )
-    srcn = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_src_docs"))
+    # denominator = docs that CAN contain a chunk (tokenized), not the
+    # raw source row count — zero-token docs would otherwise dilute
+    # the 10% bar and let templates in empty-heavy sources escape
+    srcn = toks.groupBy("source").agg(F.count(F.lit(1)).alias("n_src_docs"))
     boiler = (
         ch.groupBy("source", "h")
         .agg(F.count_distinct("doc_id").alias("nd"))
@@ -440,23 +446,18 @@ def doc_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 DOC_BOILERPLATE_SQL = f"""
 WITH toks AS (SELECT doc_id, source, {DUCK_TOKS} AS t FROM documents),
 cuts AS (
-  SELECT doc_id, source, t,
-         [0] || [p FOR p IN generate_series(1, len(t))
-                 IF p >= 3 AND p < len(t)
-                 AND ('0x' || substr(md5(array_to_string(t[p-2:p], ' ')), 1, 13))::BIGINT % 8 = 0]
-             || [len(t)] AS c
+  SELECT doc_id, source, t, {DUCK_CUTS} AS c
   FROM toks WHERE len(t) > 0),
 ch AS (
   SELECT doc_id, source,
          unnest(generate_series(1, len(c) - 1)) AS pos,
-         unnest([array_to_string(t[c[i]+1:c[i+1]], ' ')
-                 FOR i IN generate_series(1, len(c) - 1)]) AS chunk_text
+         unnest({DUCK_CHUNKS}) AS chunk_text
   FROM cuts),
 chh AS (
   SELECT doc_id, source, pos, chunk_text, md5(chunk_text) AS h,
          len(string_split(chunk_text, ' ')) AS chunk_len
   FROM ch),
-srcn AS (SELECT source, COUNT(*) AS n_src_docs FROM documents GROUP BY source),
+srcn AS (SELECT source, COUNT(*) AS n_src_docs FROM cuts GROUP BY source),
 boiler AS (
   SELECT sc.source, sc.h
   FROM (SELECT source, h, COUNT(DISTINCT doc_id) AS nd FROM chh GROUP BY source, h) sc
@@ -513,16 +514,10 @@ def doc_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 DOC_SOURCE_OVERLAP_SQL = f"""
 WITH toks AS (SELECT doc_id, source, {DUCK_TOKS} AS t FROM documents),
 cuts AS (
-  SELECT doc_id, source, t,
-         [0] || [p FOR p IN generate_series(1, len(t))
-                 IF p >= 3 AND p < len(t)
-                 AND ('0x' || substr(md5(array_to_string(t[p-2:p], ' ')), 1, 13))::BIGINT % 8 = 0]
-             || [len(t)] AS c
+  SELECT doc_id, source, t, {DUCK_CUTS} AS c
   FROM toks WHERE len(t) > 0),
 raw AS (
-  SELECT source,
-         unnest([array_to_string(t[c[i]+1:c[i+1]], ' ')
-                 FOR i IN generate_series(1, len(c) - 1)]) AS ct
+  SELECT source, unnest({DUCK_CHUNKS}) AS ct
   FROM cuts),
 ch AS (
   SELECT DISTINCT source, md5(ct) AS h

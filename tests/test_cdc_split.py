@@ -93,14 +93,27 @@ def test_boilerplate_scoped_per_source_and_removed(spark):
         6: f"other site page one {footer}",
         7: f"other site page two {footer}",
     }
+    rows = [
+        (i, t, "en", "srcA" if i <= 5 else "srcB", len(t)) for i, t in bodies.items()
+    ]
+    # srcD: 3 tokenized docs sharing the footer + 30 whitespace-only
+    # rows — the 10% bar must count docs that CAN hold a chunk (3 of
+    # 3 ≥ max(3, ceil(0.3)) → flagged); a raw-row denominator would
+    # demand ceil(3.3)=4 and let the template through
+    rows += [(100 + j, f"dpage number {j} {footer}", "en", "srcD", 1) for j in range(3)]
+    rows += [(200 + j, "   ", "en", "srcD", 3) for j in range(30)]
     import tempfile
 
     with tempfile.TemporaryDirectory() as td:
         spark.createDataFrame(
-            [(i, t, "en", "srcA" if i <= 5 else "srcB", len(t)) for i, t in bodies.items()],
+            rows,
             "doc_id long, text string, lang string, source string, n_chars long",
         ).write.parquet(f"{td}/documents.parquet")
         out = {r["doc_id"]: r for r in doc_boilerplate(spark, td).collect()}
+
+    # empty docs emit no row (nothing to chunk); srcD's template fires
+    assert all(200 + j not in out for j in range(30))
+    assert all(out[100 + j]["n_boiler_chunks"] > 0 for j in range(3))
 
     # srcA: the footer's chunks are in 4 of 5 docs ≥ max(3, ceil(0.5)) → boiler
     assert all(out[i]["n_boiler_chunks"] > 0 for i in (1, 2, 3, 4))

@@ -37,8 +37,8 @@ def test_knn_lsh_subset_of_brute(spark):
 
 def test_knn_rp_scores_exact_and_recall(spark):
     """RP-prefilter results carry EXACT full-dimension cosines (the
-    rerank pass), and with pool=50 ≫ k=10 the top-10 should recover
-    most of the brute-force answer on a 64→8-dim sketch."""
+    rerank pass), and with pool=100 ≫ k=10 the top-10 should recover
+    most of the brute-force answer on a 64→16-dim sketch."""
     e = _emb(spark)
     q = [r[0] for r in e.where(F.col("vec_id") == 0).select(F.explode("embedding")).collect()]
     corpus = e.where(F.col("vec_id") != 0)
@@ -66,7 +66,9 @@ def test_rp_signs_deterministic_and_balanced(spark):
 def test_knn_graph_edges_exact_and_bucket_local(spark):
     """Every graph edge carries the exact pairwise cosine, ranks are
     contiguous from 1 per source vector, and no source exceeds k."""
-    e = _emb(spark).limit(300)
+    # deterministic subset — an unordered limit() can pick different
+    # rows in the two jobs below (partition-scheduling dependent)
+    e = _emb(spark).where(F.col("vec_id") < 300)
     g = similarity.knn_graph_lsh(e, k=3, n_planes=6, dim=64).collect()
     assert g, "graph has edges"
     by_src = {}
@@ -93,11 +95,13 @@ def test_knn_graph_edges_exact_and_bucket_local(spark):
 
 def test_auto_n_planes_keeps_pair_work_linear():
     """2^planes ≈ N/target: expected bucket size stays ≤ target for
-    any N up to the 24-plane clamp, so graph pair work is N·target."""
-    for n in (10, 100, 500, 2_000, 20_000, 10**6, 10**9):
+    every N inside the int-bucket ceiling (2^30·64 ≈ 6.9e10 rows) —
+    including AT the documented coverage bound, so the clamp cannot
+    silently reintroduce superlinear pair work inside it."""
+    for n in (10, 100, 500, 2_000, 20_000, 10**6, 10**9, (1 << 30) * 64):
         p = similarity.auto_n_planes(n)
-        assert 4 <= p <= 24
-        if n > 64 and p < 24:
+        assert 4 <= p <= 30
+        if n > 64:
             assert n / (1 << p) <= 64, f"N={n}: bucket {n / (1 << p):.0f}"
 
 

@@ -1,5 +1,5 @@
-"""Scaling-curve measurement (judge ask r7#8): wall-time of the five
-most expensive headline queries across scale factors, so superlinear
+"""Scaling-curve measurement (judge ask r7#8): wall-time of the most
+expensive headline queries across scale factors, so superlinear
 growth is a recorded number instead of an argument. Run
 tools/gen_scale.py first to materialize the amplified sf1.0 dir.
 
@@ -35,7 +35,7 @@ QUERIES = [
     "doc_span_contamination",
     # second r8 pass: the CDC chunk family + the bucket-blocked graph.
     # emb_knn_graph (fixed 6 planes) is the measured superlinear case
-    # (alpha 1.59 on the 10x step — pair work N^2/2^planes); its _auto
+    # (alpha 1.60 on the 10x step — pair work N^2/2^planes); its _auto
     # twin grows the plane count with footer-stats N (bucket size
     # constant -> linear pair work) and records the remedy's curve.
     "doc_shift_dedup",
