@@ -520,6 +520,64 @@ ORDER BY source, doc_id
 """
 
 
+def doc_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining batches: concatenate each
+    source's docs (doc_id order) and cut every 512 tokens — per doc,
+    which context window its tokens START and END in and whether it
+    straddles a boundary (the fraction of docs a no-split loader
+    would have to pad or drop).  Pure integer window arithmetic over
+    a running token offset — exact on both engines, no floats.
+
+    100 TB shape: one shuffle on `source`; the running sum rides one
+    per-source sort (sources parallelize; at corpus scale the packing
+    unit becomes the shard from doc_shard_pack so no partition
+    outgrows an executor — same arithmetic, smaller key)."""
+    from pyspark.sql.window import Window
+
+    c = 512
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", "source", F.size(text.tokens("text")).cast("long").alias("n_tokens"))
+    toks = toks.where(F.col("n_tokens") > 0)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run_end = F.sum("n_tokens").over(w)
+    return (
+        toks.select("doc_id", "source", "n_tokens", run_end.alias("run_end"))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.expr(f"(run_end - n_tokens) DIV {c}").cast("long").alias("first_win"),
+            F.expr(f"(run_end - 1) DIV {c}").cast("long").alias("last_win"),
+            (F.expr(f"(run_end - 1) DIV {c}") > F.expr(f"(run_end - n_tokens) DIV {c}")).alias(
+                "straddles"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CONTEXT_PACK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, CAST(len({DUCK_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents),
+run AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_end
+  FROM toks WHERE n_tokens > 0)
+SELECT doc_id, source, n_tokens,
+       CAST((run_end - n_tokens) // 512 AS BIGINT) AS first_win,
+       CAST((run_end - 1) // 512 AS BIGINT) AS last_win,
+       (run_end - 1) // 512 > (run_end - n_tokens) // 512 AS straddles
+FROM run
+ORDER BY doc_id
+"""
+
+
 def doc_fixed_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT-k per-group sample (the distributed reservoir): each
     (lang, source) stratum keeps exactly min(k, n) docs, chosen by
@@ -634,4 +692,5 @@ QUERIES = {
     "doc_temperature_mix": (doc_temperature_mix, TEMPERATURE_MIX_SQL),
     "doc_adaptive_quality_filter": (doc_adaptive_quality_filter, ADAPTIVE_QUALITY_SQL),
     "doc_fixed_k_sample": (doc_fixed_k_sample, FIXED_K_SQL),
+    "doc_context_pack": (doc_context_pack, CONTEXT_PACK_SQL),
 }
