@@ -135,7 +135,9 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(directory, ignore_errors=True)
 
 
-def _staged_doc_stream(spark: SparkSession, sf_dir: str, n_files: int = 4):
+def _staged_doc_stream(
+    spark: SparkSession, sf_dir: str, n_files: int = 4, with_source: bool = False
+):
     """Documents replayed as an ordered micro-batched file stream with
     synthetic arrival timestamps (one minute per doc). Arrival base is
     2024-01-01: doc 0 must NOT land exactly on epoch 0 — the stream's
@@ -148,19 +150,19 @@ def _staged_doc_stream(spark: SparkSession, sf_dir: str, n_files: int = 4):
     directory = tempfile.mkdtemp(prefix="noss_docstream_")
     try:
         base_us = 1_704_067_200_000_000
-        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
-            "doc_id",
+        cols = [
+            F.col("doc_id"),
             F.timestamp_micros(F.lit(base_us) + F.col("doc_id") * 60_000_000).alias("ts"),
-            "text",
-        )
+            F.col("text"),
+        ] + ([F.col("source")] if with_source else [])
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(*cols)
         stage_files(docs, directory, n_files=n_files, order_cols=["doc_id"])
-        schema = StructType(
-            [
-                StructField("doc_id", LongType()),
-                StructField("ts", TimestampType()),
-                StructField("text", StringType()),
-            ]
-        )
+        fields = [
+            StructField("doc_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("text", StringType()),
+        ] + ([StructField("source", StringType())] if with_source else [])
+        schema = StructType(fields)
         stream = (
             spark.readStream.schema(schema)
             .format("parquet")
@@ -451,6 +453,77 @@ ORDER BY doc_id
 """
 
 
+def stream_template_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental boilerplate detection: the streaming form of
+    doc_boilerplate's frequency pass.  Documents replayed as
+    micro-batches are CDC-chunked MAP-side (the same content_cutpoints
+    expressions — no UDF on the stream), per-doc repeats collapse in
+    dropDuplicatesWithinWatermark (state bounded by the watermark
+    horizon), and a streaming aggregation maintains the (source,
+    chunk-hash) distinct-doc counts — the template table grows
+    incrementally as docs arrive instead of re-scanning the corpus.
+    Drained output keeps counts ≥ 3 (the batch operator's absolute
+    floor).
+
+    Oracle-checked: chunking is deterministic, the replay covers the
+    whole corpus, and dedup-then-count ≡ COUNT(DISTINCT doc_id) —
+    plain SQL in the md5 family.  Streaming state = in-horizon
+    (doc, chunk) keys + one counter row per (source, chunk)."""
+    from netcdf_olap_spark.operators import text as textops
+
+    stream, directory = _staged_doc_stream(spark, sf_dir, with_source=True)
+    try:
+        toks = stream.select(
+            "doc_id", "ts", "source", textops.tokens("text").alias("tk")
+        ).where(F.size("tk") > 0)
+        cuts = toks.select(
+            "doc_id", "ts", "source", "tk", textops.content_cutpoints(F.col("tk")).alias("c")
+        )
+        ch = cuts.select(
+            "doc_id",
+            "ts",
+            "source",
+            F.explode(textops.chunks_from_cuts(F.col("tk"), F.col("c"))).alias("ct"),
+        ).select("doc_id", "ts", "source", F.md5("ct").alias("h"))
+        dedup = ch.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+            ["doc_id", "h"]
+        )
+        counts = dedup.groupBy("source", "h").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs")
+        )
+        out = run_to_memory(counts, "complete")
+        return (
+            out.where(F.col("n_docs") >= 3).orderBy("source", "h").localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(directory, ignore_errors=True)
+
+
+STREAM_TEMPLATE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '') AS t
+  FROM documents),
+cuts AS (
+  SELECT doc_id, source, t,
+         [0] || [p FOR p IN generate_series(1, len(t))
+                 IF p >= 3 AND p < len(t)
+                 AND ('0x' || substr(md5(array_to_string(t[p-2:p], ' ')), 1, 13))::BIGINT % 8 = 0]
+             || [len(t)] AS c
+  FROM toks WHERE len(t) > 0),
+ch AS (
+  SELECT doc_id, source,
+         md5(unnest([array_to_string(t[c[i]+1:c[i+1]], ' ')
+                     FOR i IN generate_series(1, len(c) - 1)])) AS h
+  FROM cuts)
+SELECT source, h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM ch
+GROUP BY source, h
+HAVING COUNT(DISTINCT doc_id) >= 3
+ORDER BY source, h
+"""
+
+
 QUERIES = {
     "stream_tumbling_stats": (stream_tumbling_stats, STREAM_TUMBLING_SQL),
     "stream_running_totals": (stream_running_totals, STREAM_RUNNING_SQL),
@@ -460,4 +533,5 @@ QUERIES = {
     "stream_heavy_hitters": (stream_heavy_hitters, STREAM_HEAVY_SQL),
     "stream_transition_counts": (stream_transition_counts, STREAM_TRANSITION_SQL),
     "stream_near_dup_filter": (stream_near_dup_filter, STREAM_NEAR_DUP_SQL),
+    "stream_template_counts": (stream_template_counts, STREAM_TEMPLATE_SQL),
 }
