@@ -152,18 +152,33 @@ def knn_graph_lsh(
     Deterministic: plan-constant seeded planes, sequential-fold dots,
     (cos_sim DESC, dst) rank tie-break."""
     planes = _planes(n_planes, dim)
-    # norms precomputed ONCE per vector (N folds, not N·E[bucket]) —
-    # the per-pair work is then a single dot fold; dot/(na·nb) is the
-    # same IEEE expression tree as cosine(), so values are bitwise
-    # unchanged and the oracle replays the inline-cosine form
-    b = df.select(
+    b = _bucketed_with_norms(df, planes, id_col, vec_col)
+    return _graph_edges(b, k, id_col, vec_col)
+
+
+def _bucketed_with_norms(
+    df: DataFrame, planes: np.ndarray, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, vec, bucket, nrm): norms precomputed ONCE per vector
+    (N folds, not N·E[bucket]) — the per-pair work downstream is then
+    a single dot fold; dot/(na·nb) is the same IEEE expression tree
+    as cosine(), so values are bitwise unchanged and oracles replay
+    the inline-cosine form."""
+    return df.select(
         F.col(id_col),
         F.col(vec_col),
         lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
         _norm(F.col(vec_col)).alias("nrm"),
     )
+
+
+def graph_pair_candidates(b: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Scored same-bucket pairs (src_id, dst_id, cos_sim) from a
+    (id, vec, bucket, nrm) frame — split out so the at-rest form can
+    plan-assert THIS join Exchange-free independent of the top-k
+    window that follows it."""
     a, c = b.alias("a"), b.alias("c")
-    pairs = a.join(
+    return a.join(
         c,
         (F.col("a.bucket") == F.col("c.bucket")) & (F.col(f"a.{id_col}") != F.col(f"c.{id_col}")),
     ).select(
@@ -173,12 +188,46 @@ def knn_graph_lsh(
             "cos_sim"
         ),
     )
+
+
+def _graph_edges(b: DataFrame, k: int, id_col: str, vec_col: str) -> DataFrame:
+    pairs = graph_pair_candidates(b, id_col, vec_col)
     w = Window.partitionBy("src_id").orderBy(F.col("cos_sim").desc(), F.col("dst_id"))
     return (
         pairs.withColumn("nbr_rank", F.row_number().over(w))
         .where(F.col("nbr_rank") <= k)
         .select("src_id", "dst_id", "cos_sim", "nbr_rank")
     )
+
+
+def knn_graph_at_rest(
+    spark,
+    df: DataFrame,
+    table: str,
+    k: int = 3,
+    n_planes: int = 6,
+    dim: int = 64,
+    n_buckets: int = 16,
+    path: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``knn_graph_lsh`` with the bucket assignment + norms
+    materialized AT REST, bucketed by the LSH bucket id: the bucket
+    self-join then plans with ZERO Exchange on either side (bucketed
+    scans already provide the hash partitioning — asserted in
+    tests/test_similarity.py), and the same table serves re-runs,
+    incremental edge refresh, and probe queries without re-hashing
+    the corpus.  Edges are identical to the in-memory form: bucket
+    bits, dots, and tie-breaks are all pure functions of the rows.
+    Choose ``n_buckets`` so one file bucket (≈N/n_buckets rows across
+    its LSH buckets) fits an executor core."""
+    from netcdf_olap_spark.operators.shuffle import write_bucketed
+
+    planes = _planes(n_planes, dim)
+    b = _bucketed_with_norms(df, planes, id_col, vec_col)
+    write_bucketed(b, table, ["bucket"], n_buckets=n_buckets, path=path, sort_cols=["bucket", id_col])
+    return _graph_edges(spark.table(table), k, id_col, vec_col)
 
 
 def rp_signs(d_out: int, dim: int) -> list[list[float]]:

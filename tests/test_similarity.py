@@ -119,6 +119,34 @@ def test_knn_graph_auto_matches_manual_planes(spark):
     assert [tuple(r) for r in auto.collect()] == [tuple(r) for r in manual.collect()]
 
 
+def test_knn_graph_at_rest_matches_and_join_is_exchange_free(spark, tmp_path):
+    """The bucketed-by-LSH-bucket at-rest layout: identical edges to
+    the in-memory graph, and the pair self-join plans with ZERO
+    Exchange (bucketed scans already provide the hash partitioning)."""
+    emb = _emb(spark)
+    want = {tuple(r) for r in similarity.knn_graph_lsh(emb, k=3, n_planes=6, dim=64).collect()}
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        out = similarity.knn_graph_at_rest(
+            spark, emb, "t_knn_graph_rest", k=3, n_planes=6, dim=64,
+            path=str(tmp_path / "kg"),
+        )
+        assert {tuple(r) for r in out.collect()} == want
+
+        pairs = similarity.graph_pair_candidates(spark.table("t_knn_graph_rest"))
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, f"pair join still shuffles:\n{plan}"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_knn_graph_rest")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+
 def test_lsh_bucket_prunes(spark):
     """The probed bucket must be a strict subset of the corpus —
     that's the entire point of the index."""
