@@ -33,6 +33,62 @@ def _chunks(spark, docs):
 PASSAGE = " ".join(f"w{(i * i) % 97}x{i % 7}" for i in range(60))
 
 
+def _py_cutpoints(toks: list[str], k: int = 3, modulus: int = 8) -> list[int]:
+    """Pure-Python twin of content_cutpoints — lets hypothesis sweep
+    thousands of token streams without a Spark job per example; its
+    equality to the Spark expression is pinned once below."""
+    import hashlib
+
+    n = len(toks)
+    cuts = [0]
+    for p in range(k, n):  # p >= k and p < n, 1-based
+        win = " ".join(toks[p - k : p])
+        if int(hashlib.md5(win.encode()).hexdigest()[:13], 16) % modulus == 0:
+            cuts.append(p)
+    cuts.append(n)
+    return cuts
+
+
+def test_py_twin_matches_spark(spark):
+    docs = [(1, PASSAGE), (2, "solo"), (3, "two tokens"), (4, "x " * 200), (5, "a b c d")]
+    rows = _chunks(spark, docs)
+    for i, text_ in docs:
+        toks = text_.split()
+        assert rows[i]["c"] == _py_cutpoints(rows[i]["t"]), f"doc {i}"
+        assert rows[i]["t"] == [t for t in text_.split() if t]
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_tok = st.text(alphabet="abcdefg", min_size=1, max_size=3)
+
+
+@settings(max_examples=300, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(toks=st.lists(_tok, min_size=0, max_size=80), prefix=st.lists(_tok, min_size=1, max_size=9))
+def test_cdc_properties_pure(toks, prefix):
+    """Structural invariants over arbitrary token streams (pure-Python
+    twin): cutpoints strictly increase and partition [0, n]; and the
+    RE-SYNC guarantee — every interior cutpoint of T at p ≥ k survives
+    (shifted) in prefix+T, because its k-token window lies wholly
+    inside T. This is the exact property that makes chunk keys
+    shift-robust."""
+    k = 3
+    cuts = _py_cutpoints(toks)
+    assert cuts[0] == 0 and cuts[-1] == len(toks)
+    if not toks:
+        # the operator contract excludes empty docs (callers filter
+        # size > 0); the raw expression yields the degenerate [0, 0]
+        assert cuts == [0, 0]
+        return
+    assert cuts == sorted(set(cuts))
+    shifted = _py_cutpoints(prefix + toks)
+    off = len(prefix)
+    interior = [p for p in cuts[1:-1]]  # already p >= k by construction
+    for p in interior:
+        assert p + off in shifted, f"cutpoint {p} lost after {off}-token shift"
+
+
 def test_cutpoints_partition_token_stream(spark):
     rows = _chunks(
         spark,
