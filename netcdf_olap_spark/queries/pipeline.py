@@ -661,12 +661,16 @@ def doc_adaptive_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# both twins derive the stopword set from the same constant — the
+# Spark side filters with *text.EN_STOPWORDS, so the oracle must too
+_EN_STOP_SQL = ", ".join(f"'{w}'" for w in text.EN_STOPWORDS)
+
 ADAPTIVE_QUALITY_SQL = f"""
 WITH toks AS (SELECT doc_id, source, {DUCK_TOKS} AS t FROM documents),
 scored AS (
   SELECT doc_id, source,
          CAST(CASE WHEN len(t) = 0 THEN 0
-              ELSE (len(list_filter(t, x -> x IN ('the', 'a', 'of', 'and', 'to'))) * 10000) // len(t)
+              ELSE (len(list_filter(t, x -> x IN ({_EN_STOP_SQL}))) * 10000) // len(t)
               END AS BIGINT) AS score_bp
   FROM toks),
 ranked AS (

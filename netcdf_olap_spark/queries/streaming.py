@@ -23,6 +23,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from netcdf_olap_spark.queries.text import DUCK_CHUNKS, DUCK_CUTS, DUCK_TOKS
 from netcdf_olap_spark.session import load_events
 from netcdf_olap_spark.streaming import ops
 from netcdf_olap_spark.streaming.runner import events_file_stream, run_to_memory, stage_event_files
@@ -500,21 +501,12 @@ def stream_template_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STREAM_TEMPLATE_SQL = f"""
-WITH toks AS (
-  SELECT doc_id, source,
-         list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '') AS t
-  FROM documents),
+WITH toks AS (SELECT doc_id, source, {DUCK_TOKS} AS t FROM documents),
 cuts AS (
-  SELECT doc_id, source, t,
-         [0] || [p FOR p IN generate_series(1, len(t))
-                 IF p >= 3 AND p < len(t)
-                 AND ('0x' || substr(md5(array_to_string(t[p-2:p], ' ')), 1, 13))::BIGINT % 8 = 0]
-             || [len(t)] AS c
+  SELECT doc_id, source, t, {DUCK_CUTS} AS c
   FROM toks WHERE len(t) > 0),
 ch AS (
-  SELECT doc_id, source,
-         md5(unnest([array_to_string(t[c[i]+1:c[i+1]], ' ')
-                     FOR i IN generate_series(1, len(c) - 1)])) AS h
+  SELECT doc_id, source, md5(unnest({DUCK_CHUNKS})) AS h
   FROM cuts)
 SELECT source, h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
 FROM ch
