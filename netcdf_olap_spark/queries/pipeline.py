@@ -661,6 +661,53 @@ def doc_adaptive_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible training-data ORDER: for each epoch, every doc's
+    position within its source — rank of md5('ord:'||epoch||':'||id)
+    — so a run can resume mid-epoch (or replay exactly) on any
+    cluster, any partitioning: the permutation is a pure function of
+    the corpus, not of execution.  Epochs decorrelate by construction
+    (independent md5 draws), which is what epoch-wise reshuffling is
+    FOR — pinned in tests.
+
+    100 TB shape: one shuffle on the (epoch, source) key; a global
+    total order would be a single-partition sort, so the ordering
+    unit is the source (compose with doc_shard_pack for finer
+    shards) and the loader walks sources in name order."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    epochs = spark.range(2).select(F.col("id").cast("int").alias("epoch"))
+    keyed = d.crossJoin(F.broadcast(epochs)).select(
+        "doc_id",
+        "source",
+        "epoch",
+        F.md5(
+            F.concat_ws(":", F.lit("ord"), F.col("epoch").cast("string"), F.col("doc_id").cast("string"))
+        ).alias("draw"),
+    )
+    w = Window.partitionBy("epoch", "source").orderBy(F.col("draw").asc(), F.col("doc_id").asc())
+    return (
+        keyed.select(
+            "doc_id", "source", "epoch", F.row_number().over(w).cast("int").alias("ord_in_source")
+        )
+        .orderBy("doc_id", "epoch")
+    )
+
+
+EPOCH_ORDER_SQL = """
+WITH keyed AS (
+  SELECT doc_id, source, epoch,
+         md5('ord:' || CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS draw
+  FROM documents CROSS JOIN (SELECT unnest([0, 1]) AS epoch))
+SELECT doc_id, source, CAST(epoch AS INT) AS epoch,
+       CAST(ROW_NUMBER() OVER (PARTITION BY epoch, source
+                               ORDER BY draw ASC, doc_id ASC) AS INT) AS ord_in_source
+FROM keyed
+ORDER BY doc_id, epoch
+"""
+
+
 # both twins derive the stopword set from the same constant — the
 # Spark side filters with *text.EN_STOPWORDS, so the oracle must too
 _EN_STOP_SQL = ", ".join(f"'{w}'" for w in text.EN_STOPWORDS)
@@ -697,4 +744,5 @@ QUERIES = {
     "doc_adaptive_quality_filter": (doc_adaptive_quality_filter, ADAPTIVE_QUALITY_SQL),
     "doc_fixed_k_sample": (doc_fixed_k_sample, FIXED_K_SQL),
     "doc_context_pack": (doc_context_pack, CONTEXT_PACK_SQL),
+    "doc_epoch_order": (doc_epoch_order, EPOCH_ORDER_SQL),
 }

@@ -30,6 +30,24 @@ def test_windows_tile_contiguously_per_source(spark):
         assert rs[-1].last_win == (run - 1) // C == (run + C - 1) // C - 1
 
 
+def test_epoch_orders_are_permutations_and_decorrelated(spark):
+    """Each (epoch, source) order is a 1..n permutation, and the two
+    epochs' permutations actually differ (the reshuffle is real)."""
+    from netcdf_olap_spark.queries.pipeline import doc_epoch_order
+
+    rows = doc_epoch_order(spark, SF_SMALL).collect()
+    by = {}
+    for r in rows:
+        by.setdefault((r.epoch, r.source), []).append(r.ord_in_source)
+    assert by
+    for (_e, _s), ords in by.items():
+        assert sorted(ords) == list(range(1, len(ords) + 1))
+    pos = {(r.doc_id, r.epoch): r.ord_in_source for r in rows}
+    same = sum(1 for (d, e), p in pos.items() if e == 0 and pos[(d, 1)] == p)
+    n = sum(1 for (_d, e) in pos if e == 0)
+    assert same < n / 2, f"epoch orders nearly identical: {same}/{n}"
+
+
 def test_straddle_fraction_sane(spark):
     rows = doc_context_pack(spark, SF_SMALL).collect()
     n_straddle = sum(1 for r in rows if r.straddles)
