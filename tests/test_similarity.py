@@ -105,18 +105,40 @@ def test_auto_n_planes_keeps_pair_work_linear():
             assert n / (1 << p) <= 64, f"N={n}: bucket {n / (1 << p):.0f}"
 
 
-def test_knn_graph_auto_matches_manual_planes(spark):
-    """The auto variant is exactly the fixed-plane operator at the
-    footer-derived plane count — no second code path to drift."""
-    from netcdf_olap_spark.queries.similarity import emb_knn_graph_auto
+def test_knn_graph_auto_is_fixed_graph_at_derived_plane_count(spark):
+    """knn_graph_auto ≡ the generic graph operator run with
+    md5-sign planes at the footer-derived count — no second edge
+    path to drift (the registered emb_knn_graph rides this form
+    since round 9; the Gaussian fixed-plane twin stays pinned by
+    test_knn_graph_edges_exact_and_bucket_local above)."""
+    from netcdf_olap_spark.operators.similarity import (
+        _bucketed_with_norms,
+        _graph_edges,
+        md5_sign_planes,
+    )
     from netcdf_olap_spark.sources.stats import parquet_num_rows
 
     n = parquet_num_rows(f"{SF}/embeddings.parquet")
     p = similarity.auto_n_planes(n)
     e = _emb(spark)
-    manual = similarity.knn_graph_lsh(e, k=3, n_planes=p, dim=64).orderBy("src_id", "nbr_rank")
-    auto = emb_knn_graph_auto(spark, SF)
+    manual = _graph_edges(
+        _bucketed_with_norms(e, md5_sign_planes(p, 64), "vec_id", "embedding"),
+        3, "vec_id", "embedding",
+    ).orderBy("src_id", "nbr_rank")
+    auto = similarity.knn_graph_auto(e, n_rows=n, k=3, dim=64).orderBy("src_id", "nbr_rank")
     assert [tuple(r) for r in auto.collect()] == [tuple(r) for r in manual.collect()]
+
+
+def test_md5_sign_planes_portable_and_balanced():
+    """±1 entries derive from the md5-52 family exactly as the DuckDB
+    oracle re-derives them inline, and the signs are not degenerate."""
+    import hashlib
+
+    p = similarity.md5_sign_planes(4, 64)
+    assert set(p.flatten().tolist()) == {1.0, -1.0}
+    assert 0.35 < (p == 1.0).mean() < 0.65
+    h = int(hashlib.md5(b"knng:2:17").hexdigest()[:13], 16)
+    assert p[2][17] == (1.0 if h % 2 == 0 else -1.0)
 
 
 def test_knn_graph_at_rest_matches_and_join_is_exchange_free(spark, tmp_path):
