@@ -15,7 +15,13 @@ already redacted by classes *0..i-1*, so every ``n_<class>`` agrees
 exactly with what the sequential redaction replaced — an SSN-shaped
 local part inside ``123-45-6789@x.com`` counts as email, never as a
 phantom SSN.  Replacement tokens contain no digits, ``@``, ``:`` or
-``+``, so redacting one class can never *create* a later match.
+``+``, so a later class can never match INSIDE a replacement token —
+though a replacement can still expose a word boundary that lets a
+``\\b``-anchored later pattern fire beside it (e.g. the IPv4 in
+``9user@x.com1.2.3.4`` becomes matchable once the email is redacted).
+That is fine for reconciliation: both engines replay the identical
+progressive sequence, so every count agrees exactly with the redaction
+it was measured on.
 
 Precision notes (deliberate, documented trade-offs):
 - The credit-card shape accepts mixed separators (``4111-1111 1111``):

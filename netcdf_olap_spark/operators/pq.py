@@ -398,5 +398,12 @@ def knn_pq(
     scale train/encode happen at ingest and only ADC runs per query).
     Pass pre-trained ``codebooks`` (pq_train_sample at scale) to skip
     the internal distributed ``pq_train``."""
-    cbs = codebooks or pq_train(df, m=m, k=n_codes, id_col=id_col, vec_col=vec_col)
+    # `is not None`, not `or`: an explicitly passed empty codebook
+    # list is a caller bug and must error here, not silently trigger
+    # a full distributed training pass (nor encode to empty codes)
+    if codebooks is not None and len(codebooks) == 0:
+        raise ValueError("codebooks is empty — pass None to train, or a trained list")
+    cbs = codebooks if codebooks is not None else pq_train(
+        df, m=m, k=n_codes, id_col=id_col, vec_col=vec_col
+    )
     return adc_topk(pq_encode(df, cbs, id_col, vec_col), query_vec, cbs, k=k, id_col=id_col)

@@ -117,7 +117,11 @@ def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     pipelines): duplicate-token fraction, the occurrence fraction of
     the most frequent token 2-gram, and duplicate-sentence fraction,
     plus the composite ``is_repetitive`` flag (dup_sent_frac > 0.30 or
-    top_bigram_frac > 0.18 — thresholds of the published recipe).
+    top_bigram_frac > 0.18 — Gopher-INSPIRED thresholds: Rae et al.
+    A1.1 uses 0.20 for the top 2-gram and measures CHARACTER fraction,
+    where this operator measures occurrence fraction with 0.18, the
+    paper's 3-gram figure; deterministic and parity-checked either
+    way, just not a verbatim transcription of the published table).
 
     100 TB shape: everything is higher-order functions over per-row
     arrays — a PURE MAP, no shuffle, no Python. The mode multiplicity

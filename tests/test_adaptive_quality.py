@@ -52,3 +52,72 @@ def test_adaptive_vs_global_threshold_diverges(spark):
             frontier[r.source] = max(frontier.get(r.source, -1), r.score_bp)
     # with 20 synthetic sources the max-dropped-score varies by source
     assert len(set(frontier.values())) > 1 or len(frontier) <= 1
+
+
+def _keepdrop(df):
+    return {(r.doc_id, r.is_kept) for r in df.select("doc_id", "is_kept").collect()}
+
+
+def test_auto_form_equals_window_form_balanced(spark):
+    """The histogram-broadcast threshold reproduces the window form's
+    keep/drop frontier exactly on the balanced fixture corpus."""
+    from netcdf_olap_spark.queries.pipeline import doc_adaptive_quality_filter_auto
+
+    win = doc_adaptive_quality_filter(spark, SF_SMALL)
+    auto = doc_adaptive_quality_filter_auto(spark, SF_SMALL)
+    assert _keepdrop(auto) == _keepdrop(win)
+
+
+def test_auto_form_equals_window_form_on_90pct_skew(spark):
+    """Monster-source fixture: 90% of docs remapped into ONE source.
+    The auto form must still match the window form's frontier bit for
+    bit — the scenario it exists for."""
+    import os
+
+    from pyspark.sql.window import Window
+
+    from netcdf_olap_spark.queries.pipeline import _adaptive_scores, adaptive_quality_auto
+
+    d = spark.read.parquet(os.path.join(SF_SMALL, "documents.parquet")).withColumn(
+        "source", F.when(F.col("doc_id") % 10 != 0, F.lit("mega")).otherwise(F.col("source"))
+    )
+    sizes = {r.source: r.n for r in d.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sizes["mega"] >= 0.85 * sum(sizes.values()), "fixture must actually be skewed"
+
+    scored = _adaptive_scores(d)
+    w = Window.partitionBy("source").orderBy(F.col("score_bp").asc(), F.col("doc_id").asc())
+    nsrc = Window.partitionBy("source")
+    win = (
+        scored.withColumn("src_rank", F.row_number().over(w))
+        .withColumn("n_src", F.count(F.lit(1)).over(nsrc))
+        .select("doc_id", (F.col("src_rank") > F.expr("n_src DIV 10")).alias("is_kept"))
+    )
+    auto = adaptive_quality_auto(scored)
+    assert _keepdrop(auto) == _keepdrop(win)
+    # and the gate actually dropped the exact per-source counts
+    dropped = {r.source: r.d for r in auto.groupBy("source").agg(
+        F.sum(F.when(~F.col("is_kept"), 1).otherwise(0)).alias("d")).collect()}
+    for src, n in sizes.items():
+        assert dropped.get(src, 0) == n // 10
+
+
+def test_auto_form_plan_has_no_per_source_doc_window(spark):
+    """The point of the swap: no window over raw docs partitioned by
+    `source` alone.  Any window whose ORDER includes doc_id (i.e. a
+    doc-level ranking) must partition by (source, score_bp); windows
+    partitioned by source alone may only order score_bp — the
+    ≤10001-row histogram rows."""
+    import re
+
+    from netcdf_olap_spark.queries.pipeline import doc_adaptive_quality_filter_auto
+
+    plan = (
+        doc_adaptive_quality_filter_auto(spark, SF_SMALL)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # forbidden: windowspecdefinition(source, score_bp ASC ..., doc_id ASC ...)
+    # (partition = source alone, doc-level sort) or (source, doc_id ASC)
+    assert not re.search(r"windowspecdefinition\(source#\w+, score_bp#\w+L? ASC[^)]*doc_id", plan), plan
+    assert not re.search(r"windowspecdefinition\(source#\w+, doc_id#\w+L? ASC", plan), plan
+    # required: the doc-level tie rank is scoped by (source, score_bp)
+    assert re.search(r"windowspecdefinition\(source#\w+, score_bp#\w+L?, doc_id#\w+L? ASC", plan), plan

@@ -5,7 +5,7 @@ cwd outside the repo, non-UTC timezone — and count() each result.
 Catches the two failure classes repo-session parity cannot:
 UDF closures pickled by reference (ModuleNotFoundError on workers when
 the driver didn't start in /root/repo) and session-timezone-sensitive
-expressions. See .claude/skills/verify/SKILL.md.
+expressions.
 
 CLI: python tools/driver_sim.py [sf_dir] [query ...]
 """

@@ -11,8 +11,10 @@ selectivities — replicates exactly and the workload is K× the rows
 with identical per-copy structure. Two deliberate exceptions:
 
 - ``documents.text`` in copies 1..K-1 has each token (except the
-  first) prefixed with a copy tag (``' ' -> ' zC'``): token COUNT is
-  preserved and within-copy shingle overlap (planted near-dup pairs)
+  first) prefixed with a copy tag (``/ +/ -> ' zC'`` — a regex over
+  space RUNS, so consecutive spaces can't mint standalone tag
+  tokens): token COUNT is preserved and within-copy shingle overlap
+  (planted near-dup pairs)
   is untouched, but every k≥2 shingle differs across copies — without
   this, minhash/span dedup would see each doc K times and candidate
   pairs would grow K², measuring an artifact of the amplification
@@ -66,9 +68,13 @@ def amplify(k: int, out_dir: str) -> None:
             elif t == "documents" and col == "text":
                 # copy 0 keeps the original bytes; tagged copies get
                 # disjoint shingle spaces (see module docstring)
+                # runs of spaces collapse to ONE tagged separator —
+                # a per-space replace would insert standalone zC
+                # tokens inside runs and inflate token counts in the
+                # amplified copies (r8 advisory)
                 sel.append(
                     "CASE WHEN c.c = 0 THEN text "
-                    "ELSE replace(text, ' ', ' z' || CAST(c.c AS VARCHAR)) END AS text"
+                    "ELSE regexp_replace(text, ' +', ' z' || CAST(c.c AS VARCHAR), 'g') END AS text"
                 )
             else:
                 sel.append(col)
