@@ -22,8 +22,9 @@ if [ -z "${SKIP_VENV:-}" ]; then
         python3 -m venv --system-site-packages "$VENV"
     fi
     # system-site-packages keeps the container's pyspark/numpy/pytest;
-    # only the two C-library bindings are added.
-    "$VENV/bin/pip" install --quiet netCDF4 h5py
+    # only the C-library bindings (+ scipy for the pure-Python classic
+    # cross-read, which needs no C library at all) are added.
+    "$VENV/bin/pip" install --quiet netCDF4 h5py scipy
     PY="$VENV/bin/python"
 else
     PY=python3
