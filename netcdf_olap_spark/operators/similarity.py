@@ -242,6 +242,60 @@ def _graph_edges(b: DataFrame, k: int, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
+def hard_negatives(
+    df: DataFrame,
+    n_rows: int,
+    k: int = 3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive HARD-NEGATIVE mining: for every anchor vector, the
+    top-k most-similar vectors with a DIFFERENT label — the pair-mining
+    step of contrastive/embedding training (the "hard" negatives near
+    the decision boundary are the informative ones; random negatives
+    are trivially separable).  Candidates are blocked to the anchor's
+    signed-random-projection bucket exactly like knn_graph_auto —
+    that's what makes "most similar overall" findable without N²:
+    high-cosine vectors collide in buckets with high probability, and
+    blocked semantics (negatives ranked within the bucket) is the
+    declared contract, mirrored by the oracle.
+
+    100 TB shape: identical to knn_graph_auto — footer-stats plane
+    count pins E[bucket], one bucket-equi self-join (label inequality
+    is a residual filter on the same join, no extra shuffle), per-src
+    top-k window.  Deterministic: md5-derived planes, sequential-fold
+    dots, (cos DESC, dst) tie-break."""
+    planes = md5_sign_planes(auto_n_planes(n_rows), dim)
+    b = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col(label_col),
+        lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    )
+    a, c = b.alias("a"), b.alias("c")
+    pairs = a.join(
+        c,
+        (F.col("a.bucket") == F.col("c.bucket"))
+        & (F.col(f"a.{label_col}") != F.col(f"c.{label_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("src_id"),
+        F.col(f"c.{id_col}").alias("dst_id"),
+        (
+            _dot(F.col(f"a.{vec_col}"), F.col(f"c.{vec_col}"))
+            / (F.col("a.nrm") * F.col("c.nrm"))
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("src_id").orderBy(F.col("cos_sim").desc(), F.col("dst_id"))
+    return (
+        pairs.withColumn("neg_rank", F.row_number().over(w))
+        .where(F.col("neg_rank") <= k)
+        .select("src_id", "dst_id", "cos_sim", "neg_rank")
+    )
+
+
 def knn_graph_at_rest(
     spark,
     df: DataFrame,

@@ -546,8 +546,57 @@ ORDER BY prev_type, next_type
 """
 
 
+def profile_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-SKEW pre-flight profile: before running a self-join keyed
+    on ``user_id`` (sessionize, interval join, as-of — the shapes that
+    explode on hot keys), report the top-20 keys by estimated join
+    output (n² for a self-join) with each key's share of the total in
+    integer basis points — the number that decides between a plain
+    shuffle join, AQE skew-split, and salting BEFORE the 100 TB job
+    runs.  "est" is exact arithmetic on exact counts, not a guess:
+    per-key n from one count aggregate, est_pairs = n², share =
+    (n²·10000) DIV Σn².
+
+    100 TB shape: ONE aggregation over the fact table (map-side
+    partials); everything after operates on the per-key count table
+    (rows = #distinct keys), where the total rides a window over that
+    compact table and the top-20 is a TakeOrderedAndProject — the
+    profile never shuffles the fact rows themselves."""
+    e = load_events(spark, sf_dir)
+    per_key = e.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    per_key = per_key.withColumn(
+        "est_pairs", (F.col("n_rows") * F.col("n_rows")).cast("long")
+    )
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        per_key.withColumn("total_pairs", F.sum("est_pairs").over(wall))
+        .select(
+            "user_id",
+            "n_rows",
+            "est_pairs",
+            F.expr("(est_pairs * 10000) DIV total_pairs").cast("long").alias("share_bp"),
+        )
+        .orderBy(F.col("est_pairs").desc(), F.col("user_id").asc())
+        .limit(20)
+    )
+
+
+PROFILE_JOIN_SKEW_SQL = """
+WITH per_key AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) * COUNT(*) AS BIGINT) AS est_pairs
+  FROM events GROUP BY user_id)
+SELECT user_id, n_rows, est_pairs,
+       CAST((est_pairs * 10000) // CAST(SUM(est_pairs) OVER () AS BIGINT) AS BIGINT) AS share_bp
+FROM per_key
+ORDER BY est_pairs DESC, user_id ASC
+LIMIT 20
+"""
+
+
 QUERIES = {
     "part_fuzzy_pairs": (part_fuzzy_pairs, PART_FUZZY_SQL),
+    "profile_join_skew": (profile_join_skew, PROFILE_JOIN_SKEW_SQL),
     "profile_lineitem": (profile_lineitem, PROFILE_SQL),
     "doc_repetition_metrics": (doc_repetition_metrics, DOC_REPETITION_SQL),
     "agg_robust_stats": (agg_robust_stats, ROBUST_STATS_SQL),

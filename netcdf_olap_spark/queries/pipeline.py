@@ -37,6 +37,11 @@ from netcdf_olap_spark.queries.text import DUCK_SHINGLES, DUCK_TOKS
 
 BENCH_MOD = 97  # doc_id % 97 == 0 → the pseudo-benchmark eval slice
 
+# every quality-scored twin derives the stopword set from the same
+# constant — the Spark side filters with *text.EN_STOPWORDS, so the
+# oracles (adaptive gate, curriculum mix) must too
+_EN_STOP_SQL = ", ".join(f"'{w}'" for w in text.EN_STOPWORDS)
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -482,6 +487,106 @@ FROM k GROUP BY source ORDER BY source
 """
 
 
+def doc_curriculum_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CURRICULUM data schedule: per-epoch source weights that anneal
+    LINEARLY from the natural distribution (w ∝ doc count) toward a
+    quality-weighted one (w ∝ Σ stopword-density bp — the corpus's own
+    quality mass) across E=3 epochs — the multi-phase mixing shape of
+    "anneal onto curated data late in training" recipes (OLMo/MiniCPM
+    decay phase; LLaMA-style staged mixes), as one declarative plan.
+
+    Exact integer arithmetic end to end: epoch weight
+    ``w_e = w0·(E−1−e) + w1·e`` (integer lerp, no division),
+    acceptance per (doc, epoch) is the shared md5-52 draw
+    ``u(cur:e:id) · ΣW_e · n_s < T · w_e,s · 16¹³`` cross-multiplied
+    in DECIMAL(38,0) — the temperature_mix_stats discipline with an
+    epoch axis.  Headroom: u<2⁵², ΣW_e·n_s < 10¹⁴ at corpus scale →
+    LHS ≲ 10²⁹ ≪ 10³⁸.
+
+    100 TB shape: the per-source weight table is #sources × E rows
+    (broadcast); the corpus never shuffles for the draw — acceptance
+    is map-side on the (doc × E) expansion (E is a tiny constant),
+    and the per-(source, epoch) rollup is the only exchange."""
+    from pyspark.sql.window import Window
+
+    E, T = 3, MIX_TARGET
+    d = _docs(spark, sf_dir)
+    # quality mass reuses the adaptive gate's integer score (shared
+    # definition — the two operators can never disagree on "quality")
+    toks = _adaptive_scores(d).join(d.select("doc_id", "n_chars"), "doc_id")
+    counts = (
+        toks.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("w0"),
+            F.sum("score_bp").cast("long").alias("w1"),
+        )
+    )
+    epochs = spark.range(E).select(F.col("id").cast("int").alias("epoch"))
+    we = counts.crossJoin(epochs).select(
+        "source",
+        "epoch",
+        "w0",
+        (F.col("w0") * (F.lit(E - 1) - F.col("epoch")) + F.col("w1") * F.col("epoch"))
+        .cast("long")
+        .alias("w_units"),
+    )
+    wtot = Window.partitionBy("epoch").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    we = we.withColumn("sum_units", F.sum("w_units").over(wtot))
+    u = portable_uniform52(
+        F.concat_ws(":", F.lit("cur"), F.col("epoch").cast("string"), F.col("doc_id").cast("string"))
+    )
+    dec = "decimal(38,0)"
+    kept = (
+        u.cast(dec) * F.col("sum_units").cast(dec) * F.col("w0").cast(dec)
+        < F.lit(T).cast(dec) * F.col("w_units").cast(dec) * F.lit(HEX13).cast(dec)
+    )
+    return (
+        toks.join(F.broadcast(we), "source")
+        .groupBy("source", "epoch")
+        .agg(
+            F.max("w_units").alias("weight_units"),
+            F.count(F.when(kept, F.lit(1))).alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(F.lit(0))).cast("long").alias("kept_chars"),
+        )
+        .orderBy("source", "epoch")
+    )
+
+
+CURRICULUM_MIX_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, source, n_chars,
+         CAST(CASE WHEN len(t) = 0 THEN 0
+              ELSE (len(list_filter(t, x -> x IN ({_EN_STOP_SQL}))) * 10000) // len(t)
+              END AS BIGINT) AS score_bp
+  FROM (SELECT doc_id, source, n_chars, {DUCK_TOKS} AS t FROM documents)),
+counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS w0, CAST(SUM(score_bp) AS BIGINT) AS w1
+  FROM scored GROUP BY source),
+we AS (
+  SELECT source, epoch, w0,
+         CAST(w0 * (2 - epoch) + w1 * epoch AS BIGINT) AS w_units
+  FROM counts CROSS JOIN generate_series(0, 2) AS e(epoch)),
+wt AS (
+  SELECT source, CAST(epoch AS INT) AS epoch, w0, w_units,
+         CAST(SUM(w_units) OVER (PARTITION BY epoch) AS BIGINT) AS sum_units
+  FROM we),
+k AS (
+  SELECT s.source, w.epoch, s.n_chars, w.w_units,
+         CAST(('0x' || substr(md5('cur:' || CAST(w.epoch AS VARCHAR) || ':' || CAST(s.doc_id AS VARCHAR)), 1, 13))::BIGINT AS DECIMAL(38,0))
+           * CAST(w.sum_units AS DECIMAL(38,0)) * CAST(w.w0 AS DECIMAL(38,0))
+         < CAST({MIX_TARGET} AS DECIMAL(38,0)) * CAST(w.w_units AS DECIMAL(38,0))
+           * CAST({16**13} AS DECIMAL(38,0)) AS kept
+  FROM scored s JOIN wt w USING (source))
+SELECT source, epoch,
+       MAX(w_units) AS weight_units,
+       COUNT(CASE WHEN kept THEN 1 END) AS n_kept,
+       CAST(SUM(CASE WHEN kept THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+FROM k GROUP BY source, epoch ORDER BY source, epoch
+"""
+
+
 # --- quality-budgeted selection ---------------------------------------------
 
 
@@ -575,6 +680,87 @@ SELECT doc_id, source, n_tokens,
        (run_end - 1) // 512 > (run_end - n_tokens) // 512 AS straddles
 FROM run
 ORDER BY doc_id
+"""
+
+
+def doc_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency REPORT over doc_context_pack's tiling: per
+    source, how many 512-token context windows the gapless concat
+    fills, the padding wasted in the final partial window, and how
+    many docs straddle a boundary — the numbers that decide whether a
+    no-split loader pads, drops, or re-packs (and whether a different
+    context length would waste less).  Pure integer arithmetic on the
+    same running-offset tiling as doc_context_pack (shared semantics:
+    a doc straddles iff its first and last windows differ).
+
+    100 TB shape: the straddle flags ride doc_context_pack's one
+    per-source window; the report itself is a #sources-row rollup."""
+    from pyspark.sql.window import Window
+
+    c = 512
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", "source", F.size(text.tokens("text")).cast("long").alias("n_tokens"))
+    toks = toks.where(F.col("n_tokens") > 0)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run_end = F.sum("n_tokens").over(w)
+    tiled = toks.select(
+        "source",
+        "n_tokens",
+        run_end.alias("run_end"),
+    ).select(
+        "source",
+        "n_tokens",
+        (F.expr(f"(run_end - 1) DIV {c}") > F.expr(f"(run_end - n_tokens) DIV {c}")).alias(
+            "straddles"
+        ),
+    )
+    return (
+        tiled.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum(F.when(F.col("straddles"), 1).otherwise(0)).cast("long").alias("n_straddle"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            F.expr(f"(total_tokens + {c} - 1) DIV {c}").cast("long").alias("n_windows"),
+            F.expr(f"((total_tokens + {c} - 1) DIV {c}) * {c} - total_tokens")
+            .cast("long")
+            .alias("pad_tokens"),
+            "n_straddle",
+        )
+        .orderBy("source")
+    )
+
+
+PACK_EFFICIENCY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, CAST(len({DUCK_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents),
+run AS (
+  SELECT source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_end
+  FROM toks WHERE n_tokens > 0),
+agg AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(SUM(CASE WHEN (run_end - 1) // 512 > (run_end - n_tokens) // 512
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle
+  FROM run GROUP BY source)
+SELECT source, n_docs, total_tokens,
+       CAST((total_tokens + 511) // 512 AS BIGINT) AS n_windows,
+       CAST(((total_tokens + 511) // 512) * 512 - total_tokens AS BIGINT) AS pad_tokens,
+       n_straddle
+FROM agg
+ORDER BY source
 """
 
 
@@ -794,10 +980,6 @@ ORDER BY doc_id, epoch
 """
 
 
-# both twins derive the stopword set from the same constant — the
-# Spark side filters with *text.EN_STOPWORDS, so the oracle must too
-_EN_STOP_SQL = ", ".join(f"'{w}'" for w in text.EN_STOPWORDS)
-
 ADAPTIVE_QUALITY_SQL = f"""
 WITH toks AS (SELECT doc_id, source, {DUCK_TOKS} AS t FROM documents),
 scored AS (
@@ -849,9 +1031,11 @@ QUERIES = {
     "doc_importance_weights": (doc_importance_weights, IMPORTANCE_SQL),
     "doc_weighted_sample": (doc_weighted_sample, WEIGHTED_SAMPLE_SQL),
     "doc_temperature_mix": (doc_temperature_mix, TEMPERATURE_MIX_SQL),
+    "doc_curriculum_mix": (doc_curriculum_mix, CURRICULUM_MIX_SQL),
     "doc_adaptive_quality_filter": (doc_adaptive_quality_filter, ADAPTIVE_QUALITY_SQL),
     "doc_adaptive_quality_filter_auto": (doc_adaptive_quality_filter_auto, ADAPTIVE_QUALITY_AUTO_SQL),
     "doc_fixed_k_sample": (doc_fixed_k_sample, FIXED_K_SQL),
     "doc_context_pack": (doc_context_pack, CONTEXT_PACK_SQL),
+    "doc_pack_efficiency": (doc_pack_efficiency, PACK_EFFICIENCY_SQL),
     "doc_epoch_order": (doc_epoch_order, EPOCH_ORDER_SQL),
 }

@@ -652,6 +652,65 @@ ORDER BY src_id, nbr_rank
 EMB_KNN_GRAPH_SQL = _knn_graph_sql()
 
 
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (operators/similarity.
+    hard_negatives): per anchor, the top-3 highest-cosine vectors with
+    a DIFFERENT label, candidates blocked to the anchor's LSH bucket —
+    the pair-mining step of contrastive embedding training.  Same
+    scale recipe as emb_knn_graph (footer-stats plane count,
+    md5-derived ±1 planes) so the oracle replays count, matrix, and
+    ranking inline at every scale factor."""
+    from netcdf_olap_spark.sources.stats import parquet_num_rows
+
+    n = parquet_num_rows(os.path.join(sf_dir, "embeddings.parquet"))
+    return similarity.hard_negatives(_emb(spark, sf_dir), n_rows=n, k=3, dim=64).orderBy(
+        "src_id", "neg_rank"
+    )
+
+
+def _hard_negatives_sql(k: int = 3, dim: int = 64) -> str:
+    """DuckDB twin of hard_negatives — the knn-graph oracle with the
+    self-pair exclusion replaced by a label-inequality predicate and
+    the rank renamed neg_rank."""
+    sign = (
+        "CASE WHEN ('0x' || substr(md5('knng:' || CAST(pi AS VARCHAR) || ':' "
+        "|| CAST(i - 1 AS VARCHAR)), 1, 13))::BIGINT % 2 = 0 "
+        "THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END"
+    )
+    pdot = (
+        "list_sum([CAST(embedding[i] AS DOUBLE) * pv[i] "
+        "FOR i IN generate_series(1, len(embedding))])"
+    )
+    return f"""
+WITH np AS (
+  SELECT GREATEST(4, LEAST(30, CAST(CEIL(LOG2(CAST(GREATEST(COUNT(*), 1) AS DOUBLE) / 64)) AS INT))) AS n
+  FROM embeddings),
+planes AS (
+  SELECT pi, [{sign} FOR i IN generate_series(1, {dim})] AS pv
+  FROM np, generate_series(0, 29) AS t(pi)
+  WHERE pi < np.n),
+b AS (
+  SELECT vec_id, embedding, label,
+         CAST(SUM(CASE WHEN {pdot} >= 0 THEN (1 << pi) ELSE 0 END) AS INT) AS bucket
+  FROM embeddings CROSS JOIN planes
+  GROUP BY vec_id, embedding, label),
+pairs AS (
+  SELECT a.vec_id AS src_id, c.vec_id AS dst_id,
+         {_duck_cos('a.embedding', 'c.embedding')} AS cos_sim
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.label != c.label),
+ranked AS (
+  SELECT src_id, dst_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY cos_sim DESC, dst_id) AS INT) AS neg_rank
+  FROM pairs)
+SELECT src_id, dst_id, cos_sim, neg_rank
+FROM ranked WHERE neg_rank <= {k}
+ORDER BY src_id, neg_rank
+"""
+
+
+EMB_HARD_NEGATIVES_SQL = _hard_negatives_sql()
+
+
 def emb_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-projection prefilter + exact rerank (the third ANN
     family beside LSH buckets and IVF lists): corpus ranked by cosine
@@ -709,6 +768,7 @@ QUERIES = {
     "emb_knn_lsh": (emb_knn_lsh, EMB_KNN_LSH_SQL),
     "emb_rp_topk": (emb_rp_topk, EMB_RP_TOPK_SQL),
     "emb_knn_graph": (emb_knn_graph, EMB_KNN_GRAPH_SQL),
+    "emb_hard_negatives": (emb_hard_negatives, EMB_HARD_NEGATIVES_SQL),
     "emb_cluster_components": (emb_cluster_components, EMB_CLUSTER_COMPONENTS_SQL),
     "emb_knn_ivf": (emb_knn_ivf, None),
     "emb_knn_ivf_exact": (emb_knn_ivf_exact, EMB_KNN_BRUTE_SQL),

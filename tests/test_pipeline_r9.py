@@ -1,0 +1,117 @@
+"""Round-9 operators: contrastive hard negatives, curriculum mixing,
+packing-efficiency report, join-skew profiler — semantic invariants
+beyond the DuckDB hash parity (which pins exact values)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def test_hard_negatives_cross_label_and_exact_cosine(spark):
+    """Every mined negative has a DIFFERENT label than its anchor,
+    ranks are contiguous from 1, scores descend, and each cos_sim is
+    the exact sequential-fold cosine of the pair."""
+    from netcdf_olap_spark.queries.similarity import emb_hard_negatives
+
+    rows = emb_hard_negatives(spark, SF_SMALL).collect()
+    assert rows
+    e = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").collect()
+    vecs = {r.vec_id: r.embedding for r in e}
+    labels = {r.vec_id: r.label for r in e}
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.src_id, []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r.neg_rank)
+        assert [r.neg_rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 3
+        sims = [r.cos_sim for r in rs]
+        assert sims == sorted(sims, reverse=True)
+        for r in rs:
+            assert labels[r.src_id] != labels[r.dst_id], "same-label negative"
+            a, b = vecs[r.src_id], vecs[r.dst_id]
+            dot = sum(float(x) * float(y) for x, y in zip(a, b))
+            na = math.sqrt(sum(float(x) * float(x) for x in a))
+            nb = math.sqrt(sum(float(x) * float(x) for x in b))
+            assert abs(dot / (na * nb) - r.cos_sim) < 1e-9
+
+
+def test_curriculum_weights_interpolate_natural_to_quality(spark):
+    """The per-epoch weight is the exact integer lerp
+    w_e = w0·(E−1−e) + w1·e between the natural count w0 and the
+    quality mass w1 (recomputed independently here), kept counts stay
+    within each source's size, and the epochs actually differ."""
+    from netcdf_olap_spark.queries.pipeline import (
+        _adaptive_scores,
+        doc_curriculum_mix,
+    )
+
+    d = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    scored = _adaptive_scores(d)
+    ref = {
+        r.source: (r.w0, r.w1)
+        for r in scored.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("w0"), F.sum("score_bp").alias("w1"))
+        .collect()
+    }
+    out = doc_curriculum_mix(spark, SF_SMALL).collect()
+    assert {r.epoch for r in out} == {0, 1, 2}
+    for r in out:
+        w0, w1 = ref[r.source]
+        assert r.weight_units == w0 * (2 - r.epoch) + w1 * r.epoch
+    # acceptance stays within the source's size and epochs differ
+    # (decorrelated draws + moving weights)
+    per_src = {}
+    for r in out:
+        per_src.setdefault(r.source, {})[r.epoch] = r.n_kept
+        assert 0 <= r.n_kept <= ref[r.source][0]
+    assert any(len(set(v.values())) > 1 for v in per_src.values())
+
+
+def test_pack_efficiency_consistent_with_context_pack(spark):
+    """The report's straddle counts and window accounting equal what
+    doc_context_pack's per-doc tiling implies — shared semantics, two
+    granularities."""
+    from netcdf_olap_spark.queries.pipeline import doc_context_pack, doc_pack_efficiency
+
+    per_doc = doc_context_pack(spark, SF_SMALL).collect()
+    want_straddle: dict[str, int] = {}
+    want_tokens: dict[str, int] = {}
+    for r in per_doc:
+        want_straddle[r.source] = want_straddle.get(r.source, 0) + int(r.straddles)
+        want_tokens[r.source] = want_tokens.get(r.source, 0) + r.n_tokens
+    rep = doc_pack_efficiency(spark, SF_SMALL).collect()
+    assert {r.source for r in rep} == set(want_tokens)
+    for r in rep:
+        assert r.n_straddle == want_straddle[r.source]
+        assert r.total_tokens == want_tokens[r.source]
+        assert r.n_windows == -(-r.total_tokens // 512)
+        assert r.pad_tokens == r.n_windows * 512 - r.total_tokens
+        assert 0 <= r.pad_tokens < 512
+
+
+def test_join_skew_profile_exact_shares(spark):
+    """est_pairs = n_rows² exactly; shares are basis points of the
+    FULL total (not just the top 20); ordering is (est DESC, key)."""
+    from netcdf_olap_spark.queries.analytics import profile_join_skew
+    from netcdf_olap_spark.session import load_events
+
+    rows = profile_join_skew(spark, SF_SMALL).collect()
+    assert 0 < len(rows) <= 20
+    counts = {
+        r.user_id: r.n
+        for r in load_events(spark, SF_SMALL)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    total = sum(n * n for n in counts.values())
+    for r in rows:
+        assert r.est_pairs == counts[r.user_id] ** 2
+        assert r.share_bp == (r.est_pairs * 10000) // total
+    ests = [(r.est_pairs, -r.user_id) for r in rows]
+    assert ests == sorted(ests, reverse=True)

@@ -41,6 +41,21 @@ QUERIES = [
     "doc_shift_dedup",
     "doc_boilerplate",
     "emb_knn_graph",
+    # r9 extension (judge ask r8#7): the remaining r8 operators that
+    # had no recorded curve — component closure over near-dup edges,
+    # the cross-source chunk-join matrix, per-source packing/sampling
+    # windows, the epoch permutation, both adaptive-gate forms (the
+    # histogram swap should hold its lead as sources skew), and the
+    # two streaming drains (bounded-state gates re-run per sf).
+    "doc_cluster_split",
+    "doc_source_overlap",
+    "doc_context_pack",
+    "doc_fixed_k_sample",
+    "doc_epoch_order",
+    "doc_adaptive_quality_filter",
+    "doc_adaptive_quality_filter_auto",
+    "stream_template_counts",
+    "stream_near_dup_filter",
 ]
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
