@@ -711,6 +711,121 @@ ORDER BY src_id, neg_rank
 EMB_HARD_NEGATIVES_SQL = _hard_negatives_sql()
 
 
+def emb_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index-quality AUDIT ("measure, don't guess" as an
+    operator): for a 20-query deterministic sample (vec_id 1..20),
+    recall@10 of the bucket-blocked LSH path against exact brute
+    force — per query, how many of the true top-10 cosine neighbors
+    the query's own bucket contains.  The number that decides whether
+    the plane count / probe width is adequate BEFORE a production
+    workload ships on the index.  Blocking uses the same footer-stats
+    plane count + md5-derived planes as emb_knn_graph, so the audit
+    measures exactly the production index shape.
+
+    100 TB shape: brute side is queries×N with a broadcast 20-row
+    query table (a linear SAMPLED audit, not an index build); blocked
+    side is a broadcast bucket-equi join; both top-10s ride
+    WindowGroupLimit.  recall_bp is integer basis points (hits·10000
+    DIV 10) — no float division."""
+    from pyspark.sql.window import Window
+
+    from netcdf_olap_spark.sources.stats import parquet_num_rows
+
+    n = parquet_num_rows(os.path.join(sf_dir, "embeddings.parquet"))
+    planes = similarity.md5_sign_planes(similarity.auto_n_planes(n), 64)
+    e = _emb(spark, sf_dir)
+    corpus = e.select(
+        "vec_id",
+        "embedding",
+        similarity.lsh_bucket_col(F.col("embedding"), planes).alias("bucket"),
+    )
+    q = F.broadcast(
+        corpus.where((F.col("vec_id") >= 1) & (F.col("vec_id") <= 20)).select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qv"),
+            F.col("bucket").alias("qbucket"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    brute = (
+        corpus.crossJoin(q)
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", similarity.cosine(F.col("embedding"), F.col("qv")).alias("cos_sim"))
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= 10)
+        .select("qid", "vec_id")
+    )
+    blocked = (
+        corpus.join(q, (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("qid")))
+        .select("qid", "vec_id", similarity.cosine(F.col("embedding"), F.col("qv")).alias("cos_sim"))
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= 10)
+        .select("qid", F.col("vec_id").alias("bvec"))
+    )
+    hits = brute.join(
+        blocked, (brute.qid == blocked.qid) & (brute.vec_id == blocked.bvec), "left"
+    ).groupBy(brute.qid.alias("qid")).agg(
+        F.count(F.when(F.col("bvec").isNotNull(), F.lit(1))).cast("long").alias("n_hits")
+    )
+    return hits.select(
+        "qid",
+        "n_hits",
+        F.expr("(n_hits * 10000) DIV 10").cast("long").alias("recall_bp"),
+    ).orderBy("qid")
+
+
+def _ann_recall_sql(dim: int = 64) -> str:
+    sign = (
+        "CASE WHEN ('0x' || substr(md5('knng:' || CAST(pi AS VARCHAR) || ':' "
+        "|| CAST(i - 1 AS VARCHAR)), 1, 13))::BIGINT % 2 = 0 "
+        "THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END"
+    )
+    pdot = (
+        "list_sum([CAST(embedding[i] AS DOUBLE) * pv[i] "
+        "FOR i IN generate_series(1, len(embedding))])"
+    )
+    return f"""
+WITH np AS (
+  SELECT GREATEST(4, LEAST(30, CAST(CEIL(LOG2(CAST(GREATEST(COUNT(*), 1) AS DOUBLE) / 64)) AS INT))) AS n
+  FROM embeddings),
+planes AS (
+  SELECT pi, [{sign} FOR i IN generate_series(1, {dim})] AS pv
+  FROM np, generate_series(0, 29) AS t(pi)
+  WHERE pi < np.n),
+b AS (
+  SELECT vec_id, embedding,
+         CAST(SUM(CASE WHEN {pdot} >= 0 THEN (1 << pi) ELSE 0 END) AS INT) AS bucket
+  FROM embeddings CROSS JOIN planes
+  GROUP BY vec_id, embedding),
+q AS (
+  SELECT vec_id AS qid, embedding AS qv, bucket AS qbucket
+  FROM b WHERE vec_id BETWEEN 1 AND 20),
+brute AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, b.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.qid
+                              ORDER BY {_duck_cos('b.embedding', 'q.qv')} DESC, b.vec_id ASC) AS r
+    FROM b CROSS JOIN q WHERE b.vec_id != q.qid)
+  WHERE r <= 10),
+blocked AS (
+  SELECT qid, vec_id AS bvec FROM (
+    SELECT q.qid, b.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.qid
+                              ORDER BY {_duck_cos('b.embedding', 'q.qv')} DESC, b.vec_id ASC) AS r
+    FROM b JOIN q ON b.bucket = q.qbucket AND b.vec_id != q.qid)
+  WHERE r <= 10)
+SELECT br.qid,
+       CAST(COUNT(CASE WHEN bl.bvec IS NOT NULL THEN 1 END) AS BIGINT) AS n_hits,
+       CAST((COUNT(CASE WHEN bl.bvec IS NOT NULL THEN 1 END) * 10000) // 10 AS BIGINT) AS recall_bp
+FROM brute br LEFT JOIN blocked bl ON br.qid = bl.qid AND br.vec_id = bl.bvec
+GROUP BY br.qid
+ORDER BY br.qid
+"""
+
+
+EMB_ANN_RECALL_SQL = _ann_recall_sql()
+
+
 def emb_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-projection prefilter + exact rerank (the third ANN
     family beside LSH buckets and IVF lists): corpus ranked by cosine
@@ -769,6 +884,7 @@ QUERIES = {
     "emb_rp_topk": (emb_rp_topk, EMB_RP_TOPK_SQL),
     "emb_knn_graph": (emb_knn_graph, EMB_KNN_GRAPH_SQL),
     "emb_hard_negatives": (emb_hard_negatives, EMB_HARD_NEGATIVES_SQL),
+    "emb_ann_recall_report": (emb_ann_recall_report, EMB_ANN_RECALL_SQL),
     "emb_cluster_components": (emb_cluster_components, EMB_CLUSTER_COMPONENTS_SQL),
     "emb_knn_ivf": (emb_knn_ivf, None),
     "emb_knn_ivf_exact": (emb_knn_ivf_exact, EMB_KNN_BRUTE_SQL),

@@ -58,21 +58,23 @@ def stage_files(df: DataFrame, directory: str, n_files: int, order_cols: list[st
     replays them as in-order micro-batches. Returns the file paths in
     replay order (mtimes are staggered — the file source orders by
     modification time)."""
-    import pyarrow as pa
     import pyarrow.parquet as pq
 
     os.makedirs(directory, exist_ok=True)
-    pdf = df.toPandas().sort_values(order_cols).reset_index(drop=True)
-    n = len(pdf)
+    # Arrow end to end — a pandas hop would cast µs→ns and overflow
+    # on far-future timestamps (synthetic arrival stamps over
+    # amplified doc_ids reach past pandas' ns ceiling of ~year 2262;
+    # Spark itself is µs int64 and handles them fine)
+    table = df.toArrow().sort_by([(c, "ascending") for c in order_cols])
+    n = table.num_rows
     paths = []
     for i in range(n_files):
-        chunk = pdf.iloc[i * n // n_files : (i + 1) * n // n_files]
+        lo, hi = i * n // n_files, (i + 1) * n // n_files
+        chunk = table.slice(lo, hi - lo)
         path = os.path.join(directory, f"part-{i:04d}.parquet")
-        # coerce to µs: pandas defaults to ns timestamps, which Spark's
-        # vectorized reader refuses against a TimestampType schema
-        pq.write_table(
-            pa.Table.from_pandas(chunk, preserve_index=False), path, coerce_timestamps="us"
-        )
+        # µs coercion retained for any caller handing in ns data:
+        # Spark's vectorized reader refuses ns against TimestampType
+        pq.write_table(chunk, path, coerce_timestamps="us")
         os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
         paths.append(path)
     return paths

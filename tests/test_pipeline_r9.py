@@ -115,3 +115,53 @@ def test_join_skew_profile_exact_shares(spark):
         assert r.share_bp == (r.est_pairs * 10000) // total
     ests = [(r.est_pairs, -r.user_id) for r in rows]
     assert ests == sorted(ests, reverse=True)
+
+
+def test_ann_recall_report_bounds_and_meaning(spark):
+    """Recall audit: one row per sampled query, hits bounded by k=10,
+    recall_bp = hits·1000, and a hand-check of one query — the hit
+    count equals |exact top-10 ∩ same-bucket top-10|."""
+    from netcdf_olap_spark.operators import similarity as ops
+    from netcdf_olap_spark.queries.similarity import emb_ann_recall_report
+    from netcdf_olap_spark.sources.stats import parquet_num_rows
+
+    rows = emb_ann_recall_report(spark, SF_SMALL).collect()
+    assert [r.qid for r in rows] == list(range(1, 21))
+    for r in rows:
+        assert 0 <= r.n_hits <= 10
+        assert r.recall_bp == r.n_hits * 1000
+
+    # hand-check qid=1 against driver-side math
+    e = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").collect()
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in e}
+    n = parquet_num_rows(f"{SF_SMALL}/embeddings.parquet")
+    planes = ops.md5_sign_planes(ops.auto_n_planes(n), 64)
+
+    def bucket(v):
+        b = 0
+        for i, p in enumerate(planes):
+            acc = 0.0
+            for x, y in zip(v, p):
+                acc += x * y
+            if acc >= 0:
+                b |= 1 << i
+        return b
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb)
+
+    q = vecs[1]
+    qb = bucket(q)
+    scored = sorted(
+        ((cos(v, q), vid) for vid, v in vecs.items() if vid != 1),
+        key=lambda t: (-t[0], t[1]),
+    )
+    brute10 = {vid for _, vid in scored[:10]}
+    blocked = [(s, vid) for s, vid in scored if bucket(vecs[vid]) == qb]
+    blocked10 = {vid for _, vid in blocked[:10]}
+    want = len(brute10 & blocked10)
+    got = next(r.n_hits for r in rows if r.qid == 1)
+    assert got == want
