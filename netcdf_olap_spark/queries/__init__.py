@@ -103,7 +103,11 @@ _PRIORITY: tuple[str, ...] = (
     "agg_hll_portable",
     "join_q5_region_revenue",
     "join_anti",
-    "join_theta_ship_delay",
+    # r9 rotation: join_theta_ship_delay left the window — the
+    # theta/range family keeps ev_interval_join (the binned-range
+    # plan family's checked member) below; the theta form stays
+    # registered + parity-checked — ceding its slot to an r9
+    # hard-oracle operator.
     "join_asof_last_order",
     # r9 rotation (judge ask #2): window_lag_delta left the window —
     # LAG/analytic functions keep window_rank_topk (ranking) and
@@ -140,7 +144,14 @@ _PRIORITY: tuple[str, ...] = (
     "doc_quality_score",
     "doc_lang_id",
     "doc_exact_dedup",
-    "doc_jaccard_pairs",
+    # r9 rotation: doc_jaccard_pairs ceded its slot to
+    # doc_minhash_dedup_pairs — since r9 the exact-Jaccard pair set
+    # IS that query's oracle, so the SAME values stay hash-checked
+    # through a strictly harder path (xxhash64 LSH candidates + exact
+    # verify must reproduce them; a mismatch = recall regression).
+    # doc_jaccard_pairs remains registered + parity-checked with its
+    # fuller (shared, union_sz) columns.
+    "doc_minhash_dedup_pairs",
     # the md5-52 portable MinHash twin carries N1's LSH slot since
     # round 5: identical k-min/banding/candidate/verify pipeline, but
     # every stage is DuckDB-replayable → hash-green instead of
@@ -171,17 +182,28 @@ _PRIORITY: tuple[str, ...] = (
     # md5-verified cleaned-text reconstruction).
     "doc_shift_dedup",
     "doc_boilerplate",
-    # similarity / ANN (N2; emb_knn_ivf_exact = the IVF index path
-    # probing all lists — provably brute-equal, so the Lloyd-trained
-    # index machinery sits behind the brute-force oracle)
+    # similarity / ANN (N2).  r9 rotation: emb_knn_ivf_exact left the
+    # window — it shares emb_knn_brute's oracle AND output (the IVF
+    # index path probing all lists is provably brute-equal), so the
+    # window carried the same value signal twice; the IVF machinery
+    # stays registered + parity-checked, and the index-path family's
+    # window representation moves to emb_knn_graph below.
     "emb_knn_brute",
-    "emb_knn_ivf_exact",
     "emb_centroids",
     # r9 (judge asks #2+#3): the all-vectors k-NN graph enters the
     # window in its SCALE form — footer-stats plane count with
     # md5-derived ±1 planes, so the oracle replays count AND matrix
     # inline; the checked query and the 100 TB query are one shape.
     "emb_knn_graph",
+    # r9 new operators, hard-oracle from birth, given slots the same
+    # round: contrastive hard-negative mining (the knn-graph join
+    # with a label residual — takes join_theta_ship_delay's slot,
+    # J3's plan family keeps ev_interval_join below) and the
+    # adaptive gate's monster-source histogram form (its oracle is
+    # the window form's SQL, so the checked row proves the
+    # frontier-equivalence claim every round).
+    "emb_hard_negatives",
+    "doc_adaptive_quality_filter_auto",
     # events (ST2 sessionize + interval join; ev_tumbling_stats left
     # the window in r8 — it duplicates stream_tumbling_stats'
     # tumbling-window semantics, which stays below and exercises the
