@@ -150,10 +150,21 @@ def _staged_doc_stream(
 
     directory = tempfile.mkdtemp(prefix="noss_docstream_")
     try:
+        from pyspark.sql.window import Window
+
         base_us = 1_704_067_200_000_000
+        # arrival = base + POSITION(doc_id order)·1min, not doc_id
+        # itself: on the driver's dense-0..N-1 ids the two are equal
+        # (oracles unchanged), but sparse/amplified id spaces (copy
+        # offsets of +1e8·c) would otherwise mint year-3900 stamps
+        # that overflow the pandas ns domain inside every
+        # applyInPandasWithState operator. The global window is fine
+        # here — this is test-stream STAGING (stage_files globally
+        # sorts anyway), not a scale operator.
+        pos = F.row_number().over(Window.orderBy("doc_id")) - F.lit(1)
         cols = [
             F.col("doc_id"),
-            F.timestamp_micros(F.lit(base_us) + F.col("doc_id") * 60_000_000).alias("ts"),
+            F.timestamp_micros(F.lit(base_us) + pos.cast("long") * 60_000_000).alias("ts"),
             F.col("text"),
         ] + ([F.col("source")] if with_source else [])
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(*cols)
