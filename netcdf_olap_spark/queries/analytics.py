@@ -546,6 +546,83 @@ ORDER BY prev_type, next_type
 """
 
 
+def profile_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over lineitem's numeric
+    measures in ONE scan — the feature-redundancy screen a corpus
+    build runs before weighting/selecting columns.  All five sums per
+    pair (Σx, Σy, Σxy, Σx², Σy²) are EXACT decimal aggregates
+    (order-free — float Σ would hash-differently per partitioning),
+    cast to double once, then r = (nΣxy − ΣxΣy)/√((nΣx²−Σx²ᵗ)(nΣy²−Σy²ᵗ))
+    in IEEE arithmetic with the identical expression order in both
+    engines (÷ and √ are correctly-rounded — deterministic on
+    identical inputs; no libm calls).
+
+    100 TB shape: one groupBy-less aggregation (partial+final
+    map-side combine), 4+2·C(4,2)=16 decimal aggregates in one pass;
+    the 6-row matrix is a driver-side literal explode."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    dec = "decimal(18,6)"
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).cast(dec)).alias(f"s_{c}"))
+        aggs.append(F.sum((F.col(c).cast(dec) * F.col(c).cast(dec))).alias(f"ss_{c}"))
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    for a, b in pairs:
+        aggs.append(F.sum((F.col(a).cast(dec) * F.col(b).cast(dec))).alias(f"sp_{a}_{b}"))
+    one = li.agg(*aggs)
+    rows = []
+    for a, b in pairs:
+        n = F.col("n").cast("double")
+        sx, sy = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
+        sxx, syy = F.col(f"ss_{a}").cast("double"), F.col(f"ss_{b}").cast("double")
+        sxy = F.col(f"sp_{a}_{b}").cast("double")
+        r = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        # decimal(20,12) snap (the registry's stddev/corr rule): the
+        # exact moments cast to double differ by ≤1 ulp across engines
+        # (DuckDB's int128→double is not correctly rounded), so the
+        # raw quotient can differ in its last bits
+        r = r.cast("decimal(20,12)").cast("double")
+        rows.append(F.struct(F.lit(a).alias("col_x"), F.lit(b).alias("col_y"), r.alias("corr")))
+    return (
+        one.select(F.col("n"), F.explode(F.array(*rows)).alias("p"))
+        .select("p.col_x", "p.col_y", "p.corr", F.col("n").alias("n_rows"))
+        .orderBy("col_x", "col_y")
+    )
+
+
+def _corr_sql() -> str:
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    # one factor at DECIMAL(19,6): p>18 forces DuckDB onto int128
+    # storage BEFORE the multiply (int64×int64 reps overflow first,
+    # "Overflow in multiplication of DECIMAL(18)"); product precision
+    # 19+18=37 ≤ 38 keeps the exact scale-12 value, matching Spark's
+    # exact decimal(37,12) from (18,6)×(18,6)
+    dec, dec19 = "DECIMAL(18,6)", "DECIMAL(19,6)"
+    sums = ["CAST(COUNT(*) AS BIGINT) AS n"]
+    for c in cols:
+        sums.append(f"SUM(CAST({c} AS {dec})) AS s_{c}")
+        sums.append(f"SUM(CAST({c} AS {dec19}) * CAST({c} AS {dec})) AS ss_{c}")
+    for a, b in pairs:
+        sums.append(f"SUM(CAST({a} AS {dec19}) * CAST({b} AS {dec})) AS sp_{a}_{b}")
+    sel = []
+    for a, b in pairs:
+        r = (
+            f"(CAST(n AS DOUBLE) * CAST(sp_{a}_{b} AS DOUBLE) - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE)) / "
+            f"sqrt((CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE) - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE)) * "
+            f"(CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE) - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE)))"
+        )
+        sel.append(
+            f"SELECT '{a}' AS col_x, '{b}' AS col_y, "
+            f"CAST(CAST({r} AS DECIMAL(20,12)) AS DOUBLE) AS corr, n AS n_rows FROM agg"
+        )
+    return "WITH agg AS (SELECT " + ", ".join(sums) + " FROM lineitem)\n" + "\nUNION ALL ".join(sel) + "\nORDER BY col_x, col_y"
+
+
+PROFILE_CORR_SQL = _corr_sql()
+
+
 def profile_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JOIN-SKEW pre-flight profile: before running a self-join keyed
     on ``user_id`` (sessionize, interval join, as-of — the shapes that
@@ -597,6 +674,7 @@ LIMIT 20
 QUERIES = {
     "part_fuzzy_pairs": (part_fuzzy_pairs, PART_FUZZY_SQL),
     "profile_join_skew": (profile_join_skew, PROFILE_JOIN_SKEW_SQL),
+    "profile_correlations": (profile_correlations, PROFILE_CORR_SQL),
     "profile_lineitem": (profile_lineitem, PROFILE_SQL),
     "doc_repetition_metrics": (doc_repetition_metrics, DOC_REPETITION_SQL),
     "agg_robust_stats": (agg_robust_stats, ROBUST_STATS_SQL),

@@ -531,8 +531,63 @@ ORDER BY o_orderpriority
 """
 
 
+def agg_quantile_sketch_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile SKETCH with a hard oracle (the portable
+    counterpart of agg_approx_sketches' percentile_approx, whose
+    KLL-style internals are Spark-private): the sketch state is a
+    DETERMINISTIC ~10 % md5-keyed row sample — merge of two sketches
+    is the union of their samples (hash sampling commutes with
+    partition/union by construction, the mergeability that makes a
+    sketch a sketch), and the estimate is the exact interpolated
+    quantile OF the sample.  Every stage is engine-portable: the draw
+    is a lowercase-hex string compare (substr(md5('qs:'||key)) <
+    '199a' ≈ 6554/65536), the quantile is the shared (n−1)·q
+    interpolation.  Estimator quality is pinned against the exact
+    per-group quantiles in pytest.
+
+    100 TB shape: the sample predicate is map-side (no shuffle to
+    draw); only ~10 % of rows reach the per-group sort, and the
+    sketch table at rest is small enough to broadcast-merge."""
+    li = _t(spark, sf_dir, "lineitem")
+    key = F.substring(
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.lit("qs"),
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ),
+        1,
+        4,
+    )
+    return (
+        li.where(key < "199a")
+        .groupBy("l_returnflag")
+        .agg(
+            F.median("l_extendedprice").alias("est_median"),
+            F.percentile("l_extendedprice", F.lit(0.9)).alias("est_p90"),
+            F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+QUANTILE_SKETCH_SQL = """
+SELECT l_returnflag,
+       median(l_extendedprice) AS est_median,
+       quantile_cont(l_extendedprice, 0.9) AS est_p90,
+       CAST(COUNT(*) AS BIGINT) AS n_sampled
+FROM lineitem
+WHERE substr(md5('qs:' || CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)), 1, 4) < '199a'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
     "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
+    "agg_quantile_sketch_portable": (agg_quantile_sketch_portable, QUANTILE_SKETCH_SQL),
     "q17_small_qty_revenue": (q17_small_qty_revenue, Q17_SQL),
     "q18_large_orders": (q18_large_orders, Q18_SQL),
     "q19_disjunctive_revenue": (q19_disjunctive_revenue, Q19_SQL),

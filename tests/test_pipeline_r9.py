@@ -165,3 +165,68 @@ def test_ann_recall_report_bounds_and_meaning(spark):
     want = len(brute10 & blocked10)
     got = next(r.n_hits for r in rows if r.qid == 1)
     assert got == want
+
+
+def test_quantile_sketch_merges_and_estimates(spark):
+    """The sketch state is the md5 sample: (a) building it from two
+    disjoint halves and merging (union) equals building it globally —
+    the mergeability contract; (b) the estimate lands near the exact
+    per-group quantile (deterministic sample, so a fixed bound)."""
+    from netcdf_olap_spark.queries.relational_ext import agg_quantile_sketch_portable
+
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    key = F.substring(
+        F.md5(
+            F.concat_ws(
+                ":", F.lit("qs"),
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ), 1, 4,
+    )
+    sample = li.where(key < "199a").select("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber")
+    half1 = sample.where(F.col("l_orderkey") % 2 == 0)
+    half2 = sample.where(F.col("l_orderkey") % 2 == 1)
+    merged = {tuple(r) for r in half1.union(half2).collect()}
+    direct = {tuple(r) for r in sample.collect()}
+    assert merged == direct  # merge == union of sample states, exactly
+
+    out = {r.l_returnflag: r for r in agg_quantile_sketch_portable(spark, SF_SMALL).collect()}
+    exact = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.median("l_extendedprice").alias("m"),
+            F.percentile("l_extendedprice", F.lit(0.9)).alias("p"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    for flag, r in out.items():
+        ex = exact[flag]
+        # ~10% deterministic sample: at sf0.001 a group keeps only
+        # ~100 sampled rows, so quantile noise is real — the band is
+        # a sanity rail (parity pins the exact values), not a recall
+        # guarantee
+        assert abs(r.est_median - ex.m) / ex.m < 0.25
+        assert abs(r.est_p90 - ex.p) / ex.p < 0.25
+        # sample rate sanity: 6554/65536 ± a wide deterministic band
+        assert 0.05 * ex.n < r.n_sampled < 0.15 * ex.n
+
+
+def test_profile_correlations_match_numpy(spark):
+    """The decimal-exact moment formulation reproduces numpy's
+    Pearson r to the snap precision, for every pair."""
+    import numpy as np
+
+    from netcdf_olap_spark.queries.analytics import profile_correlations
+
+    rows = profile_correlations(spark, SF_SMALL).collect()
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").select(
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+    ).toPandas()
+    assert len(rows) == 6
+    for r in rows:
+        want = np.corrcoef(li[r.col_x].astype(float), li[r.col_y].astype(float))[0, 1]
+        assert abs(r.corr - want) < 1e-9, (r.col_x, r.col_y, r.corr, want)
+        assert r.n_rows == len(li)
