@@ -102,6 +102,38 @@ def pq_codes_col(vec_col: Column, codebooks: Codebooks) -> Column:
     return F.transform(cb_lit, per_subspace)
 
 
+def pq_distortion_col(vec_col: Column, codebooks: Codebooks) -> Column:
+    """Squared reconstruction error of PQ-encoding a vector: per
+    subspace the distance to its NEAREST codebook entry (what encoding
+    loses, independent of argmin tie-breaks — the min distance is
+    unique even when the code is not), summed across subspaces in
+    fixed s-order.  Same single-literal/single-lambda compilation
+    shape as pq_codes_col; pure map, no shuffle."""
+    subdim = len(codebooks[0][0])
+    cb_lit = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cb])
+            for cb in codebooks
+        ]
+    )
+
+    def per_subspace(cb: Column, s: Column) -> Column:
+        sub = F.slice(vec_col, s * subdim + 1, subdim)
+        dists = F.transform(
+            cb,
+            lambda c: F.aggregate(
+                F.zip_with(sub, c, lambda x, y: x.cast("double") - y),
+                F.lit(0.0),
+                lambda acc, v: acc + v * v,
+            ),
+        )
+        return F.array_min(dists)
+
+    # s-ordered sequential fold — the oracle must replay the same
+    # order (list_sum over list(... ORDER BY s)), not an unordered SUM
+    return F.aggregate(F.transform(cb_lit, per_subspace), F.lit(0.0), lambda a, v: a + v)
+
+
 def md5_codebooks(m: int = 4, k: int = 8, subdim: int = 16, scale: float = 0.25) -> Codebooks:
     """Deterministic pseudo-random codebooks derived from md5 — the
     portable-twin trick (cf. doc_minhash_portable): entry (s, c, p) is

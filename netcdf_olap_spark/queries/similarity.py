@@ -272,6 +272,72 @@ LIMIT 10
 EMB_PQ_PORTABLE_SQL = _pq_portable_sql()
 
 
+def emb_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ DISTORTION report on the portable (md5) codebooks: per
+    label, the count, total and max per-vector squared reconstruction
+    error in integer micro-units — the compression-quality number
+    that decides m/k/subdim BEFORE an index ships (completes the
+    quantization family: emb_pq_portable checks encode+score,
+    emb_ann_recall_report checks retrieval, this checks what encoding
+    LOSES).  Per-vector error is the s-ordered sum of min-entry
+    distances (tie-break-free), snapped to micro-units so the
+    per-label rollup is integer and order-free.
+
+    100 TB shape: pure map over the corpus (plan-literal codebooks,
+    one compiled lambda), one #labels-row aggregate."""
+    from netcdf_olap_spark.operators import pq
+
+    cbs = pq.md5_codebooks(m=4, k=8, subdim=16)
+    e = _emb(spark, sf_dir)
+    units = F.floor(
+        pq.pq_distortion_col(F.col("embedding"), cbs) * F.lit(1_000_000.0) + F.lit(0.5)
+    ).cast("long")
+    return (
+        e.select("label", units.alias("u"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("u").cast("long").alias("sum_err_units"),
+            F.max("u").alias("max_err_units"),
+        )
+        .orderBy("label")
+    )
+
+
+def _pq_distortion_sql(m: int = 4, k: int = 8, subdim: int = 16) -> str:
+    from netcdf_olap_spark.operators.pq import md5_codebooks
+
+    cbs = md5_codebooks(m=m, k=k, subdim=subdim)
+    rows = []
+    for s, cb in enumerate(cbs):
+        for c, vec in enumerate(cb):
+            lits = ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in vec)
+            rows.append(f"({s}, {c}, [{lits}])")
+    rows_sql = ",\n    ".join(rows)
+    diff = f"(CAST(e.embedding[cb.s*{subdim} + i] AS DOUBLE) - cb.cv[i])"
+    return f"""
+WITH cb AS (SELECT * FROM (VALUES
+    {rows_sql}) AS t(s, c, cv)),
+d AS (
+  SELECT e.vec_id, e.label, cb.s,
+         MIN(list_sum([{diff} * {diff} FOR i IN generate_series(1, {subdim})])) AS mind
+  FROM embeddings e CROSS JOIN cb
+  GROUP BY e.vec_id, e.label, cb.s),
+err AS (
+  SELECT vec_id, label,
+         CAST(floor(list_sum(list(mind ORDER BY s)) * 1000000.0 + 0.5) AS BIGINT) AS u
+  FROM d GROUP BY vec_id, label)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(u) AS BIGINT) AS sum_err_units,
+       MAX(u) AS max_err_units
+FROM err GROUP BY label
+ORDER BY label
+"""
+
+
+EMB_PQ_DISTORTION_SQL = _pq_distortion_sql()
+
+
 def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar quantization profile
     (operators/similarity.int8_quantize): per vector, the symmetric
@@ -890,6 +956,7 @@ QUERIES = {
     "emb_knn_ivf_exact": (emb_knn_ivf_exact, EMB_KNN_BRUTE_SQL),
     "emb_pq_topk": (emb_pq_topk, None),
     "emb_pq_portable": (emb_pq_portable, EMB_PQ_PORTABLE_SQL),
+    "emb_pq_distortion": (emb_pq_distortion, EMB_PQ_DISTORTION_SQL),
     "emb_int8_quantize": (emb_int8_quantize, EMB_INT8_SQL),
     "emb_label_topk": (emb_label_topk, EMB_LABEL_TOPK_SQL),
     "emb_mmr_rerank": (emb_mmr_rerank, EMB_MMR_SQL),

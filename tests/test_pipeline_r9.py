@@ -230,3 +230,34 @@ def test_profile_correlations_match_numpy(spark):
         want = np.corrcoef(li[r.col_x].astype(float), li[r.col_y].astype(float))[0, 1]
         assert abs(r.corr - want) < 1e-9, (r.col_x, r.col_y, r.corr, want)
         assert r.n_rows == len(li)
+
+
+def test_pq_distortion_is_encoding_loss(spark):
+    """The reported error equals the squared distance to the ENCODED
+    centroid (what pq_encode actually picks), hand-checked for a few
+    vectors; totals/max are exact integer micro-units."""
+    from netcdf_olap_spark.operators import pq
+    from netcdf_olap_spark.queries.similarity import emb_pq_distortion
+
+    cbs = pq.md5_codebooks(m=4, k=8, subdim=16)
+    rows = {r.label: r for r in emb_pq_distortion(spark, SF_SMALL).collect()}
+    e = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").collect()
+    want: dict[int, list[int]] = {}
+    for r in e:
+        v = [float(x) for x in r.embedding]
+        err = 0.0
+        for s in range(4):
+            sub = v[s * 16 : (s + 1) * 16]
+            dmin = None
+            for c in cbs[s]:
+                acc = 0.0
+                for x, y in zip(sub, c):
+                    acc += (x - y) * (x - y)
+                dmin = acc if dmin is None or acc < dmin else dmin
+            err += dmin
+        want.setdefault(r.label, []).append(int(math.floor(err * 1_000_000.0 + 0.5)))
+    assert set(rows) == set(want)
+    for label, us in want.items():
+        assert rows[label].n_vecs == len(us)
+        assert rows[label].sum_err_units == sum(us)
+        assert rows[label].max_err_units == max(us)
