@@ -121,3 +121,100 @@ def test_auto_form_plan_has_no_per_source_doc_window(spark):
     assert not re.search(r"windowspecdefinition\(source#\w+, doc_id#\w+L? ASC", plan), plan
     # required: the doc-level tie rank is scoped by (source, score_bp)
     assert re.search(r"windowspecdefinition\(source#\w+, score_bp#\w+L?, doc_id#\w+L? ASC", plan), plan
+
+
+# ---------------------------------------------------------------------------
+# Property sweep of the frontier-equivalence claim (the Spark fixtures
+# above pin both implementations to these twins; hypothesis sweeps the
+# ALGORITHM over adversarial shapes — heavy ties, all-one-score,
+# tiny/giant sources, drop_k=0 — far beyond two fixtures).
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _window_dropped(rows):
+    """Pure-Python twin of the window form: per source, the first
+    n DIV 10 by (score, doc_id)."""
+    by_src: dict[str, list[tuple[int, int]]] = {}
+    for d, s, sc in rows:
+        by_src.setdefault(s, []).append((sc, d))
+    dropped = set()
+    for lst in by_src.values():
+        lst.sort()
+        k = len(lst) // 10
+        dropped |= {d for _, d in lst[:k]}
+    return dropped
+
+
+def _histogram_dropped(rows):
+    """Pure-Python twin of adaptive_quality_auto: histogram →
+    boundary score t + residual r → drop (score < t) ∪ first-r ties."""
+    by_src: dict[str, list[tuple[int, int]]] = {}
+    for d, s, sc in rows:
+        by_src.setdefault(s, []).append((sc, d))
+    dropped = set()
+    for lst in by_src.values():
+        n = len(lst)
+        drop_k = n // 10
+        if drop_k == 0:
+            continue
+        hist: dict[int, int] = {}
+        for sc, _ in lst:
+            hist[sc] = hist.get(sc, 0) + 1
+        cum = 0
+        for sc in sorted(hist):
+            prev, cum = cum, cum + hist[sc]
+            if cum >= drop_k and prev < drop_k:
+                t, r = sc, drop_k - prev
+                break
+        ties = sorted(d for sc, d in lst if sc == t)
+        dropped |= {d for sc, d in lst if sc < t} | set(ties[:r])
+    return dropped
+
+
+@settings(max_examples=400, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 10_000),        # doc_id (deduped below)
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(0, 3),             # tiny score domain → heavy ties
+        ),
+        min_size=0,
+        max_size=120,
+    )
+)
+def test_histogram_frontier_equals_window_frontier_property(rows):
+    seen: set[int] = set()
+    uniq = []
+    for d, s, sc in rows:
+        if d not in seen:
+            seen.add(d)
+            uniq.append((d, s, sc))
+    assert _window_dropped(uniq) == _histogram_dropped(uniq)
+
+
+def test_spark_auto_matches_twin_on_degenerate_ties(spark):
+    """Pin the Spark implementation to the swept twin on the corner
+    the sweep flags hardest: one source where EVERY doc has the same
+    score (the whole drop quota resolves in the tie window), plus a
+    two-score source and a too-small-to-drop source."""
+    from netcdf_olap_spark.queries.pipeline import adaptive_quality_auto
+
+    rows = (
+        [(i, "flat", 7) for i in range(40)]
+        + [(100 + i, "two", 1 if i < 15 else 2) for i in range(30)]
+        + [(200 + i, "tiny", i) for i in range(9)]
+    )
+    df = spark.createDataFrame(
+        [(d, s, sc) for d, s, sc in rows], "doc_id long, source string, score_bp long"
+    )
+    got_dropped = {
+        r.doc_id for r in adaptive_quality_auto(df).collect() if not r.is_kept
+    }
+    assert got_dropped == _histogram_dropped(rows)
+    assert got_dropped == _window_dropped(rows)
+    # the flat source drops exactly its quota, lowest doc_ids first
+    assert {d for d in got_dropped if d < 100} == set(range(4))
