@@ -149,7 +149,64 @@ ORDER BY user_id, version_n
 """
 
 
+def join_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME join against the SCD2 dimension — the classic
+    warehouse temporal-join shape ("which version was current at
+    instant t"): each user probed at the midpoint of their activity
+    span, matched to the single version whose
+    [valid_from_us, valid_to_us) interval covers it (NULL valid_to =
+    still current).  Deterministic probe: the midpoint is exact
+    integer µs arithmetic ((min+max) DIV 2).
+
+    100 TB shape: the equi-key (user_id) carries the join — the
+    interval predicate is a residual on the matched key's few
+    versions, never a range-only join; version history per key is
+    small by construction (it's a dimension)."""
+    hist = scd2_user_history(spark, sf_dir)
+    e = load_events(spark, sf_dir).withColumn("ts_us", F.expr("ts_ns DIV 1000"))
+    probe = e.groupBy("user_id").agg(
+        F.expr("(MIN(ts_us) + MAX(ts_us)) DIV 2").alias("probe_us")
+    )
+    j = probe.join(hist, "user_id").where(
+        (F.col("valid_from_us") <= F.col("probe_us"))
+        & (F.col("valid_to_us").isNull() | (F.col("probe_us") < F.col("valid_to_us")))
+    )
+    return j.select(
+        "user_id", "probe_us", "version_n", F.col("event_type").alias("state_at_probe")
+    ).orderBy("user_id")
+
+
+JOIN_SCD2_PIT_SQL = """
+WITH marked AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+runs AS (
+  SELECT user_id, event_id, ts_us, event_type, is_new,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version_n
+  FROM marked),
+hist AS (
+  SELECT user_id, CAST(version_n AS BIGINT) AS version_n, event_type,
+         ts_us AS valid_from_us,
+         lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to_us
+  FROM runs
+  WHERE is_new = 1),
+probe AS (
+  SELECT user_id, (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS probe_us
+  FROM events GROUP BY user_id)
+SELECT p.user_id, p.probe_us, h.version_n, h.event_type AS state_at_probe
+FROM probe p JOIN hist h ON p.user_id = h.user_id
+WHERE h.valid_from_us <= p.probe_us
+  AND (h.valid_to_us IS NULL OR p.probe_us < h.valid_to_us)
+ORDER BY p.user_id
+"""
+
+
 QUERIES = {
     "cdc_merge_orders": (cdc_merge_orders, CDC_MERGE_SQL),
     "scd2_user_history": (scd2_user_history, SCD2_SQL),
+    "join_scd2_pit": (join_scd2_pit, JOIN_SCD2_PIT_SQL),
 }
