@@ -35,6 +35,60 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
+def doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer COVERAGE report: build the corpus's own top-200
+    vocabulary (frequency desc, token asc tie-break) and report each
+    source's out-of-vocabulary token fraction in integer basis points
+    — the number that says which sources a fixed vocab will shred
+    into byte fallbacks (the mT5/BPE "fertility" screen's integer
+    cousin).
+
+    100 TB shape: token frequency is the canonical wordcount
+    (map-side partial combine); the vocab cut is a
+    TakeOrderedAndProject (map-side partial top-k — never a global
+    sort over distinct tokens); membership is a broadcast left join;
+    the per-source rollup is one exchange."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("source", F.explode(text.tokens("text")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    vocab = (
+        freq.orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(200)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            F.expr("(n_oov * 10000) DIV n_tokens").cast("long").alias("oov_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+DOC_OOV_SQL = f"""
+WITH toks AS (SELECT source, unnest({DUCK_TOKS}) AS tok FROM documents),
+freq AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+vocab AS (SELECT tok FROM freq ORDER BY n DESC, tok ASC LIMIT 200)
+SELECT t.source,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST((SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 10000) // COUNT(*) AS BIGINT) AS oov_bp
+FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+GROUP BY t.source
+ORDER BY t.source
+"""
+
+
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens + distinct tokens per doc."""
     d = _docs(spark, sf_dir)
@@ -1337,6 +1391,7 @@ QUERIES = {
     "doc_countmin_heavy": (doc_countmin_heavy, DOC_COUNTMIN_SQL),
     "doc_chunking": (doc_chunking, DOC_CHUNKING_SQL),
     "doc_token_assoc": (doc_token_assoc, DOC_TOKEN_ASSOC_SQL),
+    "doc_oov_rate": (doc_oov_rate, DOC_OOV_SQL),
     "doc_pii_scrub": (doc_pii_scrub, DOC_PII_SQL),
     "doc_repetition_stats": (doc_repetition_stats, DOC_REPETITION_STATS_SQL),
 }
