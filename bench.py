@@ -29,8 +29,11 @@ Protocol (round 9): the final stdout line is a COMPACT summary only
 fingerprint map) so it fits the driver's tail-capture window — the
 r8 record was truncated mid-line by the full runs/plan_fp payload.
 Raw per-rep timings and the per-query fingerprints are written to
-``bench_detail.json`` beside this script; diff two of those to name
-the queries behind any digest change.
+``bench_detail.json`` beside this script (gitignored — timings are
+machine noise); the committed ``PLAN_FP_r{N}.json`` snapshots hold
+each round's fingerprint map, so a digest change in any future BENCH
+record is attributable by diffing against the last committed
+snapshot even when that round's detail file is gone.
 """
 
 from __future__ import annotations
