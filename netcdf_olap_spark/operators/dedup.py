@@ -239,6 +239,102 @@ def minhash_lsh_pairs_portable(
     )
 
 
+def minhash_calibration_portable(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 8,
+    n: int = 3,
+) -> DataFrame:
+    """Sketch-CALIBRATION audit for MinHash (the text-side analog of
+    the ANN recall report): for every LSH candidate pair, the
+    signature-agreement estimate of Jaccard (matching mins / k — the
+    estimator the sketch exists to provide) NEXT TO the exact value,
+    both in integer basis points, plus the absolute error.  The
+    number that says whether k is large enough for the thresholds a
+    pipeline runs at — measured on the production candidate set, not
+    a synthetic benchmark.  md5-52 hash family end to end, integer
+    outputs only → fully DuckDB-replayable.
+
+    100 TB shape: identical to minhash_lsh_pairs_portable (banded
+    candidate generation, pair-oriented verify bounded by candidate
+    pairs × doc length) plus one broadcast-sized join of the k-column
+    signature table onto the candidate pairs."""
+    if k % bands != 0:
+        raise ValueError(f"k={k} must be divisible by bands={bands}")
+    r = k // bands
+    idx = _shingle_index(df, id_col, text_col, n).localCheckpoint(eager=True)
+
+    def h(j: int):
+        hex13 = F.substring(F.md5(F.concat_ws("|", F.lit(str(j)), F.col("sh"))), 1, 13)
+        return F.conv(hex13, 16, 10).cast("long")
+
+    # feeds banding AND the per-pair agreement join — cut once
+    sigs = idx.groupBy("id").agg(*[F.min(h(j)).alias(f"h{j}") for j in range(k)])
+    sigs = sigs.localCheckpoint(eager=True)
+    band_cols = md5_band_key_cols(bands, r, lambda j: F.col(f"h{j}"))
+    banded = sigs.select("id", F.explode(F.array(*band_cols)).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    # estimator: #matching signature slots (integer, order-free sum
+    # of k comparisons in fixed j-order)
+    s1 = sigs.select(F.col("id").alias("id1"), *[F.col(f"h{j}").alias(f"a{j}") for j in range(k)])
+    s2 = sigs.select(F.col("id").alias("id2"), *[F.col(f"h{j}").alias(f"b{j}") for j in range(k)])
+    est_matches = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0) for j in range(k)
+    ).cast("long")
+    est = cand.join(s1, "id1").join(s2, "id2").select("id1", "id2", est_matches.alias("est_matches"))
+
+    # exact Jaccard on the candidate set (the verify machinery)
+    ids = cand.select(F.col("id1").alias("id")).union(cand.select("id2")).distinct()
+    sub = idx.join(ids, "id", "left_semi")
+    sizes = sub.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    i1 = sub.select(F.col("id").alias("id1"), "sh")
+    i2 = sub.select(F.col("id").alias("id2"), "sh")
+    shared = (
+        cand.join(i1, "id1")
+        .join(i2, ["id2", "sh"])
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sz1 = sizes.select(F.col("id").alias("id1"), F.col("sz").alias("sz1"))
+    sz2 = sizes.select(F.col("id").alias("id2"), F.col("sz").alias("sz2"))
+    union_sz = (F.col("sz1") + F.col("sz2") - F.col("shared")).cast("long")
+    return (
+        est.join(shared, ["id1", "id2"])
+        .join(sz1, "id1")
+        .join(sz2, "id2")
+        .select(
+            "id1",
+            "id2",
+            "est_matches",
+            F.expr(f"(est_matches * 10000) DIV {k}").cast("long").alias("est_bp"),
+            union_sz.alias("union_sz"),
+            F.expr("(shared * 10000) DIV (sz1 + sz2 - shared)").cast("long").alias("exact_bp"),
+            F.abs(
+                F.expr(f"(est_matches * 10000) DIV {k}")
+                - F.expr("(shared * 10000) DIV (sz1 + sz2 - shared)")
+            )
+            .cast("long")
+            .alias("err_bp"),
+        )
+    )
+
+
 def _hashed_shingle_index(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, h0_) inverted index of 64-bit shingle HASHES — the
     string-free twin of ``_shingle_index``: one xxhash64 per token,

@@ -706,6 +706,60 @@ ORDER BY id1, id2
 """
 
 
+def doc_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash sketch-calibration audit (operators/dedup.
+    minhash_calibration_portable): per LSH candidate pair, the
+    signature-agreement Jaccard estimate next to the exact value
+    (integer basis points) and the absolute error — whether k=16 is
+    enough for the thresholds the dedup pipeline runs at, measured on
+    the production candidate set.  The "measure, don't guess"
+    operator for the text-sketch side, like emb_ann_recall_report for
+    ANN."""
+    return dedup.minhash_calibration_portable(
+        _docs(spark, sf_dir), k=16, bands=8
+    ).orderBy("id1", "id2")
+
+
+DOC_MINHASH_CALIBRATION_SQL = f"""
+WITH toks AS (SELECT doc_id, {DUCK_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id AS id, unnest(list_distinct({DUCK_SHINGLES})) AS sh FROM toks),
+mins AS (
+  SELECT id, j,
+         MIN(('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || sh), 1, 13))::BIGINT) AS h
+  FROM sh CROSS JOIN generate_series(0, 15) AS g(j)
+  GROUP BY id, j),
+bands AS (
+  SELECT id, j // 2 AS band, STRING_AGG(CAST(h AS VARCHAR), ',' ORDER BY j) AS key
+  FROM mins GROUP BY id, j // 2),
+cand AS (
+  SELECT DISTINCT a.id AS id1, b.id AS id2
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+agree AS (
+  SELECT a.id AS id1, b.id AS id2,
+         CAST(COUNT(CASE WHEN a.h = b.h THEN 1 END) AS BIGINT) AS est_matches
+  FROM mins a JOIN mins b ON a.j = b.j AND a.id < b.id
+  JOIN cand c ON c.id1 = a.id AND c.id2 = b.id
+  GROUP BY a.id, b.id),
+sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+shared AS (
+  SELECT a.id AS id1, b.id AS id2, COUNT(*) AS shared
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+  JOIN cand c ON c.id1 = a.id AND c.id2 = b.id
+  GROUP BY a.id, b.id)
+SELECT g.id1, g.id2, g.est_matches,
+       CAST((g.est_matches * 10000) // 16 AS BIGINT) AS est_bp,
+       CAST(s1.sz + s2.sz - s.shared AS BIGINT) AS union_sz,
+       CAST((s.shared * 10000) // (s1.sz + s2.sz - s.shared) AS BIGINT) AS exact_bp,
+       CAST(abs((g.est_matches * 10000) // 16
+                - (s.shared * 10000) // (s1.sz + s2.sz - s.shared)) AS BIGINT) AS err_bp
+FROM agree g
+JOIN shared s ON s.id1 = g.id1 AND s.id2 = g.id2
+JOIN sizes s1 ON s1.id = g.id1
+JOIN sizes s2 ON s2.id = g.id2
+ORDER BY g.id1, g.id2
+"""
+
+
 def doc_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sentence segmentation via Python UDTF (§2.10): per-doc sentence
     count + mean sentence length. The UDTF is a Generate in the plan;
@@ -1373,6 +1427,7 @@ QUERIES = {
     "doc_jaccard_pairs": (doc_jaccard_pairs, DOC_JACCARD_SQL),
     "doc_minhash_dedup_pairs": (doc_minhash_dedup_pairs, DOC_MINHASH_XX_SQL),
     "doc_minhash_portable": (doc_minhash_portable, DOC_MINHASH_PORTABLE_SQL),
+    "doc_minhash_calibration": (doc_minhash_calibration, DOC_MINHASH_CALIBRATION_SQL),
     "doc_simhash_portable": (doc_simhash_portable, DOC_SIMHASH_PORTABLE_SQL),
     "doc_sentence_stats": (doc_sentence_stats, DOC_SENTENCE_SQL),
     "grid_midhinge": (grid_midhinge, GRID_MIDHINGE_SQL),
