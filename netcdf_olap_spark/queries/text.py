@@ -706,6 +706,103 @@ ORDER BY id1, id2
 """
 
 
+def doc_delta_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup — the shape a production corpus runs daily:
+    a new BATCH (docs with doc_id % 20 == 0, the deterministic stand-
+    in for today's crawl) checked against the existing CORPUS (the
+    rest) on two levels: exact (normalized-text md5 fingerprint
+    collision) and near (any shared ≥4-token CDC chunk — the
+    shift-robust passage check).  Each new doc gets its verdict:
+    exact_dup / near_dup / novel, plus the count of corpus chunk
+    collisions.  Unlike the corpus-wide operators this never pairs
+    corpus docs with each other — work is ∝ |batch| · overlap, not
+    |corpus|².
+
+    100 TB shape: two semi-join-shaped probes of at-rest indexes
+    (fingerprint table: broadcast or SMJ on the hash; chunk table:
+    equi-join on chunk hash) — the batch side is small by
+    construction, the corpus side is pre-computed once and reused
+    across days (sinks/layout bucketing applies)."""
+    d = _docs(spark, sf_dir)
+    batch = d.where(F.col("doc_id") % 20 == 0)
+    corpus = d.where(F.col("doc_id") % 20 != 0)
+
+    fp = text.fingerprint("text")
+    corpus_fp = corpus.select(fp.alias("fp")).distinct()
+    b = batch.select("doc_id", fp.alias("fp"), "text")
+
+    def chunks(df: DataFrame) -> DataFrame:
+        # the shared CDC machinery (same definitions as
+        # doc_shift_dedup / doc_source_overlap — one chunking, never
+        # a second definition to drift)
+        toks = df.select("doc_id", text.tokens("text").alias("t")).where(F.size("t") > 0)
+        cuts = toks.select("doc_id", "t", text.content_cutpoints(F.col("t")).alias("c"))
+        raw = cuts.select(
+            "doc_id", F.explode(text.chunks_from_cuts(F.col("t"), F.col("c"))).alias("ct")
+        )
+        return (
+            raw.where(F.size(F.split("ct", " ")) >= 4)
+            .select("doc_id", F.md5("ct").alias("h"))
+            .distinct()
+        )
+
+    corpus_chunks = chunks(corpus).select("h").distinct()
+    batch_chunks = chunks(batch)
+    hits = (
+        batch_chunks.join(corpus_chunks, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_chunk_hits"))
+    )
+    out = (
+        b.join(corpus_fp.withColumn("fp_hit", F.lit(1)), "fp", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_chunk_hits"), F.lit(0).cast("long")).alias("n_chunk_hits"),
+            F.when(F.col("fp_hit").isNotNull(), F.lit("exact_dup"))
+            .when(F.coalesce(F.col("n_chunk_hits"), F.lit(0)) > 0, F.lit("near_dup"))
+            .otherwise(F.lit("novel"))
+            .alias("verdict"),
+        )
+        .orderBy("doc_id")
+    )
+    return out
+
+
+DOC_DELTA_DEDUP_SQL = f"""
+WITH batch AS (SELECT * FROM documents WHERE doc_id % 20 = 0),
+corpus AS (SELECT * FROM documents WHERE doc_id % 20 != 0),
+corpus_fp AS (
+  SELECT DISTINCT md5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS fp
+  FROM corpus),
+btoks AS (SELECT doc_id, {DUCK_TOKS} AS t FROM batch),
+bcuts AS (SELECT doc_id, t, {DUCK_CUTS} AS c FROM btoks WHERE len(t) > 0),
+bchunks AS (
+  SELECT DISTINCT doc_id, md5(ct) AS h
+  FROM (SELECT doc_id, unnest({DUCK_CHUNKS}) AS ct FROM bcuts)
+  WHERE len(string_split(ct, ' ')) >= 4),
+ctoks AS (SELECT doc_id, {DUCK_TOKS} AS t FROM corpus),
+ccuts AS (SELECT doc_id, t, {DUCK_CUTS} AS c FROM ctoks WHERE len(t) > 0),
+cchunks AS (
+  SELECT DISTINCT md5(ct) AS h
+  FROM (SELECT doc_id, unnest({DUCK_CHUNKS}) AS ct FROM ccuts)
+  WHERE len(string_split(ct, ' ')) >= 4),
+hits AS (
+  SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunk_hits
+  FROM bchunks b JOIN cchunks c ON b.h = c.h
+  GROUP BY b.doc_id)
+SELECT d.doc_id,
+       COALESCE(h.n_chunk_hits, 0) AS n_chunk_hits,
+       CASE WHEN f.fp IS NOT NULL THEN 'exact_dup'
+            WHEN COALESCE(h.n_chunk_hits, 0) > 0 THEN 'near_dup'
+            ELSE 'novel' END AS verdict
+FROM batch d
+LEFT JOIN corpus_fp f ON f.fp = md5(REGEXP_REPLACE(LOWER(TRIM(d.text)), '\\s+', ' ', 'g'))
+LEFT JOIN hits h ON h.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def doc_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash sketch-calibration audit (operators/dedup.
     minhash_calibration_portable): per LSH candidate pair, the
@@ -1428,6 +1525,7 @@ QUERIES = {
     "doc_minhash_dedup_pairs": (doc_minhash_dedup_pairs, DOC_MINHASH_XX_SQL),
     "doc_minhash_portable": (doc_minhash_portable, DOC_MINHASH_PORTABLE_SQL),
     "doc_minhash_calibration": (doc_minhash_calibration, DOC_MINHASH_CALIBRATION_SQL),
+    "doc_delta_dedup": (doc_delta_dedup, DOC_DELTA_DEDUP_SQL),
     "doc_simhash_portable": (doc_simhash_portable, DOC_SIMHASH_PORTABLE_SQL),
     "doc_sentence_stats": (doc_sentence_stats, DOC_SENTENCE_SQL),
     "grid_midhinge": (grid_midhinge, GRID_MIDHINGE_SQL),
