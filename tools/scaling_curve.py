@@ -56,6 +56,14 @@ QUERIES = [
     "doc_adaptive_quality_filter_auto",
     "stream_template_counts",
     "stream_near_dup_filter",
+    # r9 second extension: the round's new JOIN-family operators (the
+    # class the curve exists to police) — bucket-blocked hard-negative
+    # mining, the calibration audit's signature/verify joins, the
+    # delta-vs-corpus probes, and the vocab membership join.
+    "emb_hard_negatives",
+    "doc_minhash_calibration",
+    "doc_delta_dedup",
+    "doc_oov_rate",
 ]
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
