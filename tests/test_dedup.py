@@ -141,3 +141,23 @@ def test_minhash_portable_unicode_cross_engine(spark):
     )
     want = [tuple(r) for r in con.execute(sql).fetchall()]
     assert got == want and len(got) == 2
+
+
+def test_minhash_verified_output_equals_exact_pairs(spark):
+    """The driver-checked contract behind doc_minhash_dedup_pairs'
+    round-9 oracle: exact verify gives precision 1.0, and k=32/b=16
+    recall is 1.0 on the fixtures — so the LSH output IS the exact
+    0.12-Jaccard pair set. If this ever fails, fix recall (or the
+    oracle claim) BEFORE the driver's hash check reports it."""
+    from tests.conftest import SF_SMALL
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    lsh = {
+        (r.id1, r.id2)
+        for r in dedup.minhash_lsh_pairs(docs, k=32, bands=16, verify_threshold=0.12).collect()
+    }
+    exact = {
+        (r.id1, r.id2)
+        for r in dedup.jaccard_pairs(docs, threshold=0.12, n=3).collect()
+    }
+    assert lsh == exact
