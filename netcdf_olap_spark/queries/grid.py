@@ -1179,8 +1179,105 @@ FROM cells
 """
 
 
+def grid_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell linear TREND map — closed-form OLS of value against
+    the day index, the classic climate "warming per day" raster (the
+    time-series derivative the reference's per-day means can't see).
+    Fill-value gaps (NULLs) simply drop out of the moments, so cells
+    with intermittent coverage still get their trend from whatever
+    days they have; cells with <2 observations or a degenerate time
+    axis (all obs on one day) yield no row.
+
+    Determinism: all five moments (n, Σt, Σt², Σy, Σty) are exact
+    integer/decimal aggregates — order-free, so the result is
+    partitioning-independent.  The decimal sums are narrowed to
+    int64-backed DECIMAL(18,6) (exact — per-cell sums are
+    day-count-bounded) before the double cast, because int64→double
+    is correctly rounded in BOTH engines while DuckDB's int128→double
+    is not; from bitwise-identical double inputs the closed form
+    (identical expression order, only correctly-rounded ops) is
+    bitwise deterministic with NO decimal snap — a snap would
+    actually hurt here: double→decimal rounding at exact half
+    boundaries differs between the engines (measured on this
+    fixture's intercepts).
+
+    100 TB shape: one groupBy on the cell key (the cube's natural
+    partitioning — map-side partial combine does nearly all the
+    work); no window, no join, no second pass."""
+    g = load_grid(spark).where(
+        (F.col("variable") == "LST_LWST_avg_daily") & F.col("value").isNotNull()
+    )
+    t = F.datediff(F.col("time"), F.lit("1990-01-01").cast("date")).cast("long")
+    base = g.select(
+        "y", "x", t.alias("t"), F.col("value").cast("decimal(18,6)").alias("yv")
+    )
+    m = base.groupBy("y", "x").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum("t").alias("st"),
+        F.sum(F.col("t") * F.col("t")).alias("st2"),
+        F.sum("yv").alias("sy"),
+        F.sum(F.col("t").cast("decimal(19,0)") * F.col("yv")).alias("sty"),
+    )
+    # Narrow the exact sums to int64-backed DECIMAL(18,6) before the
+    # double cast: DuckDB's int128→double cast is not correctly
+    # rounded (the profile_correlations lesson), but int64→double is
+    # — and per-cell sums are day-count-bounded so (18,6) always
+    # holds them exactly.  With both engines' casts correctly rounded
+    # the closed form sees bitwise-identical inputs.
+    n_d = F.col("n_obs").cast("double")
+    st_d = F.col("st").cast("double")
+    st2_d = F.col("st2").cast("double")
+    sy_d = F.col("sy").cast("decimal(18,6)").cast("double")
+    sty_d = F.col("sty").cast("decimal(18,6)").cast("double")
+    slope = (n_d * sty_d - st_d * sy_d) / (n_d * st2_d - st_d * st_d)
+    s = m.where(
+        (F.col("n_obs") >= 2)
+        & ((F.col("n_obs") * F.col("st2") - F.col("st") * F.col("st")) != 0)
+    ).select(
+        "y",
+        "x",
+        "n_obs",
+        "st",
+        F.col("sy").cast("decimal(18,6)").cast("double").alias("syd"),
+        slope.alias("slope"),
+    )
+    intercept = (F.col("syd") - F.col("slope") * F.col("st").cast("double")) / F.col(
+        "n_obs"
+    ).cast("double")
+    return s.select("y", "x", "n_obs", "slope", intercept.alias("intercept")).orderBy("y", "x")
+
+
+GRID_TREND_OLS_SQL = f"""
+WITH src AS (
+  SELECT y, x, date_diff('day', DATE '1990-01-01', CAST(time AS DATE)) AS t,
+         CAST(value AS DECIMAL(18,6)) AS yv
+  FROM {GRID}
+  WHERE variable = 'LST_LWST_avg_daily' AND value IS NOT NULL),
+m AS (
+  SELECT y, x, CAST(COUNT(*) AS BIGINT) AS n_obs,
+         CAST(SUM(t) AS BIGINT) AS st,
+         CAST(SUM(t * t) AS BIGINT) AS st2,
+         SUM(yv) AS sy,
+         SUM(CAST(t AS DECIMAL(19,0)) * yv) AS sty
+  FROM src GROUP BY y, x),
+s AS (
+  SELECT y, x, n_obs, st, CAST(CAST(sy AS DECIMAL(18,6)) AS DOUBLE) AS syd,
+         (CAST(n_obs AS DOUBLE) * CAST(CAST(sty AS DECIMAL(18,6)) AS DOUBLE)
+          - CAST(st AS DOUBLE) * CAST(CAST(sy AS DECIMAL(18,6)) AS DOUBLE))
+         / (CAST(n_obs AS DOUBLE) * CAST(st2 AS DOUBLE)
+            - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) AS slope
+  FROM m
+  WHERE n_obs >= 2 AND n_obs * st2 - st * st != 0)
+SELECT y, x, n_obs, slope,
+       (syd - slope * CAST(st AS DOUBLE)) / CAST(n_obs AS DOUBLE) AS intercept
+FROM s
+ORDER BY y, x
+"""
+
+
 QUERIES = {
     "grid_polygon_stats": (grid_polygon_stats, GRID_POLYGON_STATS_SQL),
+    "grid_trend_ols": (grid_trend_ols, GRID_TREND_OLS_SQL),
     "grid_ingest_nc": (grid_ingest_nc, GRID_INGEST_NC_SQL),
     "grid_export_roundtrip": (grid_export_roundtrip, GRID_EXPORT_ROUNDTRIP_SQL),
     "grid_ingest_catalog": (grid_ingest_catalog, GRID_INGEST_CATALOG_SQL),

@@ -892,6 +892,87 @@ ORDER BY br.qid
 EMB_ANN_RECALL_SQL = _ann_recall_sql()
 
 
+def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation AUDIT: recall@10 of cosine search on the
+    FIRST 32 of 64 dimensions against full-dimension brute force, for
+    the same 20-query deterministic sample as emb_ann_recall_report —
+    the measurement that decides whether an MRL-style prefix
+    truncation (half the storage, half the FLOPs) is safe for a given
+    embedding column BEFORE an index is built on the stub.
+
+    100 TB shape: a linear SAMPLED audit — two broadcast 20-row query
+    passes over the corpus (no index build, no all-pairs), both
+    top-10s ride WindowGroupLimit; recall_bp is integer basis points.
+    Truncation is a zero-copy array slice (no re-embedding)."""
+    from pyspark.sql.window import Window
+
+    e = _emb(spark, sf_dir)
+    q = F.broadcast(
+        e.where((F.col("vec_id") >= 1) & (F.col("vec_id") <= 20)).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        )
+    )
+    pairs = e.crossJoin(q).where(F.col("vec_id") != F.col("qid"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    full = (
+        pairs.select(
+            "qid", "vec_id", similarity.cosine(F.col("embedding"), F.col("qv")).alias("cos_sim")
+        )
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= 10)
+        .select("qid", "vec_id")
+    )
+    half = (
+        pairs.select(
+            "qid",
+            "vec_id",
+            similarity.cosine(
+                F.slice(F.col("embedding"), 1, 32), F.slice(F.col("qv"), 1, 32)
+            ).alias("cos_sim"),
+        )
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= 10)
+        .select("qid", F.col("vec_id").alias("hvec"))
+    )
+    hits = (
+        full.join(half, (full.qid == half.qid) & (full.vec_id == half.hvec), "left")
+        .groupBy(full.qid.alias("qid"))
+        .agg(F.count(F.when(F.col("hvec").isNotNull(), F.lit(1))).cast("long").alias("n_hits"))
+    )
+    return hits.select(
+        "qid",
+        "n_hits",
+        F.expr("(n_hits * 10000) DIV 10").cast("long").alias("recall_bp"),
+    ).orderBy("qid")
+
+
+EMB_MATRYOSHKA_SQL = f"""
+WITH c AS (SELECT vec_id, embedding, embedding[1:32] AS eh FROM embeddings),
+q AS (SELECT vec_id AS qid, embedding AS qv, embedding[1:32] AS qh
+      FROM embeddings WHERE vec_id BETWEEN 1 AND 20),
+full_t AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, c.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.qid
+                              ORDER BY {_duck_cos('c.embedding', 'q.qv')} DESC, c.vec_id ASC) AS r
+    FROM c CROSS JOIN q WHERE c.vec_id != q.qid)
+  WHERE r <= 10),
+half_t AS (
+  SELECT qid, vec_id AS hvec FROM (
+    SELECT q.qid, c.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.qid
+                              ORDER BY {_duck_cos('c.eh', 'q.qh')} DESC, c.vec_id ASC) AS r
+    FROM c CROSS JOIN q WHERE c.vec_id != q.qid)
+  WHERE r <= 10)
+SELECT f.qid,
+       CAST(COUNT(CASE WHEN h.hvec IS NOT NULL THEN 1 END) AS BIGINT) AS n_hits,
+       CAST((COUNT(CASE WHEN h.hvec IS NOT NULL THEN 1 END) * 10000) // 10 AS BIGINT) AS recall_bp
+FROM full_t f LEFT JOIN half_t h ON f.qid = h.qid AND f.vec_id = h.hvec
+GROUP BY f.qid
+ORDER BY f.qid
+"""
+
+
 def emb_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-projection prefilter + exact rerank (the third ANN
     family beside LSH buckets and IVF lists): corpus ranked by cosine
@@ -951,6 +1032,7 @@ QUERIES = {
     "emb_knn_graph": (emb_knn_graph, EMB_KNN_GRAPH_SQL),
     "emb_hard_negatives": (emb_hard_negatives, EMB_HARD_NEGATIVES_SQL),
     "emb_ann_recall_report": (emb_ann_recall_report, EMB_ANN_RECALL_SQL),
+    "emb_matryoshka_recall": (emb_matryoshka_recall, EMB_MATRYOSHKA_SQL),
     "emb_cluster_components": (emb_cluster_components, EMB_CLUSTER_COMPONENTS_SQL),
     "emb_knn_ivf": (emb_knn_ivf, None),
     "emb_knn_ivf_exact": (emb_knn_ivf_exact, EMB_KNN_BRUTE_SQL),
