@@ -1021,7 +1021,94 @@ ORDER BY doc_id
 """
 
 
+def doc_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus DATA CARD — the one-page release artifact a
+    corpus ships with (Datasheets/Data Cards practice): document and
+    token volumes, mean document length, exact-duplicate rate, and
+    the dominant language, per source.  Every figure is integer/exact
+    (token-mean in centitokens, dup rate in basis points) so the card
+    is reproducible bit-for-bit across engines and re-runs.
+
+    100 TB shape: one projection computes all per-row figures
+    map-side, then a single groupBy on source (map-side partial
+    combine); the dominant-language pick is a per-(source, lang)
+    count — #sources × #langs rows — topped with a WindowGroupLimit
+    and broadcast back.  countDistinct(fingerprint) is the only
+    cardinality-heavy aggregate; at monster scale swap it for the
+    registry's portable HLL (agg_hll_portable) — documented seam."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    rows = d.select(
+        "source",
+        "lang",
+        F.size(text.tokens("text")).cast("long").alias("n_tok"),
+        F.length("text").cast("long").alias("n_ch"),
+        F.md5("text").alias("fp"),
+    )
+    main = rows.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.sum("n_ch").cast("long").alias("n_chars"),
+        F.countDistinct("fp").cast("long").alias("n_unique"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+    )
+    lc = rows.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("source").orderBy(F.col("n").desc(), F.col("lang").asc())
+    top = (
+        lc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    return (
+        main.join(F.broadcast(top), "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            F.expr("(n_tokens * 100) DIV n_docs").cast("long").alias("mean_tokens_c"),
+            F.expr("((n_docs - n_unique) * 10000) DIV n_docs").cast("long").alias("dup_bp"),
+            "n_langs",
+            "top_lang",
+        )
+        .orderBy("source")
+    )
+
+
+DOC_DATACARD_SQL = f"""
+WITH rows_t AS (
+  SELECT source, lang,
+         len({DUCK_TOKS}) AS n_tok,
+         LENGTH(text) AS n_ch,
+         md5(text) AS fp
+  FROM documents),
+main AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         CAST(SUM(n_ch) AS BIGINT) AS n_chars,
+         CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+  FROM rows_t GROUP BY source),
+top AS (
+  SELECT source, lang AS top_lang FROM (
+    SELECT source, lang,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY COUNT(*) DESC, lang ASC) AS rn
+    FROM rows_t GROUP BY source, lang)
+  WHERE rn = 1)
+SELECT m.source, n_docs, n_tokens, n_chars,
+       CAST((n_tokens * 100) // n_docs AS BIGINT) AS mean_tokens_c,
+       CAST(((n_docs - n_unique) * 10000) // n_docs AS BIGINT) AS dup_bp,
+       n_langs, top_lang
+FROM main m JOIN top USING (source)
+ORDER BY m.source
+"""
+
+
 QUERIES = {
+    "doc_datacard": (doc_datacard, DOC_DATACARD_SQL),
     "doc_decontaminate": (doc_decontaminate, DECONTAM_SQL),
     "doc_stratified_sample": (doc_stratified_sample, STRATIFIED_SQL),
     "doc_policy_scrub": (doc_policy_scrub, SCRUB_SQL),

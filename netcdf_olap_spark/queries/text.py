@@ -583,6 +583,136 @@ ORDER BY s1, s2
 """
 
 
+_PR_SCALE = 1_000_000_000_000  # PageRank mass fixed-point: 1.0 ≡ 1e12
+_PR_ITERS = 3
+
+
+def doc_source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-authority ranking: PageRank over the cross-source
+    content-overlap graph (nodes = sources, edge weight = shared
+    distinct ≥4-token CDC chunks, both directions — the
+    doc_source_overlap matrix as a graph), three power
+    iterations at damping 0.85 — the domain-ranking step a crawl
+    pipeline runs to weight sources before mixing (the
+    Common-Crawl-style harmonic/PageRank centrality signal).
+
+    Exactness: all mass arithmetic is non-negative integer
+    fixed-point (1.0 ≡ 1e12) — per-edge transfer is
+    ``rank·w DIV out_weight``, teleport is ``(15·SCALE DIV 100) DIV
+    N``, damping ``85·x DIV 100`` — truncating division on
+    non-negative operands is identical in Spark (DIV) and DuckDB
+    (//), so every iteration is bit-reproducible and the whole
+    three-iteration recursion replays as chained SQL CTEs (an
+    iterative graph algorithm behind a value-level oracle).  Bound:
+    needs max(rank)·max(w) < 2⁶³ — at larger weight scales, bucket
+    weights into coarser units first (rank ≤ SCALE, so w < 9e6
+    suffices).
+
+    100 TB shape: the classic Pregel-in-DataFrame loop — chunking
+    map-side, the edge build one (source,h) distinct + h-key
+    self-join (fan-out bounded by #sources² per chunk), then per
+    iteration ONE shuffle keyed on source (join rank→edges +
+    re-aggregate) with the dangling mass a 1-row broadcast; the
+    unrolled 3-iteration plan keeps every stage key-partitioned on
+    source, never all-pairs."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", "source", text.tokens("text").alias("t")).where(F.size("t") > 0)
+    cuts = toks.select("source", "t", text.content_cutpoints(F.col("t")).alias("c"))
+    raw = cuts.select(
+        "source", F.explode(text.chunks_from_cuts(F.col("t"), F.col("c"))).alias("ct")
+    )
+    ch = (
+        raw.where(F.size(F.split("ct", " ")) >= 4)
+        .select("source", F.md5("ct").alias("h"))
+        .distinct()
+    )
+    a, b = ch.alias("a"), ch.alias("b")
+    edges = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.source") != F.col("b.source")))
+        .groupBy(F.col("a.source").alias("src"), F.col("b.source").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").cast("long").alias("outw"))
+    edges = edges.join(outw, "src")
+    nodes = d.select("source").distinct()
+    nn = nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    r = nodes.crossJoin(F.broadcast(nn)).select(
+        "source", F.expr(f"{_PR_SCALE} DIV n_nodes").cast("long").alias("rank"), "n_nodes"
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            r.select(F.col("source").alias("src"), "rank")
+            .join(edges, "src")
+            .select("dst", F.expr("rank * w DIV outw").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").cast("long").alias("contrib"))
+        )
+        dang = (
+            r.join(outw.withColumnRenamed("src", "source"), "source", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("dang"))
+        )
+        r = (
+            r.join(F.broadcast(contrib.withColumnRenamed("dst", "source")), "source", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "source",
+                F.expr(
+                    f"(15 * {_PR_SCALE} DIV 100) DIV n_nodes"
+                    f" + (85 * (coalesce(contrib, 0) + dang DIV n_nodes)) DIV 100"
+                )
+                .cast("long")
+                .alias("rank"),
+                "n_nodes",
+            )
+        )
+    return r.select("source", F.col("rank").alias("rank_e12")).orderBy("source")
+
+
+def _pagerank_sql() -> str:
+    head = f"""
+WITH toks AS (SELECT doc_id, source, {DUCK_TOKS} AS t FROM documents),
+cuts AS (
+  SELECT doc_id, source, t, {DUCK_CUTS} AS c
+  FROM toks WHERE len(t) > 0),
+raw AS (SELECT source, unnest({DUCK_CHUNKS}) AS ct FROM cuts),
+ch AS (SELECT DISTINCT source, md5(ct) AS h
+       FROM raw WHERE len(string_split(ct, ' ')) >= 4),
+edges AS (
+  SELECT a.source AS src, b.source AS dst, CAST(COUNT(*) AS BIGINT) AS w
+  FROM ch a JOIN ch b ON a.h = b.h AND a.source != b.source
+  GROUP BY 1, 2),
+outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS outw FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT source FROM documents),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM nodes),
+r0 AS (SELECT source, CAST({_PR_SCALE} // n_nodes AS BIGINT) AS rank FROM nodes, nn)"""
+    its = []
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        its.append(
+            f""",
+c{i} AS (
+  SELECT e.dst AS source, CAST(SUM(r.rank * e.w // o.outw) AS BIGINT) AS contrib
+  FROM {prev} r JOIN edges e ON r.source = e.src JOIN outw o ON o.src = e.src
+  GROUP BY e.dst),
+d{i} AS (
+  SELECT CAST(COALESCE(SUM(rank), 0) AS BIGINT) AS dang
+  FROM {prev} WHERE source NOT IN (SELECT src FROM outw)),
+r{i} AS (
+  SELECT n.source,
+         CAST((15 * {_PR_SCALE} // 100) // nn.n_nodes
+              + (85 * (COALESCE(c{i}.contrib, 0) + d{i}.dang // nn.n_nodes)) // 100
+           AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN c{i} ON c{i}.source = n.source, nn, d{i})"""
+        )
+        prev = f"r{i}"
+    return head + "".join(its) + f"""
+SELECT source, rank AS rank_e12 FROM {prev} ORDER BY source
+"""
+
+
+DOC_SOURCE_PAGERANK_SQL = _pagerank_sql()
+
+
 def doc_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-Jaccard-verified at 0.12 —
     the xxhash64 production-speed form.  Hard-oracle since round 9
@@ -1534,6 +1664,7 @@ QUERIES = {
     "doc_shift_dedup": (doc_shift_dedup, DOC_SHIFT_DEDUP_SQL),
     "doc_boilerplate": (doc_boilerplate, DOC_BOILERPLATE_SQL),
     "doc_source_overlap": (doc_source_overlap, DOC_SOURCE_OVERLAP_SQL),
+    "doc_source_pagerank": (doc_source_pagerank, DOC_SOURCE_PAGERANK_SQL),
     "doc_corpus_prep": (doc_corpus_prep, DOC_CORPUS_PREP_SQL),
     "doc_shard_pack": (doc_shard_pack, DOC_SHARD_PACK_SQL),
     "doc_shard_manifest": (doc_shard_manifest, DOC_SHARD_MANIFEST_SQL),

@@ -124,3 +124,78 @@ def test_matryoshka_recall_bounds_and_exactness(spark):
     # little but not everything on this fixture
     total = sum(r.n_hits for r in rows)
     assert 0 < total <= 200
+
+
+def test_datacard_matches_python_replay(spark):
+    """Every per-source card figure equals a straight Python replay
+    over the collected documents table."""
+    from netcdf_olap_spark.queries.pipeline import doc_datacard
+
+    rows = {r.source: r for r in doc_datacard(spark, SF_SMALL).collect()}
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+    by_src: dict[str, list] = {}
+    for d in docs:
+        by_src.setdefault(d.source, []).append(d)
+    assert set(rows) == set(by_src)
+    for src, ds in by_src.items():
+        got = rows[src]
+        n_docs = len(ds)
+        toks = [len(d.text.split()) for d in ds]
+        assert got.n_docs == n_docs
+        assert got.n_tokens == sum(toks)
+        assert got.n_chars == sum(len(d.text) for d in ds)
+        assert got.mean_tokens_c == (sum(toks) * 100) // n_docs
+        n_unique = len({d.text for d in ds})
+        assert got.dup_bp == ((n_docs - n_unique) * 10000) // n_docs
+        langs = {}
+        for d in ds:
+            langs[d.lang] = langs.get(d.lang, 0) + 1
+        assert got.n_langs == len(langs)
+        assert got.top_lang == min(langs, key=lambda l: (-langs[l], l))
+
+
+def test_source_pagerank_matches_python_power_iteration(spark):
+    """The integer fixed-point PageRank equals a pure-Python replay
+    over the same overlap edges, and total mass stays within the
+    truncation budget of 1.0·SCALE."""
+    from netcdf_olap_spark.queries.text import (
+        _PR_ITERS,
+        _PR_SCALE,
+        doc_source_overlap,
+        doc_source_pagerank,
+    )
+
+    got = {r.source: r.rank_e12 for r in doc_source_pagerank(spark, SF_SMALL).collect()}
+    sym = doc_source_overlap(spark, SF_SMALL).collect()
+    edges: dict[str, dict[str, int]] = {}
+    for e in sym:
+        edges.setdefault(e.s1, {})[e.s2] = e.n_shared_chunks
+        edges.setdefault(e.s2, {})[e.s1] = e.n_shared_chunks
+    nodes = sorted(
+        {
+            r.source
+            for r in spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+            .select("source")
+            .distinct()
+            .collect()
+        }
+    )
+    n = len(nodes)
+    rank = {s: _PR_SCALE // n for s in nodes}
+    outw = {s: sum(edges.get(s, {}).values()) for s in nodes}
+    for _ in range(_PR_ITERS):
+        contrib = {s: 0 for s in nodes}
+        for j in nodes:
+            if outw[j]:
+                for i, w in edges[j].items():
+                    contrib[i] += rank[j] * w // outw[j]
+        dang = sum(rank[j] for j in nodes if not outw[j])
+        rank = {
+            s: (15 * _PR_SCALE // 100) // n + (85 * (contrib[s] + dang // n)) // 100
+            for s in nodes
+        }
+    assert got == rank
+    total = sum(got.values())
+    # truncating divisions only ever LOSE mass, never mint it
+    assert 0 < total <= _PR_SCALE
+    assert total > _PR_SCALE * 95 // 100
