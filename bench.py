@@ -125,6 +125,10 @@ EXTRA_R9 = [
     "emb_hard_negatives",
     "doc_curriculum_mix",
     "doc_adaptive_quality_filter_auto",
+    # fourth r9 pass: the overlap-graph PageRank (chunk self-join +
+    # three unrolled key-partitioned iterations — the heaviest of the
+    # pass's five operators)
+    "doc_source_pagerank",
 ]
 HEADLINE += EXTRA_R9
 

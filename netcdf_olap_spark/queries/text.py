@@ -633,8 +633,14 @@ def doc_source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
     )
     outw = edges.groupBy("src").agg(F.sum("w").cast("long").alias("outw"))
-    edges = edges.join(outw, "src")
-    nodes = d.select("source").distinct()
+    # The expensive chunk/edge pipeline feeds every iteration (contrib
+    # AND dangling) — Exchange reuse does not fire across consumers
+    # under AQE (the r7 lesson), so without this cut each unrolled
+    # iteration re-runs the whole CDC scan; the materialized edge
+    # list is at most #sources² rows.
+    edges = edges.join(outw, "src").localCheckpoint(eager=True)
+    outw = outw.localCheckpoint(eager=True)
+    nodes = d.select("source").distinct().localCheckpoint(eager=True)
     nn = nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
     r = nodes.crossJoin(F.broadcast(nn)).select(
         "source", F.expr(f"{_PR_SCALE} DIV n_nodes").cast("long").alias("rank"), "n_nodes"
@@ -664,6 +670,11 @@ def doc_source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("rank"),
                 "n_nodes",
             )
+            # rank appears twice downstream (next contrib + next
+            # dangling): cutting per iteration keeps the final plan
+            # linear in _PR_ITERS instead of exponential (each r_i
+            # otherwise embeds r_{i-1} twice); #sources rows.
+            .localCheckpoint(eager=True)
         )
     return r.select("source", F.col("rank").alias("rank_e12")).orderBy("source")
 

@@ -64,6 +64,11 @@ QUERIES = [
     "doc_minhash_calibration",
     "doc_delta_dedup",
     "doc_oov_rate",
+    # r9 fourth pass: the overlap-graph PageRank (chunk-hash self-join
+    # + 3 unrolled source-keyed iterations) and the sweep-line peak
+    # concurrency (two-level prefix scan — should hold alpha ~ 1).
+    "doc_source_pagerank",
+    "ev_max_concurrency",
 ]
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
