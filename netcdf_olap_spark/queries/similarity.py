@@ -932,11 +932,15 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("r", F.row_number().over(w))
         .where(F.col("r") <= 10)
-        .select("qid", F.col("vec_id").alias("hvec"))
+        # alias BOTH columns: full/half share pairs' lineage, so an
+        # un-aliased qid==qid predicate is self-join-ambiguous (Spark
+        # resolves it by dataset id today but logs a trivially-true
+        # WARN; an explicit rename is unambiguous everywhere)
+        .select(F.col("qid").alias("hqid"), F.col("vec_id").alias("hvec"))
     )
     hits = (
-        full.join(half, (full.qid == half.qid) & (full.vec_id == half.hvec), "left")
-        .groupBy(full.qid.alias("qid"))
+        full.join(half, (F.col("qid") == F.col("hqid")) & (F.col("vec_id") == F.col("hvec")), "left")
+        .groupBy("qid")
         .agg(F.count(F.when(F.col("hvec").isNotNull(), F.lit(1))).cast("long").alias("n_hits"))
     )
     return hits.select(

@@ -531,6 +531,38 @@ ORDER BY doc_id
 """
 
 
+def _source_chunk_hashes(d: DataFrame) -> DataFrame:
+    """Distinct (source, chunk-hash) pairs over ≥4-token CDC chunks —
+    the shared building block of the source-overlap matrix and the
+    overlap-graph PageRank (whose docstring/test assert their graphs
+    are the SAME matrix; one definition keeps the chunking knobs and
+    the ≥4 floor from drifting apart).  The ≥4-token floor keeps
+    single-common-word chunks from lighting the whole matrix
+    (measured: the unfiltered matrix is fully dense; at ≥4 tokens
+    only genuinely shared passages remain)."""
+    toks = d.select("doc_id", "source", text.tokens("text").alias("t")).where(F.size("t") > 0)
+    cuts = toks.select("source", "t", text.content_cutpoints(F.col("t")).alias("c"))
+    raw = cuts.select(
+        "source", F.explode(text.chunks_from_cuts(F.col("t"), F.col("c"))).alias("ct")
+    )
+    return (
+        raw.where(F.size(F.split("ct", " ")) >= 4)
+        .select("source", F.md5("ct").alias("h"))
+        .distinct()
+    )
+
+
+# DuckDB twin of _source_chunk_hashes — the shared CTE prefix ending
+# in ch(source, h); composed by both the overlap and pagerank oracles.
+DUCK_SOURCE_CHUNK_CTES = f"""toks AS (SELECT doc_id, source, {DUCK_TOKS} AS t FROM documents),
+cuts AS (
+  SELECT doc_id, source, t, {DUCK_CUTS} AS c
+  FROM toks WHERE len(t) > 0),
+raw AS (SELECT source, unnest({DUCK_CHUNKS}) AS ct FROM cuts),
+ch AS (SELECT DISTINCT source, md5(ct) AS h
+       FROM raw WHERE len(string_split(ct, ' ')) >= 4)"""
+
+
 def doc_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source content-overlap matrix (corpus provenance audit):
     for every source pair, how many distinct CDC chunks of ≥4 tokens
@@ -545,17 +577,7 @@ def doc_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bounded by #sources² (a universal chunk in every source emits
     #sources² pairs, not corpus²); output is at most the source-pair
     matrix."""
-    d = _docs(spark, sf_dir)
-    toks = d.select("doc_id", "source", text.tokens("text").alias("t")).where(F.size("t") > 0)
-    cuts = toks.select("source", "t", text.content_cutpoints(F.col("t")).alias("c"))
-    raw = cuts.select(
-        "source", F.explode(text.chunks_from_cuts(F.col("t"), F.col("c"))).alias("ct")
-    )
-    ch = (
-        raw.where(F.size(F.split("ct", " ")) >= 4)
-        .select("source", F.md5("ct").alias("h"))
-        .distinct()
-    )
+    ch = _source_chunk_hashes(_docs(spark, sf_dir))
     a, b = ch.alias("a"), ch.alias("b")
     return (
         a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.source") < F.col("b.source")))
@@ -566,16 +588,7 @@ def doc_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DOC_SOURCE_OVERLAP_SQL = f"""
-WITH toks AS (SELECT doc_id, source, {DUCK_TOKS} AS t FROM documents),
-cuts AS (
-  SELECT doc_id, source, t, {DUCK_CUTS} AS c
-  FROM toks WHERE len(t) > 0),
-raw AS (
-  SELECT source, unnest({DUCK_CHUNKS}) AS ct
-  FROM cuts),
-ch AS (
-  SELECT DISTINCT source, md5(ct) AS h
-  FROM raw WHERE len(string_split(ct, ' ')) >= 4)
+WITH {DUCK_SOURCE_CHUNK_CTES}
 SELECT a.source AS s1, b.source AS s2, CAST(COUNT(*) AS BIGINT) AS n_shared_chunks
 FROM ch a JOIN ch b ON a.h = b.h AND a.source < b.source
 GROUP BY a.source, b.source
@@ -616,16 +629,7 @@ def doc_source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolled 3-iteration plan keeps every stage key-partitioned on
     source, never all-pairs."""
     d = _docs(spark, sf_dir)
-    toks = d.select("doc_id", "source", text.tokens("text").alias("t")).where(F.size("t") > 0)
-    cuts = toks.select("source", "t", text.content_cutpoints(F.col("t")).alias("c"))
-    raw = cuts.select(
-        "source", F.explode(text.chunks_from_cuts(F.col("t"), F.col("c"))).alias("ct")
-    )
-    ch = (
-        raw.where(F.size(F.split("ct", " ")) >= 4)
-        .select("source", F.md5("ct").alias("h"))
-        .distinct()
-    )
+    ch = _source_chunk_hashes(d)
     a, b = ch.alias("a"), ch.alias("b")
     edges = (
         a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.source") != F.col("b.source")))
@@ -637,9 +641,12 @@ def doc_source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # AND dangling) — Exchange reuse does not fire across consumers
     # under AQE (the r7 lesson), so without this cut each unrolled
     # iteration re-runs the whole CDC scan; the materialized edge
-    # list is at most #sources² rows.
+    # list is at most #sources² rows.  outw is then RE-derived from
+    # the checkpointed edges (one row per src, outw constant within a
+    # src group) — checkpointing the pre-join outw would re-execute
+    # the whole edge build a second time.
     edges = edges.join(outw, "src").localCheckpoint(eager=True)
-    outw = outw.localCheckpoint(eager=True)
+    outw = edges.select("src", "outw").dropDuplicates(["src"])
     nodes = d.select("source").distinct().localCheckpoint(eager=True)
     nn = nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
     r = nodes.crossJoin(F.broadcast(nn)).select(
@@ -681,13 +688,7 @@ def doc_source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pagerank_sql() -> str:
     head = f"""
-WITH toks AS (SELECT doc_id, source, {DUCK_TOKS} AS t FROM documents),
-cuts AS (
-  SELECT doc_id, source, t, {DUCK_CUTS} AS c
-  FROM toks WHERE len(t) > 0),
-raw AS (SELECT source, unnest({DUCK_CHUNKS}) AS ct FROM cuts),
-ch AS (SELECT DISTINCT source, md5(ct) AS h
-       FROM raw WHERE len(string_split(ct, ' ')) >= 4),
+WITH {DUCK_SOURCE_CHUNK_CTES},
 edges AS (
   SELECT a.source AS src, b.source AS dst, CAST(COUNT(*) AS BIGINT) AS w
   FROM ch a JOIN ch b ON a.h = b.h AND a.source != b.source

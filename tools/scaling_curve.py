@@ -65,10 +65,16 @@ QUERIES = [
     "doc_delta_dedup",
     "doc_oov_rate",
     # r9 fourth pass: the overlap-graph PageRank (chunk-hash self-join
-    # + 3 unrolled source-keyed iterations) and the sweep-line peak
-    # concurrency (two-level prefix scan — should hold alpha ~ 1).
+    # + 3 unrolled source-keyed iterations), the sweep-line peak
+    # concurrency (two-level prefix scan — should hold alpha ~ 1),
+    # the Matryoshka audit's two sampled crossJoin passes, and the
+    # datacard's scan+mode rollup.  (grid_trend_ols is excluded: the
+    # grid fixture does not scale with sf, so its alpha measures
+    # session noise — documented in BASELINE.md.)
     "doc_source_pagerank",
     "ev_max_concurrency",
+    "emb_matryoshka_recall",
+    "doc_datacard",
 ]
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
