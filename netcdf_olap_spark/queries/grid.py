@@ -1275,9 +1275,72 @@ ORDER BY y, x
 """
 
 
+def grid_streak_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell heatwave/streak statistics: for each cell, the LONGEST
+    run of consecutive days with value > 275 K, plus total above-
+    threshold days and run count — the consecutive-exceedance metric
+    (heatwave duration / dry-spell length) climate indices are built
+    from (ETCCDI WSDI-style, fixed threshold).  A missing day or a
+    NULL (fill) day breaks the run, the standard index policy.
+
+    Gaps-and-islands per cell: island id = day index − ROW_NUMBER over
+    the cell's above-threshold days (constant within a consecutive
+    run), then two exact integer rollups.  Cells that never exceed
+    carry no row.
+
+    100 TB shape: one filter-reduced window sort per cell key (the
+    cube's natural partitioning) and two key-local aggregations —
+    no join, no global sort; all arithmetic integer."""
+    g = load_grid(spark).where(
+        (F.col("variable") == "LST_LWST_avg_daily")
+        & F.col("value").isNotNull()
+        & (F.col("value") > 275.0)
+    )
+    t = F.datediff(F.col("time"), F.lit("1990-01-01").cast("date")).cast("long")
+    w = Window.partitionBy("y", "x").orderBy("t")
+    runs = (
+        g.select("y", "x", t.alias("t"))
+        .withColumn("island", F.col("t") - F.row_number().over(w))
+        .groupBy("y", "x", "island")
+        .agg(F.count(F.lit(1)).cast("long").alias("run_len"))
+    )
+    return (
+        runs.groupBy("y", "x")
+        .agg(
+            F.max("run_len").alias("longest_run"),
+            F.sum("run_len").cast("long").alias("n_above_days"),
+            F.count(F.lit(1)).cast("long").alias("n_runs"),
+        )
+        .orderBy("y", "x")
+    )
+
+
+GRID_STREAK_SQL = f"""
+WITH above AS (
+  SELECT y, x, date_diff('day', DATE '1990-01-01', CAST(time AS DATE)) AS t
+  FROM {GRID}
+  WHERE variable = 'LST_LWST_avg_daily' AND value IS NOT NULL AND value > 275.0),
+runs AS (
+  SELECT y, x,
+         t - ROW_NUMBER() OVER (PARTITION BY y, x ORDER BY t) AS island
+  FROM above),
+grouped AS (
+  SELECT y, x, island, CAST(COUNT(*) AS BIGINT) AS run_len
+  FROM runs GROUP BY y, x, island)
+SELECT y, x,
+       CAST(MAX(run_len) AS BIGINT) AS longest_run,
+       CAST(SUM(run_len) AS BIGINT) AS n_above_days,
+       CAST(COUNT(*) AS BIGINT) AS n_runs
+FROM grouped
+GROUP BY y, x
+ORDER BY y, x
+"""
+
+
 QUERIES = {
     "grid_polygon_stats": (grid_polygon_stats, GRID_POLYGON_STATS_SQL),
     "grid_trend_ols": (grid_trend_ols, GRID_TREND_OLS_SQL),
+    "grid_streak_runs": (grid_streak_runs, GRID_STREAK_SQL),
     "grid_ingest_nc": (grid_ingest_nc, GRID_INGEST_NC_SQL),
     "grid_export_roundtrip": (grid_export_roundtrip, GRID_EXPORT_ROUNDTRIP_SQL),
     "grid_ingest_catalog": (grid_ingest_catalog, GRID_INGEST_CATALOG_SQL),

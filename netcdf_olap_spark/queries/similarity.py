@@ -977,6 +977,86 @@ ORDER BY f.qid
 """
 
 
+def emb_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding DRIFT report: per label, how far the centroid of one
+    deterministic half of the corpus (even vec_id) sits from the
+    other half's (odd vec_id) — the monitoring number that catches an
+    upstream embedding-model or data-mix change between two corpus
+    builds before an index is rebuilt on mixed geometry.  Reported as
+    the L1 and max per-dimension centroid gap.
+
+    Exactness: comparing means would need a division per (label, dim,
+    half); instead the gap is kept RATIONAL — per dimension,
+    |Σeven·n_odd − Σodd·n_even| over the common denominator
+    n_even·n_odd, with the decimal(18,8) sums and (8,0) counts
+    multiplying exactly in both engines; the final double division
+    happens once per label on bitwise-identical operands.
+
+    100 TB shape: one posexplode + one (label, dim) aggregation with
+    conditional sums (map-side combine), then a label rollup —
+    exactly emb_centroids' plan with a parity split; no join."""
+    e = _emb(spark, sf_dir)
+    ex = e.select(
+        "label",
+        (F.col("vec_id") % 2 == 0).alias("is_even"),
+        F.posexplode("embedding").alias("pos", "val"),
+    )
+    dec = "decimal(18,8)"
+    per_dim = ex.groupBy("label", "pos").agg(
+        F.sum(F.when(F.col("is_even"), F.col("val").cast("double").cast(dec))).alias("s_even"),
+        F.sum(F.when(~F.col("is_even"), F.col("val").cast("double").cast(dec))).alias("s_odd"),
+        F.sum(F.when(F.col("is_even"), 1).otherwise(0)).cast("long").alias("n_even"),
+        F.sum(F.when(~F.col("is_even"), 1).otherwise(0)).cast("long").alias("n_odd"),
+    )
+    num = F.abs(
+        F.col("s_even").cast(dec) * F.col("n_odd").cast("decimal(8,0)")
+        - F.col("s_odd").cast(dec) * F.col("n_even").cast("decimal(8,0)")
+    )
+    per_label = (
+        per_dim.where((F.col("n_even") > 0) & (F.col("n_odd") > 0))
+        .select("label", "n_even", "n_odd", num.alias("num"))
+        .groupBy("label", "n_even", "n_odd")
+        .agg(F.sum("num").alias("l1_num"), F.max("num").alias("max_num"))
+    )
+    den = (F.col("n_even") * F.col("n_odd")).cast("double")
+    return per_label.select(
+        "label",
+        "n_even",
+        "n_odd",
+        (F.col("l1_num").cast("double") / den).alias("l1_shift"),
+        (F.col("max_num").cast("double") / den).alias("max_dim_shift"),
+    ).orderBy("label")
+
+
+EMB_CENTROID_SHIFT_SQL = """
+WITH ex AS (
+  SELECT label, vec_id % 2 = 0 AS is_even, i - 1 AS pos,
+         CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,8)) AS val
+  FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)),
+per_dim AS (
+  SELECT label, pos,
+         CAST(SUM(CASE WHEN is_even THEN val END) AS DECIMAL(18,8)) AS s_even,
+         CAST(SUM(CASE WHEN NOT is_even THEN val END) AS DECIMAL(18,8)) AS s_odd,
+         CAST(SUM(CASE WHEN is_even THEN 1 ELSE 0 END) AS BIGINT) AS n_even,
+         CAST(SUM(CASE WHEN NOT is_even THEN 1 ELSE 0 END) AS BIGINT) AS n_odd
+  FROM ex GROUP BY label, pos),
+per_label AS (
+  SELECT label, n_even, n_odd,
+         SUM(ABS(s_even * CAST(n_odd AS DECIMAL(8,0))
+                 - s_odd * CAST(n_even AS DECIMAL(8,0)))) AS l1_num,
+         MAX(ABS(s_even * CAST(n_odd AS DECIMAL(8,0))
+                 - s_odd * CAST(n_even AS DECIMAL(8,0)))) AS max_num
+  FROM per_dim
+  WHERE n_even > 0 AND n_odd > 0
+  GROUP BY label, n_even, n_odd)
+SELECT label, n_even, n_odd,
+       CAST(l1_num AS DOUBLE) / CAST(n_even * n_odd AS DOUBLE) AS l1_shift,
+       CAST(max_num AS DOUBLE) / CAST(n_even * n_odd AS DOUBLE) AS max_dim_shift
+FROM per_label
+ORDER BY label
+"""
+
+
 def emb_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-projection prefilter + exact rerank (the third ANN
     family beside LSH buckets and IVF lists): corpus ranked by cosine
@@ -1037,6 +1117,7 @@ QUERIES = {
     "emb_hard_negatives": (emb_hard_negatives, EMB_HARD_NEGATIVES_SQL),
     "emb_ann_recall_report": (emb_ann_recall_report, EMB_ANN_RECALL_SQL),
     "emb_matryoshka_recall": (emb_matryoshka_recall, EMB_MATRYOSHKA_SQL),
+    "emb_centroid_shift": (emb_centroid_shift, EMB_CENTROID_SHIFT_SQL),
     "emb_cluster_components": (emb_cluster_components, EMB_CLUSTER_COMPONENTS_SQL),
     "emb_knn_ivf": (emb_knn_ivf, None),
     "emb_knn_ivf_exact": (emb_knn_ivf_exact, EMB_KNN_BRUTE_SQL),

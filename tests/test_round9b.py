@@ -199,3 +199,109 @@ def test_source_pagerank_matches_python_power_iteration(spark):
     # truncating divisions only ever LOSE mass, never mint it
     assert 0 < total <= _PR_SCALE
     assert total > _PR_SCALE * 95 // 100
+
+
+def test_asof_tolerance_matches_python_replay(spark):
+    """Tolerance as-of ≡ per-purchase scan for the same user's latest
+    at-or-before click, nulled past 24 h; the fixture must exercise
+    both sides of the cutoff."""
+    from netcdf_olap_spark.queries.events import US_24H, join_asof_tolerance
+    from netcdf_olap_spark.session import load_events
+
+    rows = {r.event_id: r for r in join_asof_tolerance(spark, SF_SMALL).collect()}
+    ev = (
+        load_events(spark, SF_SMALL)
+        .select("event_id", "user_id", "event_type", F.expr("ts_ns DIV 1000").alias("t"))
+        .collect()
+    )
+    clicks: dict[int, list] = {}
+    for r in ev:
+        if r.event_type == "click":
+            clicks.setdefault(r.user_id, []).append(r)
+    purchases = [r for r in ev if r.event_type == "purchase"]
+    assert len(rows) == len(purchases)
+    checked_in = checked_out = 0
+    for p in purchases:
+        cands = [c for c in clicks.get(p.user_id, []) if c.t <= p.t]
+        got = rows[p.event_id]
+        if not cands:
+            assert got.click_id is None and got.lag_us is None
+            continue
+        best = max(cands, key=lambda c: (c.t, c.event_id))
+        lag = p.t - best.t
+        if lag <= US_24H:
+            assert got.click_id == best.event_id and got.lag_us == lag
+            checked_in += 1
+        else:
+            assert got.click_id is None and got.lag_us is None
+            checked_out += 1
+    assert checked_in > 0 and checked_out > 0
+
+
+def test_streak_runs_matches_python_replay(spark):
+    """Longest-run/total/count per cell equal a straight Python scan,
+    and runs break on gaps exactly."""
+    from netcdf_olap_spark.queries.grid import grid_streak_runs
+    from netcdf_olap_spark.session import load_grid
+
+    got = {(r.y, r.x): r for r in grid_streak_runs(spark, SF_SMALL).collect()}
+    raw = (
+        load_grid(spark)
+        .where(
+            (F.col("variable") == "LST_LWST_avg_daily")
+            & F.col("value").isNotNull()
+            & (F.col("value") > 275.0)
+        )
+        .select("y", "x", F.datediff("time", F.lit("1990-01-01").cast("date")).alias("t"))
+        .collect()
+    )
+    cells: dict[tuple[int, int], list[int]] = {}
+    for r in raw:
+        cells.setdefault((r.y, r.x), []).append(r.t)
+    assert set(got) == set(cells)
+    multi_run_seen = False
+    for cell, ts in cells.items():
+        ts.sort()
+        runs = []
+        cur = 1
+        for a, b in zip(ts, ts[1:]):
+            if b == a + 1:
+                cur += 1
+            else:
+                runs.append(cur)
+                cur = 1
+        runs.append(cur)
+        g = got[cell]
+        assert g.longest_run == max(runs)
+        assert g.n_above_days == len(ts)
+        assert g.n_runs == len(runs)
+        multi_run_seen = multi_run_seen or len(runs) > 1
+    assert multi_run_seen, "fixture should contain at least one broken streak"
+
+
+def test_centroid_shift_matches_numpy(spark):
+    """The rational L1/max centroid gaps equal numpy means computed
+    per half (to within float tolerance of the exact rational)."""
+    import numpy as np
+
+    from netcdf_olap_spark.queries.similarity import emb_centroid_shift
+
+    rows = {r.label: r for r in emb_centroid_shift(spark, SF_SMALL).collect()}
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").collect()
+    by_label: dict[int, dict[bool, list]] = {}
+    for r in emb:
+        # mirror the operator's decimal(18,8) per-value quantization
+        v = np.round(np.array(r.embedding, dtype=float), 8)
+        by_label.setdefault(r.label, {}).setdefault(r.vec_id % 2 == 0, []).append(v)
+    for label, halves in by_label.items():
+        if True not in halves or False not in halves:
+            assert label not in rows
+            continue
+        ce = np.mean(halves[True], axis=0)
+        co = np.mean(halves[False], axis=0)
+        g = rows[label]
+        assert g.n_even == len(halves[True])
+        assert g.n_odd == len(halves[False])
+        assert abs(g.l1_shift - np.abs(ce - co).sum()) < 1e-6
+        assert abs(g.max_dim_shift - np.abs(ce - co).max()) < 1e-8
+        assert g.max_dim_shift <= g.l1_shift
