@@ -139,8 +139,14 @@ _PRIORITY: tuple[str, ...] = (
     # extended TPC-H shapes (EXISTS→semi with residual; covers J4's plan
     # since join_semi's slot moved here)
     "q4_priority_exists",
-    # text / dedup (N1, N3, UDF2, UDTF)
-    "doc_token_stats",
+    # text / dedup (N1, N3, UDF2, UDTF).  Late-r9 rotation:
+    # doc_token_stats left the window — token counting's exact values
+    # also ride doc_quality_score (n_tokens, mean_token_len) and
+    # doc_datacard, so the slot carries doc_source_pagerank below
+    # instead: the registry's first ITERATIVE graph algorithm (3
+    # integer fixed-point power iterations over the CDC overlap
+    # graph), a capability class nothing else in the window
+    # represents.  doc_token_stats stays registered + parity-checked.
     "doc_quality_score",
     "doc_lang_id",
     "doc_exact_dedup",
@@ -182,6 +188,7 @@ _PRIORITY: tuple[str, ...] = (
     # md5-verified cleaned-text reconstruction).
     "doc_shift_dedup",
     "doc_boilerplate",
+    "doc_source_pagerank",
     # similarity / ANN (N2).  r9 rotation: emb_knn_ivf_exact left the
     # window — it shares emb_knn_brute's oracle AND output (the IVF
     # index path probing all lists is provably brute-equal), so the

@@ -305,3 +305,45 @@ def test_centroid_shift_matches_numpy(spark):
         assert abs(g.l1_shift - np.abs(ce - co).sum()) < 1e-6
         assert abs(g.max_dim_shift - np.abs(ce - co).max()) < 1e-8
         assert g.max_dim_shift <= g.l1_shift
+
+
+def test_max_concurrency_boundary_semantics(spark, tmp_path):
+    """Crafted collisions pin the half-open interval rules: an arrival
+    exactly at another's departure does NOT overlap it; same-instant
+    arrivals all count; carry-in across an empty-arrival hour is
+    reported from the departure points."""
+    import datetime as dt
+
+    from netcdf_olap_spark.queries.events import ev_max_concurrency
+
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # hour 0: three same-instant arrivals at :05 → peak 3
+        (1, base + 5 * m), (2, base + 5 * m), (3, base + 5 * m),
+        # :15 = exactly the 10-min departure of the :05 cohort → the
+        # new arrival must NOT stack on them (half-open): peak stays 3
+        (4, base + 15 * m),
+        # hour 1: one arrival at :55 + 10min spills into hour 1; a
+        # second arrival at 1:02 overlaps it → peak 2 in hour 1
+        (5, base + 55 * m), (6, base + 62 * m),
+    ]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "event_type": pa.array(["click"] * len(rows)),
+            "value": pa.array([1.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    out = {r.win_start_us: r for r in ev_max_concurrency(spark, str(tmp_path)).collect()}
+    h0 = int(base.timestamp()) * 1_000_000
+    h1 = h0 + 3_600_000_000
+    assert out[h0].n_arrivals == 5 and out[h0].peak_concurrency == 3
+    assert out[h1].n_arrivals == 1 and out[h1].peak_concurrency == 2
