@@ -14,6 +14,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from netcdf_olap_spark.operators import dedup, sketches, spandedup, text
 
@@ -297,6 +298,63 @@ SELECT d.doc_id,
        COALESCE(c.comp, d.doc_id) = d.doc_id AS is_keeper
 FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
 ORDER BY d.doc_id
+"""
+
+
+def doc_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware SURVIVORSHIP: which document a near-dup cluster
+    KEEPS.  doc_dedup_clusters' min-id keeper is deterministic but
+    content-blind; production dedup (RefinedWeb/FineWeb practice)
+    keeps the most complete member — here the most tokens, doc_id
+    ascending as the tie-break, so the policy stays a pure function
+    of corpus content.  Output: every doc with its cluster id, token
+    count, the cluster's chosen keeper, and the keep flag.
+
+    100 TB shape: clustering is the existing sub-quadratic pair +
+    min-label pipeline; the policy adds ONE unordered max-struct
+    window on the component key (no sort — an unbounded-frame MAX)
+    and a map-side flag; token counts are the projection the cluster
+    build already tokenizes for."""
+    from netcdf_olap_spark.operators.components import connected_components
+
+    d = _docs(spark, sf_dir)
+    pairs = dedup.jaccard_pairs(d, threshold=0.12, n=3)
+    comp = connected_components(pairs).withColumnRenamed("id", "doc_id")
+    m = (
+        d.select("doc_id", F.size(text.tokens("text")).cast("long").alias("n_tok"))
+        .join(comp, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("comp", "doc_id"))
+    )
+    w = Window.partitionBy("cluster_id")
+    best = F.max(F.struct(F.col("n_tok"), (-F.col("doc_id")).alias("neg_id"))).over(w)
+    return (
+        m.withColumn("keeper_id", (-best["neg_id"]).cast("long"))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "n_tok",
+            "keeper_id",
+            (F.col("doc_id") == F.col("keeper_id")).alias("is_kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOC_SURVIVORSHIP_SQL = f"""
+{_CLUSTERS_CTE},
+tk AS (SELECT doc_id, len({DUCK_TOKS}) AS n_tok FROM documents),
+m AS (
+  SELECT t.doc_id, t.n_tok, COALESCE(c.comp, t.doc_id) AS cluster_id
+  FROM tk t LEFT JOIN comp c ON c.id = t.doc_id),
+r AS (
+  SELECT m.*, ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                 ORDER BY n_tok DESC, doc_id ASC) AS rn
+  FROM m),
+k AS (SELECT cluster_id, doc_id AS keeper_id FROM r WHERE rn = 1)
+SELECT m.doc_id, m.cluster_id, CAST(m.n_tok AS BIGINT) AS n_tok,
+       k.keeper_id, m.doc_id = k.keeper_id AS is_kept
+FROM m JOIN k USING (cluster_id)
+ORDER BY m.doc_id
 """
 
 
@@ -1672,6 +1730,7 @@ QUERIES = {
     "doc_sentence_stats": (doc_sentence_stats, DOC_SENTENCE_SQL),
     "grid_midhinge": (grid_midhinge, GRID_MIDHINGE_SQL),
     "doc_dedup_clusters": (doc_dedup_clusters, DOC_DEDUP_CLUSTERS_SQL),
+    "doc_survivorship": (doc_survivorship, DOC_SURVIVORSHIP_SQL),
     "doc_cluster_split": (doc_cluster_split, DOC_CLUSTER_SPLIT_SQL),
     "doc_shift_dedup": (doc_shift_dedup, DOC_SHIFT_DEDUP_SQL),
     "doc_boilerplate": (doc_boilerplate, DOC_BOILERPLATE_SQL),

@@ -347,3 +347,29 @@ def test_max_concurrency_boundary_semantics(spark, tmp_path):
     h1 = h0 + 3_600_000_000
     assert out[h0].n_arrivals == 5 and out[h0].peak_concurrency == 3
     assert out[h1].n_arrivals == 1 and out[h1].peak_concurrency == 2
+
+
+def test_survivorship_keeps_longest_consistent_with_clusters(spark):
+    """Cluster partition agrees with doc_dedup_clusters; within every
+    cluster the keeper is the max-token (tie: min doc_id) member;
+    exactly one keeper per cluster; at least one cluster where the
+    keeper differs from the min-id policy OR all clusters are
+    singletons (fixture sanity)."""
+    from netcdf_olap_spark.queries.text import doc_dedup_clusters, doc_survivorship
+
+    surv = doc_survivorship(spark, SF_SMALL).collect()
+    clus = {r.doc_id: r.keeper_id for r in doc_dedup_clusters(spark, SF_SMALL).collect()}
+    by_cluster: dict[int, list] = {}
+    for r in surv:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+        # same partition as the min-id clustering (cluster_id IS the
+        # min-label component id)
+        assert clus[r.doc_id] == r.cluster_id
+    multi = 0
+    for cid, members in by_cluster.items():
+        best = max(members, key=lambda m: (m.n_tok, -m.doc_id))
+        assert all(m.keeper_id == best.doc_id for m in members)
+        assert sum(m.is_kept for m in members) == 1
+        if len(members) > 1:
+            multi += 1
+    assert multi > 0, "fixture should contain non-singleton clusters"
