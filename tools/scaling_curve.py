@@ -75,6 +75,9 @@ QUERIES = [
     "ev_max_concurrency",
     "emb_matryoshka_recall",
     "doc_datacard",
+    # survivorship rides the jaccard-pair + components pipeline (the
+    # join family) with a component-keyed window on top
+    "doc_survivorship",
 ]
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
