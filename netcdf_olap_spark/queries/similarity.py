@@ -1006,7 +1006,12 @@ def emb_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional sums (map-side combine), then a label rollup —
     exactly emb_centroids' plan with a parity split; no join."""
     e = _emb(spark, sf_dir)
-    ex = e.select(
+    # pin the dimensionality on BOTH engines: the oracle's
+    # generate_series(1, 64) emits 64 rows per vector regardless of
+    # the actual array length, so a short/ragged vector would count
+    # differently there than posexplode does here — excluding non-64
+    # vectors symmetrically makes the latent divergence impossible
+    ex = e.where(F.size("embedding") == 64).select(
         "label",
         (F.col("vec_id") % 2 == 0).alias("is_even"),
         F.posexplode("embedding").alias("pos", "val"),
@@ -1042,7 +1047,8 @@ EMB_CENTROID_SHIFT_SQL = """
 WITH ex AS (
   SELECT label, vec_id % 2 = 0 AS is_even, i - 1 AS pos,
          CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,8)) AS val
-  FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)),
+  FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
+  WHERE len(embedding) = 64),
 per_dim AS (
   SELECT label, pos,
          CAST(SUM(CASE WHEN is_even THEN val END) AS DECIMAL(18,8)) AS s_even,

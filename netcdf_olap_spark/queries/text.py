@@ -315,15 +315,17 @@ def doc_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     window on the component key (no sort — an unbounded-frame MAX)
     and a map-side flag; token counts are the projection the cluster
     build already tokenizes for."""
-    from netcdf_olap_spark.operators.components import connected_components
+    from netcdf_olap_spark.operators.components import dedup_clusters
 
     d = _docs(spark, sf_dir)
     pairs = dedup.jaccard_pairs(d, threshold=0.12, n=3)
-    comp = connected_components(pairs).withColumnRenamed("id", "doc_id")
-    m = (
-        d.select("doc_id", F.size(text.tokens("text")).cast("long").alias("n_tok"))
-        .join(comp, "doc_id", "left")
-        .withColumn("cluster_id", F.coalesce("comp", "doc_id"))
+    # dedup_clusters' min-label keeper_id IS this query's cluster id —
+    # reusing the shared closure (like doc_dedup_clusters and
+    # doc_cluster_split) keeps the component policy from drifting
+    # between the cluster queries.
+    cl = dedup_clusters(pairs, d).select("doc_id", F.col("keeper_id").alias("cluster_id"))
+    m = d.select("doc_id", F.size(text.tokens("text")).cast("long").alias("n_tok")).join(
+        cl, "doc_id"
     )
     w = Window.partitionBy("cluster_id")
     best = F.max(F.struct(F.col("n_tok"), (-F.col("doc_id")).alias("neg_id"))).over(w)
