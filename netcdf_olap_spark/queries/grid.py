@@ -1337,10 +1337,80 @@ ORDER BY y, x
 """
 
 
+def grid_gdd_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative exceedance index per cell — growing-degree-days
+    (GDD) shape: for every cell and day, the running Σ max(value −
+    275, 0) over the cell's history so far, plus the running count of
+    contributing days.  THE cumulative climate index (GDD, heating/
+    cooling degree days, accumulated precipitation) — the reference's
+    per-day means cannot express accumulation at all.  NULL (fill)
+    days contribute 0 and still emit a row, so the series is dense
+    over observed days.
+
+    Determinism: the per-day increment is a decimal(18,6) clip, the
+    running sum a decimal accumulation over a per-cell total order
+    (t is unique within a cell) — exact at any partitioning; the
+    final double casts are int64-backed-decimal → double (correctly
+    rounded in both engines, the grid_trend_ols rule).
+
+    100 TB shape: ONE window sort per cell key (the cube's natural
+    partitioning) with an unbounded-preceding ROWS frame — running
+    state per cell is a single accumulator; no join, no second
+    scan."""
+    g = load_grid(spark).where(F.col("variable") == "LST_LWST_avg_daily")
+    t = F.datediff(F.col("time"), F.lit("1990-01-01").cast("date")).cast("long")
+    inc = F.greatest(
+        F.col("value").cast("decimal(18,6)") - F.lit(275).cast("decimal(18,6)"),
+        F.lit(0).cast("decimal(18,6)"),
+    )
+    base = g.select(
+        "y",
+        "x",
+        t.alias("t"),
+        F.coalesce(inc, F.lit(0).cast("decimal(18,6)")).alias("inc"),
+        F.when(F.col("value").isNotNull() & (F.col("value") > 275.0), 1)
+        .otherwise(0)
+        .alias("hit"),
+    )
+    w = (
+        Window.partitionBy("y", "x")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return base.select(
+        "y",
+        "x",
+        "t",
+        F.sum("inc").over(w).cast("decimal(18,6)").cast("double").alias("gdd_cum"),
+        F.sum("hit").over(w).cast("long").alias("n_contrib_days"),
+    ).orderBy("y", "x", "t")
+
+
+GRID_GDD_SQL = f"""
+WITH base AS (
+  SELECT y, x,
+         date_diff('day', DATE '1990-01-01', CAST(time AS DATE)) AS t,
+         COALESCE(GREATEST(CAST(value AS DECIMAL(18,6)) - CAST(275 AS DECIMAL(18,6)),
+                           CAST(0 AS DECIMAL(18,6))),
+                  CAST(0 AS DECIMAL(18,6))) AS inc,
+         CASE WHEN value IS NOT NULL AND value > 275.0 THEN 1 ELSE 0 END AS hit
+  FROM {GRID}
+  WHERE variable = 'LST_LWST_avg_daily')
+SELECT y, x, CAST(t AS BIGINT) AS t,
+       CAST(CAST(SUM(inc) OVER w AS DECIMAL(18,6)) AS DOUBLE) AS gdd_cum,
+       CAST(SUM(hit) OVER w AS BIGINT) AS n_contrib_days
+FROM base
+WINDOW w AS (PARTITION BY y, x ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY y, x, t
+"""
+
+
 QUERIES = {
     "grid_polygon_stats": (grid_polygon_stats, GRID_POLYGON_STATS_SQL),
     "grid_trend_ols": (grid_trend_ols, GRID_TREND_OLS_SQL),
     "grid_streak_runs": (grid_streak_runs, GRID_STREAK_SQL),
+    "grid_gdd_accumulate": (grid_gdd_accumulate, GRID_GDD_SQL),
     "grid_ingest_nc": (grid_ingest_nc, GRID_INGEST_NC_SQL),
     "grid_export_roundtrip": (grid_export_roundtrip, GRID_EXPORT_ROUNDTRIP_SQL),
     "grid_ingest_catalog": (grid_ingest_catalog, GRID_INGEST_CATALOG_SQL),

@@ -373,3 +373,48 @@ def test_survivorship_keeps_longest_consistent_with_clusters(spark):
         if len(members) > 1:
             multi += 1
     assert multi > 0, "fixture should contain non-singleton clusters"
+
+
+def test_gdd_accumulate_matches_python_cumsum(spark):
+    """Per cell, the running GDD equals a Python cumulative sum of the
+    decimal(18,6)-quantized clipped increments in day order, NULL days
+    contributing zero but still emitting rows."""
+    from decimal import Decimal
+
+    from netcdf_olap_spark.queries.grid import grid_gdd_accumulate
+    from netcdf_olap_spark.session import load_grid
+
+    rows = grid_gdd_accumulate(spark, SF_SMALL).collect()
+    raw = (
+        load_grid(spark)
+        .where(F.col("variable") == "LST_LWST_avg_daily")
+        .select("y", "x", F.datediff("time", F.lit("1990-01-01").cast("date")).alias("t"), "value")
+        .collect()
+    )
+    cells: dict[tuple[int, int], list] = {}
+    for r in raw:
+        cells.setdefault((r.y, r.x), []).append(r)
+    by_cell: dict[tuple[int, int], list] = {}
+    for r in rows:
+        by_cell.setdefault((r.y, r.x), []).append(r)
+    assert set(by_cell) == set(cells)
+    q = Decimal("0.000001")
+    null_rows_seen = 0
+    for cell, obs in cells.items():
+        obs.sort(key=lambda o: o.t)
+        got = sorted(by_cell[cell], key=lambda g: g.t)
+        assert [g.t for g in got] == [o.t for o in obs]
+        run = Decimal(0)
+        hits = 0
+        for o, g in zip(obs, got):
+            if o.value is not None:
+                inc = max(Decimal(repr(o.value)).quantize(q) - 275, Decimal(0))
+            else:
+                inc = Decimal(0)
+                null_rows_seen += 1
+            run += inc
+            if o.value is not None and o.value > 275.0:
+                hits += 1
+            assert abs(float(run) - g.gdd_cum) < 1e-9, (cell, o.t)
+            assert g.n_contrib_days == hits
+    assert null_rows_seen > 0, "fixture must exercise the NULL-day path"
