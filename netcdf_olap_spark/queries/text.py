@@ -868,6 +868,52 @@ ORDER BY id1, id2
 """
 
 
+def doc_delta_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_delta_dedup through AT-REST indexes — the shape the daily
+    job actually runs: the corpus's fingerprint and CDC-chunk-hash
+    indexes are MATERIALIZED (hex-nibble-partitioned parquet,
+    operators/corpusindex.py), then the batch probes them with
+    partition-pruned scans.  The oracle is doc_delta_dedup's own SQL,
+    so the driver hash-checks that the index path and the inline path
+    are value-identical every round — build∘probe ≡ recompute.
+
+    100 TB shape: the index build is one chunking pass + one
+    aggregation (amortized across days in production; rebuilt here so
+    the check is self-contained); the probe reads only the ≤16/16
+    nibble partitions the batch's own hashes can touch (static
+    PartitionFilters — plan-asserted in tests/test_corpus_index.py)
+    and equi-joins on the hash, work ∝ batch × overlap."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from netcdf_olap_spark.operators import corpusindex
+
+    d = _docs(spark, sf_dir)
+    batch = d.where(F.col("doc_id") % 20 == 0)
+    corpus = d.where(F.col("doc_id") % 20 != 0)
+
+    root = os.path.join(tempfile.gettempdir(), f"nolap_delta_idx_{os.getuid()}")
+    os.makedirs(root, exist_ok=True)
+    cutoff = time.time() - 3600
+    for stale in os.listdir(root):
+        p = os.path.join(root, stale)
+        try:
+            if os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            continue
+    out = tempfile.mkdtemp(dir=root)
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    chunk_dir = os.path.join(out, "chunks")
+    fp_dir = os.path.join(out, "fps")
+    corpusindex.write_chunk_index(corpus, chunk_dir)
+    corpusindex.write_fingerprint_index(corpus, fp_dir)
+    return corpusindex.probe_delta(spark, batch, chunk_dir, fp_dir)
+
+
 def doc_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash with the engine-portable md5-52-bit token hash: same
     bit-vote arithmetic, same chunk-blocked Hamming join — and the
@@ -1728,6 +1774,7 @@ QUERIES = {
     "doc_minhash_portable": (doc_minhash_portable, DOC_MINHASH_PORTABLE_SQL),
     "doc_minhash_calibration": (doc_minhash_calibration, DOC_MINHASH_CALIBRATION_SQL),
     "doc_delta_dedup": (doc_delta_dedup, DOC_DELTA_DEDUP_SQL),
+    "doc_delta_dedup_indexed": (doc_delta_dedup_indexed, DOC_DELTA_DEDUP_SQL),
     "doc_simhash_portable": (doc_simhash_portable, DOC_SIMHASH_PORTABLE_SQL),
     "doc_sentence_stats": (doc_sentence_stats, DOC_SENTENCE_SQL),
     "grid_midhinge": (grid_midhinge, GRID_MIDHINGE_SQL),
