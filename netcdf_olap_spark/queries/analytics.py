@@ -690,7 +690,64 @@ LIMIT 20
 """
 
 
+_FOOTER_COLS = ["l_discount", "l_extendedprice", "l_orderkey", "l_quantity", "l_tax"]
+
+
+def profile_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-TABLE statistics with ZERO data scan: per numeric
+    lineitem column, exact row count, null count, min and max — read
+    from parquet FOOTERS only (sources/stats.parquet_column_stats,
+    the machinery that already sizes SemDeDup/ANN by N).  The oracle
+    recomputes the same figures with a full data scan, so the driver
+    hash-checks that footer aggregation ≡ data truth — the guarantee
+    partition pruning and CBO estimates quietly rely on.
+
+    Determinism: parquet numeric min/max are exact stored values;
+    ``+ 0.0`` on both engines collapses IEEE −0.0 (which footers DO
+    store — l_discount's min here) onto +0.0 so the value hash cannot
+    split on the sign of zero.
+
+    100 TB shape: footer bytes only, no column data — driver-side
+    over a bounded file listing here; at warehouse scale the same
+    numbers come from one catalog lookup, or the footer pass
+    distributes over a binaryFile listing of the manifest."""
+    from netcdf_olap_spark.sources.stats import parquet_column_stats
+
+    n_rows, st = parquet_column_stats(
+        os.path.join(sf_dir, "lineitem.parquet"), _FOOTER_COLS
+    )
+    rows = [
+        (
+            c,
+            n_rows,
+            int(st[c]["n_nulls"]),
+            float(st[c]["min"]) + 0.0,
+            float(st[c]["max"]) + 0.0,
+        )
+        for c in _FOOTER_COLS
+    ]
+    return spark.createDataFrame(
+        rows, "column_name string, n_rows long, n_nulls long, min_val double, max_val double"
+    ).orderBy("column_name")
+
+
+def _footer_stats_sql() -> str:
+    parts = [
+        f"""SELECT '{c}' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(MIN({c}) AS DOUBLE) + 0.0 AS min_val,
+       CAST(MAX({c}) AS DOUBLE) + 0.0 AS max_val
+FROM lineitem"""
+        for c in _FOOTER_COLS
+    ]
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY column_name"
+
+
+PROFILE_FOOTER_STATS_SQL = _footer_stats_sql()
+
+
 QUERIES = {
+    "profile_footer_stats": (profile_footer_stats, PROFILE_FOOTER_STATS_SQL),
     "part_fuzzy_pairs": (part_fuzzy_pairs, PART_FUZZY_SQL),
     "profile_join_skew": (profile_join_skew, PROFILE_JOIN_SKEW_SQL),
     "profile_correlations": (profile_correlations, PROFILE_CORR_SQL),

@@ -20,13 +20,54 @@ import os
 import pyarrow.parquet as pq
 
 
-def parquet_num_rows(path: str) -> int:
-    """Exact row count of a parquet file or directory-of-files, read
-    from footers only."""
+def _list_parquet(path: str) -> list[str]:
     if os.path.isdir(path):
         files = sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
         if not files:
             raise FileNotFoundError(f"no parquet files under {path}")
-    else:
-        files = [path]
-    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        return files
+    return [path]
+
+
+def parquet_num_rows(path: str) -> int:
+    """Exact row count of a parquet file or directory-of-files, read
+    from footers only."""
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in _list_parquet(path))
+
+
+def parquet_column_stats(path: str, columns: list[str]) -> tuple[int, dict[str, dict]]:
+    """Exact (n_rows, per-column {n_nulls, min, max}) from parquet
+    FOOTERS only — the ANALYZE-TABLE statistics without touching a
+    single data page.  Row-group min/max in parquet are exact for
+    numeric types (string stats may be truncated — callers keep to
+    numerics), so the aggregate over row groups equals the data scan's
+    MIN/MAX/COUNT bit-for-bit.  Raises if any requested column lacks
+    statistics rather than silently returning partial truth."""
+    out: dict[str, dict] = {c: {"n_nulls": 0, "min": None, "max": None} for c in columns}
+    seen: set[str] = set()
+    n_rows = 0
+    for f in _list_parquet(path):
+        md = pq.ParquetFile(f).metadata
+        n_rows += md.num_rows
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            for i in range(rg.num_columns):
+                col = rg.column(i)
+                name = col.path_in_schema
+                if name not in out:
+                    continue
+                seen.add(name)
+                st = col.statistics
+                if st is None or st.null_count is None:
+                    raise ValueError(f"column {name} in {f} carries no statistics")
+                o = out[name]
+                o["n_nulls"] += st.null_count
+                if st.has_min_max:
+                    o["min"] = st.min if o["min"] is None else min(o["min"], st.min)
+                    o["max"] = st.max if o["max"] is None else max(o["max"], st.max)
+                elif st.null_count < rg.num_rows:
+                    raise ValueError(f"column {name} in {f} has values but no min/max")
+    missing = set(columns) - seen
+    if missing:
+        raise KeyError(f"columns not in {path}: {sorted(missing)}")
+    return n_rows, out

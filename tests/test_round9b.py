@@ -418,3 +418,24 @@ def test_gdd_accumulate_matches_python_cumsum(spark):
             assert abs(float(run) - g.gdd_cum) < 1e-9, (cell, o.t)
             assert g.n_contrib_days == hits
     assert null_rows_seen > 0, "fixture must exercise the NULL-day path"
+
+
+def test_footer_stats_equal_data_scan(spark):
+    """The footer-only statistics equal a real scan's COUNT/MIN/MAX
+    per column, and the -0.0 footer min normalizes to +0.0."""
+    from netcdf_olap_spark.queries.analytics import _FOOTER_COLS, profile_footer_stats
+
+    got = {r.column_name: r for r in profile_footer_stats(spark, SF_SMALL).collect()}
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    n = li.count()
+    for c in _FOOTER_COLS:
+        agg = li.agg(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias("nn"),
+            F.min(F.col(c).cast("double")).alias("mn"),
+            F.max(F.col(c).cast("double")).alias("mx"),
+        ).collect()[0]
+        g = got[c]
+        assert g.n_rows == n
+        assert g.n_nulls == agg.nn
+        assert g.min_val == agg.mn + 0.0 and g.max_val == agg.mx + 0.0
+        assert str(g.min_val) != "-0.0"
