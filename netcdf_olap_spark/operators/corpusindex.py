@@ -95,8 +95,14 @@ def probe_delta(
     hash nibbles (≤16 values each) are collected driver-side to prune
     the index scans."""
     fp = text.fingerprint("text")
-    b = batch.select("doc_id", fp.alias("fp"), "text")
-    batch_chunks = doc_chunk_hashes(batch, min_tokens).select("doc_id", "h")
+    # materialize both batch derivations ONCE: each feeds a nibble
+    # collect AND a join — without the cut, the expensive chunking
+    # pass (and the fingerprint scan) would execute twice, and the
+    # probe's dominant cost doubles; batch-sized, so cheap
+    b = batch.select("doc_id", fp.alias("fp")).localCheckpoint(eager=True)
+    batch_chunks = (
+        doc_chunk_hashes(batch, min_tokens).select("doc_id", "h").localCheckpoint(eager=True)
+    )
 
     h_nibbles = [r[0] for r in batch_chunks.select(F.substring("h", 1, 1)).distinct().collect()]
     f_nibbles = [r[0] for r in b.select(F.substring("fp", 1, 1)).distinct().collect()]

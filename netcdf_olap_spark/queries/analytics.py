@@ -721,8 +721,11 @@ def profile_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             c,
             n_rows,
             int(st[c]["n_nulls"]),
-            float(st[c]["min"]) + 0.0,
-            float(st[c]["max"]) + 0.0,
+            # an all-null column legitimately has no min/max — emit
+            # NULL (matching the oracle's MIN over all-NULL) instead
+            # of crashing on float(None)
+            None if st[c]["min"] is None else float(st[c]["min"]) + 0.0,
+            None if st[c]["max"] is None else float(st[c]["max"]) + 0.0,
         )
         for c in _FOOTER_COLS
     ]

@@ -1071,33 +1071,15 @@ def grid_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hashes match only if export∘ingest is the identity (NULL↔
     _FillValue inversion, hours-since-1990 re-encode, coordinate
     round-trip all value-perfect)."""
-    import atexit
-    import os
-    import shutil
-    import tempfile
-    import time
-
+    from netcdf_olap_spark.session import fresh_invocation_dir
     from netcdf_olap_spark.sinks.netcdf import export_netcdf_files
     from netcdf_olap_spark.sources.netcdf import ingest_directory
 
     sel = slice_ops.time_range(load_grid(spark), "1990-01-03", "1990-01-08")
     sel = sel.where(F.col("variable").isin("LST_LWST_avg_daily", "avg_night_temp"))
-    # one UNIQUE dir per invocation (concurrent bench/parity executions
-    # in one process must never re-ingest each other's — or stale —
-    # files), under a per-uid root swept of invocations older than an
-    # hour so loops don't leak directories; atexit catches the rest
-    root = os.path.join(tempfile.gettempdir(), f"nolap_export_rt_{os.getuid()}")
-    os.makedirs(root, exist_ok=True)
-    cutoff = time.time() - 3600
-    for stale in os.listdir(root):
-        p = os.path.join(root, stale)
-        try:
-            if os.path.getmtime(p) < cutoff:
-                shutil.rmtree(p, ignore_errors=True)
-        except OSError:
-            continue
-    out = tempfile.mkdtemp(dir=root)
-    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    # one UNIQUE dir per invocation — shared sweep/cleanup policy in
+    # session.fresh_invocation_dir
+    out = fresh_invocation_dir("nolap_export_rt")
     # executor-side sink: tasks write the .nc files atomically
     # (tempfile + os.replace) and return only manifest rows
     export_netcdf_files(sel, out, fmt="hdf5", gzip=6).collect()
@@ -1114,6 +1096,10 @@ def grid_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format(F.max("time"), "yyyy-MM-dd").alias("d_max"),
         )
         .orderBy("variable")
+        # eager: fresh_invocation_dir's contract — a lazy plan over
+        # the scratch .nc files could outlive a parallel sweep; the
+        # aggregate is per-variable rows, so this is cheap
+        .localCheckpoint(eager=True)
     )
 
 
@@ -1368,9 +1354,13 @@ def grid_gdd_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x",
         t.alias("t"),
         F.coalesce(inc, F.lit(0).cast("decimal(18,6)")).alias("inc"),
-        F.when(F.col("value").isNotNull() & (F.col("value") > 275.0), 1)
-        .otherwise(0)
-        .alias("hit"),
+    ).withColumn(
+        # "contributing" is defined FROM the quantized increment, so
+        # the count can never disagree with the sum (a raw-double
+        # `value > 275` test would count a day whose decimal(18,6)
+        # clip is exactly 0)
+        "hit",
+        F.when(F.col("inc") > 0, 1).otherwise(0),
     )
     w = (
         Window.partitionBy("y", "x")
@@ -1387,15 +1377,15 @@ def grid_gdd_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 GRID_GDD_SQL = f"""
-WITH base AS (
+WITH base0 AS (
   SELECT y, x,
          date_diff('day', DATE '1990-01-01', CAST(time AS DATE)) AS t,
          COALESCE(GREATEST(CAST(value AS DECIMAL(18,6)) - CAST(275 AS DECIMAL(18,6)),
                            CAST(0 AS DECIMAL(18,6))),
-                  CAST(0 AS DECIMAL(18,6))) AS inc,
-         CASE WHEN value IS NOT NULL AND value > 275.0 THEN 1 ELSE 0 END AS hit
+                  CAST(0 AS DECIMAL(18,6))) AS inc
   FROM {GRID}
-  WHERE variable = 'LST_LWST_avg_daily')
+  WHERE variable = 'LST_LWST_avg_daily'),
+base AS (SELECT *, CASE WHEN inc > 0 THEN 1 ELSE 0 END AS hit FROM base0)
 SELECT y, x, CAST(t AS BIGINT) AS t,
        CAST(CAST(SUM(inc) OVER w AS DECIMAL(18,6)) AS DOUBLE) AS gdd_cum,
        CAST(SUM(hit) OVER w AS BIGINT) AS n_contrib_days

@@ -883,35 +883,23 @@ def doc_delta_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     nibble partitions the batch's own hashes can touch (static
     PartitionFilters — plan-asserted in tests/test_corpus_index.py)
     and equi-joins on the hash, work ∝ batch × overlap."""
-    import atexit
-    import os
-    import shutil
-    import tempfile
-    import time
-
     from netcdf_olap_spark.operators import corpusindex
+    from netcdf_olap_spark.session import fresh_invocation_dir
 
     d = _docs(spark, sf_dir)
     batch = d.where(F.col("doc_id") % 20 == 0)
     corpus = d.where(F.col("doc_id") % 20 != 0)
 
-    root = os.path.join(tempfile.gettempdir(), f"nolap_delta_idx_{os.getuid()}")
-    os.makedirs(root, exist_ok=True)
-    cutoff = time.time() - 3600
-    for stale in os.listdir(root):
-        p = os.path.join(root, stale)
-        try:
-            if os.path.getmtime(p) < cutoff:
-                shutil.rmtree(p, ignore_errors=True)
-        except OSError:
-            continue
-    out = tempfile.mkdtemp(dir=root)
-    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    out = fresh_invocation_dir("nolap_delta_idx")
     chunk_dir = os.path.join(out, "chunks")
     fp_dir = os.path.join(out, "fps")
     corpusindex.write_chunk_index(corpus, chunk_dir)
     corpusindex.write_fingerprint_index(corpus, fp_dir)
-    return corpusindex.probe_delta(spark, batch, chunk_dir, fp_dir)
+    # eager: the result must not stay lazy over the scratch indexes —
+    # a parallel invocation's stale sweep may reclaim them after 1 h
+    # (fresh_invocation_dir's contract); the probe output is
+    # batch-sized, so the checkpoint is cheap
+    return corpusindex.probe_delta(spark, batch, chunk_dir, fp_dir).localCheckpoint(eager=True)
 
 
 def doc_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -979,23 +967,14 @@ def doc_delta_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_fp = corpus.select(fp.alias("fp")).distinct()
     b = batch.select("doc_id", fp.alias("fp"), "text")
 
-    def chunks(df: DataFrame) -> DataFrame:
-        # the shared CDC machinery (same definitions as
-        # doc_shift_dedup / doc_source_overlap — one chunking, never
-        # a second definition to drift)
-        toks = df.select("doc_id", text.tokens("text").alias("t")).where(F.size("t") > 0)
-        cuts = toks.select("doc_id", "t", text.content_cutpoints(F.col("t")).alias("c"))
-        raw = cuts.select(
-            "doc_id", F.explode(text.chunks_from_cuts(F.col("t"), F.col("c"))).alias("ct")
-        )
-        return (
-            raw.where(F.size(F.split("ct", " ")) >= 4)
-            .select("doc_id", F.md5("ct").alias("h"))
-            .distinct()
-        )
+    # ONE chunking definition — corpusindex.doc_chunk_hashes is the
+    # same composition the at-rest index path builds from, so the
+    # inline twin (this query) and doc_delta_dedup_indexed can never
+    # drift apart (their driver oracle is shared)
+    from netcdf_olap_spark.operators.corpusindex import doc_chunk_hashes
 
-    corpus_chunks = chunks(corpus).select("h").distinct()
-    batch_chunks = chunks(batch)
+    corpus_chunks = doc_chunk_hashes(corpus).select("h").distinct()
+    batch_chunks = doc_chunk_hashes(batch).select("doc_id", "h")
     hits = (
         batch_chunks.join(corpus_chunks, "h", "left_semi")
         .groupBy("doc_id")

@@ -33,6 +33,36 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 FIXTURES_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures")
 
 
+def fresh_invocation_dir(prefix: str, max_age_s: int = 3600) -> str:
+    """One UNIQUE scratch directory per query invocation (registry
+    queries that materialize artifacts — NetCDF export round-trip,
+    at-rest index probes — must never re-read each other's or stale
+    files), under a per-uid root swept of invocations older than
+    ``max_age_s``; atexit catches the rest.  Callers whose returned
+    DataFrame stays lazy over files in here must eagerly materialize
+    it (localCheckpoint) before returning — a PARALLEL process's
+    sweep may reclaim the dir the moment it crosses the age cutoff,
+    and a lazy plan would read from it arbitrarily later."""
+    import atexit
+    import shutil
+    import tempfile
+    import time
+
+    root = os.path.join(tempfile.gettempdir(), f"{prefix}_{os.getuid()}")
+    os.makedirs(root, exist_ok=True)
+    cutoff = time.time() - max_age_s
+    for stale in os.listdir(root):
+        p = os.path.join(root, stale)
+        try:
+            if os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            continue
+    out = tempfile.mkdtemp(dir=root)
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    return out
+
+
 def get_spark(app_name: str = "netcdf-olap-spark", cpus: int | None = None) -> SparkSession:
     """Build (or get) a SparkSession tuned for this engine.
 

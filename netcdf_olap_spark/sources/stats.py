@@ -44,10 +44,21 @@ def parquet_column_stats(path: str, columns: list[str]) -> tuple[int, dict[str, 
     MIN/MAX/COUNT bit-for-bit.  Raises if any requested column lacks
     statistics rather than silently returning partial truth."""
     out: dict[str, dict] = {c: {"n_nulls": 0, "min": None, "max": None} for c in columns}
-    seen: set[str] = set()
     n_rows = 0
     for f in _list_parquet(path):
-        md = pq.ParquetFile(f).metadata
+        pf = pq.ParquetFile(f)
+        # the completeness check is PER FILE against its schema, not
+        # global: a column present in some files but absent from one
+        # (schema drift) would otherwise silently under-count nulls —
+        # that file's rows read as NULL in a scan but contribute
+        # nothing here — violating the no-partial-truth promise.  A
+        # zero-row-group file is fine as long as its schema has the
+        # columns.
+        names = set(pf.schema_arrow.names)
+        missing = set(columns) - names
+        if missing:
+            raise KeyError(f"columns not in {f}: {sorted(missing)}")
+        md = pf.metadata
         n_rows += md.num_rows
         for g in range(md.num_row_groups):
             rg = md.row_group(g)
@@ -56,7 +67,6 @@ def parquet_column_stats(path: str, columns: list[str]) -> tuple[int, dict[str, 
                 name = col.path_in_schema
                 if name not in out:
                     continue
-                seen.add(name)
                 st = col.statistics
                 if st is None or st.null_count is None:
                     raise ValueError(f"column {name} in {f} carries no statistics")
@@ -67,7 +77,4 @@ def parquet_column_stats(path: str, columns: list[str]) -> tuple[int, dict[str, 
                     o["max"] = st.max if o["max"] is None else max(o["max"], st.max)
                 elif st.null_count < rg.num_rows:
                     raise ValueError(f"column {name} in {f} has values but no min/max")
-    missing = set(columns) - seen
-    if missing:
-        raise KeyError(f"columns not in {path}: {sorted(missing)}")
     return n_rows, out

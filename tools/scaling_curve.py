@@ -78,6 +78,12 @@ QUERIES = [
     # survivorship rides the jaccard-pair + components pipeline (the
     # join family) with a component-keyed window on top
     "doc_survivorship",
+    # the at-rest index path: build (chunking + aggregation + write)
+    # AND pruned probe, end to end per invocation.  grid_gdd_accumulate
+    # and profile_footer_stats are deliberately absent: the grid
+    # fixture does not scale with sf (alpha would measure noise) and
+    # the footer profile reads no data at all.
+    "doc_delta_dedup_indexed",
 ]
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
