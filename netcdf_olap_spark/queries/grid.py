@@ -1063,14 +1063,12 @@ ORDER BY variable
 """
 
 
-def grid_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S8b (NetCDF export sink) behind an oracle: slice the fixture
-    cube, export it as NetCDF-4/HDF5 via sinks/netcdf.py, re-ingest
-    the files through the distributed path, and aggregate. The oracle
-    computes the SAME aggregate directly from the fixture parquet —
-    the hashes match only if export∘ingest is the identity (NULL↔
-    _FillValue inversion, hours-since-1990 re-encode, coordinate
-    round-trip all value-perfect)."""
+def _export_roundtrip_lazy(spark: SparkSession) -> DataFrame:
+    """The export∘re-ingest aggregate as a LAZY plan over the scratch
+    .nc files — split out so plan-lock tests can inspect the Python
+    boundaries (tests/test_plans_round5b.py); the registry query wraps
+    this with an eager localCheckpoint per fresh_invocation_dir's
+    contract."""
     from netcdf_olap_spark.session import fresh_invocation_dir
     from netcdf_olap_spark.sinks.netcdf import export_netcdf_files
     from netcdf_olap_spark.sources.netcdf import ingest_directory
@@ -1096,11 +1094,21 @@ def grid_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format(F.max("time"), "yyyy-MM-dd").alias("d_max"),
         )
         .orderBy("variable")
-        # eager: fresh_invocation_dir's contract — a lazy plan over
-        # the scratch .nc files could outlive a parallel sweep; the
-        # aggregate is per-variable rows, so this is cheap
-        .localCheckpoint(eager=True)
     )
+
+
+def grid_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8b (NetCDF export sink) behind an oracle: slice the fixture
+    cube, export it as NetCDF-4/HDF5 via sinks/netcdf.py, re-ingest
+    the files through the distributed path, and aggregate. The oracle
+    computes the SAME aggregate directly from the fixture parquet —
+    the hashes match only if export∘ingest is the identity (NULL↔
+    _FillValue inversion, hours-since-1990 re-encode, coordinate
+    round-trip all value-perfect).  Eagerly checkpointed:
+    fresh_invocation_dir's contract — a lazy plan over the scratch
+    .nc files could outlive a PARALLEL invocation's stale sweep; the
+    aggregate is per-variable rows, so the cut is cheap."""
+    return _export_roundtrip_lazy(spark).localCheckpoint(eager=True)
 
 
 GRID_EXPORT_ROUNDTRIP_SQL = f"""

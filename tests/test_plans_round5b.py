@@ -31,12 +31,28 @@ def test_ingest_nc_decode_stays_narrow(spark):
 def test_export_roundtrip_single_python_stage_each_way(spark):
     """grid_export_roundtrip: exactly two Python boundaries — the
     export's FlatMapGroupsInPandas and the re-ingest's MapInPandas.
-    The export group-shuffle is the one wide exchange feeding Python."""
-    plan = _plan(spark, "grid_export_roundtrip")
+    The export group-shuffle is the one wide exchange feeding Python.
+    Since r9 the REGISTRY query eagerly checkpoints (its returned
+    plan is an ExistingRDD scan by design — fresh_invocation_dir's
+    stale-sweep contract), so the plan assertions run on the lazy
+    inner form."""
+    from netcdf_olap_spark.queries.grid import _export_roundtrip_lazy, grid_export_roundtrip
+
+    plan = (
+        _export_roundtrip_lazy(spark)._jdf.queryExecution().executedPlan().toString()
+    )
     assert plan.count("MapInPandas") == 1  # re-ingest decode
-    # export runs inside save_netcdf() eagerly, so the returned plan is
+    # export runs inside save_netcdf() eagerly, so the lazy plan is
     # the re-ingest aggregate only; its shuffle budget matches ingest
     assert plan.count("Exchange hashpartitioning") <= 1
+    # and the registry form really is the materialized cut
+    reg_plan = (
+        grid_export_roundtrip(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Scan ExistingRDD" in reg_plan
 
 
 def test_minhash_portable_shuffle_budget_and_checkpoint(spark):
