@@ -34,6 +34,29 @@ def decimal_sum(col: Column | str, scale: int = 4) -> Column:
     return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
 
 
+def narrow_checked(col: Column | str, dec: str = "decimal(18,6)", label: str = "narrow") -> Column:
+    """Narrow a wide (possibly int128-backed) decimal aggregate to an
+    int64-backed one ahead of a double cast — int64→double is correctly
+    rounded in BOTH engines while DuckDB's int128→double is not — and
+    FAIL LOUDLY if the value is NULL, instead of emitting silent NULL
+    result rows (the no-partial-truth policy).
+
+    Callers must only pass aggregates that are non-NULL by
+    construction (sums over ≥1 non-null inputs, guaranteed by an
+    upstream filter): a NULL here therefore proves an overflow —
+    either the non-ANSI sum accumulator overflowed upstream, or the
+    narrowing cast itself exceeded its documented bound.  The DuckDB
+    oracle twin needs no guard: DuckDB raises on both overflows by
+    default.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n = c.cast(dec)
+    return F.when(
+        n.isNull(),
+        F.raise_error(F.lit(f"{label}: exceeded its documented {dec} bound (overflow->NULL)")),
+    ).otherwise(n)
+
+
 def decimal_avg(col: Column | str, scale: int = 6) -> Column:
     """Exact-sum AVG: decimal sum divided by non-null count, in
     double (one division on identical operands → identical result).

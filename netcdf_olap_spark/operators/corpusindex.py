@@ -27,10 +27,34 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from netcdf_olap_spark.operators import text
 
 MIN_CHUNK_TOKENS = 4  # the doc_source_overlap / doc_delta_dedup floor
+
+# Explicit index schemas: probe reads must NOT infer.  Inference has
+# two failure modes here — (a) partition-column type inference turns
+# an all-numeric nibble set (tiny corpora) into INT so the string
+# isin() only works via implicit casts, and (b) an EMPTY index (a
+# corpus with no qualifying rows writes no part files under
+# partitionBy) makes schema inference fail outright.  Declaring the
+# schema fixes both: hb/fb stay STRING and an empty index reads as an
+# empty DataFrame.
+CHUNK_INDEX_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("h", T.StringType()),
+        T.StructField("n_docs", T.LongType()),
+        T.StructField("hb", T.StringType()),
+    ]
+)
+FP_INDEX_SCHEMA = T.StructType(
+    [
+        T.StructField("fp", T.StringType()),
+        T.StructField("fb", T.StringType()),
+    ]
+)
 
 
 def doc_chunk_hashes(docs: DataFrame, min_tokens: int = MIN_CHUNK_TOKENS) -> DataFrame:
@@ -76,10 +100,17 @@ def write_fingerprint_index(docs: DataFrame, out_dir: str) -> None:
     idx.write.partitionBy("fb").mode("overwrite").parquet(out_dir)
 
 
-def _pruned(spark: SparkSession, index_dir: str, part_col: str, nibbles: list[str]) -> DataFrame:
+def _pruned(
+    spark: SparkSession,
+    index_dir: str,
+    part_col: str,
+    nibbles: list[str],
+    schema: T.StructType,
+) -> DataFrame:
     """Read an index pruned to the partitions a probe can hit — the
-    literal IN becomes static PartitionFilters in the scan."""
-    return spark.read.parquet(index_dir).where(F.col(part_col).isin(nibbles))
+    literal IN becomes static PartitionFilters in the scan.  Read with
+    the explicit index schema (never inferred — see module constants)."""
+    return spark.read.schema(schema).parquet(index_dir).where(F.col(part_col).isin(nibbles))
 
 
 def probe_delta(
@@ -107,8 +138,14 @@ def probe_delta(
     h_nibbles = [r[0] for r in batch_chunks.select(F.substring("h", 1, 1)).distinct().collect()]
     f_nibbles = [r[0] for r in b.select(F.substring("fp", 1, 1)).distinct().collect()]
 
-    corpus_chunks = _pruned(spark, chunk_index_dir, "hb", h_nibbles).select("h").distinct()
-    corpus_fp = _pruned(spark, fp_index_dir, "fb", f_nibbles).select("fp").distinct()
+    corpus_chunks = (
+        _pruned(spark, chunk_index_dir, "hb", h_nibbles, CHUNK_INDEX_SCHEMA)
+        .select("h")
+        .distinct()
+    )
+    corpus_fp = (
+        _pruned(spark, fp_index_dir, "fb", f_nibbles, FP_INDEX_SCHEMA).select("fp").distinct()
+    )
 
     hits = (
         batch_chunks.join(corpus_chunks, "h", "left_semi")

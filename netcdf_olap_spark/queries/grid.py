@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from netcdf_olap_spark.functions import decimal_avg
+from netcdf_olap_spark.functions import deterministic
 from netcdf_olap_spark.operators import aggregates, slice as slice_ops, spatial
 from netcdf_olap_spark.plans import CubeQuery
 from netcdf_olap_spark.session import FIXTURES_DIR, load_coords, load_grid
@@ -1217,12 +1218,20 @@ def grid_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rounded (the profile_correlations lesson), but int64→double is
     # — and per-cell sums are day-count-bounded so (18,6) always
     # holds them exactly.  With both engines' casts correctly rounded
-    # the closed form sees bitwise-identical inputs.
+    # the closed form sees bitwise-identical inputs.  The narrowing is
+    # GUARDED (narrow_checked): under non-ANSI Spark both the sum
+    # accumulator and the narrowing cast overflow to NULL silently,
+    # which would quietly emit NULL slope/intercept rows if a cube's
+    # time axis ever exceeded the day-count bound — the guard turns
+    # that into a loud raise_error (no-partial-truth policy; the
+    # DuckDB twin already raises on overflow by default).
     n_d = F.col("n_obs").cast("double")
     st_d = F.col("st").cast("double")
     st2_d = F.col("st2").cast("double")
-    sy_d = F.col("sy").cast("decimal(18,6)").cast("double")
-    sty_d = F.col("sty").cast("decimal(18,6)").cast("double")
+    sy_d = deterministic.narrow_checked("sy", "decimal(18,6)", "grid_trend_ols sy").cast("double")
+    sty_d = deterministic.narrow_checked("sty", "decimal(18,6)", "grid_trend_ols sty").cast(
+        "double"
+    )
     slope = (n_d * sty_d - st_d * sy_d) / (n_d * st2_d - st_d * st_d)
     s = m.where(
         (F.col("n_obs") >= 2)
@@ -1232,7 +1241,9 @@ def grid_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x",
         "n_obs",
         "st",
-        F.col("sy").cast("decimal(18,6)").cast("double").alias("syd"),
+        deterministic.narrow_checked("sy", "decimal(18,6)", "grid_trend_ols sy")
+        .cast("double")
+        .alias("syd"),
         slope.alias("slope"),
     )
     intercept = (F.col("syd") - F.col("slope") * F.col("st").cast("double")) / F.col(

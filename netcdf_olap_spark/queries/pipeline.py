@@ -1027,7 +1027,12 @@ def doc_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     token volumes, mean document length, exact-duplicate rate, and
     the dominant language, per source.  Every figure is integer/exact
     (token-mean in centitokens, dup rate in basis points) so the card
-    is reproducible bit-for-bit across engines and re-runs.
+    is reproducible bit-for-bit across engines and re-runs.  The
+    duplicate rate is keyed on the registry's ONE exact-dup
+    definition — text.fingerprint (casefold + whitespace-collapse
+    md5), the same key doc_exact_dedup / doc_delta_dedup use — so the
+    card's dup_bp agrees with the dedup operators on case/whitespace-
+    only duplicates.
 
     100 TB shape: one projection computes all per-row figures
     map-side, then a single groupBy on source (map-side partial
@@ -1044,7 +1049,7 @@ def doc_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.size(text.tokens("text")).cast("long").alias("n_tok"),
         F.length("text").cast("long").alias("n_ch"),
-        F.md5("text").alias("fp"),
+        text.fingerprint("text").alias("fp"),
     )
     main = rows.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -1081,7 +1086,7 @@ WITH rows_t AS (
   SELECT source, lang,
          len({DUCK_TOKS}) AS n_tok,
          LENGTH(text) AS n_ch,
-         md5(text) AS fp
+         md5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS fp
   FROM documents),
 main AS (
   SELECT source,

@@ -292,9 +292,18 @@ ORDER BY c_nationkey
 
 
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT ANTI: customers with no orders at all."""
+    """LEFT ANTI: customers with NO 1995 order — the exact complement
+    of join_semi's EXISTS.  Re-parameterized in r10 from "no orders at
+    all", which returns ZERO rows on every TPC-H-ish fixture (every
+    customer has orders), so the check carried no signal: an anti-join
+    broken into over-filtering would still trivially match an empty
+    oracle.  Restricting the right side to one order year makes the
+    expected output non-empty at every sf, so the hash check now
+    verifies real anti-join semantics."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01")) & (F.col("o_orderdate") < F.lit("1996-01-01"))
+    )
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
@@ -306,7 +315,11 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 JOIN_ANTI_SQL = """
 SELECT c_mktsegment, COUNT(*) AS n_customers
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey
+    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from netcdf_olap_spark.functions import decimal_sum
+from netcdf_olap_spark.functions import deterministic
 from netcdf_olap_spark.operators import similarity
 
 # DuckDB twin of the double-fold cosine between columns a and b.
@@ -1033,13 +1034,21 @@ def emb_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", "n_even", "n_odd")
         .agg(F.sum("num").alias("l1_num"), F.max("num").alias("max_num"))
     )
+    # Narrow the wide rollup decimals to int64-backed DECIMAL(18,8)
+    # before the double cast (the grid_trend_ols rule): DuckDB's
+    # int128→double cast is not correctly rounded, int64→double is.
+    # The numerators grow ~n_even·n_odd·dims, so the narrowing is
+    # guarded — an overflow raises instead of silently changing the
+    # hash contract (Spark side) / erroring (DuckDB side).
     den = (F.col("n_even") * F.col("n_odd")).cast("double")
+    l1_n = deterministic.narrow_checked("l1_num", "decimal(18,8)", "emb_centroid_shift l1_num")
+    mx_n = deterministic.narrow_checked("max_num", "decimal(18,8)", "emb_centroid_shift max_num")
     return per_label.select(
         "label",
         "n_even",
         "n_odd",
-        (F.col("l1_num").cast("double") / den).alias("l1_shift"),
-        (F.col("max_num").cast("double") / den).alias("max_dim_shift"),
+        (l1_n.cast("double") / den).alias("l1_shift"),
+        (mx_n.cast("double") / den).alias("max_dim_shift"),
     ).orderBy("label")
 
 
@@ -1066,8 +1075,10 @@ per_label AS (
   WHERE n_even > 0 AND n_odd > 0
   GROUP BY label, n_even, n_odd)
 SELECT label, n_even, n_odd,
-       CAST(l1_num AS DOUBLE) / CAST(n_even * n_odd AS DOUBLE) AS l1_shift,
-       CAST(max_num AS DOUBLE) / CAST(n_even * n_odd AS DOUBLE) AS max_dim_shift
+       CAST(CAST(l1_num AS DECIMAL(18,8)) AS DOUBLE)
+         / CAST(n_even * n_odd AS DOUBLE) AS l1_shift,
+       CAST(CAST(max_num AS DECIMAL(18,8)) AS DOUBLE)
+         / CAST(n_even * n_odd AS DOUBLE) AS max_dim_shift
 FROM per_label
 ORDER BY label
 """

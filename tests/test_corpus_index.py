@@ -57,7 +57,7 @@ def test_probe_prunes_partitions(spark, tmp_path):
     chunks = corpusindex.doc_chunk_hashes(one)
     nibbles = sorted(r[0] for r in chunks.select(F.substring("h", 1, 1)).distinct().collect())
     assert 0 < len(nibbles) < 16, "a 1-doc batch should not touch every nibble"
-    pruned = corpusindex._pruned(spark, chunk_dir, "hb", nibbles)
+    pruned = corpusindex._pruned(spark, chunk_dir, "hb", nibbles, corpusindex.CHUNK_INDEX_SCHEMA)
     # inputFiles() lists the relation pre-pruning; the files a run
     # actually READS come from input_file_name() (the ivf-index test's
     # idiom)
@@ -67,3 +67,32 @@ def test_probe_prunes_partitions(spark, tmp_path):
     # and the filter really reached the scan as a partition filter
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "hb" in plan
+
+
+def test_probe_survives_empty_index(spark, tmp_path):
+    """An EMPTY corpus (no qualifying rows → partitionBy writes no part
+    files) must read as an empty index, not an 'unable to infer schema'
+    failure — the explicit-schema read (r10 advisory) guarantees it,
+    and every batch doc comes back 'novel'."""
+    d = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    empty = d.where(F.lit(False))
+    chunk_dir = str(tmp_path / "chunks")
+    fp_dir = str(tmp_path / "fps")
+    corpusindex.write_chunk_index(empty, chunk_dir)
+    corpusindex.write_fingerprint_index(empty, fp_dir)
+    batch = d.where(F.col("doc_id") < 5)
+    got = corpusindex.probe_delta(spark, batch, chunk_dir, fp_dir).collect()
+    assert len(got) == 5
+    assert all(r.verdict == "novel" and r.n_chunk_hits == 0 for r in got)
+
+
+def test_pruned_partition_column_stays_string(spark, tmp_path):
+    """Even when every written nibble happens to be numeric, the probe
+    must see hb as STRING (no partition-column type inference), so the
+    string isin() needs no implicit casts."""
+    d, chunk_dir, _fp = _build(spark, tmp_path)
+    numeric = [n for n in "0123456789"]
+    pruned = corpusindex._pruned(spark, chunk_dir, "hb", numeric, corpusindex.CHUNK_INDEX_SCHEMA)
+    assert dict(pruned.dtypes)["hb"] == "string"
+    rows = pruned.select("hb").distinct().collect()
+    assert all(isinstance(r.hb, str) for r in rows)

@@ -1,0 +1,72 @@
+"""Round-10 advisory fixes: the narrow_checked overflow guard, the
+non-empty join_anti re-parameterization, and doc_datacard's dup_bp
+keyed on the registry fingerprint."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from netcdf_olap_spark.functions import narrow_checked
+from tests.conftest import SF_SMALL
+
+
+def test_narrow_checked_passes_in_bound(spark):
+    df = spark.range(3).select(
+        (F.col("id") + 1).cast("decimal(38,6)").alias("v")
+    )
+    out = df.select(narrow_checked("v", "decimal(18,6)", "t").alias("n")).collect()
+    assert sorted(float(r.n) for r in out) == [1.0, 2.0, 3.0]
+
+
+def test_narrow_checked_raises_on_overflow(spark):
+    """A value that exceeds the narrowed precision must raise loudly
+    (no-partial-truth), never emit a silent NULL row.  Under ANSI
+    (Spark 4 default) the cast itself raises NUMERIC_VALUE_OUT_OF_RANGE;
+    the guard exists for non-ANSI sessions where the cast would return
+    NULL silently — both paths must fail loudly."""
+    df = spark.range(1).select(F.lit("9" * 20).cast("decimal(38,6)").alias("v"))
+    bad = df.select(narrow_checked("v", "decimal(18,6)", "t").alias("n"))
+    with pytest.raises(Exception, match="NUMERIC_VALUE_OUT_OF_RANGE|documented decimal"):
+        bad.collect()
+
+
+def test_narrow_checked_raises_under_non_ansi(spark):
+    """The advisory's exact scenario: spark.sql.ansi.enabled=false
+    turns the overflow into a silent NULL — the guard must convert
+    that into a raise, not a NULL slope row."""
+    prev = spark.conf.get("spark.sql.ansi.enabled", "true")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        df = spark.range(1).select(F.lit("9" * 20).cast("decimal(38,6)").alias("v"))
+        bad = df.select(narrow_checked("v", "decimal(18,6)", "t").alias("n"))
+        with pytest.raises(Exception, match="documented decimal\\(18,6\\) bound"):
+            bad.collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_join_anti_nonempty(spark):
+    """The re-parameterized anti-join (no 1995 order) returns rows at
+    every sf — the r9 window row's zero-row trap is closed."""
+    from netcdf_olap_spark.queries.relational import join_anti
+
+    rows = join_anti(spark, SF_SMALL).collect()
+    assert rows and sum(r.n_customers for r in rows) > 0
+
+
+def test_datacard_dup_bp_counts_normalized_dups(spark, tmp_path):
+    """dup_bp must agree with doc_exact_dedup's definition: a
+    case/whitespace-only twin IS a duplicate."""
+    from netcdf_olap_spark.queries.pipeline import doc_datacard
+
+    d = spark.read.parquet(f"{SF_SMALL}/documents.parquet").limit(10)
+    twin = d.limit(1).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.upper(F.col("text")).alias("text"),
+        *[F.col(c) for c in d.columns if c not in ("doc_id", "text")],
+    ).select(*d.columns)
+    out_dir = str(tmp_path / "docs")
+    d.unionByName(twin).write.parquet(f"{out_dir}/documents.parquet")
+    card = doc_datacard(spark, out_dir).collect()
+    assert sum(r.dup_bp for r in card) > 0
