@@ -70,3 +70,38 @@ def test_datacard_dup_bp_counts_normalized_dups(spark, tmp_path):
     d.unionByName(twin).write.parquet(f"{out_dir}/documents.parquet")
     card = doc_datacard(spark, out_dir).collect()
     assert sum(r.dup_bp for r in card) > 0
+
+
+def test_grid_amplification_invariants(tmp_path):
+    """The amplified cube (tools/gen_scale.amplify_grid) must preserve
+    the fixture's closed-form coordinates (lat = 42 + 0.05y + 0.002x,
+    lon = -84 + 0.05x + 0.002y), replicate each base cell's day series
+    into appended 30-day blocks, and scale rows by exactly ka*kt."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "/root/repo/tools")
+    from gen_scale import GRID_SRC, amplify_grid
+
+    out = str(tmp_path)
+    amplify_grid(4, out, ka=2, kt=2)
+    con = duckdb.connect()
+    base_n = con.execute(f"SELECT COUNT(*) FROM read_parquet('{GRID_SRC}')").fetchone()[0]
+    amp = f"read_parquet('{out}/grid.parquet')"
+    assert con.execute(f"SELECT COUNT(*) FROM {amp}").fetchone()[0] == 4 * base_n
+    # closed-form coordinates hold everywhere (fp addition tolerance)
+    bad = con.execute(
+        f"""SELECT COUNT(*) FROM {amp}
+            WHERE ABS(lat - (42.0 + 0.05*y + 0.002*x)) > 1e-9
+               OR ABS(lon - (-84.0 + 0.05*x + 0.002*y)) > 1e-9"""
+    ).fetchone()[0]
+    assert bad == 0
+    # day extension repeats base values: day d+30 equals day d per cell
+    mism = con.execute(
+        f"""SELECT COUNT(*) FROM {amp} a JOIN {amp} b
+            ON a.variable = b.variable AND a.y = b.y AND a.x = b.x
+           AND b.time = a.time + INTERVAL 30 DAY
+            WHERE a.value IS DISTINCT FROM b.value"""
+    ).fetchone()[0]
+    assert mism == 0

@@ -23,6 +23,24 @@ with identical per-copy structure. Two deliberate exceptions:
 - ``nation``/``region`` are copied once (real dimension tables don't
   scale with the fact tables).
 
+The GRID CUBE (fixtures/grid.parquet — sf-independent by design, so
+the §2 climate-index family had no measurable α until r10) is
+amplified too, along its two physical axes so K = ka·kt:
+
+- (y, x) domain tiled ka× in x: x' = x + 32·a, with lat/lon extended
+  by the fixture's own closed-form (lat = 42 + 0.05y + 0.002x → +0.064·a;
+  lon = -84 + 0.05x + 0.002y → +1.6·a) — more area, same per-cell
+  series length;
+- day axis extended kt×: time' = time + 30·b days, reusing the base
+  block's values (the fixture's seasonal term has period 30, so each
+  appended block is one more season) — longer per-cell series, the
+  axis per-cell windows (trend/streak/GDD) actually sort.
+
+The result lands as ``grid.parquet`` in out_dir; the curve harness
+points ``SPARK_GRAFT_GRID_PATH`` at it (session.load_grid).  ka/kt
+are chosen as kt=2 for even K else 1 (both axes exercised at the
+default K=10: 5× area × 2× days).
+
 Usage: python tools/gen_scale.py [K] [out_dir]   (default 10, .scaledata/sf1.0)
 """
 
@@ -49,8 +67,47 @@ KEYED: dict[str, dict[str, int]] = {
 AS_IS = ("nation", "region")
 
 
+GRID_SRC = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures", "grid.parquet"
+)
+GRID_W = 32  # fixture x-extent (fixtures/gen_fixtures.py W)
+GRID_PERIOD_DAYS = 30  # fixture seasonal period = its day count
+
+
+def amplify_grid(k: int, out_dir: str, ka: int | None = None, kt: int | None = None) -> None:
+    """Tile the cube ka× in x and kt× along the day axis (k = ka·kt),
+    per the closed-form coordinate formulas — see module docstring.
+    Pass ka/kt explicitly to pick the axis split (e.g. 10×10 for a
+    balanced 100× cube); default kt=2 for even k, else 1."""
+    if ka is None or kt is None:
+        kt = 2 if k % 2 == 0 else 1
+        ka = k // kt
+    assert ka * kt == k, f"ka*kt must equal k ({ka}*{kt} != {k})"
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT ds, variable,
+                 time + (b.b * {GRID_PERIOD_DAYS}) * INTERVAL 1 DAY AS time,
+                 y,
+                 CAST(x + {GRID_W} * a.a AS INTEGER) AS x,
+                 lat + 0.002 * {GRID_W} * a.a AS lat,
+                 lon + 0.05 * {GRID_W} * a.a AS lon,
+                 value
+          FROM read_parquet('{GRID_SRC}'),
+               generate_series(0, {ka - 1}) AS a(a),
+               generate_series(0, {kt - 1}) AS b(b)
+        ) TO '{out_dir}/grid.parquet' (FORMAT PARQUET)
+        """
+    )
+    n = con.execute(f"SELECT COUNT(*) FROM read_parquet('{out_dir}/grid.parquet')").fetchone()[0]
+    print(f"grid: {n} rows (x-tiles {ka} x day-blocks {kt})")
+
+
 def amplify(k: int, out_dir: str) -> None:
     os.makedirs(out_dir, exist_ok=True)
+    amplify_grid(k, out_dir)
     con = duckdb.connect()
     for t in AS_IS:
         con.execute(

