@@ -82,6 +82,16 @@ QUERIES = [
     # profile_footer_stats is deliberately absent: the footer profile
     # reads no data pages at all.
     "doc_delta_dedup_indexed",
+    # r10 extension (judge ask r9#8): the last r9 operators without a
+    # recorded curve — the SCD2 point-in-time join and tolerance as-of
+    # (union+window carries, should track the fact-table sort),
+    # the portable quantile sketch (md5 row sample + interpolation),
+    # and the two profiling aggregations (single-scan moments).
+    "join_scd2_pit",
+    "join_asof_tolerance",
+    "agg_quantile_sketch_portable",
+    "profile_correlations",
+    "profile_join_skew",
 ]
 
 # The grid family (r10 judge ask #2): these run ONLY on dirs that
