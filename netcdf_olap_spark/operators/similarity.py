@@ -232,6 +232,48 @@ def graph_pair_candidates(b: DataFrame, id_col: str = "vec_id", vec_col: str = "
     )
 
 
+def delta_knn(
+    corpus: DataFrame,
+    batch: DataFrame,
+    n_rows: int,
+    k: int = 3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """INCREMENTAL k-NN — the daily-batch shape of ``knn_graph_auto``:
+    top-k cosine neighbors in the AT-REST corpus for each NEW batch
+    vector, candidates blocked to the batch vector's LSH bucket.  The
+    corpus is never self-paired (that work was done when the corpus
+    was built — the text-side analog is doc_delta_dedup); pair work is
+    |batch| · E[bucket size], which auto_n_planes pins constant, so a
+    daily increment costs ∝ batch, not ∝ corpus.
+
+    Same md5-derived ±1 planes as the graph form, so an oracle replays
+    plane count and matrix inline and the checked query IS the scale
+    query.  ``n_rows`` is the at-rest corpus size from footer stats
+    (never a count job).  At rest, the corpus side is the
+    bucket-partitioned layout write_ivf_index-style — a probe then
+    reads only the batch's own buckets (partition pruning;
+    demonstrated for the single-query form in tests)."""
+    planes = md5_sign_planes(auto_n_planes(n_rows), dim)
+    cb = _bucketed_with_norms(corpus, planes, id_col, vec_col).alias("c")
+    bb = _bucketed_with_norms(batch, planes, id_col, vec_col).alias("a")
+    pairs = bb.join(cb, F.col("a.bucket") == F.col("c.bucket")).select(
+        F.col(f"a.{id_col}").alias("src_id"),
+        F.col(f"c.{id_col}").alias("dst_id"),
+        (_dot(F.col(f"a.{vec_col}"), F.col(f"c.{vec_col}")) / (F.col("a.nrm") * F.col("c.nrm"))).alias(
+            "cos_sim"
+        ),
+    )
+    w = Window.partitionBy("src_id").orderBy(F.col("cos_sim").desc(), F.col("dst_id"))
+    return (
+        pairs.withColumn("nbr_rank", F.row_number().over(w))
+        .where(F.col("nbr_rank") <= k)
+        .select("src_id", "dst_id", "cos_sim", "nbr_rank")
+    )
+
+
 def _graph_edges(b: DataFrame, k: int, id_col: str, vec_col: str) -> DataFrame:
     pairs = graph_pair_candidates(b, id_col, vec_col)
     w = Window.partitionBy("src_id").orderBy(F.col("cos_sim").desc(), F.col("dst_id"))

@@ -1021,6 +1021,97 @@ ORDER BY doc_id
 """
 
 
+def doc_quota_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sample-budget APPORTIONMENT (largest-remainder / Hamilton
+    method): a corpus-wide budget of B = 60% of all docs is split
+    across sources exactly proportionally — base_i = ⌊B·n_i/N⌋, and the
+    L = B − Σbase_i leftover slots go to the L largest remainders
+    (B·n_i mod N, source tie-break) — then each source keeps its
+    quota's top documents by (n_chars DESC, doc_id).  The exact-total
+    guarantee (Σquota_i = B, no source over its size) is what
+    per-source fractions with independent rounding cannot give; it is
+    the apportionment step of a fixed-token-budget training-set build.
+
+    Everything is integer arithmetic (B·n_i ≤ N² keeps products in
+    int64 up to N ≈ 3·10⁹ docs — documented bound), so the result is
+    bit-exact in both engines.  Output is the per-source allocation
+    audit: corpus size, quota, and the kept-selection aggregates.
+
+    100 TB shape: one count aggregation over the corpus; the
+    apportionment itself runs on the #sources-row table (the only
+    single-partition window — same bounded-table argument as
+    ev_max_concurrency); the selection is one per-source window rank
+    joined against the BROADCAST quota table."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir).select("source", "doc_id", "n_chars")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    tot = counts.agg(F.sum("n_docs").cast("long").alias("n_total"))
+    alloc = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_total",
+        F.expr("(n_total * 3) DIV 5").alias("budget"),
+        F.expr("((n_total * 3) DIV 5 * n_docs) DIV n_total").alias("base"),
+        F.expr("((n_total * 3) DIV 5 * n_docs) % n_total").alias("rem"),
+    )
+    w_rem = Window.orderBy(F.col("rem").desc(), F.col("source").asc())
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    alloc = alloc.select(
+        "source",
+        "n_docs",
+        "base",
+        F.row_number().over(w_rem).alias("rem_rank"),
+        (F.col("budget") - F.sum("base").over(w_all)).alias("leftover"),
+    ).select(
+        "source",
+        "n_docs",
+        (F.col("base") + F.when(F.col("rem_rank") <= F.col("leftover"), 1).otherwise(0))
+        .cast("long")
+        .alias("quota"),
+    )
+    w_src = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    ranked = d.withColumn("src_rank", F.row_number().over(w_src))
+    kept = ranked.join(F.broadcast(alloc), "source").where(F.col("src_rank") <= F.col("quota"))
+    return (
+        kept.groupBy("source", "n_docs", "quota")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("kept_docs"),
+            F.sum("n_chars").cast("long").alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+DOC_QUOTA_ALLOC_SQL = """
+WITH counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source),
+tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM counts),
+alloc0 AS (
+  SELECT source, n_docs, n_total,
+         (n_total * 3) // 5 AS budget,
+         ((n_total * 3) // 5 * n_docs) // n_total AS base,
+         ((n_total * 3) // 5 * n_docs) % n_total AS rem
+  FROM counts CROSS JOIN tot),
+alloc AS (
+  SELECT source, n_docs,
+         CAST(base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC)
+                          <= budget - SUM(base) OVER () THEN 1 ELSE 0 END AS BIGINT) AS quota
+  FROM alloc0),
+ranked AS (
+  SELECT source, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS src_rank
+  FROM documents)
+SELECT r.source, a.n_docs, a.quota,
+       CAST(COUNT(*) AS BIGINT) AS kept_docs,
+       CAST(SUM(r.n_chars) AS BIGINT) AS kept_chars
+FROM ranked r JOIN alloc a ON r.source = a.source
+WHERE r.src_rank <= a.quota
+GROUP BY r.source, a.n_docs, a.quota
+ORDER BY r.source
+"""
+
+
 def doc_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus DATA CARD — the one-page release artifact a
     corpus ships with (Datasheets/Data Cards practice): document and
@@ -1114,6 +1205,7 @@ ORDER BY m.source
 
 QUERIES = {
     "doc_datacard": (doc_datacard, DOC_DATACARD_SQL),
+    "doc_quota_alloc": (doc_quota_alloc, DOC_QUOTA_ALLOC_SQL),
     "doc_decontaminate": (doc_decontaminate, DECONTAM_SQL),
     "doc_stratified_sample": (doc_stratified_sample, STRATIFIED_SQL),
     "doc_policy_scrub": (doc_policy_scrub, SCRUB_SQL),

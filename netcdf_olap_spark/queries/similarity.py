@@ -729,6 +729,68 @@ ORDER BY src_id, nbr_rank
 EMB_KNN_GRAPH_SQL = _knn_graph_sql()
 
 
+def emb_delta_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN (operators/similarity.delta_knn): top-3 corpus
+    neighbors for each vector of a NEW daily batch (vec_id % 50 == 0),
+    bucket-blocked on the production plane shape — the corpus is never
+    self-paired, so a daily increment costs ∝ batch · E[bucket], the
+    vector-side counterpart of doc_delta_dedup.  Footer-stats plane
+    count + md5 planes keep the oracle able to replay count, matrix,
+    blocking, and ranking inline at every scale factor."""
+    from netcdf_olap_spark.sources.stats import parquet_num_rows
+
+    n = parquet_num_rows(os.path.join(sf_dir, "embeddings.parquet"))
+    e = _emb(spark, sf_dir)
+    corpus = e.where(F.col("vec_id") % 50 != 0)
+    batch = e.where(F.col("vec_id") % 50 == 0)
+    return similarity.delta_knn(corpus, batch, n_rows=n, k=3, dim=64).orderBy(
+        "src_id", "nbr_rank"
+    )
+
+
+def _delta_knn_sql(k: int = 3, dim: int = 64) -> str:
+    """DuckDB twin of delta_knn — the knn-graph CTEs with the
+    self-join split into batch × corpus."""
+    sign = (
+        "CASE WHEN ('0x' || substr(md5('knng:' || CAST(pi AS VARCHAR) || ':' "
+        "|| CAST(i - 1 AS VARCHAR)), 1, 13))::BIGINT % 2 = 0 "
+        "THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END"
+    )
+    pdot = (
+        "list_sum([CAST(embedding[i] AS DOUBLE) * pv[i] "
+        "FOR i IN generate_series(1, len(embedding))])"
+    )
+    return f"""
+WITH np AS (
+  SELECT GREATEST(4, LEAST(30, CAST(CEIL(LOG2(CAST(GREATEST(COUNT(*), 1) AS DOUBLE) / 64)) AS INT))) AS n
+  FROM embeddings),
+planes AS (
+  SELECT pi, [{sign} FOR i IN generate_series(1, {dim})] AS pv
+  FROM np, generate_series(0, 29) AS t(pi)
+  WHERE pi < np.n),
+b AS (
+  SELECT vec_id, embedding,
+         CAST(SUM(CASE WHEN {pdot} >= 0 THEN (1 << pi) ELSE 0 END) AS INT) AS bucket
+  FROM embeddings CROSS JOIN planes
+  GROUP BY vec_id, embedding),
+pairs AS (
+  SELECT a.vec_id AS src_id, c.vec_id AS dst_id,
+         {_duck_cos('a.embedding', 'c.embedding')} AS cos_sim
+  FROM b a JOIN b c ON a.bucket = c.bucket
+  WHERE a.vec_id % 50 = 0 AND c.vec_id % 50 != 0),
+ranked AS (
+  SELECT src_id, dst_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY cos_sim DESC, dst_id) AS INT) AS nbr_rank
+  FROM pairs)
+SELECT src_id, dst_id, cos_sim, nbr_rank
+FROM ranked WHERE nbr_rank <= {k}
+ORDER BY src_id, nbr_rank
+"""
+
+
+EMB_DELTA_KNN_SQL = _delta_knn_sql()
+
+
 def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive hard-negative mining (operators/similarity.
     hard_negatives): per anchor, the top-3 highest-cosine vectors with
@@ -1141,6 +1203,7 @@ QUERIES = {
     "emb_knn_lsh": (emb_knn_lsh, EMB_KNN_LSH_SQL),
     "emb_rp_topk": (emb_rp_topk, EMB_RP_TOPK_SQL),
     "emb_knn_graph": (emb_knn_graph, EMB_KNN_GRAPH_SQL),
+    "emb_delta_knn": (emb_delta_knn, EMB_DELTA_KNN_SQL),
     "emb_hard_negatives": (emb_hard_negatives, EMB_HARD_NEGATIVES_SQL),
     "emb_ann_recall_report": (emb_ann_recall_report, EMB_ANN_RECALL_SQL),
     "emb_matryoshka_recall": (emb_matryoshka_recall, EMB_MATRYOSHKA_SQL),

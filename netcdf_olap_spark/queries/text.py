@@ -591,6 +591,87 @@ ORDER BY doc_id
 """
 
 
+def doc_intra_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repeated-passage removal: a CDC chunk occurrence
+    is dropped iff the same chunk text already occurred EARLIER in the
+    SAME document (keep-first policy) — the intra-doc cleaning step
+    (scraper loops, pagination echoes, chorus repetition) that
+    cross-doc dedup (doc_shift_dedup) and per-source templates
+    (doc_boilerplate) both deliberately ignore.  Emits per doc the
+    chunk/dup counts, dup token mass, and the md5 of the rewritten
+    text, so the removal itself is value-checked.
+
+    100 TB shape: ZERO pre-aggregation shuffle — chunking AND the
+    earlier-occurrence test are higher-order expressions over each
+    row's own chunk array (dup(i) = ∃ j<i: chunk_j = chunk_i, an
+    O(c²/2) per-row fold bounded by the doc's own length, the same
+    budget class as shingling), so the pass is embarrassingly
+    parallel; the only shuffle is the final ORDER BY.  The DuckDB twin
+    states the same semantics relationally (per-(doc, chunk) window
+    rank > 1) — two independent formulations, one answer."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", text.tokens("text").alias("t")).where(F.size("t") > 0)
+    cuts = toks.select("doc_id", "t", text.content_cutpoints(F.col("t")).alias("c"))
+    # materialize the chunk array ONCE (expr-in-lambda inlining:
+    # referencing the chunks_from_cuts tree inside the transform would
+    # re-evaluate the whole chunking per element)
+    arr = cuts.select("doc_id", text.chunks_from_cuts(F.col("t"), F.col("c")).alias("ch"))
+    flags = arr.select(
+        "doc_id",
+        "ch",
+        F.transform(
+            F.col("ch"),
+            lambda x, i: F.exists(F.slice(F.col("ch"), F.lit(1), i), lambda y: y == x),
+        ).alias("dup"),
+    )
+    zipped = flags.select(
+        "doc_id",
+        F.zip_with(
+            F.col("ch"), F.col("dup"), lambda c, dup: F.struct(c.alias("c"), dup.alias("dup"))
+        ).alias("z"),
+    )
+    kept = F.filter(F.col("z"), lambda s: ~s["dup"])
+    dups = F.filter(F.col("z"), lambda s: s["dup"])
+    return zipped.select(
+        "doc_id",
+        F.size("z").cast("long").alias("n_chunks"),
+        F.size(dups).cast("long").alias("n_dup_chunks"),
+        F.aggregate(
+            dups,
+            F.lit(0).cast("long"),
+            lambda acc, s: acc + F.size(F.split(s["c"], " ")),
+        ).alias("n_dup_tokens"),
+        F.md5(F.concat_ws(" ", F.transform(kept, lambda s: s["c"]))).alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
+DOC_INTRA_DEDUP_SQL = f"""
+WITH toks AS (SELECT doc_id, {DUCK_TOKS} AS t FROM documents),
+cuts AS (
+  SELECT doc_id, t, {DUCK_CUTS} AS c
+  FROM toks WHERE len(t) > 0),
+ch AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(c) - 1)) AS pos,
+         unnest({DUCK_CHUNKS}) AS chunk_text
+  FROM cuts),
+flagged AS (
+  SELECT doc_id, pos, chunk_text,
+         ROW_NUMBER() OVER (PARTITION BY doc_id, chunk_text ORDER BY pos) > 1 AS is_dup
+  FROM ch)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       CAST(SUM(CASE WHEN is_dup THEN len(string_split(chunk_text, ' ')) ELSE 0 END) AS BIGINT)
+         AS n_dup_tokens,
+       md5(COALESCE(string_agg(CASE WHEN NOT is_dup THEN chunk_text END, ' ' ORDER BY pos), ''))
+         AS clean_md5
+FROM flagged
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 def _source_chunk_hashes(d: DataFrame) -> DataFrame:
     """Distinct (source, chunk-hash) pairs over ≥4-token CDC chunks —
     the shared building block of the source-overlap matrix and the
@@ -1762,6 +1843,7 @@ QUERIES = {
     "doc_cluster_split": (doc_cluster_split, DOC_CLUSTER_SPLIT_SQL),
     "doc_shift_dedup": (doc_shift_dedup, DOC_SHIFT_DEDUP_SQL),
     "doc_boilerplate": (doc_boilerplate, DOC_BOILERPLATE_SQL),
+    "doc_intra_dedup": (doc_intra_dedup, DOC_INTRA_DEDUP_SQL),
     "doc_source_overlap": (doc_source_overlap, DOC_SOURCE_OVERLAP_SQL),
     "doc_source_pagerank": (doc_source_pagerank, DOC_SOURCE_PAGERANK_SQL),
     "doc_corpus_prep": (doc_corpus_prep, DOC_CORPUS_PREP_SQL),

@@ -150,3 +150,52 @@ def test_footer_stats_distributed_missing_column_raises(spark):
     )
     with pytest.raises(Exception, match="no_such_col"):
         bad.collect()
+
+
+def test_quota_alloc_invariants(spark):
+    """Largest-remainder apportionment: quotas sum EXACTLY to the
+    budget (B = 60% of corpus), no source exceeds its size, and the
+    selection fills every quota."""
+    from netcdf_olap_spark.queries.pipeline import doc_quota_alloc
+
+    rows = doc_quota_alloc(spark, SF_SMALL).collect()
+    n_total = sum(r.n_docs for r in rows)
+    budget = (n_total * 3) // 5
+    assert sum(r.quota for r in rows) == budget
+    for r in rows:
+        assert 0 <= r.quota <= r.n_docs
+        assert r.kept_docs == r.quota
+
+
+def test_intra_dedup_planted_repetition(spark, tmp_path):
+    """A document with a verbatim repeated passage must lose the
+    SECOND occurrence (keep-first), and the clean_md5 must equal the
+    md5 of the first-occurrence rewrite."""
+    import hashlib
+
+    from netcdf_olap_spark.operators import text as T
+    from netcdf_olap_spark.queries.text import doc_intra_dedup
+
+    # long enough that CDC emits several chunks; the passage repeats
+    passage = " ".join(f"tok{i % 7}w{i}" for i in range(40))
+    doc = passage + " middle filler words here " + passage
+    out_dir = str(tmp_path / "d")
+    spark.createDataFrame(
+        [(0, doc, "en", "s0", len(doc))], "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{out_dir}/documents.parquet")
+    row = doc_intra_dedup(spark, out_dir).collect()[0]
+    assert row.n_dup_chunks > 0, "repeated passage must produce duplicate chunks"
+    # independent rewrite: recompute chunks via the same operators and
+    # apply keep-first in plain Python
+    chunks = (
+        spark.createDataFrame([(doc,)], "text string")
+        .select(T.chunks_from_cuts(T.tokens("text"), T.content_cutpoints(T.tokens("text"))).alias("c"))
+        .collect()[0][0]
+    )
+    seen, kept = set(), []
+    for c in chunks:
+        if c not in seen:
+            kept.append(c)
+            seen.add(c)
+    want = hashlib.md5(" ".join(kept).encode()).hexdigest()
+    assert row.clean_md5 == want
