@@ -132,6 +132,18 @@ EXTRA_R9 = [
 ]
 HEADLINE += EXTRA_R9
 
+# Round-10 additions: the round's new operators, benched from birth —
+# intra-document CDC dedup (per-row O(c²/2) fold), incremental ANN
+# (batch × bucket-blocked corpus join), and the largest-remainder
+# budget apportionment — excluded from shared16, present from
+# BENCH_r10 on.
+EXTRA_R10 = [
+    "doc_intra_dedup",
+    "emb_delta_knn",
+    "doc_quota_alloc",
+]
+HEADLINE += EXTRA_R10
+
 
 def plan_fingerprint(df) -> str:
     """Stable fingerprint of a DataFrame's physical plan: the

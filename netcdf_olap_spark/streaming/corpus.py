@@ -200,6 +200,11 @@ def near_dup_filter(
     rows = minhash_band_rows(df, k=k, bands=bands, n=n)
     if watermark is not None:
         return band_owner_stream(rows, watermark, state_ttl_ms=state_ttl_ms)
+    # cut the band rows ONCE before the two consumers (owners agg +
+    # join): exchange reuse does not fire across these subtrees under
+    # AQE, so without the cut the k·md5-per-shingle minhash pass runs
+    # twice — measured 39 s/evaluation at sf1.0 (r10 drain probe)
+    rows = rows.localCheckpoint(eager=True)
     owners = rows.groupBy("band", "key").agg(F.min(F.struct("ts", "doc_id")).alias("o"))
     owned = rows.join(owners, ["band", "key"]).select(
         "doc_id", (F.col("o.doc_id") == F.col("doc_id")).alias("owned")

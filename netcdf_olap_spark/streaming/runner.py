@@ -52,12 +52,30 @@ def stage_event_files(df: DataFrame, directory: str, n_files: int, order_col: st
     return stage_files(df, directory, n_files, [order_col, "event_id"])
 
 
-def stage_files(df: DataFrame, directory: str, n_files: int, order_cols: list[str]) -> list[str]:
-    """Split a batch DataFrame into ``n_files`` parquet files in
-    ``order_cols`` order (file i = i-th slice) so the file stream
+def stage_files(
+    df: DataFrame,
+    directory: str,
+    n_files: int,
+    order_cols: list[str],
+    files_per_batch: int = 1,
+) -> list[str]:
+    """Split a batch DataFrame into ``n_files`` logical micro-batches
+    in ``order_cols`` order (batch i = i-th slice) so the file stream
     replays them as in-order micro-batches. Returns the file paths in
-    replay order (mtimes are staggered — the file source orders by
-    modification time)."""
+    replay order (mtimes are staggered per LOGICAL batch — the file
+    source orders by modification time).
+
+    ``files_per_batch`` splits each logical batch into that many
+    subfiles sharing one mtime; readers then set ``maxFilesPerTrigger
+    = files_per_batch`` so one trigger still consumes exactly one
+    logical batch — but the batch's scan stage gets files_per_batch
+    INPUT TASKS instead of one.  The r10 drain decomposition measured
+    this as the dominant fixable cost: the file stream source gives
+    one partition per file, so with single-file batches every
+    map-side expression (minhash, CDC chunking) ran on ONE core per
+    trigger — 201 s → 111 s at sf1.0 just from 4-way maps.  Batch
+    MEMBERSHIP (and thus every batch-deterministic reduction) is
+    unchanged; only intra-batch parallelism changes."""
     import pyarrow.parquet as pq
 
     os.makedirs(directory, exist_ok=True)
@@ -70,13 +88,17 @@ def stage_files(df: DataFrame, directory: str, n_files: int, order_cols: list[st
     paths = []
     for i in range(n_files):
         lo, hi = i * n // n_files, (i + 1) * n // n_files
-        chunk = table.slice(lo, hi - lo)
-        path = os.path.join(directory, f"part-{i:04d}.parquet")
-        # µs coercion retained for any caller handing in ns data:
-        # Spark's vectorized reader refuses ns against TimestampType
-        pq.write_table(chunk, path, coerce_timestamps="us")
-        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
-        paths.append(path)
+        batch = table.slice(lo, hi - lo)
+        bn = batch.num_rows
+        for j in range(files_per_batch):
+            blo, bhi = j * bn // files_per_batch, (j + 1) * bn // files_per_batch
+            chunk = batch.slice(blo, bhi - blo)
+            path = os.path.join(directory, f"part-{i:04d}-{j:02d}.parquet")
+            # µs coercion retained for any caller handing in ns data:
+            # Spark's vectorized reader refuses ns against TimestampType
+            pq.write_table(chunk, path, coerce_timestamps="us")
+            os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+            paths.append(path)
     return paths
 
 
