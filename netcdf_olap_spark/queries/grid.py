@@ -1342,6 +1342,54 @@ ORDER BY y, x
 """
 
 
+def grid_percent_of_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-record index: each day's value ranked against its
+    OWN cell's full record, in integer basis points — the ETCCDI
+    TX90p/TN10p percentile-index family ("today is in the hottest 10%
+    of this cell's record").  RANK over the cell's non-null values
+    (ties share a rank — the standard empirical-CDF convention),
+    pct_bp = (rank−1)·10000 DIV (n−1), exact integer; cells with <2
+    observations carry no row (no denominator).
+
+    100 TB shape: one window sort per cell key (the cube's natural
+    partitioning), no join, no global sort; the ranking is the same
+    per-cell sorted pass grid_streak_runs does."""
+    g = load_grid(spark).where(
+        (F.col("variable") == "LST_LWST_avg_daily") & F.col("value").isNotNull()
+    )
+    w = Window.partitionBy("y", "x")
+    ranked = g.select(
+        "y",
+        "x",
+        "time",
+        "value",
+        F.rank().over(w.orderBy("value")).cast("long").alias("rnk"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_obs"),
+    ).where(F.col("n_obs") >= 2)
+    return ranked.select(
+        "y",
+        "x",
+        "time",
+        "value",
+        F.expr("((rnk - 1) * 10000) DIV (n_obs - 1)").cast("long").alias("pct_bp"),
+    ).orderBy("y", "x", "time")
+
+
+GRID_PCT_RECORD_SQL = f"""
+WITH ranked AS (
+  SELECT y, x, time, value,
+         RANK() OVER (PARTITION BY y, x ORDER BY value) AS rnk,
+         COUNT(*) OVER (PARTITION BY y, x) AS n_obs
+  FROM {GRID}
+  WHERE variable = 'LST_LWST_avg_daily' AND value IS NOT NULL)
+SELECT y, x, time, value,
+       CAST(((rnk - 1) * 10000) // (n_obs - 1) AS BIGINT) AS pct_bp
+FROM ranked
+WHERE n_obs >= 2
+ORDER BY y, x, time
+"""
+
+
 def grid_gdd_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative exceedance index per cell — growing-degree-days
     (GDD) shape: for every cell and day, the running Σ max(value −
@@ -1420,6 +1468,7 @@ QUERIES = {
     "grid_trend_ols": (grid_trend_ols, GRID_TREND_OLS_SQL),
     "grid_streak_runs": (grid_streak_runs, GRID_STREAK_SQL),
     "grid_gdd_accumulate": (grid_gdd_accumulate, GRID_GDD_SQL),
+    "grid_percent_of_record": (grid_percent_of_record, GRID_PCT_RECORD_SQL),
     "grid_ingest_nc": (grid_ingest_nc, GRID_INGEST_NC_SQL),
     "grid_export_roundtrip": (grid_export_roundtrip, GRID_EXPORT_ROUNDTRIP_SQL),
     "grid_ingest_catalog": (grid_ingest_catalog, GRID_INGEST_CATALOG_SQL),

@@ -672,6 +672,94 @@ ORDER BY doc_id
 """
 
 
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINNOWING document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS scheme): hash every 3-gram shingle, slide a window of
+    w=4 consecutive shingle hashes over each document, select the
+    minimum hash per window (position tie-break), and keep the
+    DISTINCT selections — a position-aware fingerprint set whose size
+    is ~2/(w+1) of the shingle count, with the guarantee that any
+    shared run of ≥ w+k-1 tokens between two documents shares at least
+    one selected fingerprint.  The third fingerprinting scheme beside
+    whole-doc md5 (exact dedup) and CDC chunk hashes (shift dedup):
+    winnowing bounds the GAP between selections, which neither gives.
+
+    Engine-portable: shingle hash = md5-52 hex prefix, the window min
+    compares fixed-width "hash:position" strings (lexicographic ≡
+    numeric at fixed width), and the per-doc digest is the md5 of the
+    ordered distinct selections — every stage DuckDB-replayable.
+
+    100 TB shape: shingles + hashes are map-side; the sliding min is
+    one doc-keyed window sort (the cube's analog of the per-cell
+    windows); output is one row per doc."""
+    w = 4
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", text.tokens("text").alias("t")).where(F.size("t") >= 3)
+    sh = toks.select(
+        "doc_id",
+        F.posexplode(text.shingles_from_tokens(F.col("t"))).alias("pos", "sh"),
+    )
+    keyed = sh.select(
+        "doc_id",
+        "pos",
+        F.concat_ws(
+            ":",
+            F.substring(F.md5("sh"), 1, 13),
+            F.lpad(F.col("pos").cast("string"), 8, "0"),
+        ).alias("hk"),
+    )
+    from pyspark.sql.window import Window
+
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    sel = keyed.select(
+        "doc_id",
+        F.min("hk").over(win).alias("sel"),
+        F.count(F.lit(1)).over(win).alias("wn"),
+    ).where(F.col("wn") == w)
+    return (
+        sel.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.countDistinct("sel").cast("long").alias("n_selected"),
+            F.md5(F.concat_ws(",", F.array_sort(F.collect_set("sel")))).alias("winnow_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOC_WINNOW_SQL = f"""
+WITH toks AS (SELECT doc_id, {DUCK_TOKS} AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(t) - 2)) AS pos,
+         unnest({DUCK_SHINGLES}) AS sh
+  FROM toks WHERE len(t) >= 3),
+keyed AS (
+  SELECT doc_id, pos,
+         substr(md5(sh), 1, 13) || ':' || lpad(CAST(pos - 1 AS VARCHAR), 8, '0') AS hk
+  FROM sh),
+sel AS (
+  SELECT doc_id,
+         MIN(hk) OVER w AS sel,
+         COUNT(*) OVER w AS wn
+  FROM keyed
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING))
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(COUNT(DISTINCT sel) AS BIGINT) AS n_selected,
+       md5(string_agg(DISTINCT sel, ',' ORDER BY sel)) AS winnow_fp
+FROM sel
+WHERE wn = 4
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 def _source_chunk_hashes(d: DataFrame) -> DataFrame:
     """Distinct (source, chunk-hash) pairs over ≥4-token CDC chunks —
     the shared building block of the source-overlap matrix and the
@@ -1844,6 +1932,7 @@ QUERIES = {
     "doc_shift_dedup": (doc_shift_dedup, DOC_SHIFT_DEDUP_SQL),
     "doc_boilerplate": (doc_boilerplate, DOC_BOILERPLATE_SQL),
     "doc_intra_dedup": (doc_intra_dedup, DOC_INTRA_DEDUP_SQL),
+    "doc_winnow_fingerprints": (doc_winnow_fingerprints, DOC_WINNOW_SQL),
     "doc_source_overlap": (doc_source_overlap, DOC_SOURCE_OVERLAP_SQL),
     "doc_source_pagerank": (doc_source_pagerank, DOC_SOURCE_PAGERANK_SQL),
     "doc_corpus_prep": (doc_corpus_prep, DOC_CORPUS_PREP_SQL),

@@ -199,3 +199,59 @@ def test_intra_dedup_planted_repetition(spark, tmp_path):
             seen.add(c)
     want = hashlib.md5(" ".join(kept).encode()).hexdigest()
     assert row.clean_md5 == want
+
+
+def test_winnow_shared_run_guarantee(spark, tmp_path):
+    """Winnowing's core guarantee: documents sharing a token run of
+    length >= w + k - 1 (= 6 at w=4, k=3) select at least one common
+    fingerprint HASH, even when the run sits at different offsets."""
+    from netcdf_olap_spark.queries.text import doc_winnow_fingerprints
+
+    shared = " ".join(f"common{i}" for i in range(12))
+    a = "alpha beta gamma " + shared + " delta epsilon"
+    b = "one two three four five six seven " + shared + " eight"
+    out_dir = str(tmp_path / "d")
+    spark.createDataFrame(
+        [(0, a, "en", "s0", len(a)), (1, b, "en", "s0", len(b))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{out_dir}/documents.parquet")
+    rows = doc_winnow_fingerprints(spark, out_dir).collect()
+    assert len(rows) == 2 and all(r.n_selected > 0 for r in rows)
+    # recompute the selected hash sets independently to compare them
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from netcdf_olap_spark.operators import text as T
+
+    d = spark.read.parquet(f"{out_dir}/documents.parquet")
+    sh = d.select(
+        "doc_id", F.posexplode(T.shingles_from_tokens(T.tokens("text"))).alias("pos", "sh")
+    )
+    keyed = sh.select(
+        "doc_id", "pos",
+        F.concat_ws(":", F.substring(F.md5("sh"), 1, 13),
+                    F.lpad(F.col("pos").cast("string"), 8, "0")).alias("hk"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(Window.currentRow, 3)
+    sel = keyed.select(
+        "doc_id", F.min("hk").over(win).alias("s"), F.count(F.lit(1)).over(win).alias("wn")
+    ).where(F.col("wn") == 4)
+    sets = {
+        r.doc_id: {s.split(":")[0] for s in r.hs}
+        for r in sel.groupBy("doc_id").agg(F.collect_set("s").alias("hs")).collect()
+    }
+    assert sets[0] & sets[1], "shared 12-token run must share a selected hash"
+
+
+def test_percent_of_record_bounds(spark):
+    """pct_bp spans exactly [0, 10000] per cell: the cell minimum
+    ranks 0 bp, the (untied) maximum 10000 bp."""
+    from netcdf_olap_spark.queries.grid import grid_percent_of_record
+
+    rows = grid_percent_of_record(spark, SF_SMALL)
+    from pyspark.sql import functions as F
+
+    agg = rows.groupBy("y", "x").agg(
+        F.min("pct_bp").alias("lo"), F.max("pct_bp").alias("hi")
+    ).collect()
+    assert agg and all(r.lo == 0 for r in agg)
+    assert all(r.hi == 10000 for r in agg)
