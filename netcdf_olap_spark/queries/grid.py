@@ -1390,6 +1390,102 @@ ORDER BY y, x, time
 """
 
 
+def grid_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MORAN'S I spatial autocorrelation, per day — the standard
+    "is this field spatially clustered?" statistic (rook 4-neighbor
+    weights): I = (n/W)·Σ_ij z_i z_j / Σ_i z_i², z = x − x̄.  A field
+    decoded from the cube should be strongly positive (smooth
+    physics); I ≈ 0 flags shuffled/corrupted ingest — a data-quality
+    instrument over the reference's own data model.
+
+    Exactness trick: multiply z by n — u_i = n·x_i − S is EXACT
+    decimal (no division by n anywhere), and the n² factors cancel in
+    num/den.  num = Σ directed-neighbor-pair u_i·u_j and
+    den = Σ u_i² are emitted AS DECIMALS (scale 12) — identical
+    digits in both engines, no int128→double cast in the checked
+    output; I itself = (n/W)·num/den, computed by callers (pytest
+    cross-checks it against numpy in float).
+
+    100 TB shape: per-day stats broadcast back onto the cells; the
+    neighbor join is the offset-explode pattern (each cell emits its
+    4 rook-neighbor coordinates once) keyed on (time, y, x) — one
+    equi-join, work ∝ 4·cells, never an all-pairs product."""
+    g = load_grid(spark).where(
+        (F.col("variable") == "LST_LWST_avg_daily") & F.col("value").isNotNull()
+    )
+    v = F.col("value").cast("decimal(18,6)")
+    cells0 = g.select("time", "y", "x", v.alias("v"))
+    per_day = cells0.groupBy("time").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("v").alias("s"),
+    )
+    u = (F.col("n_cells").cast("decimal(19,0)") * F.col("v") - F.col("s")).cast("decimal(19,6)")
+    cells = cells0.join(F.broadcast(per_day), "time").select(
+        "time", "y", "x", "n_cells", u.alias("u")
+    )
+    off = F.explode(
+        F.array(
+            F.struct(F.lit(0).alias("dy"), F.lit(1).alias("dx")),
+            F.struct(F.lit(0).alias("dy"), F.lit(-1).alias("dx")),
+            F.struct(F.lit(1).alias("dy"), F.lit(0).alias("dx")),
+            F.struct(F.lit(-1).alias("dy"), F.lit(0).alias("dx")),
+        )
+    ).alias("o")
+    probes = cells.select("time", "y", "x", "u", off).select(
+        "time",
+        (F.col("y") + F.col("o.dy")).alias("ny"),
+        (F.col("x") + F.col("o.dx")).alias("nx"),
+        F.col("u").alias("u_src"),
+    )
+    dst = cells.select(
+        "time", F.col("y").alias("ny"), F.col("x").alias("nx"), F.col("u").alias("u_dst")
+    )
+    pairs = probes.join(dst, ["time", "ny", "nx"])
+    num = pairs.groupBy("time").agg(
+        F.count(F.lit(1)).cast("long").alias("w_pairs"),
+        F.sum((F.col("u_src") * F.col("u_dst")).cast("decimal(38,12)")).alias("num"),
+    )
+    den = cells.groupBy("time", "n_cells").agg(
+        F.sum((F.col("u") * F.col("u")).cast("decimal(38,12)")).alias("den")
+    )
+    return (
+        den.join(num, "time")
+        .select("time", "n_cells", "w_pairs", "num", "den")
+        .orderBy("time")
+    )
+
+
+GRID_MORANS_I_SQL = f"""
+WITH cells0 AS (
+  SELECT time, y, x, CAST(value AS DECIMAL(18,6)) AS v
+  FROM {GRID}
+  WHERE variable = 'LST_LWST_avg_daily' AND value IS NOT NULL),
+per_day AS (
+  SELECT time, CAST(COUNT(*) AS BIGINT) AS n_cells, SUM(v) AS s
+  FROM cells0 GROUP BY time),
+cells AS (
+  SELECT c.time, y, x, n_cells,
+         CAST(CAST(n_cells AS DECIMAL(19,0)) * v - s AS DECIMAL(19,6)) AS u
+  FROM cells0 c JOIN per_day USING (time)),
+probes AS (
+  SELECT time, y + dy AS ny, x + dx AS nx, u AS u_src
+  FROM cells CROSS JOIN (VALUES (0, 1), (0, -1), (1, 0), (-1, 0)) AS o(dy, dx)),
+pairs AS (
+  SELECT p.time, p.u_src, d.u AS u_dst
+  FROM probes p JOIN cells d ON p.time = d.time AND p.ny = d.y AND p.nx = d.x),
+num AS (
+  SELECT time, CAST(COUNT(*) AS BIGINT) AS w_pairs,
+         SUM(CAST(u_src * u_dst AS DECIMAL(38,12))) AS num
+  FROM pairs GROUP BY time),
+den AS (
+  SELECT time, n_cells, SUM(CAST(u * u AS DECIMAL(38,12))) AS den
+  FROM cells GROUP BY time, n_cells)
+SELECT time, n_cells, w_pairs, num, den
+FROM den JOIN num USING (time)
+ORDER BY time
+"""
+
+
 def grid_gdd_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative exceedance index per cell — growing-degree-days
     (GDD) shape: for every cell and day, the running Σ max(value −
@@ -1469,6 +1565,7 @@ QUERIES = {
     "grid_streak_runs": (grid_streak_runs, GRID_STREAK_SQL),
     "grid_gdd_accumulate": (grid_gdd_accumulate, GRID_GDD_SQL),
     "grid_percent_of_record": (grid_percent_of_record, GRID_PCT_RECORD_SQL),
+    "grid_morans_i": (grid_morans_i, GRID_MORANS_I_SQL),
     "grid_ingest_nc": (grid_ingest_nc, GRID_INGEST_NC_SQL),
     "grid_export_roundtrip": (grid_export_roundtrip, GRID_EXPORT_ROUNDTRIP_SQL),
     "grid_ingest_catalog": (grid_ingest_catalog, GRID_INGEST_CATALOG_SQL),

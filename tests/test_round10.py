@@ -255,3 +255,52 @@ def test_percent_of_record_bounds(spark):
     ).collect()
     assert agg and all(r.lo == 0 for r in agg)
     assert all(r.hi == 10000 for r in agg)
+
+
+def test_morans_i_matches_numpy(spark):
+    """The decimal-exact num/den reduce to the float Moran's I numpy
+    computes directly from the raw field (rook weights, one day)."""
+    import numpy as np
+
+    from netcdf_olap_spark.queries.grid import grid_morans_i
+    from netcdf_olap_spark.session import load_grid
+    from pyspark.sql import functions as F
+
+    rows = {r["time"]: r for r in grid_morans_i(spark, SF_SMALL).collect()}
+    assert rows
+    day = sorted(rows)[0]
+    r = rows[day]
+    i_engine = (r.n_cells / r.w_pairs) * (float(r.num) / float(r.den))
+
+    raw = (
+        load_grid(spark)
+        .where(
+            (F.col("variable") == "LST_LWST_avg_daily")
+            & F.col("value").isNotNull()
+            & (F.col("time") == day)
+        )
+        .select("y", "x", "value")
+        .collect()
+    )
+    vals = {(q.y, q.x): q.value for q in raw}
+    z = {k: v - sum(vals.values()) / len(vals) for k, v in vals.items()}
+    num = sum(
+        z[(y, x)] * z[(y + dy, x + dx)]
+        for (y, x) in z
+        for dy, dx in ((0, 1), (0, -1), (1, 0), (-1, 0))
+        if (y + dy, x + dx) in z
+    )
+    den = sum(v * v for v in z.values())
+    w = sum(
+        1
+        for (y, x) in z
+        for dy, dx in ((0, 1), (0, -1), (1, 0), (-1, 0))
+        if (y + dy, x + dx) in z
+    )
+    i_numpy = (len(z) / w) * (num / den)
+    assert r.w_pairs == w and r.n_cells == len(z)
+    # 1e-6: the engine snaps values to decimal(18,6) before the exact
+    # arithmetic; this float reference uses the raw doubles
+    assert abs(i_engine - i_numpy) < 1e-6
+    # a smooth physical field must be strongly positively autocorrelated
+    assert i_engine > 0.2
