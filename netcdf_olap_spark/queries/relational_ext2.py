@@ -726,6 +726,150 @@ ORDER BY n_regionkey
 """
 
 
+def agg_hll_intersect_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKETCH SET ALGEBRA on the portable HLL: per market segment,
+    estimate |A∩B| for A = customers with a 1995 order, B = customers
+    with a 1996 order, by inclusion-exclusion over max-merged
+    registers — est(A) + est(B) − est(A∪B) — the pre-aggregation-store
+    operation (audience overlap, cross-period retention) that exact
+    distinct counts cannot answer from merged partials.  The union
+    sketch is register max-merge (A∪B never re-touches raw rows); the
+    ESTIMATES THEMSELVES are hash-checked because every register and
+    the whole estimator replay in DuckDB (agg_hll_portable's md5
+    family) — unlike the DataSketches twins, which can only check a
+    tolerance contract.  Exact |A∩B| rides along to expose the error.
+
+    100 TB shape: two semi-joins tag the sets; registers map-side
+    combine to ≤ segments·256 rows; union/estimate/intersect all
+    operate on register tables, never raw rows."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+
+    def year_keys(y: int) -> DataFrame:
+        return o.where(
+            (F.col("o_orderdate") >= F.lit(f"{y}-01-01"))
+            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01"))
+        ).select("o_custkey")
+
+    a = c.join(year_keys(1995), c.c_custkey == F.col("o_custkey"), "left_semi").select(
+        "c_mktsegment", "c_custkey"
+    )
+    b = c.join(year_keys(1996), c.c_custkey == F.col("o_custkey"), "left_semi").select(
+        "c_mktsegment", "c_custkey"
+    )
+
+    h = F.md5(F.col("c_custkey").cast("string"))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("long")
+    v = F.conv(F.substring(h, 3, 13), 16, 10).cast("long")
+    rho = F.when(v == 0, F.lit(53)).otherwise(F.lit(53) - F.length(F.bin(v)))
+
+    def regs(df: DataFrame) -> DataFrame:
+        return (
+            df.select("c_mktsegment", bucket.alias("bucket"), rho.alias("rho"))
+            .groupBy("c_mktsegment", "bucket")
+            .agg(F.max("rho").alias("m"))
+        )
+
+    ra, rb = regs(a), regs(b)
+    ru = ra.unionByName(rb).groupBy("c_mktsegment", "bucket").agg(F.max("m").alias("m"))
+
+    def est(regdf: DataFrame, name: str) -> DataFrame:
+        g = regdf.groupBy("c_mktsegment").agg(
+            (
+                F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - m AS INT))"))
+                + (F.lit(256) - F.count(F.lit(1))) * F.lit(1 << 53)
+            ).alias("sum_int"),
+            (F.lit(256) - F.count(F.lit(1))).alias("n_empty"),
+        )
+        raw = F.lit(float(_HLL_NUM)) / F.col("sum_int")
+        lc = F.element_at(F.array(*[F.lit(x) for x in _HLL_LC]), F.col("n_empty").cast("int"))
+        e = F.when((raw <= 2.5 * 256) & (F.col("n_empty") > 0), lc).otherwise(raw)
+        return g.select("c_mktsegment", e.alias(name))
+
+    exact = (
+        a.join(b.select("c_custkey"), "c_custkey", "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.countDistinct("c_custkey").cast("long").alias("exact_both"))
+    )
+    out = (
+        est(ra, "est_a")
+        .join(est(rb, "est_b"), "c_mktsegment")
+        .join(est(ru, "est_union"), "c_mktsegment")
+        .join(exact, "c_mktsegment")
+    )
+    return out.select(
+        "c_mktsegment",
+        "exact_both",
+        "est_a",
+        "est_b",
+        "est_union",
+        (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias("est_intersect"),
+    ).orderBy("c_mktsegment")
+
+
+def _hll_intersect_sql() -> str:
+    lc_arr = "[" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in _HLL_LC) + "]"
+
+    def est_cte(reg: str, name: str) -> str:
+        return f"""{name}0 AS (
+  SELECT c_mktsegment,
+         CAST(SUM(1::BIGINT << (53 - m)) AS BIGINT)
+           + (256 - COUNT(*)) * (1::BIGINT << 53) AS sum_int,
+         256 - COUNT(*) AS n_empty
+  FROM {reg} GROUP BY 1),
+{name} AS (
+  SELECT c_mktsegment,
+         CASE WHEN CAST({_HLL_NUM} AS DOUBLE) / sum_int <= 640.0 AND n_empty > 0
+              THEN ({lc_arr})[CAST(n_empty AS INT)]
+              ELSE CAST({_HLL_NUM} AS DOUBLE) / sum_int END AS v
+  FROM {name}0)"""
+
+    return f"""
+WITH a AS (
+  SELECT c_mktsegment, c_custkey FROM customer
+  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+                AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00')),
+b AS (
+  SELECT c_mktsegment, c_custkey FROM customer
+  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')),
+ra AS (
+  SELECT c_mktsegment,
+         ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 2))::BIGINT AS bucket,
+         MAX(CASE WHEN ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 3, 13))::BIGINT = 0
+                  THEN 53
+                  ELSE 53 - length(bin(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 3, 13))::BIGINT)) END) AS m
+  FROM a GROUP BY 1, 2),
+rb AS (
+  SELECT c_mktsegment,
+         ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 2))::BIGINT AS bucket,
+         MAX(CASE WHEN ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 3, 13))::BIGINT = 0
+                  THEN 53
+                  ELSE 53 - length(bin(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 3, 13))::BIGINT)) END) AS m
+  FROM b GROUP BY 1, 2),
+ru AS (
+  SELECT c_mktsegment, bucket, MAX(m) AS m
+  FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY 1, 2),
+{est_cte('ra', 'ea')},
+{est_cte('rb', 'eb')},
+{est_cte('ru', 'eu')},
+ex AS (
+  SELECT a.c_mktsegment, CAST(COUNT(DISTINCT a.c_custkey) AS BIGINT) AS exact_both
+  FROM a WHERE EXISTS (SELECT 1 FROM b WHERE b.c_custkey = a.c_custkey)
+  GROUP BY 1)
+SELECT ea.c_mktsegment, exact_both,
+       ea.v AS est_a, eb.v AS est_b, eu.v AS est_union,
+       ea.v + eb.v - eu.v AS est_intersect
+FROM ea JOIN eb USING (c_mktsegment) JOIN eu USING (c_mktsegment) JOIN ex USING (c_mktsegment)
+ORDER BY ea.c_mktsegment
+"""
+
+
+AGG_HLL_INTERSECT_SQL = _hll_intersect_sql()
+
+
 # --- recursive CTE ----------------------------------------------------------
 
 
@@ -813,6 +957,7 @@ QUERIES = {
     "q20_heavy_suppliers": (q20_heavy_suppliers, Q20_SQL),
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
     "agg_hll_mergeable": (agg_hll_mergeable, AGG_HLL_MERGEABLE_SQL),
+    "agg_hll_intersect_portable": (agg_hll_intersect_portable, AGG_HLL_INTERSECT_SQL),
     "agg_hll_portable": (agg_hll_portable, AGG_HLL_PORTABLE_SQL),
     "agg_string_concat": (agg_string_concat, STRING_CONCAT_SQL),
     "q12_shipmode_priority": (q12_shipmode_priority, Q12_SQL),

@@ -304,3 +304,18 @@ def test_morans_i_matches_numpy(spark):
     assert abs(i_engine - i_numpy) < 1e-6
     # a smooth physical field must be strongly positively autocorrelated
     assert i_engine > 0.2
+
+
+def test_hll_intersect_estimates_track_exact(spark):
+    """Inclusion-exclusion intersection estimates stay within the
+    expected band of the exact overlap (m=256 -> ~6.5% rse per sketch;
+    differences compound, so allow 25% + small absolute slack)."""
+    from netcdf_olap_spark.queries.relational_ext2 import agg_hll_intersect_portable
+
+    rows = agg_hll_intersect_portable(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.exact_both > 0
+        assert abs(r.est_intersect - r.exact_both) <= max(20, 0.25 * r.exact_both), r
+        # union can never be smaller than either side's estimate
+        assert r.est_union >= max(r.est_a, r.est_b) - 1e-9
