@@ -267,7 +267,9 @@ ORDER BY n_lone_late DESC, s_nationkey
 def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: uncorrelated scalar subquery (above-average
     balance, decimal-exact so the comparison can't flip on ulps) +
-    NOT EXISTS anti join (no recent orders), grouped by segment. The
+    NOT EXISTS anti join (no order in the data's FINAL year — the
+    r10 zero-row audit found the old 1997 cutoff matched nobody:
+    every fixture customer orders into 2001), grouped by segment. The
     scalar subquery is a broadcast single-row cross; the anti join
     shuffles on custkey."""
     return _sql_on_views(spark, sf_dir, Q22_SQL, ["customer", "orders"])
@@ -283,7 +285,7 @@ WHERE c_acctbal > (
   AND NOT EXISTS (
     SELECT 1 FROM orders
     WHERE o_custkey = c_custkey
-      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00')
+      AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """

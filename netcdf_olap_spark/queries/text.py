@@ -1675,7 +1675,9 @@ def doc_token_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-occurring pairs among mid-frequency vocabulary.
 
     The apriori-style frequency prefilter (document frequency in
-    [25, 300]) is what keeps the pair self-join sub-quadratic at
+    [25, 450] — re-banded in r10: the old [25, 300] band matched ONE
+    token on the driver's corpus, so the pair join was empty and the
+    check signal-free) is what keeps the pair self-join sub-quadratic at
     corpus scale: candidates are Σ per-doc kept-tokens², and the kept
     vocabulary is a broadcast semi-join. Lift is one double division
     of exact integer products through DECIMAL(38,0) — deterministic."""
@@ -1683,7 +1685,7 @@ def doc_token_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = d.count()  # plan constant (one cheap count; a literal in both engines)
     toks = d.select("doc_id", F.explode(F.array_distinct(text.tokens("text"))).alias("tok"))
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).where(
-        F.col("df").between(25, 300)
+        F.col("df").between(25, 450)
     )
     kept = toks.join(F.broadcast(vocab), "tok")
     a = kept.select("doc_id", F.col("tok").alias("tok_a"), F.col("df").alias("df_a"))
@@ -1716,7 +1718,7 @@ DOC_TOKEN_ASSOC_SQL = f"""
 WITH toks AS (
   SELECT doc_id, unnest(list_distinct({DUCK_TOKS})) AS tok FROM documents),
 vocab AS (
-  SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok HAVING COUNT(*) BETWEEN 25 AND 300),
+  SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok HAVING COUNT(*) BETWEEN 25 AND 450),
 kept AS (SELECT t.doc_id, t.tok, v.df FROM toks t JOIN vocab v USING (tok)),
 pairs AS (
   SELECT a.tok AS tok_a, b.tok AS tok_b, a.df AS df_a, b.df AS df_b, COUNT(*) AS joint
