@@ -1390,6 +1390,94 @@ ORDER BY y, x, time
 """
 
 
+def grid_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell CROSS-VARIABLE correlation: Pearson r between the day
+    and night temperature series of each cell, paired by timestamp —
+    the multi-measure cube statistic (how coupled are two variables,
+    and WHERE?) that single-variable climatology can't see.  Exact
+    decimal moments per cell (profile_correlations' recipe, keyed by
+    cell), one double closed form, decimal(20,12) snap.  Pearson is
+    TRANSLATION-INVARIANT, so values are centered at 275 K first —
+    the deviations are small enough that every moment narrows to an
+    int64-backed decimal(18,12) before its double cast (the
+    grid_trend_ols rule): a first cut without the centering measured
+    a last-snap-digit parity FAIL from DuckDB's not-correctly-rounded
+    int128→double cast landing an ulp across the snap boundary.
+    Cells need ≥2 paired days and non-degenerate variance on both
+    sides (the double denominators compare identically in both
+    engines — same inputs, correctly-rounded ops).
+
+    100 TB shape: the variable pairing is an equi-join on the cube's
+    natural key (time, y, x) — co-partitioned by any sensible layout —
+    then one groupBy per cell with map-side partial moments."""
+    g = load_grid(spark).where(F.col("value").isNotNull())
+    dec, dec19 = "decimal(18,6)", "decimal(19,6)"
+    ctr = (F.col("value") - F.lit(275.0)).cast(dec)
+    a = g.where(F.col("variable") == "LST_LWST_avg_day").select(
+        "time", "y", "x", ctr.alias("vx")
+    )
+    b = g.where(F.col("variable") == "avg_night_temp").select(
+        "time", "y", "x", ctr.alias("vy")
+    )
+    j = a.join(b, ["time", "y", "x"])
+    m = j.groupBy("y", "x").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("vx").alias("sx"),
+        F.sum("vy").alias("sy"),
+        F.sum(F.col("vx").cast(dec19) * F.col("vx")).alias("sxx"),
+        F.sum(F.col("vy").cast(dec19) * F.col("vy")).alias("syy"),
+        F.sum(F.col("vx").cast(dec19) * F.col("vy")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    nrw = lambda c, d: deterministic.narrow_checked(c, d, f"grid_cross_corr {c}").cast("double")  # noqa: E731
+    sx, sy = nrw("sx", "decimal(18,6)"), nrw("sy", "decimal(18,6)")
+    sxx, syy, sxy = (
+        nrw("sxx", "decimal(18,12)"),
+        nrw("syy", "decimal(18,12)"),
+        nrw("sxy", "decimal(18,12)"),
+    )
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    r = ((n * sxy - sx * sy) / F.sqrt(dx * dy)).cast("decimal(20,12)").cast("double")
+    return (
+        m.where((F.col("n") >= 2) & (dx > 0.0) & (dy > 0.0))
+        .select("y", "x", F.col("n").alias("n_days"), r.alias("corr"))
+        .orderBy("y", "x")
+    )
+
+
+GRID_CROSS_CORR_SQL = f"""
+WITH a AS (
+  SELECT time, y, x, CAST(value - 275.0 AS DECIMAL(18,6)) AS vx
+  FROM {GRID} WHERE variable = 'LST_LWST_avg_day' AND value IS NOT NULL),
+b AS (
+  SELECT time, y, x, CAST(value - 275.0 AS DECIMAL(18,6)) AS vy
+  FROM {GRID} WHERE variable = 'avg_night_temp' AND value IS NOT NULL),
+m AS (
+  SELECT y, x, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(vx) AS DECIMAL(18,6)) AS sx,
+         CAST(SUM(vy) AS DECIMAL(18,6)) AS sy,
+         CAST(SUM(CAST(vx AS DECIMAL(19,6)) * vx) AS DECIMAL(18,12)) AS sxx,
+         CAST(SUM(CAST(vy AS DECIMAL(19,6)) * vy) AS DECIMAL(18,12)) AS syy,
+         CAST(SUM(CAST(vx AS DECIMAL(19,6)) * vy) AS DECIMAL(18,12)) AS sxy
+  FROM a JOIN b USING (time, y, x)
+  GROUP BY y, x)
+SELECT y, x, n AS n_days,
+       CAST(CAST((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+            AS DECIMAL(20,12)) AS DOUBLE) AS corr
+FROM m
+WHERE n >= 2
+  AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+  AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0.0
+ORDER BY y, x
+"""
+
+
 def grid_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MORAN'S I spatial autocorrelation, per day — the standard
     "is this field spatially clustered?" statistic (rook 4-neighbor
@@ -1566,6 +1654,7 @@ QUERIES = {
     "grid_gdd_accumulate": (grid_gdd_accumulate, GRID_GDD_SQL),
     "grid_percent_of_record": (grid_percent_of_record, GRID_PCT_RECORD_SQL),
     "grid_morans_i": (grid_morans_i, GRID_MORANS_I_SQL),
+    "grid_cross_corr": (grid_cross_corr, GRID_CROSS_CORR_SQL),
     "grid_ingest_nc": (grid_ingest_nc, GRID_INGEST_NC_SQL),
     "grid_export_roundtrip": (grid_export_roundtrip, GRID_EXPORT_ROUNDTRIP_SQL),
     "grid_ingest_catalog": (grid_ingest_catalog, GRID_INGEST_CATALOG_SQL),

@@ -319,3 +319,35 @@ def test_hll_intersect_estimates_track_exact(spark):
         assert abs(r.est_intersect - r.exact_both) <= max(20, 0.25 * r.exact_both), r
         # union can never be smaller than either side's estimate
         assert r.est_union >= max(r.est_a, r.est_b) - 1e-9
+
+
+def test_cross_corr_matches_numpy(spark):
+    """Per-cell day/night Pearson equals numpy's corrcoef on the raw
+    paired series (1e-6: inputs are decimal(18,6)-snapped)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from netcdf_olap_spark.queries.grid import grid_cross_corr
+    from netcdf_olap_spark.session import load_grid
+
+    got = {(r.y, r.x): r for r in grid_cross_corr(spark, SF_SMALL).collect()}
+    assert len(got) > 500
+    raw = (
+        load_grid(spark)
+        .where(F.col("value").isNotNull() & F.col("variable").isin("LST_LWST_avg_day", "avg_night_temp"))
+        .select("variable", "time", "y", "x", "value")
+        .collect()
+    )
+    series: dict = {}
+    for q in raw:
+        series.setdefault((q.y, q.x), {}).setdefault(q.variable, {})[q.time] = q.value
+    checked = 0
+    for cell, r in list(got.items())[:25]:
+        vx = series[cell]["LST_LWST_avg_day"]
+        vy = series[cell]["avg_night_temp"]
+        ts = sorted(set(vx) & set(vy))
+        assert r.n_days == len(ts)
+        want = np.corrcoef([vx[t] for t in ts], [vy[t] for t in ts])[0, 1]
+        assert abs(r.corr - want) < 1e-6, (cell, r.corr, want)
+        checked += 1
+    assert checked == 25
