@@ -717,9 +717,9 @@ ex AS (
   FROM customer JOIN nation ON c_nationkey = n_nationkey
   GROUP BY 1)
 SELECT est.n_regionkey,
-       CASE WHEN CAST({_HLL_NUM} AS DOUBLE) / sum_int <= 640.0 AND n_empty > 0
-            THEN ([{", ".join(f"CAST({x!r} AS DOUBLE)" for x in _HLL_LC)}])[CAST(n_empty AS INT)]
-            ELSE CAST({_HLL_NUM} AS DOUBLE) / sum_int END AS est_custs,
+       CASE WHEN CAST('{_HLL_NUM}' AS DOUBLE) / sum_int <= 640.0 AND n_empty > 0
+            THEN ([{", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in _HLL_LC)}])[CAST(n_empty AS INT)]
+            ELSE CAST('{_HLL_NUM}' AS DOUBLE) / sum_int END AS est_custs,
        exact_custs
 FROM est JOIN ex USING (n_regionkey)
 ORDER BY n_regionkey
@@ -808,7 +808,11 @@ def agg_hll_intersect_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hll_intersect_sql() -> str:
-    lc_arr = "[" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in _HLL_LC) + "]"
+    # literals QUOTED: DuckDB parses a bare many-digit numeric as
+    # DECIMAL before any cast (rounding the 16th-17th digit — caught
+    # live by agg_hll_intersect_portable's sf0.01 parity); the
+    # VARCHAR→DOUBLE parse is correctly rounded
+    lc_arr = "[" + ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in _HLL_LC) + "]"
 
     def est_cte(reg: str, name: str) -> str:
         return f"""{name}0 AS (
@@ -819,9 +823,9 @@ def _hll_intersect_sql() -> str:
   FROM {reg} GROUP BY 1),
 {name} AS (
   SELECT c_mktsegment,
-         CASE WHEN CAST({_HLL_NUM} AS DOUBLE) / sum_int <= 640.0 AND n_empty > 0
+         CASE WHEN CAST('{_HLL_NUM}' AS DOUBLE) / sum_int <= 640.0 AND n_empty > 0
               THEN ({lc_arr})[CAST(n_empty AS INT)]
-              ELSE CAST({_HLL_NUM} AS DOUBLE) / sum_int END AS v
+              ELSE CAST('{_HLL_NUM}' AS DOUBLE) / sum_int END AS v
   FROM {name}0)"""
 
     return f"""

@@ -127,7 +127,7 @@ def _lsh_oracle_sql(n_planes: int = 8, dim: int = 64) -> str:
 
     planes = _planes(n_planes, dim)
     rows = ",\n    ".join(
-        "({}, [{}])".format(i, ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in p))
+        "({}, [{}])".format(i, ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in p))
         for i, p in enumerate(planes)
     )
     pdot = (
@@ -240,7 +240,7 @@ def _pq_portable_sql(m: int = 4, k: int = 8, subdim: int = 16) -> str:
     rows = []
     for s, cb in enumerate(cbs):
         for c, vec in enumerate(cb):
-            lits = ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in vec)
+            lits = ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in vec)
             rows.append(f"({s}, {c}, [{lits}])")
     rows_sql = ",\n    ".join(rows)
     diff = f"(CAST(e.embedding[cb.s*{subdim} + i] AS DOUBLE) - cb.cv[i])"
@@ -312,7 +312,7 @@ def _pq_distortion_sql(m: int = 4, k: int = 8, subdim: int = 16) -> str:
     rows = []
     for s, cb in enumerate(cbs):
         for c, vec in enumerate(cb):
-            lits = ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in vec)
+            lits = ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in vec)
             rows.append(f"({s}, {c}, [{lits}])")
     rows_sql = ",\n    ".join(rows)
     diff = f"(CAST(e.embedding[cb.s*{subdim} + i] AS DOUBLE) - cb.cv[i])"
@@ -632,7 +632,7 @@ def _semantic_lsh_sql(n_planes: int = 8, dim: int = 64) -> str:
 
     planes = _planes(n_planes, dim)
     rows = ",\n    ".join(
-        "({}, [{}])".format(i, ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in p))
+        "({}, [{}])".format(i, ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in p))
         for i, p in enumerate(planes)
     )
     pdot = (
