@@ -141,6 +141,13 @@ EXTRA_R10 = [
     "doc_intra_dedup",
     "emb_delta_knn",
     "doc_quota_alloc",
+    # second r10 pass: winnowing (doc-keyed sliding-min window), the
+    # two cube statistics (neighbor-join Moran's I; paired-variable
+    # per-cell correlation), and the HLL set algebra
+    "doc_winnow_fingerprints",
+    "grid_morans_i",
+    "grid_cross_corr",
+    "agg_hll_intersect_portable",
 ]
 HEADLINE += EXTRA_R10
 

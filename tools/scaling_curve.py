@@ -92,6 +92,14 @@ QUERIES = [
     "agg_quantile_sketch_portable",
     "profile_correlations",
     "profile_join_skew",
+    # r10 operators (token-linear HOF intra-dedup; batch-blocked
+    # incremental ANN; apportionment window; winnowing's doc window;
+    # register-table HLL set algebra)
+    "doc_intra_dedup",
+    "emb_delta_knn",
+    "doc_quota_alloc",
+    "doc_winnow_fingerprints",
+    "agg_hll_intersect_portable",
 ]
 
 # The grid family (r10 judge ask #2): these run ONLY on dirs that
@@ -111,6 +119,10 @@ GRID_QUERIES = [
     "grid_hyperslab",       # bbox+time slice scan
     "grid_climatology_anomaly",  # two window passes over the cube
     "grid_quantile_breaks",  # global approx quantiles
+    # r10 cube statistics
+    "grid_percent_of_record",  # per-cell rank window
+    "grid_morans_i",           # neighbor equi-join + moment rollups
+    "grid_cross_corr",         # variable pairing join + cell moments
 ]
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
