@@ -190,8 +190,24 @@ _PRIORITY: tuple[str, ...] = (
     # stays registered outside the window, pinned to the same planted
     # duplicates in tests/test_dedup.py. With this swap every row in
     # the 50-entry checked window carries a value-level oracle.
-    "doc_minhash_portable",
-    "doc_sentence_stats",
+    # r10 same-round rotation (the r9 pattern — new hard-oracle
+    # operators get window slots the round they land, instead of
+    # waiting a generation):
+    # - doc_minhash_portable OUT: since r9 doc_minhash_dedup_pairs is
+    #   itself hash-checked, so the window carried TWO value-checked
+    #   MinHash rows; the md5-52 portable pipeline stays registered +
+    #   parity-checked.  IN: doc_intra_dedup — within-document
+    #   repeated-passage removal with md5-verified rewrite, a
+    #   capability class (intra-doc self-dedup, shuffle-free HOF
+    #   plan) nothing else in the window represents.
+    # - doc_sentence_stats OUT: the §2.10 UDF family keeps
+    #   grid_midhinge (grouped-agg pandas UDF) as its checked member;
+    #   sentence stats stay registered + parity-checked.  IN:
+    #   grid_morans_i — spatial autocorrelation over the cube
+    #   (decimal-exact num/den), the reference's own domain and the
+    #   registry's first spatial STATISTIC.
+    "doc_intra_dedup",
+    "grid_morans_i",
     "grid_midhinge",
     # corpus-hygiene pipeline (decontamination: the broadcast
     # shingle-overlap family's representative; point-read's slot —
