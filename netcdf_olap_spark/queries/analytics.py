@@ -565,6 +565,86 @@ ORDER BY prev_type, next_type
 """
 
 
+def ev_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-step user PATHS (sequence mining one order above
+    the transition matrix): per user, time-ordered event-type
+    trigrams whose consecutive gaps are each ≤ 30 min (the sessionize
+    gap — a path that spans a session break is two visits, not one
+    journey), counted corpus-wide with integer-bp shares.  The
+    clickstream instrument behind funnel design: the transition
+    matrix says what follows X; this says which full journeys
+    dominate.
+
+    100 TB shape: ONE user-keyed window (two LAGs over the same sort
+    — no self-joins), one aggregate on the ≤|types|³ trigram space;
+    the share denominator rides a window over that tiny table."""
+    e = load_events(spark, sf_dir).withColumn("ts_us", F.expr("ts_ns DIV 1000"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    tri = (
+        e.select("user_id", "event_type", "ts_us", "event_id")
+        .select(
+            F.lag("event_type", 2).over(w).alias("step1"),
+            F.lag("event_type", 1).over(w).alias("step2"),
+            F.col("event_type").alias("step3"),
+            (F.col("ts_us") - F.lag("ts_us", 1).over(w)).alias("gap2"),
+            (F.lag("ts_us", 1).over(w) - F.lag("ts_us", 2).over(w)).alias("gap1"),
+        )
+        .where(
+            F.col("step1").isNotNull()
+            & (F.col("gap1") <= US_30MIN)
+            & (F.col("gap2") <= US_30MIN)
+        )
+    )
+    counts = tri.groupBy("step1", "step2", "step3").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        counts.select(
+            "step1",
+            "step2",
+            "step3",
+            "n",
+            F.expr("(n * 10000)").cast("long").alias("_num"),
+            F.sum("n").over(wall).cast("long").alias("_tot"),
+        )
+        .select(
+            "step1",
+            "step2",
+            "step3",
+            "n",
+            F.expr("_num DIV _tot").cast("long").alias("share_bp"),
+        )
+        .orderBy(F.col("n").desc(), "step1", "step2", "step3")
+        .limit(20)
+    )
+
+
+US_30MIN = 1_800_000_000
+
+EV_PATH_TRIGRAMS_SQL = f"""
+WITH seq AS (
+  SELECT user_id,
+         LAG(event_type, 2) OVER w AS step1,
+         LAG(event_type, 1) OVER w AS step2,
+         event_type AS step3,
+         epoch_us(ts) - LAG(epoch_us(ts), 1) OVER w AS gap2,
+         LAG(epoch_us(ts), 1) OVER w - LAG(epoch_us(ts), 2) OVER w AS gap1
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+counts AS (
+  SELECT step1, step2, step3, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq
+  WHERE step1 IS NOT NULL AND gap1 <= {US_30MIN} AND gap2 <= {US_30MIN}
+  GROUP BY step1, step2, step3)
+SELECT step1, step2, step3, n,
+       CAST((n * 10000) // CAST(SUM(n) OVER () AS BIGINT) AS BIGINT) AS share_bp
+FROM counts
+ORDER BY n DESC, step1, step2, step3
+LIMIT 20
+"""
+
+
 def profile_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Pearson correlation matrix over lineitem's numeric
     measures in ONE scan — the feature-redundancy screen a corpus
@@ -782,4 +862,5 @@ QUERIES = {
     "ev_retention_cohorts": (ev_retention_cohorts, EV_COHORTS_SQL),
     "part_skyline": (part_skyline, PART_SKYLINE_SQL),
     "ev_transition_matrix": (ev_transition_matrix, EV_TRANSITION_SQL),
+    "ev_path_trigrams": (ev_path_trigrams, EV_PATH_TRIGRAMS_SQL),
 }

@@ -1390,6 +1390,69 @@ ORDER BY y, x, time
 """
 
 
+#: dyadic 8-tap EWM weights (α=1/2): 2^-1 … 2^-7, last tap doubled so
+#: the kernel sums to EXACTLY 1 — every weight is a finite decimal,
+#: so the smoothing is exact decimal arithmetic in both engines
+EWMA_TAPS = ["0.5", "0.25", "0.125", "0.0625", "0.03125", "0.015625", "0.0078125", "0.0078125"]
+
+
+def grid_ewma_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential smoothing over the cube with EXACT dyadic weights:
+    per cell, the 8-tap EWM (α=1/2, truncated kernel with its tail
+    folded into the last tap so weights sum to exactly 1) over the
+    cell's observed days — the recursive-EWMA shape every monitoring
+    stack runs, made engine-exact because all 2^-k weights are finite
+    decimals (no float power, no recursion).  Cells emit from their
+    8th observation onward.
+
+    100 TB shape: one window sort per cell key, 8 LAGs over the SAME
+    sort (one shuffle), pure decimal arithmetic inside whole-stage
+    codegen."""
+    g = load_grid(spark).where(
+        (F.col("variable") == "LST_LWST_avg_daily") & F.col("value").isNotNull()
+    )
+    w = Window.partitionBy("y", "x").orderBy("time")
+    v = F.col("value").cast("decimal(18,6)")
+    base = g.select("y", "x", "time", v.alias("v"))
+    terms = [
+        F.lag("v", k).over(w) * F.lit(wt).cast("decimal(9,7)")
+        for k, wt in enumerate(EWMA_TAPS)
+    ]
+    ew = base.select(
+        "y",
+        "x",
+        "time",
+        F.lag("v", len(EWMA_TAPS) - 1).over(w).alias("_oldest"),
+        sum(terms[1:], terms[0]).alias("_ew"),
+    )
+    return (
+        ew.where(F.col("_oldest").isNotNull())
+        .select("y", "x", "time", F.col("_ew").cast("double").alias("ewma"))
+        .orderBy("y", "x", "time")
+    )
+
+
+_EWMA_TERMS_SQL = " + ".join(
+    f"LAG(v, {k}) OVER w * CAST('{wt}' AS DECIMAL(9,7))" for k, wt in enumerate(EWMA_TAPS)
+)
+
+GRID_EWMA_SQL = f"""
+WITH base AS (
+  SELECT y, x, time, CAST(value AS DECIMAL(18,6)) AS v
+  FROM {GRID}
+  WHERE variable = 'LST_LWST_avg_daily' AND value IS NOT NULL),
+ew AS (
+  SELECT y, x, time,
+         LAG(v, {len(EWMA_TAPS) - 1}) OVER w AS oldest,
+         {_EWMA_TERMS_SQL} AS e
+  FROM base
+  WINDOW w AS (PARTITION BY y, x ORDER BY time))
+SELECT y, x, time, CAST(e AS DOUBLE) AS ewma
+FROM ew WHERE oldest IS NOT NULL
+ORDER BY y, x, time
+"""
+
+
 def grid_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cell CROSS-VARIABLE correlation: Pearson r between the day
     and night temperature series of each cell, paired by timestamp —
@@ -1655,6 +1718,7 @@ QUERIES = {
     "grid_percent_of_record": (grid_percent_of_record, GRID_PCT_RECORD_SQL),
     "grid_morans_i": (grid_morans_i, GRID_MORANS_I_SQL),
     "grid_cross_corr": (grid_cross_corr, GRID_CROSS_CORR_SQL),
+    "grid_ewma_dyadic": (grid_ewma_dyadic, GRID_EWMA_SQL),
     "grid_ingest_nc": (grid_ingest_nc, GRID_INGEST_NC_SQL),
     "grid_export_roundtrip": (grid_export_roundtrip, GRID_EXPORT_ROUNDTRIP_SQL),
     "grid_ingest_catalog": (grid_ingest_catalog, GRID_INGEST_CATALOG_SQL),

@@ -351,3 +351,41 @@ def test_cross_corr_matches_numpy(spark):
         assert abs(r.corr - want) < 1e-6, (cell, r.corr, want)
         checked += 1
     assert checked == 25
+
+
+def test_ewma_weights_sum_to_one_and_match_python(spark):
+    """The 8-tap dyadic kernel sums to exactly 1, and the engine EWM
+    equals a pure-Python replay of the same exact arithmetic."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from netcdf_olap_spark.queries.grid import EWMA_TAPS, grid_ewma_dyadic
+    from netcdf_olap_spark.session import load_grid
+
+    assert sum(Decimal(t) for t in EWMA_TAPS) == 1
+    rows = grid_ewma_dyadic(spark, SF_SMALL).collect()
+    assert rows
+    got = {(r.y, r.x, r.time): r.ewma for r in rows}
+    raw = (
+        load_grid(spark)
+        .where((F.col("variable") == "LST_LWST_avg_daily") & F.col("value").isNotNull())
+        .select("y", "x", "time", "value")
+        .collect()
+    )
+    series: dict = {}
+    for q in raw:
+        series.setdefault((q.y, q.x), []).append((q.time, q.value))
+    checked = 0
+    for cell, obs in list(series.items())[:10]:
+        obs.sort()
+        for i in range(len(EWMA_TAPS) - 1, len(obs)):
+            want = sum(
+                Decimal(EWMA_TAPS[k])
+                * Decimal(f"{obs[i - k][1]:.6f}")
+                for k in range(len(EWMA_TAPS))
+            )
+            key = (cell[0], cell[1], obs[i][0])
+            assert abs(got[key] - float(want)) < 1e-9, key
+            checked += 1
+    assert checked > 100
