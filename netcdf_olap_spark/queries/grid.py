@@ -1280,6 +1280,78 @@ ORDER BY y, x
 """
 
 
+def grid_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen ROBUST trend per cell: the median of all pairwise
+    slopes (v_j−v_i)/(t_j−t_i) over the cell's observed days — the
+    estimator climate indices prefer over OLS when outliers/fill
+    artifacts survive QC (29% breakdown point vs OLS's zero).  The
+    lower median at rank ⌈n/2⌉ under the total order (slope, t_i,
+    t_j) makes the pick deterministic even among equal slopes.
+
+    Determinism: slopes are ONE double division of exactly-derived
+    operands (decimal-snapped values, integer day gaps) — identical
+    in both engines; the rank pick needs no arithmetic at all.
+
+    100 TB shape: the pair build is a per-cell equi self-join (t_i <
+    t_j residual) — O(d²/2) pairs per cell, inherent to the estimator
+    and bounded by the series length, never cross-cell; the median is
+    one per-cell window rank.  For monster time axes, swap in the
+    repeated-median or sampled variant — documented seam."""
+    g = load_grid(spark).where(
+        (F.col("variable") == "LST_LWST_avg_daily") & F.col("value").isNotNull()
+    )
+    t = F.datediff(F.col("time"), F.lit("1990-01-01").cast("date")).cast("long")
+    base = g.select(
+        "y", "x", t.alias("t"), F.col("value").cast("decimal(18,6)").alias("v")
+    )
+    a = base.select("y", "x", F.col("t").alias("ti"), F.col("v").alias("vi"))
+    b = base.select("y", "x", F.col("t").alias("tj"), F.col("v").alias("vj"))
+    pairs = a.join(b, ["y", "x"]).where(F.col("ti") < F.col("tj"))
+    slope = (F.col("vj").cast("double") - F.col("vi").cast("double")) / (
+        F.col("tj") - F.col("ti")
+    ).cast("double")
+    w = Window.partitionBy("y", "x").orderBy("slope", "ti", "tj")
+    ranked = pairs.select("y", "x", "ti", "tj", slope.alias("slope")).select(
+        "y",
+        "x",
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("y", "x")).alias("n_pairs"),
+    )
+    return (
+        ranked.where(F.col("rn") == F.expr("(n_pairs + 1) DIV 2"))
+        .select(
+            "y",
+            "x",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("slope").alias("ts_slope"),
+        )
+        .orderBy("y", "x")
+    )
+
+
+GRID_THEIL_SEN_SQL = f"""
+WITH base AS (
+  SELECT y, x, date_diff('day', DATE '1990-01-01', CAST(time AS DATE)) AS t,
+         CAST(value AS DECIMAL(18,6)) AS v
+  FROM {GRID}
+  WHERE variable = 'LST_LWST_avg_daily' AND value IS NOT NULL),
+pairs AS (
+  SELECT a.y, a.x, a.t AS ti, b.t AS tj,
+         (CAST(b.v AS DOUBLE) - CAST(a.v AS DOUBLE)) / CAST(b.t - a.t AS DOUBLE) AS slope
+  FROM base a JOIN base b ON a.y = b.y AND a.x = b.x AND a.t < b.t),
+ranked AS (
+  SELECT y, x, slope,
+         ROW_NUMBER() OVER (PARTITION BY y, x ORDER BY slope, ti, tj) AS rn,
+         COUNT(*) OVER (PARTITION BY y, x) AS n_pairs
+  FROM pairs)
+SELECT y, x, CAST(n_pairs AS BIGINT) AS n_pairs, slope AS ts_slope
+FROM ranked
+WHERE rn = (n_pairs + 1) // 2
+ORDER BY y, x
+"""
+
+
 def grid_streak_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cell heatwave/streak statistics: for each cell, the LONGEST
     run of consecutive days with value > 275 K, plus total above-
@@ -1719,6 +1791,7 @@ QUERIES = {
     "grid_morans_i": (grid_morans_i, GRID_MORANS_I_SQL),
     "grid_cross_corr": (grid_cross_corr, GRID_CROSS_CORR_SQL),
     "grid_ewma_dyadic": (grid_ewma_dyadic, GRID_EWMA_SQL),
+    "grid_theil_sen": (grid_theil_sen, GRID_THEIL_SEN_SQL),
     "grid_ingest_nc": (grid_ingest_nc, GRID_INGEST_NC_SQL),
     "grid_export_roundtrip": (grid_export_roundtrip, GRID_EXPORT_ROUNDTRIP_SQL),
     "grid_ingest_catalog": (grid_ingest_catalog, GRID_INGEST_CATALOG_SQL),

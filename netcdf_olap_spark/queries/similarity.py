@@ -729,6 +729,84 @@ ORDER BY src_id, nbr_rank
 EMB_KNN_GRAPH_SQL = _knn_graph_sql()
 
 
+def emb_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid CONFUSION MATRIX: assign every vector to its
+    closest label centroid (squared L2) and count (true, predicted)
+    pairs — the embedding-quality eval (are the label clusters
+    separable at all?) run before trusting labels for hard-negative
+    mining or stratified dedup.  Centroid components are exact-decimal
+    means cast to double once (identical operands → identical doubles,
+    the emb_centroids recipe); distances are the sequential double
+    fold; argmin ties break on label.
+
+    100 TB shape: the centroid table is #labels rows and BROADCASTS;
+    distance scoring is map-side over the corpus (#labels folds per
+    vector); the only shuffles are the per-vector argmin window on
+    vec_id and the tiny confusion rollup."""
+    from pyspark.sql.window import Window
+
+    e = _emb(spark, sf_dir)
+    exploded = e.select("label", F.posexplode("embedding").alias("pos", "val"))
+    cents = exploded.groupBy("label", "pos").agg(
+        (decimal_sum(F.col("val").cast("double"), 8) / F.count("val")).alias("cv")
+    )
+    carr = (
+        cents.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))), lambda s: s["cv"]
+            ).alias("cvec")
+        )
+        .select(F.col("label").alias("clabel"), "cvec")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("cvec"),
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = e.crossJoin(F.broadcast(carr)).select(
+        "vec_id", "label", "clabel", d2.alias("d2")
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "clabel")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .groupBy(F.col("label").alias("true_label"), F.col("clabel").alias("pred_label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("true_label", "pred_label")
+    )
+
+
+EMB_CENTROID_CONFUSION_SQL = """
+WITH cents AS (
+  SELECT label, i - 1 AS pos,
+         CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,8))) AS DOUBLE)
+           / COUNT(*) AS cv
+  FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
+  GROUP BY label, i),
+carr AS (
+  SELECT label AS clabel, list(cv ORDER BY pos) AS cvec FROM cents GROUP BY label),
+scored AS (
+  SELECT e.vec_id, e.label, c.clabel,
+         list_sum([(CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])
+                   * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])
+                   FOR i IN generate_series(1, len(e.embedding))]) AS d2
+  FROM embeddings e CROSS JOIN carr c),
+pred AS (
+  SELECT vec_id, label, clabel,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+  FROM scored)
+SELECT label AS true_label, clabel AS pred_label, CAST(COUNT(*) AS BIGINT) AS n
+FROM pred WHERE rn = 1
+GROUP BY 1, 2
+ORDER BY true_label, pred_label
+"""
+
+
 def emb_delta_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ANN (operators/similarity.delta_knn): top-3 corpus
     neighbors for each vector of a NEW daily batch (vec_id % 50 == 0),
@@ -1204,6 +1282,7 @@ QUERIES = {
     "emb_rp_topk": (emb_rp_topk, EMB_RP_TOPK_SQL),
     "emb_knn_graph": (emb_knn_graph, EMB_KNN_GRAPH_SQL),
     "emb_delta_knn": (emb_delta_knn, EMB_DELTA_KNN_SQL),
+    "emb_centroid_confusion": (emb_centroid_confusion, EMB_CENTROID_CONFUSION_SQL),
     "emb_hard_negatives": (emb_hard_negatives, EMB_HARD_NEGATIVES_SQL),
     "emb_ann_recall_report": (emb_ann_recall_report, EMB_ANN_RECALL_SQL),
     "emb_matryoshka_recall": (emb_matryoshka_recall, EMB_MATRYOSHKA_SQL),
