@@ -101,6 +101,7 @@ QUERIES = [
     "doc_winnow_fingerprints",
     "agg_hll_intersect_portable",
     "ev_path_trigrams",
+    "emb_centroid_confusion",
 ]
 
 # The grid family (r10 judge ask #2): these run ONLY on dirs that
@@ -125,6 +126,7 @@ GRID_QUERIES = [
     "grid_morans_i",           # neighbor equi-join + moment rollups
     "grid_cross_corr",         # variable pairing join + cell moments
     "grid_ewma_dyadic",        # 8-LAG window kernel per cell
+    "grid_theil_sen",          # per-cell O(d^2/2) pair median
 ]
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
