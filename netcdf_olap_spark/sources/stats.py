@@ -118,6 +118,11 @@ def parquet_column_stats_distributed(spark, path: str, columns: list[str]):
         import pyarrow.parquet as pq  # noqa: PLC0415
 
         for pdf in batches:
+            if not len(pdf):
+                # an empty Arrow batch would emit all-empty object
+                # Series → null-typed Arrow columns that fail the
+                # declared double schema; skip it instead
+                continue
             out = {"column_name": [], "n_rows": [], "n_nulls": [], "min_val": [], "max_val": []}
             for p in pdf["path"]:
                 local = p
