@@ -443,3 +443,44 @@ def test_centroid_confusion_beats_chance(spark):
     n_labels = len({r.true_label for r in rows})
     assert total > 0 and n_labels >= 2
     assert diag > 1.5 * total / n_labels, (diag, total, n_labels)
+
+
+def test_attribution_credit_conserved(spark):
+    """Linear multi-touch attribution: total credited bp must equal
+    exactly 10000 x (number of purchases with >=1 in-window touch) -
+    the conservation invariant float splits cannot give."""
+    from pyspark.sql import functions as F
+
+    from netcdf_olap_spark.queries.events import ev_attribution_credit
+    from netcdf_olap_spark.session import load_events
+
+    rows = ev_attribution_credit(spark, SF_SMALL).collect()
+    total_credit = sum(r.credit_bp for r in rows)
+    e = load_events(spark, SF_SMALL).withColumn("ts_us", F.expr("ts_ns DIV 1000"))
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts_us").alias("c_us")
+    )
+    buys = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts_us").alias("p_us"), "event_id"
+    )
+    attributed = (
+        buys.join(clicks, "user_id")
+        .where((F.col("c_us") <= F.col("p_us")) & (F.col("c_us") > F.col("p_us") - 86_400_000_000))
+        .select("event_id")
+        .distinct()
+        .count()
+    )
+    assert attributed > 0
+    assert total_credit == attributed * 10000
+
+
+def test_ab_lift_partitions_users_exactly(spark):
+    """The md5-parity split must partition users exactly and the lift
+    row must equal rate_A - rate_B."""
+    from netcdf_olap_spark.queries.events import ev_ab_lift
+    from netcdf_olap_spark.session import load_events
+
+    rows = {r.cohort: r for r in ev_ab_lift(spark, SF_SMALL).collect()}
+    n_users = load_events(spark, SF_SMALL).select("user_id").distinct().count()
+    assert rows["A"].n_users + rows["B"].n_users == n_users
+    assert rows["lift_A_minus_B"].rate_bp == rows["A"].rate_bp - rows["B"].rate_bp
