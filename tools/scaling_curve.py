@@ -102,6 +102,8 @@ QUERIES = [
     "agg_hll_intersect_portable",
     "ev_path_trigrams",
     "emb_centroid_confusion",
+    "ev_ab_lift",
+    "ev_attribution_credit",
 ]
 
 # The grid family (r10 judge ask #2): these run ONLY on dirs that
