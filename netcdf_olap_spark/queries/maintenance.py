@@ -205,7 +205,89 @@ ORDER BY p.user_id
 """
 
 
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLE-DIFF between two snapshots — the data-versioning audit
+    (what changed between yesterday's and today's table?) every
+    lakehouse maintenance story needs.  Snapshot A = the base orders;
+    snapshot B = the CDC-merged state (cdc_merge_orders' exact
+    changeset: deletes at key%37, price updates at key%10=3, inserts
+    at key%53 — one definition shared, so the diff op is checked
+    against a KNOWN edit script).  One full-outer join on the key
+    classifies every row added / removed / changed / unchanged; the
+    rollup also carries the exact total |Δprice| of changed rows as
+    DECIMAL (order-free sum).
+
+    100 TB shape: one key-keyed full-outer hash join (the diff is
+    inherently one co-partitioning of both snapshots), then a 4-row
+    rollup; no second pass, no collect."""
+    k = F.col("o_orderkey")
+    base = _orders(spark, sf_dir).select(k.alias("key"), "o_totalprice")
+    # snapshot B per cdc_merge_orders' changeset (kept inline so the
+    # expected diff is analytically known)
+    deleted = F.col("key") % 37 == 0
+    updated = (F.col("key") % 10 == 3) & ~deleted
+    b_kept = base.where(~deleted).select(
+        "key",
+        F.when(updated, F.col("o_totalprice") + 100.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("price_b"),
+    )
+    b_ins = base.where(F.col("key") % 53 == 0).select(
+        (F.col("key") + INSERT_OFFSET).alias("key"), F.lit(42.0).alias("price_b")
+    )
+    snap_b = b_kept.unionByName(b_ins)
+    j = base.select("key", F.col("o_totalprice").alias("price_a")).join(
+        snap_b, "key", "full_outer"
+    )
+    cls = (
+        F.when(F.col("price_a").isNull(), F.lit("added"))
+        .when(F.col("price_b").isNull(), F.lit("removed"))
+        .when(F.col("price_a") != F.col("price_b"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    delta = F.abs(
+        F.coalesce(F.col("price_b"), F.lit(0.0)) - F.coalesce(F.col("price_a"), F.lit(0.0))
+    )
+    return (
+        j.select(cls.alias("diff_class"), delta.alias("d"))
+        .groupBy("diff_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("d").cast("decimal(18,2)")).cast("double").alias("total_abs_delta"),
+        )
+        .orderBy("diff_class")
+    )
+
+
+SNAPSHOT_DIFF_SQL = f"""
+WITH base AS (SELECT o_orderkey AS key, o_totalprice FROM orders),
+b_kept AS (
+  SELECT key,
+         CASE WHEN key % 10 = 3 AND key % 37 != 0 THEN o_totalprice + 100.0
+              ELSE o_totalprice END AS price_b
+  FROM base WHERE key % 37 != 0),
+b_ins AS (
+  SELECT key + {INSERT_OFFSET} AS key, 42.0 AS price_b
+  FROM base WHERE key % 53 = 0),
+snap_b AS (SELECT * FROM b_kept UNION ALL SELECT * FROM b_ins),
+j AS (
+  SELECT COALESCE(a.key, b.key) AS key, a.o_totalprice AS price_a, b.price_b
+  FROM base a FULL OUTER JOIN snap_b b ON a.key = b.key)
+SELECT CASE WHEN price_a IS NULL THEN 'added'
+            WHEN price_b IS NULL THEN 'removed'
+            WHEN price_a != price_b THEN 'changed'
+            ELSE 'unchanged' END AS diff_class,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ABS(COALESCE(price_b, 0.0) - COALESCE(price_a, 0.0)) AS DECIMAL(18,2)))
+            AS DOUBLE) AS total_abs_delta
+FROM j
+GROUP BY 1
+ORDER BY diff_class
+"""
+
+
 QUERIES = {
+    "maintenance_snapshot_diff": (snapshot_diff, SNAPSHOT_DIFF_SQL),
     "cdc_merge_orders": (cdc_merge_orders, CDC_MERGE_SQL),
     "scd2_user_history": (scd2_user_history, SCD2_SQL),
     "join_scd2_pit": (join_scd2_pit, JOIN_SCD2_PIT_SQL),
