@@ -275,7 +275,78 @@ ORDER BY media_id, band
 """
 
 
+def media_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO near-duplicate grouping by spectral FINGERPRINT — the
+    audio analog of media_phash_dedup: decode → band energies → md5 of
+    the decimal-quantized 8-band vector (the chromaprint-style
+    content key), then exact-dedup on the fingerprint with min-id
+    survivorship.  Two clips with the same spectral shape collapse
+    regardless of their blob bytes.
+
+    ORACLE-CHECKED: the planted tone clips put all energy in band
+    (id mod 8), so the fingerprint groups ARE the mod-8 congruence
+    classes — group size, keeper id, and member count are pure id
+    arithmetic DuckDB states without decoding a blob; the hash only
+    matches if decode → FFT → quantize → fingerprint → group drops or
+    merges nothing.
+
+    100 TB shape: decode/FFT map-side in Arrow batches; ONE shuffle
+    on the fingerprint (the exact-dedup shape)."""
+    clips = mm.synthesize_audio(
+        _doc_ids(spark, sf_dir).where(F.col("doc_id") < 200), wave="tone"
+    )
+    bands = mm.audio_band_energies(clips, n_bands=8).select(
+        "media_id",
+        "band",
+        F.col("energy_frac").cast("decimal(18,6)").alias("ef"),
+    )
+    fp = (
+        bands.groupBy("media_id")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("band", "ef"))),
+                        lambda s: s["ef"].cast("string"),
+                    ),
+                )
+            ).alias("fp")
+        )
+    )
+    return (
+        fp.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clips"),
+            F.min("media_id").cast("long").alias("keeper_id"),
+        )
+        .orderBy("keeper_id")
+    )
+
+
+MEDIA_AUDIO_DEDUP_SQL = """
+WITH fp AS (
+  SELECT doc_id AS media_id,
+         md5(concat_ws(',',
+             CAST(CASE WHEN 0 = doc_id % 8 THEN 1.000000 ELSE 0.000000 END AS DECIMAL(18,6)),
+             CAST(CASE WHEN 1 = doc_id % 8 THEN 1.000000 ELSE 0.000000 END AS DECIMAL(18,6)),
+             CAST(CASE WHEN 2 = doc_id % 8 THEN 1.000000 ELSE 0.000000 END AS DECIMAL(18,6)),
+             CAST(CASE WHEN 3 = doc_id % 8 THEN 1.000000 ELSE 0.000000 END AS DECIMAL(18,6)),
+             CAST(CASE WHEN 4 = doc_id % 8 THEN 1.000000 ELSE 0.000000 END AS DECIMAL(18,6)),
+             CAST(CASE WHEN 5 = doc_id % 8 THEN 1.000000 ELSE 0.000000 END AS DECIMAL(18,6)),
+             CAST(CASE WHEN 6 = doc_id % 8 THEN 1.000000 ELSE 0.000000 END AS DECIMAL(18,6)),
+             CAST(CASE WHEN 7 = doc_id % 8 THEN 1.000000 ELSE 0.000000 END AS DECIMAL(18,6))
+         )) AS fp
+  FROM documents WHERE doc_id < 200)
+SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_clips, CAST(MIN(media_id) AS BIGINT) AS keeper_id
+FROM fp
+GROUP BY fp
+ORDER BY keeper_id
+"""
+
+
 QUERIES = {
+    "media_audio_dedup": (media_audio_dedup, MEDIA_AUDIO_DEDUP_SQL),
     "media_image_features": (media_image_features, None),
     "media_frame_stats": (media_frame_stats, MEDIA_FRAME_STATS_SQL),
     "media_audio_stats": (media_audio_stats, MEDIA_AUDIO_STATS_SQL),
