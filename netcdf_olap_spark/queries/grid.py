@@ -1462,6 +1462,77 @@ ORDER BY y, x, time
 """
 
 
+def grid_standardized_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STANDARDIZED anomaly (the SPI/SSI drought-index shape): each
+    day's value expressed in its own cell's standard deviations,
+    z = (v − μ_cell)/σ_cell — the unit climatology_anomaly's raw
+    differences lack, and what makes cells with different variances
+    comparable.  Values center at 275 K first (grid_cross_corr's
+    rule) so μ/σ come from exact decimal moments that narrow
+    int64-backed before their single double casts; σ uses the
+    population form n·Σv²−(Σv)² under one sqrt (correctly rounded),
+    and z stays the RAW double (all operands bitwise identical across
+    engines — a snap would reintroduce half-boundary drift).  Cells
+    need ≥2 observations and
+    non-zero variance.
+
+    100 TB shape: one groupBy per cell (map-side moments) broadcast
+    back onto the cell's rows via the cell-keyed join — same
+    partitioning both sides, and the join is the cube's natural key."""
+    g = load_grid(spark).where(
+        (F.col("variable") == "LST_LWST_avg_daily") & F.col("value").isNotNull()
+    )
+    dec, dec19 = "decimal(18,6)", "decimal(19,6)"
+    ctr = (F.col("value") - F.lit(275.0)).cast(dec)
+    base = g.select("time", "y", "x", ctr.alias("v"))
+    m = base.groupBy("y", "x").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v").cast(dec19) * F.col("v")).alias("ss"),
+    )
+    n = F.col("n").cast("double")
+    s_d = deterministic.narrow_checked("s", "decimal(18,6)", "grid_std_anom s").cast("double")
+    ss_d = deterministic.narrow_checked("ss", "decimal(18,12)", "grid_std_anom ss").cast(
+        "double"
+    )
+    var_num = n * ss_d - s_d * s_d
+    j = base.join(m.where((F.col("n") >= 2)), ["y", "x"])
+    # z = (v−μ)/σ_pop with μ = s/n, σ_pop = √(n·Σv²−(Σv)²)/n — the n
+    # factors cancel to (v·n − s)/√(n·Σv²−(Σv)²).  NO decimal snap:
+    # every operand is bitwise identical across engines (int64-backed
+    # decimal→double casts) and ·, −, ÷, √ are correctly rounded, so
+    # the raw double already matches — a snap would REINTRODUCE drift
+    # at exact half boundaries (measured: one cell flipped the last
+    # snap digit; the grid_trend_ols rule)
+    z = (F.col("v").cast("double") * n - s_d) / F.sqrt(var_num)
+    return (
+        j.where(var_num > 0.0)
+        .select("y", "x", "time", z.alias("z_score"))
+        .orderBy("y", "x", "time")
+    )
+
+
+GRID_STD_ANOM_SQL = f"""
+WITH base AS (
+  SELECT time, y, x, CAST(value - 275.0 AS DECIMAL(18,6)) AS v
+  FROM {GRID}
+  WHERE variable = 'LST_LWST_avg_daily' AND value IS NOT NULL),
+m AS (
+  SELECT y, x, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(v) AS DECIMAL(18,6)) AS s,
+         CAST(SUM(CAST(v AS DECIMAL(19,6)) * v) AS DECIMAL(18,12)) AS ss
+  FROM base GROUP BY y, x)
+SELECT y, x, time,
+       (CAST(v AS DOUBLE) * CAST(n AS DOUBLE) - CAST(s AS DOUBLE))
+       / SQRT(CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) AS z_score
+FROM base JOIN m USING (y, x)
+WHERE n >= 2
+  AND CAST(n AS DOUBLE) * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) > 0.0
+ORDER BY y, x, time
+"""
+
+
 #: dyadic 8-tap EWM weights (α=1/2): 2^-1 … 2^-7, last tap doubled so
 #: the kernel sums to EXACTLY 1 — every weight is a finite decimal,
 #: so the smoothing is exact decimal arithmetic in both engines
@@ -1792,6 +1863,7 @@ QUERIES = {
     "grid_cross_corr": (grid_cross_corr, GRID_CROSS_CORR_SQL),
     "grid_ewma_dyadic": (grid_ewma_dyadic, GRID_EWMA_SQL),
     "grid_theil_sen": (grid_theil_sen, GRID_THEIL_SEN_SQL),
+    "grid_standardized_anomaly": (grid_standardized_anomaly, GRID_STD_ANOM_SQL),
     "grid_ingest_nc": (grid_ingest_nc, GRID_INGEST_NC_SQL),
     "grid_export_roundtrip": (grid_export_roundtrip, GRID_EXPORT_ROUNDTRIP_SQL),
     "grid_ingest_catalog": (grid_ingest_catalog, GRID_INGEST_CATALOG_SQL),

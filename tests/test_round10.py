@@ -484,3 +484,36 @@ def test_ab_lift_partitions_users_exactly(spark):
     n_users = load_events(spark, SF_SMALL).select("user_id").distinct().count()
     assert rows["A"].n_users + rows["B"].n_users == n_users
     assert rows["lift_A_minus_B"].rate_bp == rows["A"].rate_bp - rows["B"].rate_bp
+
+
+def test_standardized_anomaly_matches_numpy(spark):
+    """z-scores equal numpy's population standardization per cell
+    (1e-6: decimal-snapped inputs), and each cell's z series has mean
+    ~0 and population std ~1."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from netcdf_olap_spark.queries.grid import grid_standardized_anomaly
+    from netcdf_olap_spark.session import load_grid
+
+    got: dict = {}
+    for r in grid_standardized_anomaly(spark, SF_SMALL).collect():
+        got.setdefault((r.y, r.x), {})[r.time] = r.z_score
+    assert len(got) > 1000
+    raw = (
+        load_grid(spark)
+        .where((F.col("variable") == "LST_LWST_avg_daily") & F.col("value").isNotNull())
+        .select("y", "x", "time", "value")
+        .collect()
+    )
+    series: dict = {}
+    for q in raw:
+        series.setdefault((q.y, q.x), {})[q.time] = q.value
+    for cell in list(got)[:10]:
+        vals = series[cell]
+        arr = np.array(list(vals.values()))
+        mu, sd = arr.mean(), arr.std()  # population
+        for t, v in vals.items():
+            assert abs(got[cell][t] - (v - mu) / sd) < 1e-6
+        zs = np.array(list(got[cell].values()))
+        assert abs(zs.mean()) < 1e-9 and abs(zs.std() - 1.0) < 1e-9
