@@ -104,6 +104,7 @@ QUERIES = [
     "emb_centroid_confusion",
     "ev_ab_lift",
     "ev_attribution_credit",
+    "maintenance_snapshot_diff",
 ]
 
 # The grid family (r10 judge ask #2): these run ONLY on dirs that
@@ -129,6 +130,7 @@ GRID_QUERIES = [
     "grid_cross_corr",         # variable pairing join + cell moments
     "grid_ewma_dyadic",        # 8-LAG window kernel per cell
     "grid_theil_sen",          # per-cell O(d^2/2) pair median
+    "grid_standardized_anomaly",  # moments broadcast back per cell
 ]
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
