@@ -60,3 +60,30 @@ def test_every_oracle_nonempty_at_sf001(con):
         f"zero-row oracles at sf0.01 (signal-free checks — re-parameterize "
         f"or justify in ALLOWED_EMPTY): {empty}"
     )
+
+
+def test_every_window_row_carries_an_oracle():
+    """The driver's 50-entry checked window must contain ONLY
+    value-level-checkable queries (a rows-only window row wastes the
+    slot — the r5 lesson that moved doc_minhash_portable in)."""
+    from netcdf_olap_spark.queries import all_oracle_sql, all_queries
+
+    window = list(all_queries())[:50]
+    sqls = all_oracle_sql()
+    missing = [n for n in window if n not in sqls]
+    assert not missing, f"window rows without a value oracle: {missing}"
+
+
+def test_rows_only_set_is_exactly_the_justified_four():
+    """Rows-only queries are capped at the four inexpressible-in-
+    principle cases; any new rows-only registration must either gain
+    an oracle or extend this list with a justification."""
+    from netcdf_olap_spark.queries import all_oracle_sql, all_queries
+
+    rows_only = set(all_queries()) - set(all_oracle_sql())
+    assert rows_only == {
+        "emb_knn_ivf",        # Lloyd-trained coarse quantizer
+        "emb_pq_topk",        # Lloyd-trained codebooks
+        "emb_semantic_dedup",  # Lloyd-trained clustering
+        "media_image_features",  # seeded-RNG pixel statistics
+    }, rows_only
