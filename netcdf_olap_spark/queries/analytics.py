@@ -846,6 +846,235 @@ FROM lineitem"""
 PROFILE_FOOTER_STATS_SQL = _footer_stats_sql()
 
 
+def ev_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM SEGMENTATION over ``orders`` — the canonical customer
+    value grid (recency / frequency / monetary quintile scores,
+    5 = best), rolled up to per-segment counts and totals.
+
+    Quintiles are BY VALUE, not by NTILE rank: each metric's four
+    break values are exact order statistics (smallest key whose
+    cumulative customer count reaches ⌈k·n/5⌉, via 5·cum ≥ k·n in
+    pure integers), and a customer's score is 1 + #breaks strictly
+    below their key.  Ties therefore share a score — deterministic
+    with no per-customer tie-break — and, unlike NTILE(5) OVER
+    (ORDER BY …) which is a single-partition sort of ALL customers,
+    the only ordered structure is the per-metric DISTINCT-KEY
+    histogram, bounded by the metric's domain (days of history,
+    max order count, whole dollars of spend), never by |customers|.
+
+    Exactness: monetary rides decimal(18,2) cents end-to-end;
+    recency is date arithmetic; every comparison is integer.
+
+    100 TB shape: one customer-keyed aggregation (map-side combine),
+    three domain-bounded histogram windows, one 1-row threshold
+    broadcast, one ≤125-group rollup."""
+    o = _t(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_dt"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+    )
+    ref = per.agg(
+        F.max("last_dt").alias("ref_dt"),
+        F.count(F.lit(1)).cast("long").alias("n_cust"),
+    )
+    keyed = (
+        per.crossJoin(F.broadcast(ref))
+        .select(
+            "o_custkey",
+            "frequency",
+            (F.col("monetary") * 100).cast("long").alias("mon_cents"),
+            # goodness-ordered keys: ascending = worse → better
+            (-F.datediff(F.col("ref_dt"), F.col("last_dt"))).cast("long").alias("rk"),
+            F.col("frequency").alias("fk"),
+            F.floor("monetary").cast("long").alias("mk"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def thresholds(key: str) -> DataFrame:
+        hist = keyed.groupBy(key).agg(F.count(F.lit(1)).cast("long").alias("c"))
+        w = Window.orderBy(key).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cum = hist.select(F.col(key).alias("k"), F.sum("c").over(w).alias("cum"))
+        return cum.crossJoin(F.broadcast(ref.select("n_cust"))).agg(
+            *[
+                F.min(F.when(F.col("cum") * 5 >= i * F.col("n_cust"), F.col("k"))).alias(
+                    f"{key}_t{i}"
+                )
+                for i in (1, 2, 3, 4)
+            ]
+        )
+
+    th = thresholds("rk").crossJoin(thresholds("fk")).crossJoin(thresholds("mk"))
+
+    def score(key: str):
+        s = F.lit(1)
+        for i in (1, 2, 3, 4):
+            s = s + F.when(F.col(key) > F.col(f"{key}_t{i}"), 1).otherwise(0)
+        return s.cast("int")
+
+    scored = keyed.crossJoin(F.broadcast(th)).select(
+        score("rk").alias("r_score"),
+        score("fk").alias("f_score"),
+        score("mk").alias("m_score"),
+        "frequency",
+        "mon_cents",
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("frequency").cast("long").alias("sum_frequency"),
+            F.sum("mon_cents").cast("long").alias("sum_monetary_cents"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+def _rfm_thresholds_sql(key: str) -> str:
+    mins = ",\n         ".join(
+        f"MIN(CASE WHEN cum * 5 >= {i} * n_cust THEN k END) AS {key}_t{i}" for i in (1, 2, 3, 4)
+    )
+    return f"""(
+  SELECT {mins}
+  FROM (SELECT {key} AS k, SUM(c) OVER (ORDER BY {key} ROWS UNBOUNDED PRECEDING) AS cum
+        FROM (SELECT {key}, CAST(COUNT(*) AS BIGINT) AS c FROM keyed GROUP BY {key})) h
+  CROSS JOIN ref)"""
+
+
+EV_RFM_SQL = f"""
+WITH per AS (
+  SELECT o_custkey,
+         MAX(CAST(o_orderdate AS DATE)) AS last_dt,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+  FROM orders GROUP BY o_custkey),
+ref AS (
+  SELECT MAX(last_dt) AS ref_dt, CAST(COUNT(*) AS BIGINT) AS n_cust FROM per),
+keyed AS (
+  SELECT o_custkey, frequency,
+         CAST(monetary * 100 AS BIGINT) AS mon_cents,
+         CAST(-date_diff('day', last_dt, ref_dt) AS BIGINT) AS rk,
+         frequency AS fk,
+         CAST(FLOOR(monetary) AS BIGINT) AS mk
+  FROM per CROSS JOIN ref),
+th AS (
+  SELECT * FROM {_rfm_thresholds_sql("rk")} t_r
+  CROSS JOIN {_rfm_thresholds_sql("fk")} t_f
+  CROSS JOIN {_rfm_thresholds_sql("mk")} t_m),
+scored AS (
+  SELECT CAST(1 + (rk > rk_t1)::INT + (rk > rk_t2)::INT
+            + (rk > rk_t3)::INT + (rk > rk_t4)::INT AS INT) AS r_score,
+         CAST(1 + (fk > fk_t1)::INT + (fk > fk_t2)::INT
+            + (fk > fk_t3)::INT + (fk > fk_t4)::INT AS INT) AS f_score,
+         CAST(1 + (mk > mk_t1)::INT + (mk > mk_t2)::INT
+            + (mk > mk_t3)::INT + (mk > mk_t4)::INT AS INT) AS m_score,
+         frequency, mon_cents
+  FROM keyed CROSS JOIN th)
+SELECT r_score, f_score, m_score,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(frequency) AS BIGINT) AS sum_frequency,
+       CAST(SUM(mon_cents) AS BIGINT) AS sum_monetary_cents
+FROM scored
+GROUP BY r_score, f_score, m_score
+ORDER BY r_score, f_score, m_score
+"""
+
+
+def ev_survival_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE-TIME SURVIVAL / CHURN-HAZARD table over ``events`` —
+    the life-table read-out behind retention modeling: per lifetime
+    week ``wk``, how many users were still at risk, how many churned
+    that week, how many were right-censored there, and the hazard in
+    integer basis points.
+
+    Contract: a user's lifetime runs from their first to their last
+    event day (integer UTC days from µs epoch math); churned = last
+    activity ≥ 7 days before the corpus's last observed day,
+    otherwise censored at their last week.  at_risk(wk) counts every
+    user whose lifetime reaches week ``wk`` — the Kaplan-Meier risk
+    set under end-of-study censoring.
+
+    Exactness: all integers (day DIV 7 weeks, counts, bp DIV).
+
+    100 TB shape: one user-keyed aggregation; the week axis is a
+    dense integer spine from one 1-row broadcast, and the suffix-sum
+    at_risk window orders only that spine — the single-partition
+    exchange is over #weeks-in-horizon rows (the ev_max_concurrency
+    bound), never over users."""
+    e = load_events(spark, sf_dir).withColumn(
+        "day", F.expr("ts_ns DIV 1000 DIV 86400000000").cast("long")
+    )
+    per = e.groupBy("user_id").agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    g = per.agg(F.max("d1").alias("gmax"))
+    lifet = per.crossJoin(F.broadcast(g)).select(
+        F.expr("(d1 - d0) DIV 7").cast("long").alias("dur_w"),
+        F.when(F.col("d1") <= F.col("gmax") - 7, 1).otherwise(0).alias("churned"),
+    )
+    byd = lifet.groupBy("dur_w").agg(
+        F.count(F.lit(1)).cast("long").alias("n_end"),
+        F.sum("churned").cast("long").alias("n_churned"),
+    )
+    spine = (
+        lifet.agg(F.max("dur_w").alias("maxw"))
+        .select(F.explode(F.sequence(F.lit(0).cast("long"), F.col("maxw"))).alias("wk"))
+    )
+    dense = (
+        spine.join(byd, spine.wk == byd.dur_w, "left")
+        .select(
+            "wk",
+            F.coalesce("n_end", F.lit(0)).cast("long").alias("n_end"),
+            F.coalesce("n_churned", F.lit(0)).cast("long").alias("n_churned"),
+        )
+    )
+    w = Window.orderBy(F.col("wk").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        dense.select(
+            "wk",
+            F.sum("n_end").over(w).cast("long").alias("at_risk"),
+            "n_churned",
+            (F.col("n_end") - F.col("n_churned")).cast("long").alias("n_censored"),
+        )
+        .withColumn("hazard_bp", F.expr("(n_churned * 10000) DIV at_risk").cast("long"))
+        .orderBy("wk")
+    )
+
+
+EV_SURVIVAL_SQL = """
+WITH per AS (
+  SELECT user_id,
+         MIN(epoch_us(ts) // 86400000000) AS d0,
+         MAX(epoch_us(ts) // 86400000000) AS d1
+  FROM events GROUP BY user_id),
+g AS (SELECT MAX(d1) AS gmax FROM per),
+lifet AS (
+  SELECT CAST((d1 - d0) // 7 AS BIGINT) AS dur_w,
+         CASE WHEN d1 <= gmax - 7 THEN 1 ELSE 0 END AS churned
+  FROM per CROSS JOIN g),
+byd AS (
+  SELECT dur_w, CAST(COUNT(*) AS BIGINT) AS n_end,
+         CAST(SUM(churned) AS BIGINT) AS n_churned
+  FROM lifet GROUP BY dur_w),
+spine AS (
+  SELECT CAST(unnest(generate_series(0, (SELECT MAX(dur_w) FROM lifet))) AS BIGINT) AS wk),
+dense AS (
+  SELECT wk,
+         COALESCE(n_end, 0) AS n_end,
+         COALESCE(n_churned, 0) AS n_churned
+  FROM spine LEFT JOIN byd ON spine.wk = byd.dur_w)
+SELECT wk,
+       CAST(SUM(n_end) OVER (ORDER BY wk DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS at_risk,
+       n_churned,
+       CAST(n_end - n_churned AS BIGINT) AS n_censored,
+       CAST((n_churned * 10000) // SUM(n_end) OVER (ORDER BY wk DESC ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS hazard_bp
+FROM dense
+ORDER BY wk
+"""
+
+
 QUERIES = {
     "profile_footer_stats": (profile_footer_stats, PROFILE_FOOTER_STATS_SQL),
     "profile_footer_stats_distributed": (
@@ -863,4 +1092,6 @@ QUERIES = {
     "part_skyline": (part_skyline, PART_SKYLINE_SQL),
     "ev_transition_matrix": (ev_transition_matrix, EV_TRANSITION_SQL),
     "ev_path_trigrams": (ev_path_trigrams, EV_PATH_TRIGRAMS_SQL),
+    "ev_rfm_segments": (ev_rfm_segments, EV_RFM_SQL),
+    "ev_survival_hazard": (ev_survival_hazard, EV_SURVIVAL_SQL),
 }
