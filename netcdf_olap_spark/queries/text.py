@@ -1921,6 +1921,239 @@ ORDER BY source
 DOC_PII_SQL = _pii_oracle_sql()
 
 
+def doc_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PORTABLE BLOOM-FILTER membership gate over the corpus's CDC
+    chunk hashes — the pre-filter a daily delta-dedup job consults
+    BEFORE probing the at-rest index (operators/corpusindex.py): per
+    batch document, how many of its chunks the Bloom filter says the
+    corpus may contain, how many the corpus actually contains, and
+    the false-positive residual — the number that sizes the real
+    index probe.
+
+    Bloom construction is engine-portable end to end: k=3 positions
+    per key from 8-hex-char md5 slices (the md5-52 family), the bit
+    array as 63-bit words (bit 63 never set, so ``<<``/``>>`` stay in
+    non-negative BIGINT range in both engines) built with bit_or
+    aggregation, and m AUTO-SIZED from the corpus (m_words =
+    ⌈10·n_keys/63⌉ ≈ 10 bits/key → ~8% theoretical fp at k=3) — the
+    oracle re-derives n_keys, m, every position, and every word
+    inline, so the sizing rule itself is behind the value hash (the
+    emb_knn_graph footer-stats pattern).
+
+    100 TB shape: the bitmap is ONE aggregation over the corpus keys
+    (map-side combine on word index) into m/63 words — broadcast to
+    the probe side (10 bits/key: ~1.5 GB per 10⁹ keys; beyond that a
+    production build shards the filter by key range and co-partitions
+    probes, same arithmetic).  The exact-membership join here exists
+    only because the check must verify the fp count; production
+    probes only the Bloom-surviving chunks."""
+    from netcdf_olap_spark.operators import corpusindex
+
+    d = _docs(spark, sf_dir)
+    batch = d.where(F.col("doc_id") % 20 == 0)
+    corpus = d.where(F.col("doc_id") % 20 != 0)
+    # feeds the size agg, the bitmap build, AND the exact verify —
+    # checkpoint so the corpus chunking pass runs once
+    ch = (
+        corpusindex.doc_chunk_hashes(corpus)
+        .select("h")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    size = ch.agg(F.count(F.lit(1)).cast("long").alias("n_keys")).select(
+        F.expr("(n_keys * 10 + 62) DIV 63").cast("long").alias("m_words")
+    )
+
+    def positions(df: DataFrame) -> DataFrame:
+        pos = F.array(
+            *[
+                F.conv(F.substring("h", 1 + 8 * i, 8), 16, 10).cast("long")
+                % (F.col("m_words") * 63)
+                for i in range(3)
+            ]
+        )
+        return df.select(df["*"], F.explode(pos).alias("p"))
+
+    bitmap = (
+        positions(ch.crossJoin(F.broadcast(size)))
+        .select(
+            F.expr("p DIV 63").alias("wrd"),
+            F.expr("CAST(1 AS BIGINT) << CAST(p % 63 AS INT)").alias("v"),
+        )
+        .groupBy("wrd")
+        .agg(F.bit_or("v").alias("wval"))
+    )
+    bch = corpusindex.doc_chunk_hashes(batch).select("doc_id", "h").localCheckpoint(eager=True)
+    tested = (
+        positions(bch.crossJoin(F.broadcast(size)))
+        .select("doc_id", "h", F.expr("p DIV 63").alias("wrd"), F.expr("CAST(p % 63 AS INT)").alias("pbit"))
+        .join(F.broadcast(bitmap), "wrd", "left")
+        .select(
+            "doc_id",
+            "h",
+            F.coalesce(F.expr("(wval >> pbit) & CAST(1 AS BIGINT)"), F.lit(0)).alias("bit"),
+        )
+    )
+    per_chunk = tested.groupBy("doc_id", "h").agg(F.min("bit").alias("maybe"))
+    flags = per_chunk.join(ch.withColumn("present", F.lit(1)), "h", "left").select(
+        "doc_id", "maybe", F.coalesce("present", F.lit(0)).alias("present")
+    )
+    per_doc = flags.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum("maybe").cast("long").alias("n_maybe"),
+        F.sum("present").cast("long").alias("n_present"),
+    )
+    return (
+        batch.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_chunks"),
+            F.coalesce("n_maybe", F.lit(0)).cast("long").alias("n_maybe"),
+            F.coalesce("n_present", F.lit(0)).cast("long").alias("n_present"),
+            (F.coalesce("n_maybe", F.lit(0)) - F.coalesce("n_present", F.lit(0)))
+            .cast("long")
+            .alias("n_false_pos"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOC_BLOOM_PROBE_SQL = f"""
+WITH batch AS (SELECT * FROM documents WHERE doc_id % 20 = 0),
+corpus AS (SELECT * FROM documents WHERE doc_id % 20 != 0),
+ctoks AS (SELECT doc_id, {DUCK_TOKS} AS t FROM corpus),
+ccuts AS (SELECT doc_id, t, {DUCK_CUTS} AS c FROM ctoks WHERE len(t) > 0),
+cchunks AS (
+  SELECT DISTINCT md5(ct) AS h
+  FROM (SELECT doc_id, unnest({DUCK_CHUNKS}) AS ct FROM ccuts)
+  WHERE len(string_split(ct, ' ')) >= 4),
+size_t AS (
+  SELECT CAST((COUNT(*) * 10 + 62) // 63 AS BIGINT) AS m_words FROM cchunks),
+cpos AS (
+  SELECT ('0x' || substr(h, 1 + 8 * i, 8))::BIGINT % (m_words * 63) AS p
+  FROM cchunks CROSS JOIN size_t CROSS JOIN generate_series(0, 2) g(i)),
+bitmap AS (
+  SELECT p // 63 AS wrd, bit_or(1::BIGINT << CAST(p % 63 AS INT)) AS wval
+  FROM cpos GROUP BY 1),
+btoks AS (SELECT doc_id, {DUCK_TOKS} AS t FROM batch),
+bcuts AS (SELECT doc_id, t, {DUCK_CUTS} AS c FROM btoks WHERE len(t) > 0),
+bchunks AS (
+  SELECT DISTINCT doc_id, md5(ct) AS h
+  FROM (SELECT doc_id, unnest({DUCK_CHUNKS}) AS ct FROM bcuts)
+  WHERE len(string_split(ct, ' ')) >= 4),
+tested AS (
+  SELECT doc_id, h,
+         COALESCE((wval >> CAST(p % 63 AS INT)) & 1, 0) AS bit
+  FROM (SELECT doc_id, h, ('0x' || substr(h, 1 + 8 * i, 8))::BIGINT % (m_words * 63) AS p
+        FROM bchunks CROSS JOIN size_t CROSS JOIN generate_series(0, 2) g(i)) bp
+  LEFT JOIN bitmap ON bp.p // 63 = bitmap.wrd),
+per_chunk AS (SELECT doc_id, h, MIN(bit) AS maybe FROM tested GROUP BY doc_id, h),
+flags AS (
+  SELECT doc_id, maybe, CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END AS present
+  FROM per_chunk p LEFT JOIN cchunks c ON p.h = c.h),
+per_doc AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         CAST(SUM(maybe) AS BIGINT) AS n_maybe,
+         CAST(SUM(present) AS BIGINT) AS n_present
+  FROM flags GROUP BY doc_id)
+SELECT b.doc_id,
+       CAST(COALESCE(n_chunks, 0) AS BIGINT) AS n_chunks,
+       CAST(COALESCE(n_maybe, 0) AS BIGINT) AS n_maybe,
+       CAST(COALESCE(n_present, 0) AS BIGINT) AS n_present,
+       CAST(COALESCE(n_maybe, 0) - COALESCE(n_present, 0) AS BIGINT) AS n_false_pos
+FROM batch b LEFT JOIN per_doc pd ON b.doc_id = pd.doc_id
+ORDER BY b.doc_id
+"""
+
+
+def doc_dup_span_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL cross-document duplicated EXTENTS per document — the
+    rewrite-ready output of substring-level dedup (Lee et al.'s
+    ExactSubstr removes duplicated 50-token spans; doc_span_dupes
+    lists the spans, THIS gives each doc its merged removal
+    intervals): runs of 6-token span starts that are duplicated in
+    ≥2 documents, merged while consecutive starts are ≤ w apart (so
+    overlapping/adjacent duplicated windows fuse into one maximal
+    region), reported as per-doc extent count, covered tokens, and
+    longest extent.
+
+    100 TB shape: span keys are md5 of the 6-token window (one
+    shuffle on the uniform key for the ≥2-doc filter, map-side
+    pre-agg impossible to beat since positions must survive); the
+    merge is ONE per-doc window (lag + running sum — gaps-and-
+    islands), never a self-join on positions."""
+    d = _docs(spark, sf_dir)
+    w = 6
+    toks = d.select("doc_id", text.tokens("text").alias("t")).where(F.size("t") >= w)
+    keyed = toks.select(
+        "doc_id",
+        F.posexplode(text.shingles_from_tokens(F.col("t"), w)).alias("i0", "s"),
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), F.md5("s").alias("k"))
+    dup = (
+        keyed.groupBy("k")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("k")
+    )
+    hits = keyed.join(dup, "k").select("doc_id", "i")
+    word = Window.partitionBy("doc_id").orderBy("i")
+    isl = hits.select(
+        "doc_id",
+        "i",
+        F.when(F.col("i") - F.lag("i", 1).over(word) > w, 1).otherwise(0).alias("brk"),
+    ).select(
+        "doc_id",
+        "i",
+        F.sum("brk")
+        .over(word.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("grp"),
+    )
+    ext = isl.groupBy("doc_id", "grp").agg(
+        (F.max("i") - F.min("i") + w).cast("long").alias("ext_len")
+    )
+    return (
+        ext.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_extents"),
+            F.sum("ext_len").cast("long").alias("covered_tokens"),
+            F.max("ext_len").cast("long").alias("max_extent_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOC_DUP_EXTENTS_SQL = f"""
+WITH toks AS (SELECT doc_id, {DUCK_TOKS} AS t FROM documents),
+pos AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 5)) AS i
+  FROM toks WHERE len(t) >= 6),
+spans AS (SELECT doc_id, i, md5(array_to_string(t[i:i+5], ' ')) AS k FROM pos),
+dup AS (SELECT k FROM spans GROUP BY k HAVING COUNT(DISTINCT doc_id) >= 2),
+hits AS (SELECT s.doc_id, s.i FROM spans s JOIN dup USING (k)),
+isl AS (
+  SELECT doc_id, i,
+         CASE WHEN i - LAG(i) OVER (PARTITION BY doc_id ORDER BY i) > 6
+              THEN 1 ELSE 0 END AS brk
+  FROM hits),
+grp AS (
+  SELECT doc_id, i,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING) AS g
+  FROM isl),
+ext AS (
+  SELECT doc_id, g, MAX(i) - MIN(i) + 6 AS ext_len
+  FROM grp GROUP BY doc_id, g)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_extents,
+       CAST(SUM(ext_len) AS BIGINT) AS covered_tokens,
+       CAST(MAX(ext_len) AS BIGINT) AS max_extent_len
+FROM ext
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "doc_token_stats": (doc_token_stats, DOC_TOKEN_STATS_SQL),
     "doc_bpe_token_stats": (doc_bpe_token_stats, DOC_BPE_SQL),
@@ -1959,4 +2192,6 @@ QUERIES = {
     "doc_oov_rate": (doc_oov_rate, DOC_OOV_SQL),
     "doc_pii_scrub": (doc_pii_scrub, DOC_PII_SQL),
     "doc_repetition_stats": (doc_repetition_stats, DOC_REPETITION_STATS_SQL),
+    "doc_bloom_probe": (doc_bloom_probe, DOC_BLOOM_PROBE_SQL),
+    "doc_dup_span_extents": (doc_dup_span_extents, DOC_DUP_EXTENTS_SQL),
 }
