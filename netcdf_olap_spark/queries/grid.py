@@ -1853,6 +1853,180 @@ ORDER BY y, x, t
 """
 
 
+def grid_area_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AREA-WEIGHTED daily global mean per variable — the first
+    number every climate analysis computes: a plain average over a
+    lat/lon grid over-counts the poles, so each cell is weighted by
+    cos(latitude) (∝ its true area on the sphere).  The reference's
+    per-slice means (Gddp.scala histogram path) are unweighted; this
+    is the spherical-geometry-correct form.
+
+    Determinism: the weight is quantized to integer micro-units
+    (w = round(10⁶·cos(radians(lat)))) — Spark's Math.cos and
+    DuckDB's libm cos agree to ≤1 ulp, and the fixture's lats sit
+    ≥10⁻⁴ from every rounding boundary (pinned in
+    tests/test_plans_round10b.py), so the quantized weights are
+    bit-identical; from there everything is integer·decimal exact
+    (w as decimal(12,0) × value decimal(18,6) → decimal(31,6) sums),
+    and the MEAN ITSELF is integer micro-kelvin (Σwv-units DIV Σw —
+    the first cut emitted Σwv/Σw as a double and hash-mismatched in
+    the 16th digit: the Σwv units exceed 2^53, and DuckDB's
+    decimal→double path double-rounds there while Spark's BigDecimal
+    rounds once; the readable double is derived from the <2^53
+    micro-kelvin integer, where both engines round identically).
+
+    100 TB shape: one groupBy (variable, day) aggregation over the
+    cube — map-side combine, no join (the weight is a per-row
+    expression), no window; the output is |vars|·|days| rows."""
+    g = load_grid(spark)
+    w = F.round(F.lit(1000000) * F.cos(F.radians("lat")), 0).cast("decimal(12,0)")
+    v = F.col("value").cast("decimal(18,6)")
+    day = F.to_date("time").alias("day")
+    agg = (
+        g.where(F.col("value").isNotNull())
+        .groupBy("variable", day)
+        .agg(
+            F.sum(w * v).alias("swv"),
+            F.sum(w).alias("sw"),
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+        )
+    )
+    swv_units = (
+        deterministic.narrow_checked("swv", "decimal(18,6)", "grid_awm swv") * 1000000
+    ).cast("long")
+    return (
+        agg.select(
+            "variable",
+            "day",
+            swv_units.alias("_swvu"),
+            F.col("sw").cast("long").alias("sum_w"),
+            "n_cells",
+        )
+        .select(
+            "variable",
+            "day",
+            F.expr("_swvu DIV sum_w").cast("long").alias("wmean_micro"),
+            (F.expr("_swvu DIV sum_w").cast("double") / F.lit(1000000.0)).alias("wmean"),
+            "sum_w",
+            "n_cells",
+        )
+        .orderBy("variable", "day")
+    )
+
+
+GRID_AREA_WMEAN_SQL = f"""
+WITH base AS (
+  SELECT variable, CAST(time AS DATE) AS day,
+         CAST(ROUND(1000000 * COS(RADIANS(lat)), 0) AS DECIMAL(12,0)) AS w,
+         CAST(value AS DECIMAL(18,6)) AS v
+  FROM {GRID} WHERE value IS NOT NULL),
+agg AS (
+  SELECT variable, day,
+         SUM(w * v) AS swv,
+         SUM(w) AS sw,
+         CAST(COUNT(*) AS BIGINT) AS n_cells
+  FROM base GROUP BY variable, day)
+SELECT variable, day,
+       CAST(CAST(swv * 1000000 AS BIGINT) // CAST(sw AS BIGINT)
+            AS BIGINT) AS wmean_micro,
+       CAST(CAST(swv * 1000000 AS BIGINT) // CAST(sw AS BIGINT)
+            AS DOUBLE) / 1000000.0 AS wmean,
+       CAST(sw AS BIGINT) AS sum_w,
+       n_cells
+FROM agg
+ORDER BY variable, day
+"""
+
+
+def grid_heatwave_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEATWAVE DETECTION per cell — the ETCCDI warm-spell shape
+    (WSDI): runs of ≥3 consecutive days STRICTLY above the cell's own
+    exact 90th-percentile threshold, reported as per-cell event
+    count, total days inside events, and the longest event.  The
+    percentile is the true order statistic (value at ascending rank
+    ⌈0.9·n⌉ over the cell's non-null days, 10·rank ≥ 9·n in integers
+    — no interpolation, engine-identical), so the threshold is an
+    untouched data value and hash-safe.
+
+    100 TB shape: everything is keyed on the cell — ONE window pass
+    computes ranks, a conditional agg extracts the threshold, the
+    hot-day islands come from one more per-cell window (t −
+    row_number gaps-and-islands); both exchanges hash on (y,x), the
+    cube's natural partitioning, and no stage is global."""
+    g = load_grid(spark).where(
+        (F.col("variable") == "LST_LWST_avg_daily") & F.col("value").isNotNull()
+    )
+    t = F.datediff(F.col("time"), F.lit("1990-01-01").cast("date")).cast("long")
+    base = g.select("y", "x", t.alias("t"), "value")
+    wrk = Window.partitionBy("y", "x").orderBy("value", "t")
+    ranked = base.select(
+        "y",
+        "x",
+        "t",
+        "value",
+        F.row_number().over(wrk).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("y", "x")).alias("n"),
+    )
+    thr = (
+        ranked.groupBy("y", "x")
+        .agg(F.min(F.when(F.col("rn") * 10 >= F.col("n") * 9, F.col("value"))).alias("thr"))
+    )
+    hot = base.join(thr, ["y", "x"]).where(F.col("value") > F.col("thr"))
+    wt = Window.partitionBy("y", "x").orderBy("t")
+    isl = hot.select(
+        "y", "x", "t", "thr", (F.col("t") - F.row_number().over(wt)).alias("grp")
+    )
+    runs = (
+        isl.groupBy("y", "x", "thr", "grp")
+        .agg(F.count(F.lit(1)).cast("long").alias("run_len"))
+        .where(F.col("run_len") >= 3)
+    )
+    return (
+        runs.groupBy("y", "x", "thr")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("run_len").cast("long").alias("event_days"),
+            F.max("run_len").cast("long").alias("max_event_days"),
+        )
+        .orderBy("y", "x")
+    )
+
+
+GRID_HEATWAVE_SQL = f"""
+WITH base AS (
+  SELECT y, x, date_diff('day', DATE '1990-01-01', CAST(time AS DATE)) AS t, value
+  FROM {GRID}
+  WHERE variable = 'LST_LWST_avg_daily' AND value IS NOT NULL),
+ranked AS (
+  SELECT y, x, t, value,
+         ROW_NUMBER() OVER (PARTITION BY y, x ORDER BY value, t) AS rn,
+         COUNT(*) OVER (PARTITION BY y, x) AS n
+  FROM base),
+thr AS (
+  SELECT y, x, MIN(CASE WHEN rn * 10 >= n * 9 THEN value END) AS thr
+  FROM ranked GROUP BY y, x),
+hot AS (
+  SELECT b.y, b.x, b.t, thr.thr
+  FROM base b JOIN thr ON b.y = thr.y AND b.x = thr.x
+  WHERE b.value > thr.thr),
+isl AS (
+  SELECT y, x, t, thr,
+         t - ROW_NUMBER() OVER (PARTITION BY y, x ORDER BY t) AS grp
+  FROM hot),
+runs AS (
+  SELECT y, x, thr, grp, CAST(COUNT(*) AS BIGINT) AS run_len
+  FROM isl GROUP BY y, x, thr, grp
+  HAVING COUNT(*) >= 3)
+SELECT y, x, thr,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(run_len) AS BIGINT) AS event_days,
+       CAST(MAX(run_len) AS BIGINT) AS max_event_days
+FROM runs
+GROUP BY y, x, thr
+ORDER BY y, x
+"""
+
+
 QUERIES = {
     "grid_polygon_stats": (grid_polygon_stats, GRID_POLYGON_STATS_SQL),
     "grid_trend_ols": (grid_trend_ols, GRID_TREND_OLS_SQL),
@@ -1891,4 +2065,6 @@ QUERIES = {
     "grid_interpolate_linear": (grid_interpolate_linear, GRID_INTERPOLATE_SQL),
     "grid_focal_mean": (grid_focal_mean, GRID_FOCAL_SQL),
     "grid_slope": (grid_slope, GRID_SLOPE_SQL),
+    "grid_area_weighted_mean": (grid_area_weighted_mean, GRID_AREA_WMEAN_SQL),
+    "grid_heatwave_events": (grid_heatwave_events, GRID_HEATWAVE_SQL),
 }
