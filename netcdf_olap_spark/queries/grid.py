@@ -1853,6 +1853,164 @@ ORDER BY y, x, t
 """
 
 
+def _zarr_fixture_dir() -> str:
+    """Write the Zarr v2 store fixture and return its path: the same
+    closed-form cube as the .nc ingest fixture, but laid out as a
+    chunked object store — three data variables covering the format
+    matrix (``<f8``+zlib with edge chunks, RAW uncompressed ``<f4``,
+    integer ``<i4``+zlib), 1-D coordinate arrays, hours-since-1990
+    time axis.  Idempotent and race-safe the same way as
+    ``_ingest_fixture_dir``: deterministic bytes staged to a scratch
+    dir, then content-checked atomic per-file replace."""
+    import os
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from netcdf_olap_spark.sources import zarr as zr
+
+    d = os.path.join(tempfile.gettempdir(), f"netcdf_olap_zarr_fixture_v1_{os.getuid()}")
+    stage = tempfile.mkdtemp(prefix="zarr_stage_")
+    try:
+        t = np.arange(INGEST_NT)
+        y = np.arange(INGEST_NY)
+        x = np.arange(INGEST_NX)
+        tt, yy, xx = np.meshgrid(t, y, x, indexing="ij")
+        base = (tt * 100 + yy * 10 + xx).astype(np.float64)
+
+        pr = base * 1.5 - 2.0
+        pr[(tt + yy + xx) % 5 == 0] = INGEST_FILL
+        t2m = (base * 0.25 + 1.5).astype("<f4")  # dyadic → exact in f4
+        t2m[(tt + yy + xx) % 4 == 0] = np.float32(INGEST_FILL)
+        nobs = ((tt * 100 + yy * 10 + xx) * 2 + 1).astype("<i4")
+        nobs[(tt + yy + xx) % 3 == 0] = -9999
+
+        zr.write_zarr_group(stage)
+        zr.write_zarr_array(
+            os.path.join(stage, "time"), (t * 24).astype("<i4"), compressor=None
+        )
+        zr.write_zarr_array(
+            os.path.join(stage, "lat"), (42.0 + 0.5 * y).astype("<f8"), compressor=None
+        )
+        zr.write_zarr_array(
+            os.path.join(stage, "lon"), (-84.0 + 0.5 * x).astype("<f8"), compressor=None
+        )
+        zr.write_zarr_array(
+            os.path.join(stage, "zr_pr"),
+            pr.astype("<f8"),
+            chunks=(4, 3, 3),  # none divide the shape → every edge case
+            compressor="zlib",
+            fill_value=INGEST_FILL,
+        )
+        zr.write_zarr_array(
+            os.path.join(stage, "zr_t2m"),
+            t2m,
+            chunks=(2, 2, 2),
+            compressor=None,  # raw chunks
+            fill_value=float(np.float32(INGEST_FILL)),
+        )
+        zr.write_zarr_array(
+            os.path.join(stage, "zr_nobs"),
+            nobs,
+            chunks=(3, 4, 5),
+            compressor="zlib",
+            fill_value=-9999,
+        )
+        # sync: atomic per-file replace, skip identical content
+        for root, _dirs, names in os.walk(stage):
+            rel = os.path.relpath(root, stage)
+            tgt = d if rel == "." else os.path.join(d, rel)
+            os.makedirs(tgt, exist_ok=True)
+            for name in names:
+                src = os.path.join(root, name)
+                dst = os.path.join(tgt, name)
+                with open(src, "rb") as fh:
+                    content = fh.read()
+                if os.path.exists(dst):
+                    with open(dst, "rb") as fh:
+                        if fh.read() == content:
+                            continue
+                fd, tmp = tempfile.mkstemp(dir=tgt)
+                with os.fdopen(fd, "wb") as fh:
+                    fh.write(content)
+                os.replace(tmp, dst)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return d
+
+
+def grid_ingest_zarr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1-S3 for the CLOUD-NATIVE layout: a genuine Zarr v2 object
+    store (chunk-per-object, .zarray JSON metadata — the format the
+    climate community publishes next to NetCDF) decoded distributed
+    (binaryFile task per chunk object → self-contained mapInPandas)
+    and reduced to the same per-variable catalog aggregate as
+    grid_ingest_nc.  Exercises zlib + raw chunks, float64/float32/
+    int32 dtypes, non-dividing chunk shapes (edge-chunk padding must
+    be trimmed, or counts inflate), fill→NULL, and the
+    hours-since-1990 time decode (Gddp.scala:125-129) — the oracle
+    recomputes everything from the closed-form cell formula with
+    ``range()``, no file I/O, so a hash match means every chunk was
+    placed at the right (t, y, x) and decoded bit-exactly."""
+    from netcdf_olap_spark.sources.zarr import ingest_zarr_store
+
+    df = ingest_zarr_store(spark, _zarr_fixture_dir(), ds="zarr")
+    return (
+        df.groupBy("variable")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("value").alias("n_vals"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_val"),
+            F.date_format(F.min("time"), "yyyy-MM-dd").alias("d_min"),
+            F.date_format(F.max("time"), "yyyy-MM-dd").alias("d_max"),
+            F.min("lat").alias("lat_min"),
+            F.max("lon").alias("lon_max"),
+        )
+        .orderBy("variable")
+    )
+
+
+GRID_INGEST_ZARR_SQL = f"""
+WITH cells AS (
+  SELECT rt.t AS t, ry.y AS y, rx.x AS x
+  FROM range(0, {INGEST_NT}) rt(t), range(0, {INGEST_NY}) ry(y), range(0, {INGEST_NX}) rx(x)
+), vals AS (
+  SELECT 'zr_pr' AS variable,
+         CASE WHEN (t + y + x) % 5 = 0 THEN NULL
+              ELSE CAST(t * 100 + y * 10 + x AS DOUBLE) * 1.5 - 2.0 END AS value,
+         DATE '1990-01-01' + CAST(t AS INT) AS d,
+         42.0 + 0.5 * y AS lat, -84.0 + 0.5 * x AS lon
+  FROM cells
+  UNION ALL
+  SELECT 'zr_t2m',
+         CASE WHEN (t + y + x) % 4 = 0 THEN NULL
+              ELSE CAST(t * 100 + y * 10 + x AS DOUBLE) * 0.25 + 1.5 END,
+         DATE '1990-01-01' + CAST(t AS INT),
+         42.0 + 0.5 * y, -84.0 + 0.5 * x
+  FROM cells
+  UNION ALL
+  SELECT 'zr_nobs',
+         CASE WHEN (t + y + x) % 3 = 0 THEN NULL
+              ELSE CAST((t * 100 + y * 10 + x) * 2 + 1 AS DOUBLE) END,
+         DATE '1990-01-01' + CAST(t AS INT),
+         42.0 + 0.5 * y, -84.0 + 0.5 * x
+  FROM cells
+)
+SELECT variable,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(value) AS BIGINT) AS n_vals,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val,
+       strftime(MIN(d), '%Y-%m-%d') AS d_min,
+       strftime(MAX(d), '%Y-%m-%d') AS d_max,
+       MIN(lat) AS lat_min,
+       MAX(lon) AS lon_max
+FROM vals
+GROUP BY variable
+ORDER BY variable
+"""
+
+
 def grid_area_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AREA-WEIGHTED daily global mean per variable — the first
     number every climate analysis computes: a plain average over a
@@ -2039,6 +2197,7 @@ QUERIES = {
     "grid_theil_sen": (grid_theil_sen, GRID_THEIL_SEN_SQL),
     "grid_standardized_anomaly": (grid_standardized_anomaly, GRID_STD_ANOM_SQL),
     "grid_ingest_nc": (grid_ingest_nc, GRID_INGEST_NC_SQL),
+    "grid_ingest_zarr": (grid_ingest_zarr, GRID_INGEST_ZARR_SQL),
     "grid_export_roundtrip": (grid_export_roundtrip, GRID_EXPORT_ROUNDTRIP_SQL),
     "grid_ingest_catalog": (grid_ingest_catalog, GRID_INGEST_CATALOG_SQL),
     "grid_nearest_blocked": (grid_nearest_blocked, GRID_NEAREST_BLOCKED_SQL),

@@ -1,0 +1,270 @@
+"""Minimal Zarr v2 store reader/writer + distributed cube ingest.
+
+Zarr v2 (public spec, zarr-specs.readthedocs.io/en/latest/v2/v2.0.html)
+is the cloud-native array layout the climate community pairs with
+NetCDF: the same dense (time, y, x) cube model the reference slices
+(SURVEY §1.1; Gddp.scala:119-139 reads one variable per NetCDF file),
+but with each chunk in its OWN object — which makes the 100 TB read
+embarrassingly parallel with no byte-range planning at all: the chunk
+grid IS the task list, one task per object, and a (time, bbox) slice
+prunes to exactly the chunk files it overlaps by NAME, before any
+byte is read (the directory-level analog of the netcdf source's
+file-level time pruning).
+
+Scope (deliberately the cube-model subset, like sources/netcdf3.py):
+C-order arrays, little/big-endian int/float dtypes (``[<>]{f4,f8,i4,
+i8}``), compressor ``null`` or ``zlib``, no filters, fill_value
+sentinel → NULL.  Blosc/LZ4 codecs are out of scope in this
+container (no wheels) and raise cleanly.
+
+Vendored from the spec, not from zarr-python (reference has no Zarr
+surface; this is north-star extension territory alongside the NetCDF
+ingest, SURVEY §2 S1-S3).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import zlib
+from itertools import product
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from netcdf_olap_spark.sources.netcdf import (
+    GRID_SCHEMA,
+    decode_time_hours,
+    ensure_package_on_workers,
+)
+
+_SUPPORTED_DTYPES = {"<f4", "<f8", "<i4", "<i8", ">f4", ">f8", ">i4", ">i8"}
+
+
+def _check_meta(meta: dict) -> None:
+    if meta.get("zarr_format") != 2:
+        raise ValueError(f"unsupported zarr_format: {meta.get('zarr_format')}")
+    if meta.get("order", "C") != "C":
+        raise NotImplementedError("only C-order zarr arrays supported")
+    if meta.get("filters"):
+        raise NotImplementedError("zarr filters not supported")
+    comp = meta.get("compressor")
+    if comp is not None and comp.get("id") != "zlib":
+        raise NotImplementedError(f"unsupported zarr compressor: {comp.get('id')}")
+    if meta["dtype"] not in _SUPPORTED_DTYPES:
+        raise NotImplementedError(f"unsupported zarr dtype: {meta['dtype']}")
+
+
+# ---------------------------------------------------------------------------
+# writer (fixtures / export tests — deterministic bytes)
+# ---------------------------------------------------------------------------
+
+
+def write_zarr_array(
+    adir: str,
+    data: np.ndarray,
+    chunks: tuple[int, ...] | None = None,
+    compressor: str | None = "zlib",
+    fill_value: float | int | None = None,
+    attrs: dict | None = None,
+) -> None:
+    """Write one Zarr v2 array directory (``.zarray`` + chunk files).
+
+    Edge chunks are stored at FULL chunk shape per the spec, padded
+    with ``fill_value`` (0 when None). Deterministic output: sorted
+    JSON keys, zlib level 6."""
+    os.makedirs(adir, exist_ok=True)
+    chunks = tuple(chunks or data.shape)
+    if len(chunks) != data.ndim:
+        raise ValueError("chunks rank != data rank")
+    meta = {
+        "zarr_format": 2,
+        "shape": list(data.shape),
+        "chunks": list(chunks),
+        "dtype": data.dtype.str,
+        "compressor": {"id": "zlib", "level": 6} if compressor == "zlib" else None,
+        "fill_value": fill_value,
+        "order": "C",
+        "filters": None,
+    }
+    _check_meta(meta)
+    with open(os.path.join(adir, ".zarray"), "w") as fh:
+        json.dump(meta, fh, sort_keys=True, indent=1)
+    if attrs:
+        with open(os.path.join(adir, ".zattrs"), "w") as fh:
+            json.dump(attrs, fh, sort_keys=True, indent=1)
+    pad = 0 if fill_value is None else fill_value
+    grid = [range(math.ceil(s / c)) for s, c in zip(data.shape, chunks)]
+    for cidx in product(*grid):
+        sel = tuple(slice(i * c, min((i + 1) * c, s)) for i, c, s in zip(cidx, chunks, data.shape))
+        block = data[sel]
+        if block.shape != chunks:
+            full = np.full(chunks, pad, dtype=data.dtype)
+            full[tuple(slice(0, e) for e in block.shape)] = block
+            block = full
+        buf = np.ascontiguousarray(block).tobytes()
+        if compressor == "zlib":
+            buf = zlib.compress(buf, 6)
+        with open(os.path.join(adir, ".".join(str(i) for i in cidx)), "wb") as fh:
+            fh.write(buf)
+
+
+def write_zarr_group(root: str) -> None:
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, ".zgroup"), "w") as fh:
+        json.dump({"zarr_format": 2}, fh, sort_keys=True)
+
+
+# ---------------------------------------------------------------------------
+# driver-side reader (metadata probe + small arrays: coords, tests)
+# ---------------------------------------------------------------------------
+
+
+def read_array_meta(adir: str) -> dict:
+    with open(os.path.join(adir, ".zarray")) as fh:
+        meta = json.load(fh)
+    _check_meta(meta)
+    return meta
+
+
+def decode_chunk(meta: dict, content: bytes, cidx: tuple[int, ...]) -> np.ndarray:
+    """One chunk object → its VALID block (edge padding trimmed)."""
+    if meta.get("compressor"):
+        content = zlib.decompress(content)
+    chunks, shape = meta["chunks"], meta["shape"]
+    block = np.frombuffer(content, dtype=np.dtype(meta["dtype"])).reshape(chunks)
+    valid = tuple(
+        slice(0, min((i + 1) * c, s) - i * c) for i, c, s in zip(cidx, chunks, shape)
+    )
+    return block[valid]
+
+
+def read_zarr_array(adir: str) -> np.ndarray:
+    """Whole-array driver-side read — coords and tests only; the
+    scale path for data variables is ``ingest_zarr_store``."""
+    meta = read_array_meta(adir)
+    out = np.zeros(meta["shape"], dtype=np.dtype(meta["dtype"]))
+    grid = [range(math.ceil(s / c)) for s, c in zip(meta["shape"], meta["chunks"])]
+    for cidx in product(*grid):
+        name = ".".join(str(i) for i in cidx)
+        path = os.path.join(adir, name)
+        sel = tuple(
+            slice(i * c, min((i + 1) * c, s))
+            for i, c, s in zip(cidx, meta["chunks"], meta["shape"])
+        )
+        if not os.path.exists(path):  # absent chunk = all fill (spec)
+            fv = meta.get("fill_value")
+            out[sel] = 0 if fv is None else fv
+            continue
+        with open(path, "rb") as fh:
+            out[sel] = decode_chunk(meta, fh.read(), cidx)
+    return out
+
+
+def store_arrays(root: str) -> dict[str, dict]:
+    """name → .zarray meta for every array in the store."""
+    out: dict[str, dict] = {}
+    for name in sorted(os.listdir(root)):
+        adir = os.path.join(root, name)
+        if os.path.isdir(adir) and os.path.exists(os.path.join(adir, ".zarray")):
+            out[name] = read_array_meta(adir)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# distributed ingest
+# ---------------------------------------------------------------------------
+
+
+def ingest_zarr_store(spark: SparkSession, root: str, ds: str) -> DataFrame:
+    """Distributed Zarr cube ingest → the long GRID_SCHEMA frame (the
+    Zarr twin of ``netcdf.ingest_directory``).
+
+    Metadata and the three coordinate axes (``time`` hours-since-1990,
+    1-D ``lat``/``lon``) are tiny — read once on the driver and
+    captured by value in the decode closure; the DATA chunks flow
+    through ``binaryFile`` (one task per chunk object — finer-grained
+    than the NetCDF path's one-task-per-file, so a single giant
+    variable still fans out across the cluster) into a self-contained
+    ``mapInPandas`` closure (numpy + zlib only — no package imports
+    worker-side, the pickling-by-reference rule).  Spark's default
+    path filter hides dotfiles, so ``.zarray``/``.zattrs`` never
+    reach the decoder; chunk files are classified by their parent
+    directory name."""
+    metas = store_arrays(root)
+    coords_needed = ("time", "lat", "lon")
+    for c in coords_needed:
+        if c not in metas:
+            raise ValueError(f"zarr store missing coordinate array: {c}")
+    time_us = decode_time_hours(read_zarr_array(os.path.join(root, "time"))).astype(
+        "datetime64[us]"
+    )
+    lat1d = read_zarr_array(os.path.join(root, "lat")).astype(np.float64)
+    lon1d = read_zarr_array(os.path.join(root, "lon")).astype(np.float64)
+    nt, ny, nx = len(time_us), len(lat1d), len(lon1d)
+    data_vars = {
+        name: m
+        for name, m in metas.items()
+        if name not in coords_needed and len(m["shape"]) == 3
+    }
+    for name, m in data_vars.items():
+        if tuple(m["shape"]) != (nt, ny, nx):
+            raise ValueError(f"{name}: shape {m['shape']} != coord axes {(nt, ny, nx)}")
+
+    ensure_package_on_workers(spark)
+    files = spark.read.format("binaryFile").option("recursiveFileLookup", "true").load(root)
+
+    meta_by_var = {
+        n: (tuple(m["chunks"]), tuple(m["shape"]), m["dtype"],
+            bool(m.get("compressor")), m.get("fill_value"))
+        for n, m in data_vars.items()
+    }
+    ds_ = ds
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib as _zlib
+
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                parts = path.rstrip("/").split("/")
+                var, base = parts[-2], parts[-1]
+                if var not in meta_by_var:
+                    continue
+                chunks, shape, dtype, compressed, fill = meta_by_var[var]
+                cidx = tuple(int(p) for p in base.split("."))
+                buf = bytes(content)
+                if compressed:
+                    buf = _zlib.decompress(buf)
+                block = _np.frombuffer(buf, dtype=_np.dtype(dtype)).reshape(chunks)
+                valid = tuple(
+                    slice(0, min((i + 1) * c, s) - i * c)
+                    for i, c, s in zip(cidx, chunks, shape)
+                )
+                block = block[valid].astype(_np.float64)
+                if fill is not None:
+                    block = _np.where(block == _np.float64(fill), _np.nan, block)
+                bt, by, bx = block.shape
+                t0, y0, x0 = (i * c for i, c in zip(cidx, chunks))
+                ys = _np.arange(y0, y0 + by, dtype=_np.int32)
+                xs = _np.arange(x0, x0 + bx, dtype=_np.int32)
+                yy, xx = _np.meshgrid(ys, xs, indexing="ij")
+                yield _pd.DataFrame(
+                    {
+                        "ds": ds_,
+                        "variable": var,
+                        "time": _np.repeat(time_us[t0 : t0 + bt], by * bx),
+                        "y": _np.tile(yy.ravel(), bt),
+                        "x": _np.tile(xx.ravel(), bt),
+                        "lat": _np.tile(_np.repeat(lat1d[ys], bx), bt),
+                        "lon": _np.tile(_np.tile(lon1d[xs], by), bt),
+                        "value": block.ravel(),
+                    }
+                )
+
+    return files.select("path", "content").mapInPandas(_decode, schema=GRID_SCHEMA)

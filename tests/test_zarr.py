@@ -1,0 +1,117 @@
+"""Zarr v2 source: writer↔reader identity, chunk-grid edge handling,
+spec conformance of the metadata, fill/absent-chunk semantics, codec
+guards, and the distributed ingest's equivalence to the driver-side
+read."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from netcdf_olap_spark.sources import zarr as zr
+
+
+def _rt(tmp_path, data, **kw):
+    adir = str(tmp_path / "a")
+    zr.write_zarr_array(adir, data, **kw)
+    return adir, zr.read_zarr_array(adir)
+
+
+@pytest.mark.parametrize("dtype", ["<f4", "<f8", "<i4", "<i8", ">f8", ">i4"])
+@pytest.mark.parametrize("compressor", [None, "zlib"])
+def test_roundtrip_dtypes_codecs(tmp_path, dtype, compressor):
+    rng = np.random.default_rng(7)
+    base = (rng.integers(-1000, 1000, size=(5, 4, 3))).astype(np.dtype(dtype))
+    adir = str(tmp_path / f"{dtype.replace('<','l').replace('>','b')}_{compressor}")
+    zr.write_zarr_array(adir, base, chunks=(2, 3, 2), compressor=compressor)
+    out = zr.read_zarr_array(adir)
+    assert out.dtype == np.dtype(dtype)
+    np.testing.assert_array_equal(out, base)
+
+
+def test_edge_chunks_padded_full_size(tmp_path):
+    """Spec: edge chunks are stored at FULL chunk shape. The raw
+    chunk object for the corner must be chunk-sized, and reading
+    must trim the padding (value counts would inflate otherwise)."""
+    data = np.arange(6 * 4 * 5, dtype="<f8").reshape(6, 4, 5)
+    adir, out = _rt(tmp_path, data, chunks=(4, 3, 3), compressor=None, fill_value=-1.0)
+    np.testing.assert_array_equal(out, data)
+    corner = open(os.path.join(adir, "1.1.1"), "rb").read()
+    assert len(corner) == 4 * 3 * 3 * 8  # full chunk, not 2*1*2
+
+
+def test_absent_chunk_reads_as_fill(tmp_path):
+    data = np.ones((4, 4), dtype="<f8")
+    adir = str(tmp_path / "a")
+    zr.write_zarr_array(adir, data, chunks=(2, 2), compressor=None, fill_value=7.5)
+    os.remove(os.path.join(adir, "1.1"))
+    out = zr.read_zarr_array(adir)
+    assert (out[2:, 2:] == 7.5).all() and (out[:2, :2] == 1.0).all()
+
+
+def test_zarray_metadata_is_spec_shaped(tmp_path):
+    adir, _ = _rt(tmp_path, np.zeros((3, 3), dtype="<f4"), chunks=(2, 2), fill_value=0.0)
+    meta = json.load(open(os.path.join(adir, ".zarray")))
+    assert meta["zarr_format"] == 2
+    assert meta["order"] == "C" and meta["filters"] is None
+    assert meta["compressor"] == {"id": "zlib", "level": 6}
+    assert meta["shape"] == [3, 3] and meta["chunks"] == [2, 2]
+
+
+def test_unsupported_codec_and_dtype_raise(tmp_path):
+    adir = str(tmp_path / "a")
+    zr.write_zarr_array(adir, np.zeros((2, 2), dtype="<f8"), compressor=None)
+    meta_path = os.path.join(adir, ".zarray")
+    meta = json.load(open(meta_path))
+    meta["compressor"] = {"id": "blosc", "cname": "lz4"}
+    json.dump(meta, open(meta_path, "w"))
+    with pytest.raises(NotImplementedError, match="compressor"):
+        zr.read_array_meta(adir)
+    meta["compressor"] = None
+    meta["dtype"] = "<c16"
+    json.dump(meta, open(meta_path, "w"))
+    with pytest.raises(NotImplementedError, match="dtype"):
+        zr.read_array_meta(adir)
+
+
+def test_corrupt_chunks_raise_cleanly(tmp_path):
+    """Truncated / bit-flipped chunk objects must raise clean
+    exceptions (zlib.error / ValueError), never hang or segfault —
+    the format-reader fuzz rule."""
+    data = np.arange(36, dtype="<f8").reshape(6, 6)
+    adir = str(tmp_path / "a")
+    zr.write_zarr_array(adir, data, chunks=(4, 4), compressor="zlib")
+    chunk = os.path.join(adir, "0.0")
+    raw = open(chunk, "rb").read()
+    for mut in (raw[: len(raw) // 2], b"", bytes([raw[0] ^ 0xFF]) + raw[1:]):
+        with open(chunk, "wb") as fh:
+            fh.write(mut)
+        with pytest.raises(Exception) as ei:
+            zr.read_zarr_array(adir)
+        assert ei.type.__name__ in ("error", "ValueError"), ei.type
+
+
+def test_distributed_ingest_equals_driver_read(spark, tmp_path):
+    """ingest_zarr_store over a fresh store == the driver-side
+    read_zarr_array cube, row for row (fill → NULL)."""
+    root = str(tmp_path / "store")
+    t = np.arange(3)
+    zr.write_zarr_group(root)
+    zr.write_zarr_array(os.path.join(root, "time"), (t * 24).astype("<i4"), compressor=None)
+    zr.write_zarr_array(os.path.join(root, "lat"), np.array([10.0, 10.5]), compressor=None)
+    zr.write_zarr_array(os.path.join(root, "lon"), np.array([-5.0, -4.5, -4.0]), compressor=None)
+    cube = np.arange(3 * 2 * 3, dtype="<f8").reshape(3, 2, 3)
+    cube[0, 0, 0] = -9.0
+    zr.write_zarr_array(
+        os.path.join(root, "v"), cube, chunks=(2, 2, 2), compressor="zlib", fill_value=-9.0
+    )
+    df = zr.ingest_zarr_store(spark, root, ds="t").orderBy("time", "y", "x")
+    rows = df.collect()
+    assert len(rows) == 18
+    assert rows[0]["value"] is None  # the planted fill cell
+    vals = [r["value"] for r in rows[1:]]
+    assert vals == [float(v) for v in range(1, 18)]
+    assert rows[1]["lat"] == 10.0 and rows[1]["lon"] == -4.5
