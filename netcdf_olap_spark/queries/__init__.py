@@ -82,7 +82,16 @@ _PRIORITY: tuple[str, ...] = (
     # hard-oracle operator. It remains registered + parity-checked.
     "grid_polygon_stats",
     "grid_ingest_nc",
-    "grid_bbox_stats",
+    # r10 second-cohort rotation (same-round, the r9 pattern):
+    # grid_bbox_stats OUT — its bbox mask+aggregate plan family is a
+    # strict subset of grid_polygon_stats' (coarse bbox → fine mask),
+    # and P5's hemisphere-safe window arithmetic also rides the
+    # polygon path's envelope; stays registered + parity-checked.
+    # IN: grid_ingest_zarr — the SECOND hash-checked source format
+    # (Zarr v2 chunk-object store: zlib+raw chunks, f8/f4/i4, edge
+    # trimming, fill→NULL, distributed chunk-level decode), a
+    # capability class no other window row represents.
+    "grid_ingest_zarr",
     "grid_nearest_cell",
     "grid_hyperslab",
     "grid_time_extent",
@@ -106,7 +115,14 @@ _PRIORITY: tuple[str, ...] = (
     # make room for the ANN index-path hash check (emb_knn_ivf_exact).
     "q1_pricing_summary",
     "agg_rollup",
-    "agg_conditional_extrema",
+    # r10 second-cohort rotation: agg_conditional_extrema OUT — A5's
+    # filtered min_by/max_by values also ride grid_nearest_cell's
+    # argmin (A4) and the q1/rollup conditional aggregates; stays
+    # registered + parity-checked.  IN: ev_rfm_segments — quintile-by-
+    # value customer segmentation (exact order-statistic breaks over
+    # domain-bounded histograms + three-way score rollup), the
+    # customer-analytics class nothing else in the window represents.
+    "ev_rfm_segments",
     "agg_hll_portable",
     "join_q5_region_revenue",
     # r10 rotation (judge ask #1): join_anti left the window — its r9
@@ -168,7 +184,16 @@ _PRIORITY: tuple[str, ...] = (
     # over near-dup components (max-struct window vs a recursive-CTE
     # oracle), a capability class nothing else in the window had.
     "doc_survivorship",
-    "doc_exact_dedup",
+    # r10 second-cohort rotation: doc_exact_dedup OUT — the
+    # normalized-fingerprint groupBy's values stay hash-checked
+    # through doc_delta_dedup_indexed (its exact_dup verdicts are the
+    # same fingerprint equality) and doc_survivorship's components;
+    # stays registered + parity-checked.  IN: doc_bloom_probe — the
+    # registry's first Bloom-filter operator (auto-sized 63-bit-word
+    # bitmap over corpus chunk hashes, probe with exact
+    # false-positive accounting), the membership-sketch class nothing
+    # else in the window represents.
+    "doc_bloom_probe",
     # r10 (judge ask #1 called it the single highest-information row
     # available): the
     # incremental daily-batch dedup probing the AT-REST nibble-
