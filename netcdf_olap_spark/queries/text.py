@@ -1921,6 +1921,104 @@ ORDER BY source
 DOC_PII_SQL = _pii_oracle_sql()
 
 
+_RAKE_STOP_SQL = ", ".join(f"'{w}'" for w in text.EN_STOPWORDS)
+
+
+def doc_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010, "Rapid Automatic
+    Keyword Extraction") in exact integer arithmetic: candidate
+    phrases are maximal stopword-delimited token runs; each word's
+    freq (occurrences in candidates) and deg (Σ lengths of its
+    phrases) accumulate corpus-wide; a phrase scores
+    Σ_w deg(w)·10⁴ DIV freq(w) (the deg/freq ratio in integer
+    ten-thousandths — RAKE's ranking, engine-portable because no
+    float division exists).  Top-20 phrases with occurrence counts,
+    score-desc / phrase-asc tie-broken.
+
+    100 TB shape: ONE doc-keyed window builds the runs (running sum
+    of stopword breaks — gaps-and-islands), word stats are one
+    vocabulary-sized aggregation, the phrase-word join keys on the
+    word (uniform), and the final cut is TakeOrderedAndProject —
+    never a global sort of all phrases."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.posexplode(text.tokens(F.lower(F.col("text")))).alias("i", "tok")
+    )
+    stop = F.col("tok").isin(*text.EN_STOPWORDS)
+    wd = Window.partitionBy("doc_id").orderBy("i")
+    grp = toks.select(
+        "doc_id",
+        "i",
+        "tok",
+        F.sum(F.when(stop, 1).otherwise(0))
+        .over(wd.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("g"),
+        stop.alias("is_stop"),
+    ).where(~F.col("is_stop"))
+    phrases = grp.groupBy("doc_id", "g").agg(
+        F.concat_ws(
+            " ",
+            F.transform(F.array_sort(F.collect_list(F.struct("i", "tok"))), lambda s: s["tok"]),
+        ).alias("phrase"),
+        F.count(F.lit(1)).cast("long").alias("plen"),
+    )
+    occ_words = phrases.select("phrase", "plen", F.explode(F.split("phrase", " ")).alias("w"))
+    wstats = occ_words.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum("plen").cast("long").alias("deg"),
+    )
+    dist = phrases.groupBy("phrase").agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
+    scored = (
+        dist.select("phrase", "n_occ", F.explode(F.split("phrase", " ")).alias("w"))
+        .join(wstats, "w")
+        .groupBy("phrase", "n_occ")
+        .agg(F.sum(F.expr("(deg * 10000) DIV freq")).cast("long").alias("score"))
+    )
+    return (
+        scored.select(
+            "phrase", F.size(F.split("phrase", " ")).cast("long").alias("n_words"), "n_occ", "score"
+        )
+        .orderBy(F.col("score").desc(), "phrase")
+        .limit(20)
+    )
+
+
+DOC_RAKE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, i - 1 AS i, t[i] AS tok
+  FROM (SELECT doc_id, {DUCK_TOKS.replace("trim(text)", "trim(lower(text))")} AS t FROM documents)
+  CROSS JOIN unnest(generate_series(1, len(t))) AS u(i)),
+grp AS (
+  SELECT doc_id, i, tok,
+         SUM(CASE WHEN tok IN ({_RAKE_STOP_SQL}) THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING) AS g,
+         tok IN ({_RAKE_STOP_SQL}) AS is_stop
+  FROM toks),
+phrases AS (
+  SELECT doc_id, g, STRING_AGG(tok, ' ' ORDER BY i) AS phrase,
+         CAST(COUNT(*) AS BIGINT) AS plen
+  FROM grp WHERE NOT is_stop GROUP BY doc_id, g),
+occ_words AS (
+  SELECT phrase, plen, unnest(string_split(phrase, ' ')) AS w FROM phrases),
+wstats AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq, CAST(SUM(plen) AS BIGINT) AS deg
+  FROM occ_words GROUP BY w),
+dist AS (SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occ FROM phrases GROUP BY phrase),
+scored AS (
+  SELECT phrase, n_occ,
+         CAST(SUM((deg * 10000) // freq) AS BIGINT) AS score
+  FROM (SELECT phrase, n_occ, unnest(string_split(phrase, ' ')) AS w FROM dist) pw
+  JOIN wstats USING (w)
+  GROUP BY phrase, n_occ)
+SELECT phrase,
+       CAST(len(string_split(phrase, ' ')) AS BIGINT) AS n_words,
+       n_occ, score
+FROM scored
+ORDER BY score DESC, phrase
+LIMIT 20
+"""
+
+
 def doc_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PORTABLE BLOOM-FILTER membership gate over the corpus's CDC
     chunk hashes — the pre-filter a daily delta-dedup job consults
@@ -2193,5 +2291,6 @@ QUERIES = {
     "doc_pii_scrub": (doc_pii_scrub, DOC_PII_SQL),
     "doc_repetition_stats": (doc_repetition_stats, DOC_REPETITION_STATS_SQL),
     "doc_bloom_probe": (doc_bloom_probe, DOC_BLOOM_PROBE_SQL),
+    "doc_rake_keywords": (doc_rake_keywords, DOC_RAKE_SQL),
     "doc_dup_span_extents": (doc_dup_span_extents, DOC_DUP_EXTENTS_SQL),
 }
