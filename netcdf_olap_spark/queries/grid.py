@@ -1130,6 +1130,62 @@ ORDER BY variable
 """
 
 
+def grid_export_zarr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8b for the CLOUD-NATIVE sink: slice the fixture cube, export
+    it as a Zarr v2 store (sinks/zarr.py — each task writes its own
+    chunk object), re-ingest through the distributed chunk decoder,
+    and aggregate; the oracle computes the same aggregate straight
+    from the fixture parquet, so the hashes match only if
+    export∘ingest is the identity (NULL↔fill inversion, hours
+    re-encode, curvilinear 2-D lat/lon round-trip).  A DIFFERENT
+    window/variable pair than the NetCDF round-trip, so the two sink
+    checks never share a slice.  Eagerly checkpointed per
+    fresh_invocation_dir's contract."""
+    import os
+
+    from netcdf_olap_spark.session import fresh_invocation_dir
+    from netcdf_olap_spark.sinks.zarr import export_zarr_store
+    from netcdf_olap_spark.sources.zarr import ingest_zarr_store
+
+    sel = slice_ops.time_range(load_grid(spark), "1990-01-10", "1990-01-15")
+    sel = sel.where(F.col("variable").isin("LST_LWST_avg_day", "avg_night_temp"))
+    root = os.path.join(fresh_invocation_dir("nolap_zarr_rt"), "store")
+    export_zarr_store(sel, root, time_chunk=4).collect()
+    back = ingest_zarr_store(spark, root, ds="roundtrip")
+    return (
+        back.groupBy("variable")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("value").alias("n_vals"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_val"),
+            F.min("lat").alias("lat_min"),
+            F.max("lon").alias("lon_max"),
+            F.date_format(F.min("time"), "yyyy-MM-dd").alias("d_min"),
+            F.date_format(F.max("time"), "yyyy-MM-dd").alias("d_max"),
+        )
+        .orderBy("variable")
+        .localCheckpoint(eager=True)
+    )
+
+
+GRID_EXPORT_ZARR_RT_SQL = f"""
+SELECT variable,
+       COUNT(*) AS n_rows,
+       COUNT(value) AS n_vals,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_val,
+       MIN(lat) AS lat_min,
+       MAX(lon) AS lon_max,
+       STRFTIME(MIN(CAST(time AS DATE)), '%Y-%m-%d') AS d_min,
+       STRFTIME(MAX(CAST(time AS DATE)), '%Y-%m-%d') AS d_max
+FROM {GRID}
+WHERE time >= TIMESTAMP '1990-01-10 00:00:00'
+  AND time < TIMESTAMP '1990-01-16 00:00:00'
+  AND variable IN ('LST_LWST_avg_day', 'avg_night_temp')
+GROUP BY variable
+ORDER BY variable
+"""
+
+
 def grid_ingest_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3 metadata probe + P2 file-overlap pruning behind an oracle:
     ``cube_catalog`` over the ingested two-format .nc directory,
@@ -2199,6 +2255,7 @@ QUERIES = {
     "grid_ingest_nc": (grid_ingest_nc, GRID_INGEST_NC_SQL),
     "grid_ingest_zarr": (grid_ingest_zarr, GRID_INGEST_ZARR_SQL),
     "grid_export_roundtrip": (grid_export_roundtrip, GRID_EXPORT_ROUNDTRIP_SQL),
+    "grid_export_zarr_roundtrip": (grid_export_zarr_roundtrip, GRID_EXPORT_ZARR_RT_SQL),
     "grid_ingest_catalog": (grid_ingest_catalog, GRID_INGEST_CATALOG_SQL),
     "grid_nearest_blocked": (grid_nearest_blocked, GRID_NEAREST_BLOCKED_SQL),
     "grid_bbox_stats": (grid_bbox_stats, GRID_BBOX_STATS_SQL),

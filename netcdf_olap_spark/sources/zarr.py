@@ -183,8 +183,10 @@ def ingest_zarr_store(spark: SparkSession, root: str, ds: str) -> DataFrame:
     """Distributed Zarr cube ingest → the long GRID_SCHEMA frame (the
     Zarr twin of ``netcdf.ingest_directory``).
 
-    Metadata and the three coordinate axes (``time`` hours-since-1990,
-    1-D ``lat``/``lon``) are tiny — read once on the driver and
+    Metadata and the three coordinate axes (``time`` hours-since-1990;
+    ``lat``/``lon`` either separable 1-D axes or the reference's 2-D
+    curvilinear arrays, Gddp.scala:178-182) are tiny — read once on
+    the driver and
     captured by value in the decode closure; the DATA chunks flow
     through ``binaryFile`` (one task per chunk object — finer-grained
     than the NetCDF path's one-task-per-file, so a single giant
@@ -202,9 +204,17 @@ def ingest_zarr_store(spark: SparkSession, root: str, ds: str) -> DataFrame:
     time_us = decode_time_hours(read_zarr_array(os.path.join(root, "time"))).astype(
         "datetime64[us]"
     )
-    lat1d = read_zarr_array(os.path.join(root, "lat")).astype(np.float64)
-    lon1d = read_zarr_array(os.path.join(root, "lon")).astype(np.float64)
-    nt, ny, nx = len(time_us), len(lat1d), len(lon1d)
+    lat_arr = read_zarr_array(os.path.join(root, "lat")).astype(np.float64)
+    lon_arr = read_zarr_array(os.path.join(root, "lon")).astype(np.float64)
+    if lat_arr.ndim == 2:  # curvilinear (the reference's 2-D lat/lon)
+        lat2d, lon2d = lat_arr, lon_arr
+        if lon2d.shape != lat2d.shape:
+            raise ValueError("2-D lat/lon shapes differ")
+    else:  # separable 1-D axes → broadcast to the cell grid
+        lat2d = np.repeat(lat_arr[:, None], len(lon_arr), axis=1)
+        lon2d = np.tile(lon_arr[None, :], (len(lat_arr), 1))
+    ny, nx = lat2d.shape
+    nt = len(time_us)
     data_vars = {
         name: m
         for name, m in metas.items()
@@ -254,17 +264,27 @@ def ingest_zarr_store(spark: SparkSession, root: str, ds: str) -> DataFrame:
                 ys = _np.arange(y0, y0 + by, dtype=_np.int32)
                 xs = _np.arange(x0, x0 + bx, dtype=_np.int32)
                 yy, xx = _np.meshgrid(ys, xs, indexing="ij")
-                yield _pd.DataFrame(
+                cell = _np.ix_(ys, xs)
+                lats = lat2d[cell].ravel()
+                lons = lon2d[cell].ravel()
+                out = _pd.DataFrame(
                     {
                         "ds": ds_,
                         "variable": var,
                         "time": _np.repeat(time_us[t0 : t0 + bt], by * bx),
                         "y": _np.tile(yy.ravel(), bt),
                         "x": _np.tile(xx.ravel(), bt),
-                        "lat": _np.tile(_np.repeat(lat1d[ys], bx), bt),
-                        "lon": _np.tile(_np.tile(lon1d[xs], by), bt),
+                        "lat": _np.tile(lats, bt),
+                        "lon": _np.tile(lons, bt),
                         "value": block.ravel(),
                     }
                 )
+                # cells with non-finite coordinates are ABSENT, not
+                # emitted (cube_to_pandas' rule: they have no position
+                # in the lat/lon query model, and NaN poisons extrema)
+                placed = _np.isfinite(lats) & _np.isfinite(lons)
+                if not placed.all():
+                    out = out[_np.tile(placed, bt)].reset_index(drop=True)
+                yield out
 
     return files.select("path", "content").mapInPandas(_decode, schema=GRID_SCHEMA)

@@ -115,3 +115,51 @@ def test_distributed_ingest_equals_driver_read(spark, tmp_path):
     vals = [r["value"] for r in rows[1:]]
     assert vals == [float(v) for v in range(1, 18)]
     assert rows[1]["lat"] == 10.0 and rows[1]["lon"] == -4.5
+
+
+def test_export_store_manifest_and_spec(spark, tmp_path):
+    """export_zarr_store: manifest rows match the on-disk chunk
+    objects (path/bytes/sha256), the .zarray metadata is spec-shaped,
+    and a ragged selection leaves absent cells as NaN coordinates
+    (which re-ingest as absent)."""
+    import hashlib
+
+    from netcdf_olap_spark.sinks.zarr import export_zarr_store
+    from netcdf_olap_spark.session import load_grid
+    from netcdf_olap_spark.sources.zarr import ingest_zarr_store
+
+    from pyspark.sql import functions as F
+
+    g = (
+        load_grid(spark)
+        .where(
+            (F.col("variable") == "LST_LWST_avg_daily")
+            & (F.col("time") < "1990-01-06")
+            & (F.col("y") < 4)
+            & (F.col("x") < 5)
+            # ragged: drop one corner cell entirely
+            & ~((F.col("y") == 0) & (F.col("x") == 0))
+        )
+    )
+    root = str(tmp_path / "store")
+    manifest = export_zarr_store(g, root, time_chunk=2).collect()
+    assert {m["chunk"] for m in manifest} == {"0.0.0", "1.0.0", "2.0.0"}
+    for m in manifest:
+        blob = open(m["path"], "rb").read()
+        assert len(blob) == m["n_bytes"]
+        assert hashlib.sha256(blob).hexdigest() == m["sha256"]
+    meta = json.load(open(os.path.join(root, "lat", ".zarray")))
+    assert meta["shape"] == [4, 5]
+
+    back = ingest_zarr_store(spark, root, ds="rt")
+    n_in = g.count()
+    assert back.count() == n_in  # corner cell stays absent (NaN coords dropped)
+    joined = (
+        g.select("time", "y", "x", F.col("value").alias("v_in"))
+        .join(back.select("time", "y", "x", F.col("value").alias("v_out")), ["time", "y", "x"], "full")
+    )
+    bad = joined.where(
+        (F.col("v_in").isNull() != F.col("v_out").isNull())
+        | (F.col("v_in").isNotNull() & (F.col("v_in") != F.col("v_out")))
+    ).count()
+    assert bad == 0  # bit-exact identity, NULL↔fill inversion included
