@@ -949,8 +949,114 @@ ORDER BY c_nationkey, c_custkey
 """
 
 
+MAX_BLOOM_LITERAL_WORDS = 65_536  # 4 Mbit ≈ 400k keys at 10 bits/key
+
+
+def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-PRUNED fact join — the canonical 100 TB join
+    optimization: the dimension side's qualifying keys are folded
+    into an auto-sized Bloom bitmap (10 bits/key, k=3 md5-slice
+    positions, 63-bit words — doc_bloom_probe's arithmetic), the
+    bitmap becomes a LITERAL array tested with pure scalar
+    expressions inside the fact scan's codegen (element_at + shift —
+    no explode, no pre-join shuffle), and only surviving fact rows
+    reach the real join.  THE ORACLE IS THE PLAIN JOIN: Bloom
+    pruning is semantically transparent (no false negatives, and
+    false positives die in the equi-join), so a hash match every
+    round PROVES the filter never drops a true row — the property a
+    hand-rolled pruning filter most needs policed.
+
+    Sizing note: the literal-array form is capped at
+    MAX_BLOOM_LITERAL_WORDS (≈400k keys); a bigger dimension side
+    should switch to the broadcast-join bitmap form
+    (doc_bloom_probe's), trading codegen-scalar tests for a
+    broadcast hash join on the word index.
+
+    100 TB shape: one aggregation over dimension keys (map-side
+    combine into ≤m/63 words, collected bounded by m — never by
+    keys), one fact-scan filter in whole-stage codegen, then the
+    usual shuffled equi-join on the ~10× smaller survivor set."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+        & (F.col("o_orderpriority") == "1-URGENT")
+    )
+    keys = o.select(F.col("o_orderkey").alias("k")).localCheckpoint(eager=True)
+    n_keys = keys.count()
+    m_words = max(1, (n_keys * 10 + 62) // 63)
+    if m_words > MAX_BLOOM_LITERAL_WORDS:
+        raise ValueError(
+            f"{m_words} bloom words exceed the literal-array form's cap "
+            f"({MAX_BLOOM_LITERAL_WORDS}); use the broadcast-join bitmap"
+        )
+    m_bits = m_words * 63
+
+    def positions(col):
+        h = F.md5(col.cast("string"))
+        return [
+            F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("long") % m_bits
+            for i in range(3)
+        ]
+
+    bits = keys.select(F.explode(F.array(*positions(F.col("k")))).alias("p")).select(
+        F.expr("p DIV 63").alias("wrd"),
+        F.expr("CAST(1 AS BIGINT) << CAST(p % 63 AS INT)").alias("v"),
+    )
+    sparse = {r["wrd"]: r["w"] for r in bits.groupBy("wrd").agg(F.bit_or("v").alias("w")).collect()}
+    words = [sparse.get(i, 0) for i in range(m_words)]
+    warr = F.lit(words)
+
+    li = _t(spark, sf_dir, "lineitem")
+    proj = li.select(
+        "l_orderkey",
+        "l_extendedprice",
+        "l_discount",
+        *[p.alias(f"_p{i}") for i, p in enumerate(positions(F.col("l_orderkey")))],
+    )
+    for i in range(3):
+        proj = proj.withColumn(
+            f"_w{i}", F.element_at(warr, F.expr(f"CAST(_p{i} DIV 63 AS INT) + 1"))
+        )
+    pred = F.expr(
+        " AND ".join(
+            f"((_w{i} >> CAST(_p{i} % 63 AS INT)) & CAST(1 AS BIGINT)) = 1" for i in range(3)
+        )
+    )
+    pruned = proj.where(pred)
+    joined = pruned.join(o, pruned.l_orderkey == o.o_orderkey)
+    return (
+        joined.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("order_month")
+    )
+
+
+JOIN_BLOOM_PRUNED_SQL = """
+SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderpriority = '1-URGENT'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "q4_priority_exists": (q4_priority_exists, Q4_SQL),
+    "join_bloom_pruned": (join_bloom_pruned, JOIN_BLOOM_PRUNED_SQL),
     "q7_volume_shipping": (q7_volume_shipping, Q7_SQL),
     "q8_market_share": (q8_market_share, Q8_SQL),
     "q9_profit_by_nation": (q9_profit_by_nation, Q9_SQL),

@@ -102,3 +102,16 @@ def test_dup_extents_one_key_shuffle_one_window(spark):
     c = _counts(doc_dup_span_extents(spark, SF_SMALL))
     assert c["single"] == 0
     assert c["hash"] <= 3
+
+
+def test_bloom_pruned_join_tests_bitmap_in_fact_scan(spark):
+    """join_bloom_pruned: the literal-bitmap membership test must be
+    a scalar expression on the FACT side (element_at + shift inside
+    codegen), pre-join — and the plan keeps the ordinary equi-join
+    after it (false positives die there)."""
+    from netcdf_olap_spark.queries.relational_ext2 import join_bloom_pruned
+
+    df = join_bloom_pruned(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "element_at" in plan
+    assert "Join" in plan
