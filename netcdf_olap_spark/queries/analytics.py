@@ -1075,6 +1075,96 @@ ORDER BY wk
 """
 
 
+def ev_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHORT LTV TRIANGLE — the revenue companion to
+    ev_retention_cohorts' counts: users grouped by first-event week,
+    purchase revenue accumulated by cohort age in weeks, with the
+    running (cumulative) revenue per cohort — the table LTV curves
+    and payback windows are read from.
+
+    Exactness: day/week indices are integer µs arithmetic; revenue
+    rides decimal(18,4) through both the cell aggregate and the
+    cumulative window, narrowed int64-checked before the double cast.
+
+    100 TB shape: one user-keyed aggregation (first day), the
+    purchase join keys on user (co-partitioned with the aggregate),
+    one (cohort, age) rollup, and the cumulative window partitions
+    on the cohort — nothing global."""
+    e = load_events(spark, sf_dir).withColumn(
+        "day", F.expr("ts_ns DIV 1000 DIV 86400000000").cast("long")
+    )
+    first = e.groupBy("user_id").agg(F.min("day").alias("d0"))
+    sizes = (
+        first.select(F.expr("d0 DIV 7").cast("long").alias("cohort_wk"))
+        .groupBy("cohort_wk")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+    cells = (
+        e.where(F.col("event_type") == "purchase")
+        .join(first, "user_id")
+        .select(
+            F.expr("d0 DIV 7").cast("long").alias("cohort_wk"),
+            F.expr("(day - d0) DIV 7").cast("long").alias("age_wk"),
+            F.col("value").cast("decimal(18,4)").alias("v"),
+        )
+        .groupBy("cohort_wk", "age_wk")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum("v").alias("rev_d"),
+        )
+    )
+    w = Window.partitionBy("cohort_wk").orderBy("age_wk").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    from netcdf_olap_spark.functions import deterministic
+
+    return (
+        cells.select(
+            "cohort_wk",
+            "age_wk",
+            "n_purchases",
+            deterministic.narrow_checked("rev_d", "decimal(18,4)", "ltv rev")
+            .cast("double")
+            .alias("revenue"),
+            deterministic.narrow_checked(
+                F.sum("rev_d").over(w), "decimal(18,4)", "ltv cum"
+            )
+            .cast("double")
+            .alias("cum_revenue"),
+        )
+        .join(F.broadcast(sizes), "cohort_wk")
+        .select("cohort_wk", "age_wk", "n_users", "n_purchases", "revenue", "cum_revenue")
+        .orderBy("cohort_wk", "age_wk")
+    )
+
+
+EV_COHORT_LTV_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, value,
+         epoch_us(ts) // 86400000000 AS day
+  FROM events),
+first_d AS (SELECT user_id, MIN(day) AS d0 FROM e GROUP BY user_id),
+sizes AS (
+  SELECT CAST(d0 // 7 AS BIGINT) AS cohort_wk, CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM first_d GROUP BY 1),
+cells AS (
+  SELECT CAST(d0 // 7 AS BIGINT) AS cohort_wk,
+         CAST((day - d0) // 7 AS BIGINT) AS age_wk,
+         CAST(COUNT(*) AS BIGINT) AS n_purchases,
+         SUM(CAST(value AS DECIMAL(18,4))) AS rev_d
+  FROM e JOIN first_d USING (user_id)
+  WHERE event_type = 'purchase'
+  GROUP BY 1, 2)
+SELECT cohort_wk, age_wk, n_users, n_purchases,
+       CAST(CAST(rev_d AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+       CAST(CAST(SUM(rev_d) OVER (PARTITION BY cohort_wk ORDER BY age_wk
+                                  ROWS UNBOUNDED PRECEDING) AS DECIMAL(18,4))
+            AS DOUBLE) AS cum_revenue
+FROM cells JOIN sizes USING (cohort_wk)
+ORDER BY cohort_wk, age_wk
+"""
+
+
 QUERIES = {
     "profile_footer_stats": (profile_footer_stats, PROFILE_FOOTER_STATS_SQL),
     "profile_footer_stats_distributed": (
@@ -1094,4 +1184,5 @@ QUERIES = {
     "ev_path_trigrams": (ev_path_trigrams, EV_PATH_TRIGRAMS_SQL),
     "ev_rfm_segments": (ev_rfm_segments, EV_RFM_SQL),
     "ev_survival_hazard": (ev_survival_hazard, EV_SURVIVAL_SQL),
+    "ev_cohort_ltv": (ev_cohort_ltv, EV_COHORT_LTV_SQL),
 }

@@ -2252,8 +2252,133 @@ ORDER BY doc_id
 """
 
 
+def doc_dup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-DOCUMENT SUBSTRING REMOVAL with a keeper policy — the
+    write side of doc_dup_span_extents (Lee et al.'s ExactSubstr
+    dedup actually REWRITES the corpus): every maximal duplicated
+    extent is owned by the LOWEST doc_id containing the extent's
+    first span key; non-owners drop those token ranges and the
+    rewritten text is md5-verified (the doc_boilerplate /
+    doc_intra_dedup rewrite contract, now across documents).
+    Output: per affected doc — original tokens, tokens removed, and
+    the rewrite digest.
+
+    100 TB shape: the span ownership aggregate is one shuffle on the
+    uniform span key; extents come from the per-doc islands window;
+    the rewrite itself is ONE doc-level HOF pass (token array ×
+    ≤extents interval tests — no position explode survives to the
+    rewrite side)."""
+    d = _docs(spark, sf_dir)
+    w = 6
+    toks = d.select("doc_id", text.tokens("text").alias("t")).where(F.size("t") >= w)
+    keyed = toks.select(
+        "doc_id",
+        F.posexplode(text.shingles_from_tokens(F.col("t"), w)).alias("i0", "s"),
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), F.md5("s").alias("k"))
+    owners = keyed.groupBy("k").agg(
+        F.countDistinct("doc_id").alias("nd"), F.min("doc_id").alias("owner")
+    )
+    hits = keyed.join(owners.where(F.col("nd") >= 2).select("k", "owner"), "k").select(
+        "doc_id", "i", "owner"
+    )
+    word = Window.partitionBy("doc_id").orderBy("i")
+    isl = hits.select(
+        "doc_id",
+        "i",
+        "owner",
+        F.when(F.col("i") - F.lag("i", 1).over(word) > w, 1).otherwise(0).alias("brk"),
+    ).select(
+        "doc_id",
+        "i",
+        "owner",
+        F.sum("brk")
+        .over(word.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("grp"),
+    )
+    removed = (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.min("i").alias("lo"),
+            F.max("i").alias("hi"),
+            F.min_by("owner", "i").alias("ext_owner"),
+        )
+        .where(F.col("ext_owner") != F.col("doc_id"))
+    )
+    rem = removed.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("lo", "hi"))).alias("rem")
+    )
+    rebuilt = toks.join(rem, "doc_id").select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.filter(
+            F.transform(F.col("t"), lambda x, i0: F.struct(x.alias("tok"), (i0 + 1).alias("i"))),
+            lambda s: ~F.exists(
+                F.col("rem"), lambda r: (s["i"] >= r["lo"]) & (s["i"] <= r["hi"] + (w - 1))
+            ),
+        ).alias("kept"),
+    )
+    return rebuilt.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.size("kept")).cast("long").alias("n_removed"),
+        F.md5(F.concat_ws(" ", F.transform(F.col("kept"), lambda s: s["tok"]))).alias(
+            "rewrite_md5"
+        ),
+    ).orderBy("doc_id")
+
+
+DOC_DUP_REWRITE_SQL = f"""
+WITH toks AS (SELECT doc_id, {DUCK_TOKS} AS t FROM documents),
+pos AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 5)) AS i
+  FROM toks WHERE len(t) >= 6),
+spans AS (SELECT doc_id, i, md5(array_to_string(t[i:i+5], ' ')) AS k FROM pos),
+owners AS (
+  SELECT k, COUNT(DISTINCT doc_id) AS nd, MIN(doc_id) AS owner
+  FROM spans GROUP BY k),
+hits AS (
+  SELECT s.doc_id, s.i, o.owner
+  FROM spans s JOIN owners o USING (k) WHERE o.nd >= 2),
+isl AS (
+  SELECT doc_id, i, owner,
+         CASE WHEN i - LAG(i) OVER (PARTITION BY doc_id ORDER BY i) > 6
+              THEN 1 ELSE 0 END AS brk
+  FROM hits),
+grp AS (
+  SELECT doc_id, i, owner,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING) AS g
+  FROM isl),
+removed AS (
+  SELECT doc_id, g, MIN(i) AS lo, MAX(i) AS hi, ARG_MIN(owner, i) AS ext_owner
+  FROM grp GROUP BY doc_id, g
+  HAVING ARG_MIN(owner, i) != doc_id),
+aff AS (SELECT DISTINCT doc_id FROM removed),
+tokpos AS (
+  SELECT p.doc_id, u.i, p.t[u.i] AS tok
+  FROM (SELECT doc_id, t FROM toks JOIN aff USING (doc_id)) p
+  CROSS JOIN unnest(generate_series(1, len(p.t))) AS u(i)),
+kept AS (
+  SELECT doc_id, i, tok FROM tokpos tp
+  WHERE NOT EXISTS (SELECT 1 FROM removed r
+                    WHERE r.doc_id = tp.doc_id AND tp.i BETWEEN r.lo AND r.hi + 5)),
+rebuilt AS (
+  SELECT doc_id, COALESCE(STRING_AGG(tok, ' ' ORDER BY i), '') AS s,
+         CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY doc_id)
+SELECT a.doc_id,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(len(t.t) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+       md5(COALESCE(r.s, '')) AS rewrite_md5
+FROM aff a
+JOIN toks t USING (doc_id)
+LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY a.doc_id
+"""
+
+
 QUERIES = {
     "doc_token_stats": (doc_token_stats, DOC_TOKEN_STATS_SQL),
+    "doc_dup_rewrite": (doc_dup_rewrite, DOC_DUP_REWRITE_SQL),
     "doc_bpe_token_stats": (doc_bpe_token_stats, DOC_BPE_SQL),
     "doc_quality_score": (doc_quality_score, DOC_QUALITY_SQL),
     "doc_lang_id": (doc_lang_id, DOC_LANG_ID_SQL),
