@@ -2152,6 +2152,95 @@ ORDER BY variable, day
 """
 
 
+def grid_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PETTITT CHANGE-POINT test per cell — the rank-based
+    homogeneity test climate QC runs to find undocumented sensor /
+    regime shifts (Pettitt 1979): U_t = 2·ΣR_t − t·(n+1) over
+    ascending-time prefix rank sums; the change point is the t
+    maximizing |U_t| and K = max|U_t| is the test statistic.
+    Everything stays INTEGER by carrying doubled average ranks
+    (r2 = rank() + rank()+ties−1, so midpoint halves never appear):
+    U2_t = 2·U_t is exact in both engines, and K and the argmax day
+    are emitted with a smallest-t tie-break.
+
+    100 TB shape: two cell-keyed windows over the same sort (value
+    rank, then time-prefix sum) and one rollup — the Theil-Sen /
+    trend-OLS family's partitioning, nothing global."""
+    g = load_grid(spark).where(
+        (F.col("variable") == "LST_LWST_avg_daily") & F.col("value").isNotNull()
+    )
+    t = F.datediff(F.col("time"), F.lit("1990-01-01").cast("date")).cast("long")
+    base = g.select("y", "x", t.alias("t"), "value")
+    cell = Window.partitionBy("y", "x")
+    # doubled average rank: rank() + (rank() + ties - 1)
+    rnk = base.select(
+        "y",
+        "x",
+        "t",
+        (
+            F.rank().over(cell.orderBy("value")) * 2
+            + F.count(F.lit(1)).over(cell.orderBy("value").rangeBetween(0, 0))
+            - 1
+        ).alias("r2"),
+        F.count(F.lit(1)).over(cell).alias("n"),
+    )
+    wt = cell.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u = rnk.select(
+        "y",
+        "x",
+        "t",
+        "n",
+        (
+            F.sum("r2").over(wt)
+            - F.row_number().over(cell.orderBy("t")) * (F.col("n") + 1)
+        ).alias("u"),
+    )
+    flagged = u.select(
+        "y", "x", "t", "n", "u", F.max(F.abs("u")).over(cell).alias("k_stat")
+    )
+    return (
+        flagged.groupBy("y", "x")
+        .agg(
+            F.max("k_stat").cast("long").alias("k_stat"),
+            F.min(F.when(F.abs(F.col("u")) == F.col("k_stat"), F.col("t")))
+            .cast("long")
+            .alias("cp_day"),
+            F.max("n").cast("long").alias("n_days"),
+        )
+        .orderBy("y", "x")
+    )
+
+
+GRID_PETTITT_SQL = f"""
+WITH base AS (
+  SELECT y, x, date_diff('day', DATE '1990-01-01', CAST(time AS DATE)) AS t, value
+  FROM {GRID}
+  WHERE variable = 'LST_LWST_avg_daily' AND value IS NOT NULL),
+rnk AS (
+  SELECT y, x, t,
+         RANK() OVER (PARTITION BY y, x ORDER BY value) * 2
+           + COUNT(*) OVER (PARTITION BY y, x ORDER BY value
+                            RANGE BETWEEN CURRENT ROW AND CURRENT ROW) - 1 AS r2,
+         COUNT(*) OVER (PARTITION BY y, x) AS n
+  FROM base),
+u AS (
+  SELECT y, x, t, n,
+         SUM(r2) OVER (PARTITION BY y, x ORDER BY t ROWS UNBOUNDED PRECEDING)
+           - ROW_NUMBER() OVER (PARTITION BY y, x ORDER BY t) * (n + 1) AS u
+  FROM rnk),
+flagged AS (
+  SELECT y, x, t, n, u, MAX(ABS(u)) OVER (PARTITION BY y, x) AS k_stat
+  FROM u)
+SELECT y, x,
+       CAST(MAX(k_stat) AS BIGINT) AS k_stat,
+       CAST(MIN(CASE WHEN ABS(u) = k_stat THEN t END) AS BIGINT) AS cp_day,
+       CAST(MAX(n) AS BIGINT) AS n_days
+FROM flagged
+GROUP BY y, x
+ORDER BY y, x
+"""
+
+
 def grid_heatwave_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HEATWAVE DETECTION per cell — the ETCCDI warm-spell shape
     (WSDI): runs of ≥3 consecutive days STRICTLY above the cell's own
@@ -2283,4 +2372,5 @@ QUERIES = {
     "grid_slope": (grid_slope, GRID_SLOPE_SQL),
     "grid_area_weighted_mean": (grid_area_weighted_mean, GRID_AREA_WMEAN_SQL),
     "grid_heatwave_events": (grid_heatwave_events, GRID_HEATWAVE_SQL),
+    "grid_pettitt_changepoint": (grid_pettitt_changepoint, GRID_PETTITT_SQL),
 }

@@ -115,3 +115,42 @@ def test_bloom_pruned_join_tests_bitmap_in_fact_scan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "element_at" in plan
     assert "Join" in plan
+
+
+def test_pettitt_matches_bruteforce(spark):
+    """grid_pettitt_changepoint's rank-prefix formula
+    (U_t = 2·ΣR_t − t(n+1), doubled-rank integers) must equal the
+    textbook double sum U_t = Σ_{i≤t}Σ_{j>t} sgn(x_i − x_j) —
+    checked brute-force in numpy for a handful of cells."""
+    import numpy as np
+
+    from netcdf_olap_spark.queries.grid import grid_pettitt_changepoint
+    from netcdf_olap_spark.session import load_grid
+
+    out = {
+        (r["y"], r["x"]): r
+        for r in grid_pettitt_changepoint(spark, SF_SMALL).where("y < 2 AND x < 3").collect()
+    }
+    g = (
+        load_grid(spark)
+        .where("variable = 'LST_LWST_avg_daily' AND value IS NOT NULL AND y < 2 AND x < 3")
+        .collect()
+    )
+    cells: dict[tuple, list] = {}
+    base = np.datetime64("1990-01-01")
+    for r in g:
+        t = (np.datetime64(r["time"].date()) - base).astype(int)
+        cells.setdefault((r["y"], r["x"]), []).append((int(t), r["value"]))
+    for key, series in cells.items():
+        series.sort()
+        ts = [t for t, _ in series]
+        xs = np.array([v for _, v in series])
+        n = len(xs)
+        u = [
+            int(np.sign(xs[: t + 1][:, None] - xs[t + 1 :][None, :]).sum())
+            for t in range(n - 1)
+        ]
+        k = max(abs(v) for v in u)
+        cp = ts[min(i for i, v in enumerate(u) if abs(v) == k)]
+        assert out[key]["k_stat"] == k, key
+        assert out[key]["cp_day"] == cp, key
