@@ -148,6 +148,16 @@ EXTRA_R10 = [
     "grid_morans_i",
     "grid_cross_corr",
     "agg_hll_intersect_portable",
+    # third r10 pass (the second cohort): the Zarr chunk-object
+    # ingest, the Bloom membership probe (corpus bitmap build +
+    # batch probe), the Bloom-pruned fact join, the cross-document
+    # substring rewrite (the heaviest: span ownership + HOF rewrite),
+    # and the quintile-by-value RFM rollup
+    "grid_ingest_zarr",
+    "doc_bloom_probe",
+    "join_bloom_pruned",
+    "doc_dup_rewrite",
+    "ev_rfm_segments",
 ]
 HEADLINE += EXTRA_R10
 

@@ -105,6 +105,20 @@ QUERIES = [
     "ev_ab_lift",
     "ev_attribution_credit",
     "maintenance_snapshot_diff",
+    # r10 second cohort: quintile-by-value segmentation (domain-
+    # bounded histograms — the single-partition stages must NOT grow
+    # with customers), the weekly life table, the Bloom build+probe
+    # (bitmap growth is ∝ corpus keys but the probe side is
+    # batch-proportional), duplicated-extent merging (span-keyed
+    # shuffle + doc window), and RAKE (vocab-keyed stats join).
+    # grid_ingest_zarr / grid_export_zarr_roundtrip are absent like
+    # profile_footer_stats: they read fixed fixture stores, not sf
+    # tables.
+    "ev_rfm_segments",
+    "ev_survival_hazard",
+    "doc_bloom_probe",
+    "doc_dup_span_extents",
+    "doc_rake_keywords",
 ]
 
 # The grid family (r10 judge ask #2): these run ONLY on dirs that
@@ -131,6 +145,9 @@ GRID_QUERIES = [
     "grid_ewma_dyadic",        # 8-LAG window kernel per cell
     "grid_theil_sen",          # per-cell O(d^2/2) pair median
     "grid_standardized_anomaly",  # moments broadcast back per cell
+    # r10 second cohort
+    "grid_area_weighted_mean",  # one-scan weighted rollup
+    "grid_heatwave_events",     # rank window + islands per cell
 ]
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
