@@ -469,6 +469,54 @@ ORDER BY vec_id
 """
 
 
+def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar surface (§2.8 F2's integer-ops corner, made
+    load-bearing by the Bloom operators): AND / OR / XOR, left/right
+    shifts, and popcount over order keys, rolled up per priority so
+    the result is a small checked table.  Two's-complement semantics
+    are identical in both engines for non-negative BIGINTs; shifts
+    stay < 63 so no sign bit is ever touched (the 63-bit-word rule
+    from doc_bloom_probe)."""
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return (
+        o.select(
+            "o_orderpriority",
+            F.expr("o_orderkey & 255").alias("band"),
+            F.expr("(o_orderkey ^ 1234567) & 1048575").alias("xr"),
+            F.expr("(o_orderkey << 3) % 1000003").alias("shl"),
+            F.expr("o_orderkey >> 4").alias("shr"),
+            F.bit_count(k).alias("pc"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("band").cast("long").alias("sum_band"),
+            F.sum("xr").cast("long").alias("sum_xor"),
+            F.sum("shl").cast("long").alias("sum_shl"),
+            F.sum("shr").cast("long").alias("sum_shr"),
+            F.sum("pc").cast("long").alias("sum_popcount"),
+            F.max("pc").cast("int").alias("max_popcount"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SCALAR_BITWISE_SQL = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(o_orderkey & 255) AS BIGINT) AS sum_band,
+       CAST(SUM(xor(o_orderkey, 1234567) & 1048575) AS BIGINT) AS sum_xor,
+       CAST(SUM((o_orderkey << 3) % 1000003) AS BIGINT) AS sum_shl,
+       CAST(SUM(o_orderkey >> 4) AS BIGINT) AS sum_shr,
+       CAST(SUM(bit_count(o_orderkey)) AS BIGINT) AS sum_popcount,
+       CAST(MAX(bit_count(o_orderkey)) AS INT) AS max_popcount
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-typed columns (§2.8 F4/F6): parse the events' JSON props
     into map<string,long>, explode key/value pairs, aggregate per
@@ -603,5 +651,6 @@ QUERIES = {
     "unpivot_part_measures": (unpivot_part_measures, UNPIVOT_SQL),
     "scalar_array_funcs": (scalar_array_funcs, SCALAR_ARRAY_SQL),
     "scalar_map_funcs": (scalar_map_funcs, SCALAR_MAP_SQL),
+    "scalar_bitwise_funcs": (scalar_bitwise_funcs, SCALAR_BITWISE_SQL),
     "agg_exact_quantiles": (agg_exact_quantiles, EXACT_QUANTILES_SQL),
 }
