@@ -2088,6 +2088,13 @@ def grid_area_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal→double path double-rounds there while Spark's BigDecimal
     rounds once; the readable double is derived from the <2^53
     micro-kelvin integer, where both engines round identically).
+    The division runs on the int128-backed accumulator directly
+    (Spark decimal DIV → exact LongType; DuckDB via HUGEINT //) —
+    the second cut narrowed Σwv to decimal(18,6) first and the
+    scaling curve's 100× cube OVERFLOWED it loudly (1.007e12 >
+    1e12); bound now ≈10³² µ-units ≈ 3·10¹⁷ cells per (variable,
+    day) group, with Σw's int64 cap (~9·10¹² cells) the binding
+    one — far past any earthly grid.
 
     100 TB shape: one groupBy (variable, day) aggregation over the
     cube — map-side combine, no join (the weight is a per-row
@@ -2105,23 +2112,28 @@ def grid_area_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_cells"),
         )
     )
-    swv_units = (
-        deterministic.narrow_checked("swv", "decimal(18,6)", "grid_awm swv") * 1000000
-    ).cast("long")
+    mean_micro_raw = F.expr("(swv * 1000000) DIV sw").cast("long")
+    mean_micro = (
+        F.when(
+            # negative sums would split Spark's truncate-toward-zero DIV
+            # from DuckDB's floor // — Kelvin temps keep this positive,
+            # and the guard makes the assumption loud
+            F.col("swv") < 0,
+            F.raise_error(F.lit("grid_awm: negative Σwv (DIV/floor semantics differ)")),
+        )
+        .when(
+            mean_micro_raw.isNull(),
+            F.raise_error(F.lit("grid_awm: Σwv·10⁶ exceeded the decimal(38,6) accumulator")),
+        )
+        .otherwise(mean_micro_raw)
+    )
     return (
         agg.select(
             "variable",
             "day",
-            swv_units.alias("_swvu"),
+            mean_micro.alias("wmean_micro"),
+            (mean_micro.cast("double") / F.lit(1000000.0)).alias("wmean"),
             F.col("sw").cast("long").alias("sum_w"),
-            "n_cells",
-        )
-        .select(
-            "variable",
-            "day",
-            F.expr("_swvu DIV sum_w").cast("long").alias("wmean_micro"),
-            (F.expr("_swvu DIV sum_w").cast("double") / F.lit(1000000.0)).alias("wmean"),
-            "sum_w",
             "n_cells",
         )
         .orderBy("variable", "day")
@@ -2141,9 +2153,9 @@ agg AS (
          CAST(COUNT(*) AS BIGINT) AS n_cells
   FROM base GROUP BY variable, day)
 SELECT variable, day,
-       CAST(CAST(swv * 1000000 AS BIGINT) // CAST(sw AS BIGINT)
+       CAST(CAST(swv * 1000000 AS HUGEINT) // CAST(sw AS HUGEINT)
             AS BIGINT) AS wmean_micro,
-       CAST(CAST(swv * 1000000 AS BIGINT) // CAST(sw AS BIGINT)
+       CAST(CAST(CAST(swv * 1000000 AS HUGEINT) // CAST(sw AS HUGEINT) AS BIGINT)
             AS DOUBLE) / 1000000.0 AS wmean,
        CAST(sw AS BIGINT) AS sum_w,
        n_cells
