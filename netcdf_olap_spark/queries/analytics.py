@@ -1165,8 +1165,69 @@ ORDER BY cohort_wk, age_wk
 """
 
 
+K_ANON = 5
+
+
+def ev_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ANONYMITY audit + one suppression step over the customer
+    quasi-identifiers (nation, market segment) — the privacy screen a
+    dataset release runs next to PII scrubbing (operators/pii.py
+    handles direct identifiers; THIS handles re-identification by
+    combination): QI groups smaller than k=5 get their segment
+    suppressed ('*') and re-aggregate at the nation level; groups
+    still under k after generalization stay flagged at_risk.
+
+    100 TB shape: two aggregations on shrinking keys (QI group →
+    nation), both map-side combining; output is |QI-domain| rows."""
+    c = _t(spark, sf_dir, "customer")
+    g1 = c.groupBy(
+        F.col("c_nationkey").cast("int").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    big = g1.where(F.col("n_customers") >= K_ANON).select(
+        "nation", "segment", "n_customers", F.lit(0).alias("suppressed")
+    )
+    gen = (
+        g1.where(F.col("n_customers") < K_ANON)
+        .groupBy("nation")
+        .agg(F.sum("n_customers").cast("long").alias("n_customers"))
+        .select("nation", F.lit("*").alias("segment"), "n_customers", F.lit(1).alias("suppressed"))
+    )
+    return (
+        big.unionByName(gen)
+        .select(
+            "nation",
+            "segment",
+            "n_customers",
+            "suppressed",
+            (F.col("n_customers") < K_ANON).cast("int").alias("at_risk"),
+        )
+        .orderBy("nation", "segment")
+    )
+
+
+EV_K_ANON_SQL = f"""
+WITH g1 AS (
+  SELECT CAST(c_nationkey AS INT) AS nation, c_mktsegment AS segment,
+         CAST(COUNT(*) AS BIGINT) AS n_customers
+  FROM customer GROUP BY 1, 2),
+big AS (
+  SELECT nation, segment, n_customers, 0 AS suppressed
+  FROM g1 WHERE n_customers >= {K_ANON}),
+gen AS (
+  SELECT nation, '*' AS segment, CAST(SUM(n_customers) AS BIGINT) AS n_customers,
+         1 AS suppressed
+  FROM g1 WHERE n_customers < {K_ANON} GROUP BY nation)
+SELECT nation, segment, n_customers, suppressed,
+       CAST(n_customers < {K_ANON} AS INT) AS at_risk
+FROM (SELECT * FROM big UNION ALL SELECT * FROM gen)
+ORDER BY nation, segment
+"""
+
+
 QUERIES = {
     "profile_footer_stats": (profile_footer_stats, PROFILE_FOOTER_STATS_SQL),
+    "ev_k_anonymity": (ev_k_anonymity, EV_K_ANON_SQL),
     "profile_footer_stats_distributed": (
         profile_footer_stats_distributed,
         PROFILE_FOOTER_STATS_SQL,
