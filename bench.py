@@ -257,7 +257,16 @@ def main() -> None:
             plan_fp[name] = "error"
 
     total = round(sum(timings.values()), 3)
-    late = {"doc_span_contamination", "emb_semantic_dedup", "media_phash_dedup", *EXTRA_R8, *EXTRA_R9}
+    # every post-r7 addition is excluded from the shared16 subtotal —
+    # it exists to stay comparable to the round-1 16-query anchor
+    late = {
+        "doc_span_contamination",
+        "emb_semantic_dedup",
+        "media_phash_dedup",
+        *EXTRA_R8,
+        *EXTRA_R9,
+        *EXTRA_R10,
+    }
     shared16 = round(sum(v for k, v in timings.items() if k not in late), 3)
 
     # Round-9 output contract (judge ask r8#1): BENCH_r08.json came
