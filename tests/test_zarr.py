@@ -10,6 +10,7 @@ import os
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from netcdf_olap_spark.sources import zarr as zr
 
@@ -163,3 +164,99 @@ def test_export_store_manifest_and_spec(spark, tmp_path):
         | (F.col("v_in").isNotNull() & (F.col("v_in") != F.col("v_out")))
     ).count()
     assert bad == 0  # bit-exact identity, NULL↔fill inversion included
+
+
+def _mini_store(root, nt=4):
+    import numpy as np
+
+    t = np.arange(nt)
+    zr.write_zarr_group(root)
+    zr.write_zarr_array(os.path.join(root, "time"), (t * 24).astype("<i4"), compressor=None)
+    zr.write_zarr_array(os.path.join(root, "lat"), np.array([1.0, 1.5]), compressor=None)
+    zr.write_zarr_array(os.path.join(root, "lon"), np.array([-3.0, -2.5, -2.0]), compressor=None)
+    cube = np.arange(nt * 2 * 3, dtype="<f8").reshape(nt, 2, 3)
+    cube[0, 1, 2] = -9.0
+    zr.write_zarr_array(
+        os.path.join(root, "v"), cube, chunks=(2, 2, 2), compressor="zlib", fill_value=-9.0
+    )
+    return cube
+
+
+def test_zarr_datasource_matches_ingest(spark, tmp_path):
+    """format('zarr_cube') == ingest_zarr_store row for row, and the
+    variables option prunes partitions at planning time."""
+    from netcdf_olap_spark.sources.zarr_datasource import ZarrCubeReader, register
+
+    root = str(tmp_path / "store")
+    _mini_store(root)
+    register(spark)
+    via_ds = (
+        spark.read.format("zarr_cube").options(path=root, ds="t").load().orderBy("time", "y", "x")
+    )
+    via_ingest = zr.ingest_zarr_store(spark, root, ds="t").orderBy("time", "y", "x")
+    assert [tuple(r) for r in via_ds.collect()] == [tuple(r) for r in via_ingest.collect()]
+
+    rd = ZarrCubeReader({"path": root, "variables": "nope"})
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        rd.partitions()
+    # 4 time steps / chunk_t=2 → 2 slabs × (2y/2 → 1) × (3x/2 → 2) = 4 chunks
+    assert len(ZarrCubeReader({"path": root}).partitions()) == 4
+
+
+def test_zarr_stream_ingests_arriving_chunks(spark, tmp_path):
+    """readStream.format('zarr_cube'): chunk objects landing in the
+    store appear as micro-batches; an APPEND (new chunk files + a
+    .zarray shape bump + extended time axis) arrives in the next
+    drain with the right dates, and fill→NULL survives the tuple
+    path."""
+    import json as _json
+
+    import numpy as np
+
+    from netcdf_olap_spark.sources.zarr_datasource import register
+
+    root = str(tmp_path / "store")
+    cube = _mini_store(root, nt=4)
+    register(spark)
+    stream = spark.readStream.format("zarr_cube").options(path=root, ds="live").load()
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("zarr_arrivals")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table("zarr_arrivals").count() == cube.size
+        assert (
+            spark.table("zarr_arrivals").where(F.col("value").isNull()).count() == 1
+        )
+
+        # append 2 more days: extend time, bump shape, write the new slab
+        t6 = np.arange(6)
+        zr.write_zarr_array(
+            os.path.join(root, "time"), (t6 * 24).astype("<i4"), compressor=None
+        )
+        adir = os.path.join(root, "v")
+        meta = _json.load(open(os.path.join(adir, ".zarray")))
+        meta["shape"][0] = 6
+        _json.dump(meta, open(os.path.join(adir, ".zarray"), "w"), sort_keys=True)
+        new = np.arange(100, 100 + 2 * 2 * 3, dtype="<f8").reshape(2, 2, 3)
+        import zlib as _zlib
+
+        with open(os.path.join(adir, "2.0.0"), "wb") as fh:
+            fh.write(_zlib.compress(np.ascontiguousarray(new[:, :, 0:2]).tobytes(), 6))
+        with open(os.path.join(adir, "2.0.1"), "wb") as fh:
+            # second x-chunk of the new slab: pad to full chunk shape
+            blk = np.full((2, 2, 2), -9.0)
+            blk[:, :, 0] = new[:, :, 2]
+            fh.write(_zlib.compress(blk.tobytes(), 6))
+        q.processAllAvailable()
+        out = spark.table("zarr_arrivals")
+        assert out.count() == cube.size + new.size
+        assert out.select(F.countDistinct("time")).first()[0] == 6
+    finally:
+        q.stop()
