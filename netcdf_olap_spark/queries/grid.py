@@ -2067,6 +2067,139 @@ ORDER BY variable
 """
 
 
+GT_NT, GT_NY, GT_NX = 3, 20, 24  # 20×24 ⇒ 2×2 padded 16×16 tile grid
+
+
+def _geotiff_fixture_dir() -> str:
+    """Write the GeoTIFF fixture directory: one raster per
+    (variable, day) — strip/uncompressed f4, tiled/deflate f4 (tile
+    padding exercised: 20×24 under 16×16 tiles), strip/deflate i4 —
+    all closed-form values, GDAL_NODATA planted.  Same idempotent
+    atomic-sync contract as the .nc and Zarr fixtures."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from netcdf_olap_spark.sources.geotiff import write_geotiff
+
+    d = os.path.join(tempfile.gettempdir(), f"netcdf_olap_geotiff_fixture_v1_{os.getuid()}")
+    os.makedirs(d, exist_ok=True)
+    yy, xx = np.meshgrid(np.arange(GT_NY), np.arange(GT_NX), indexing="ij")
+    for t in range(GT_NT):
+        base = (t * 1000 + yy * 31 + xx).astype(np.float64)
+        tmax = (base * 0.5 + 1.0).astype(np.float32)
+        tmax[(t + yy + xx) % 6 == 0] = np.float32(-9999.0)
+        prcp = (base * 0.25).astype(np.float32)
+        prcp[(t + yy + xx) % 4 == 0] = np.float32(-9999.0)
+        nobs = (base.astype(np.int64) * 2 + 1).astype(np.int32)
+        nobs[(t + yy + xx) % 5 == 0] = -9999
+        day = f"2001-06-{t + 1:02d}"
+        targets = {
+            f"gt_tmax_{day}.tif": write_geotiff(
+                tmax, lat0=50.0, lon0=-100.0, dlat=0.25, dlon=0.25, nodata=-9999.0
+            ),
+            f"gt_prcp_{day}.tif": write_geotiff(
+                prcp,
+                lat0=50.0,
+                lon0=-100.0,
+                dlat=0.25,
+                dlon=0.25,
+                nodata=-9999.0,
+                compression="deflate",
+                tile=(16, 16),
+            ),
+            f"gt_nobs_{day}.tif": write_geotiff(
+                nobs,
+                lat0=50.0,
+                lon0=-100.0,
+                dlat=0.25,
+                dlon=0.25,
+                nodata=-9999,
+                compression="deflate",
+            ),
+        }
+        for name, content in targets.items():
+            path = os.path.join(d, name)
+            if os.path.exists(path):
+                with open(path, "rb") as fh:
+                    if fh.read() == content:
+                        continue
+            fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+            with os.fdopen(fd, "wb") as fh:
+                fh.write(content)
+            os.replace(tmp, path)
+    return d
+
+
+def grid_ingest_geotiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1-S3 for the RASTER-STACK layout: a directory of genuine
+    single-band GeoTIFFs (one per variable per day — the
+    cloud-optimized-GeoTIFF product shape) decoded distributed
+    through the vendored TIFF 6.0/GeoTIFF reader and reduced to the
+    catalog aggregate.  Exercises strips AND padded 16×16 tiles,
+    raw AND Deflate codecs, float32 AND int32 samples, GDAL_NODATA →
+    NULL, and the pixel-scale/tiepoint affine (lat = lat0 − 0.25·y,
+    lon = lon0 + 0.25·x) — the oracle recomputes everything from the
+    closed-form cell formula with ``range()``, no file I/O."""
+    from netcdf_olap_spark.sources.geotiff import ingest_geotiff_directory
+
+    df = ingest_geotiff_directory(spark, _geotiff_fixture_dir(), ds="gtiff")
+    return (
+        df.groupBy("variable")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("value").alias("n_vals"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_val"),
+            F.date_format(F.min("time"), "yyyy-MM-dd").alias("d_min"),
+            F.date_format(F.max("time"), "yyyy-MM-dd").alias("d_max"),
+            F.min("lat").alias("lat_min"),
+            F.max("lon").alias("lon_max"),
+        )
+        .orderBy("variable")
+    )
+
+
+GRID_INGEST_GEOTIFF_SQL = f"""
+WITH cells AS (
+  SELECT rt.t AS t, ry.y AS y, rx.x AS x
+  FROM range(0, {GT_NT}) rt(t), range(0, {GT_NY}) ry(y), range(0, {GT_NX}) rx(x)
+), vals AS (
+  SELECT 'gt_tmax' AS variable,
+         CASE WHEN (t + y + x) % 6 = 0 THEN NULL
+              ELSE CAST(t * 1000 + y * 31 + x AS DOUBLE) * 0.5 + 1.0 END AS value,
+         DATE '2001-06-01' + CAST(t AS INT) AS d,
+         50.0 - 0.25 * y AS lat, -100.0 + 0.25 * x AS lon
+  FROM cells
+  UNION ALL
+  SELECT 'gt_prcp',
+         CASE WHEN (t + y + x) % 4 = 0 THEN NULL
+              ELSE CAST(t * 1000 + y * 31 + x AS DOUBLE) * 0.25 END,
+         DATE '2001-06-01' + CAST(t AS INT),
+         50.0 - 0.25 * y, -100.0 + 0.25 * x
+  FROM cells
+  UNION ALL
+  SELECT 'gt_nobs',
+         CASE WHEN (t + y + x) % 5 = 0 THEN NULL
+              ELSE CAST((t * 1000 + y * 31 + x) * 2 + 1 AS DOUBLE) END,
+         DATE '2001-06-01' + CAST(t AS INT),
+         50.0 - 0.25 * y, -100.0 + 0.25 * x
+  FROM cells
+)
+SELECT variable,
+       COUNT(*) AS n_rows,
+       COUNT(value) AS n_vals,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val,
+       STRFTIME(MIN(d), '%Y-%m-%d') AS d_min,
+       STRFTIME(MAX(d), '%Y-%m-%d') AS d_max,
+       MIN(lat) AS lat_min,
+       MAX(lon) AS lon_max
+FROM vals
+GROUP BY variable
+ORDER BY variable
+"""
+
+
 def grid_area_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AREA-WEIGHTED daily global mean per variable — the first
     number every climate analysis computes: a plain average over a
@@ -2355,6 +2488,7 @@ QUERIES = {
     "grid_standardized_anomaly": (grid_standardized_anomaly, GRID_STD_ANOM_SQL),
     "grid_ingest_nc": (grid_ingest_nc, GRID_INGEST_NC_SQL),
     "grid_ingest_zarr": (grid_ingest_zarr, GRID_INGEST_ZARR_SQL),
+    "grid_ingest_geotiff": (grid_ingest_geotiff, GRID_INGEST_GEOTIFF_SQL),
     "grid_export_roundtrip": (grid_export_roundtrip, GRID_EXPORT_ROUNDTRIP_SQL),
     "grid_export_zarr_roundtrip": (grid_export_zarr_roundtrip, GRID_EXPORT_ZARR_RT_SQL),
     "grid_ingest_catalog": (grid_ingest_catalog, GRID_INGEST_CATALOG_SQL),
