@@ -2200,6 +2200,41 @@ ORDER BY variable
 """
 
 
+def grid_export_geotiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8b for the RASTER sink: ingest the GeoTIFF fixture, export
+    it back out through sinks/geotiff.py (per-task atomic writes,
+    affine verified exactly inside the task), re-ingest the exported
+    directory, and aggregate — against the SAME closed-form oracle
+    as grid_ingest_geotiff, so the hash proves export∘ingest is the
+    identity (NoData↔NULL inversion, affine re-derivation, tile
+    padding round-trip).  Eagerly checkpointed per
+    fresh_invocation_dir's contract."""
+    import os
+
+    from netcdf_olap_spark.session import fresh_invocation_dir
+    from netcdf_olap_spark.sinks.geotiff import export_geotiff_files
+    from netcdf_olap_spark.sources.geotiff import ingest_geotiff_directory
+
+    src = ingest_geotiff_directory(spark, _geotiff_fixture_dir(), ds="gtiff")
+    out = os.path.join(fresh_invocation_dir("nolap_gtiff_rt"), "rasters")
+    export_geotiff_files(src, out, compression="deflate", tile=(16, 16)).collect()
+    back = ingest_geotiff_directory(spark, out, ds="gtiff")
+    return (
+        back.groupBy("variable")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("value").alias("n_vals"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_val"),
+            F.date_format(F.min("time"), "yyyy-MM-dd").alias("d_min"),
+            F.date_format(F.max("time"), "yyyy-MM-dd").alias("d_max"),
+            F.min("lat").alias("lat_min"),
+            F.max("lon").alias("lon_max"),
+        )
+        .orderBy("variable")
+        .localCheckpoint(eager=True)
+    )
+
+
 def grid_area_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AREA-WEIGHTED daily global mean per variable — the first
     number every climate analysis computes: a plain average over a
@@ -2489,6 +2524,7 @@ QUERIES = {
     "grid_ingest_nc": (grid_ingest_nc, GRID_INGEST_NC_SQL),
     "grid_ingest_zarr": (grid_ingest_zarr, GRID_INGEST_ZARR_SQL),
     "grid_ingest_geotiff": (grid_ingest_geotiff, GRID_INGEST_GEOTIFF_SQL),
+    "grid_export_geotiff_roundtrip": (grid_export_geotiff_roundtrip, GRID_INGEST_GEOTIFF_SQL),
     "grid_export_roundtrip": (grid_export_roundtrip, GRID_EXPORT_ROUNDTRIP_SQL),
     "grid_export_zarr_roundtrip": (grid_export_zarr_roundtrip, GRID_EXPORT_ZARR_RT_SQL),
     "grid_ingest_catalog": (grid_ingest_catalog, GRID_INGEST_CATALOG_SQL),

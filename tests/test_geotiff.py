@@ -138,3 +138,39 @@ def test_distributed_ingest_matches_driver_decode(spark, tmp_path):
     assert rows[0]["value"] is None and rows[0]["lat"] == 50.0
     assert rows[1]["value"] == float(data[0, 1]) and rows[1]["lon"] == -99.75
     assert str(rows[0]["time"]).startswith("2001-06-03")
+
+
+def test_export_sink_rejects_curvilinear(spark, tmp_path):
+    """The GeoTIFF affine cannot represent the reference's 2-D
+    curvilinear lat/lon — the sink must fail loudly, not write wrong
+    georeferencing."""
+    from netcdf_olap_spark.session import load_grid
+    from netcdf_olap_spark.sinks.geotiff import export_geotiff_files
+
+    g = load_grid(spark).where("variable = 'avg_night_temp' AND time < '1990-01-02'")
+    with pytest.raises(Exception, match="affine"):
+        export_geotiff_files(g, str(tmp_path / "out")).collect()
+
+
+def test_export_sink_roundtrips_affine_cube(spark, tmp_path):
+    """export∘ingest identity on an affine-regular cube, manifest
+    hashes matching the on-disk artifacts."""
+    import hashlib
+
+    from netcdf_olap_spark.sinks.geotiff import export_geotiff_files
+
+    data = _data()
+    data[2, 2] = np.float32(-9999.0)
+    (tmp_path / "v_2001-06-05.tif").write_bytes(
+        gt.write_geotiff(data, 50.0, -100.0, 0.25, 0.25, nodata=-9999.0)
+    )
+    src = gt.ingest_geotiff_directory(spark, str(tmp_path), ds="t")
+    out = str(tmp_path / "out")
+    manifest = export_geotiff_files(src, out, compression=None).collect()
+    assert len(manifest) == 1
+    blob = open(manifest[0]["path"], "rb").read()
+    assert hashlib.sha256(blob).hexdigest() == manifest[0]["sha256"]
+    back = gt.ingest_geotiff_directory(spark, out, ds="t")
+    a = {(r["y"], r["x"]): (r["value"], r["lat"], r["lon"]) for r in src.collect()}
+    b = {(r["y"], r["x"]): (r["value"], r["lat"], r["lon"]) for r in back.collect()}
+    assert a == b
