@@ -541,8 +541,89 @@ ORDER BY source, h
 """
 
 
+def stream_zarr_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CUBE ingestion from a Zarr store: the chunk-arrival
+    stream (``readStream.format("zarr_cube")`` —
+    sources/zarr_datasource.py, offsets = the chunk-object set)
+    drained through a complete-mode per-variable aggregation.  The
+    micro-batch boundaries are whatever the source picked; counts
+    and the decimal sum are batching-invariant, so the drained sink
+    hash-matches the closed-form oracle — the cloud-native twin of
+    the netcdf_cube file-arrival stream (which stays pytest-checked
+    in tests/test_netcdf_source.py)."""
+    import uuid
+
+    from netcdf_olap_spark.queries.grid import _zarr_fixture_dir
+    from netcdf_olap_spark.sources.zarr_datasource import register
+
+    register(spark)
+    stream = (
+        spark.readStream.format("zarr_cube")
+        .options(path=_zarr_fixture_dir(), ds="zarr")
+        .load()
+    )
+    agg = stream.groupBy("variable").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("value").alias("n_vals"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_val"),
+    )
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).orderBy("variable").localCheckpoint(eager=True)
+
+
+def _zarr_vals_cte() -> str:
+    from netcdf_olap_spark.queries.grid import INGEST_NT, INGEST_NX, INGEST_NY
+
+    return f"""
+WITH cells AS (
+  SELECT rt.t AS t, ry.y AS y, rx.x AS x
+  FROM range(0, {INGEST_NT}) rt(t), range(0, {INGEST_NY}) ry(y), range(0, {INGEST_NX}) rx(x)
+), vals AS (
+  SELECT 'zr_pr' AS variable,
+         CASE WHEN (t + y + x) % 5 = 0 THEN NULL
+              ELSE CAST(t * 100 + y * 10 + x AS DOUBLE) * 1.5 - 2.0 END AS value
+  FROM cells
+  UNION ALL
+  SELECT 'zr_t2m',
+         CASE WHEN (t + y + x) % 4 = 0 THEN NULL
+              ELSE CAST(t * 100 + y * 10 + x AS DOUBLE) * 0.25 + 1.5 END
+  FROM cells
+  UNION ALL
+  SELECT 'zr_nobs',
+         CASE WHEN (t + y + x) % 3 = 0 THEN NULL
+              ELSE CAST((t * 100 + y * 10 + x) * 2 + 1 AS DOUBLE) END
+  FROM cells
+)"""
+
+
+STREAM_ZARR_SQL = (
+    _zarr_vals_cte()
+    + """
+SELECT variable,
+       COUNT(*) AS n_rows,
+       COUNT(value) AS n_vals,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+FROM vals
+GROUP BY variable
+ORDER BY variable
+"""
+)
+
+
 QUERIES = {
     "stream_tumbling_stats": (stream_tumbling_stats, STREAM_TUMBLING_SQL),
+    "stream_zarr_ingest": (stream_zarr_ingest, STREAM_ZARR_SQL),
     "stream_running_totals": (stream_running_totals, STREAM_RUNNING_SQL),
     "stream_interval_join": (stream_interval_join, STREAM_INTERVAL_SQL),
     "stream_sessionize": (stream_sessionize, STREAM_SESSIONIZE_SQL),

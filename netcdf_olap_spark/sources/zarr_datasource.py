@@ -16,18 +16,29 @@ the set of chunk objects already ingested, so checkpoint recovery
 replays exactly the delta; coordinate axes are re-read per batch
 because appends EXTEND the time array.
 
-Variable pruning (`variables=a,b`) drops whole partitions at
-planning time; chunk-level time/space pruning would key on the chunk
-index in the NAME (the next pushdown level — documented, not yet
-wired to Spark filters, same status as the NetCDF source's
-predicate pushdown note).
+SELF-CONTAINMENT REQUIREMENT: Spark's *streaming* Python source
+planner (``python_streaming_source_runner``) deserializes this class
+in its OWN Python process, which has pyspark on the path but NOT
+this package (``addPyFile`` reaches task workers, not that runner —
+found when ``stream_zarr_ingest`` failed the driver-sim shape while
+the batch path passed).  So this module (a) imports nothing from
+``netcdf_olap_spark`` anywhere — the few Zarr/time helpers it needs
+are inlined, duplicating ~50 lines of sources/zarr.py — and (b)
+``register()`` marks it for cloudpickle BY-VALUE serialization, so
+the runner and executors never need the package importable at all.
+The batch-ingest equivalence test (tests/test_zarr.py) keeps the
+inlined copies from drifting from sources/zarr.py.
 """
 
 from __future__ import annotations
 
 import glob
+import json
+import math
 import os
+import zlib
 from collections.abc import Iterator, Sequence
+from itertools import product
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -36,33 +47,74 @@ from pyspark.sql.datasource import (
     SimpleDataSourceStreamReader,
 )
 
-from netcdf_olap_spark.sources.netcdf import GRID_SCHEMA
+GRID_DDL = (
+    "ds string, variable string, time timestamp, y int, x int, "
+    "lat double, lon double, value double"
+)
+
+_SUPPORTED = {"<f4", "<f8", "<i4", "<i8", ">f4", ">f8", ">i4", ">i8"}
+_COORDS = ("time", "lat", "lon")
 
 
-class ZarrChunkPartition(InputPartition):
-    """One (variable, chunk object) decode unit."""
+# --- inlined Zarr primitives (see module docstring for why) -----------------
 
-    def __init__(self, path: str, ds: str, variable: str, meta: tuple):
-        self.path = path
-        self.ds = ds
-        self.variable = variable
-        self.meta = meta  # (chunks, shape, dtype, compressed, fill)
+
+def _meta(adir: str) -> dict:
+    with open(os.path.join(adir, ".zarray")) as fh:
+        meta = json.load(fh)
+    if meta.get("zarr_format") != 2 or meta.get("order", "C") != "C" or meta.get("filters"):
+        raise ValueError(f"unsupported zarr array at {adir}")
+    comp = meta.get("compressor")
+    if comp is not None and comp.get("id") != "zlib":
+        raise NotImplementedError(f"unsupported zarr compressor: {comp.get('id')}")
+    if meta["dtype"] not in _SUPPORTED:
+        raise NotImplementedError(f"unsupported zarr dtype: {meta['dtype']}")
+    return meta
+
+
+def _decode_block(meta_t: tuple, content: bytes, cidx: tuple[int, ...]):
+    import numpy as np
+
+    chunks, shape, dtype, compressed, _fill = meta_t
+    if compressed:
+        content = zlib.decompress(content)
+    block = np.frombuffer(content, dtype=np.dtype(dtype)).reshape(chunks)
+    valid = tuple(slice(0, min((i + 1) * c, s) - i * c) for i, c, s in zip(cidx, chunks, shape))
+    return block[valid]
+
+
+def _read_array(adir: str):
+    import numpy as np
+
+    meta = _meta(adir)
+    mt = (tuple(meta["chunks"]), tuple(meta["shape"]), meta["dtype"],
+          bool(meta.get("compressor")), meta.get("fill_value"))
+    out = np.zeros(meta["shape"], dtype=np.dtype(meta["dtype"]))
+    grid = [range(math.ceil(s / c)) for s, c in zip(meta["shape"], meta["chunks"])]
+    for cidx in product(*grid):
+        path = os.path.join(adir, ".".join(str(i) for i in cidx))
+        sel = tuple(
+            slice(i * c, min((i + 1) * c, s))
+            for i, c, s in zip(cidx, meta["chunks"], meta["shape"])
+        )
+        if not os.path.exists(path):
+            fv = meta.get("fill_value")
+            out[sel] = 0 if fv is None else fv
+            continue
+        with open(path, "rb") as fh:
+            out[sel] = _decode_block(mt, fh.read(), cidx)
+    return out
 
 
 def _axes(root: str):
-    """Driver-side coordinate read (tiny): (time µs datetime64 array,
-    lat2d, lon2d) with the 1-D → 2-D broadcast rule shared with
-    ingest_zarr_store."""
     import numpy as np
 
-    from netcdf_olap_spark.sources.netcdf import decode_time_hours
-    from netcdf_olap_spark.sources.zarr import read_zarr_array
-
-    time_us = decode_time_hours(read_zarr_array(os.path.join(root, "time"))).astype(
-        "datetime64[us]"
-    )
-    lat_arr = read_zarr_array(os.path.join(root, "lat")).astype(np.float64)
-    lon_arr = read_zarr_array(os.path.join(root, "lon")).astype(np.float64)
+    hours = _read_array(os.path.join(root, "time"))
+    base = np.datetime64("1990-01-01T00:00:00", "us")
+    us = np.rint(np.asarray(hours, dtype=np.float64) * 3_600_000_000.0).astype(np.int64)
+    time_us = (base + us.astype("timedelta64[us]")).astype("datetime64[us]")
+    lat_arr = _read_array(os.path.join(root, "lat")).astype(np.float64)
+    lon_arr = _read_array(os.path.join(root, "lon")).astype(np.float64)
     if lat_arr.ndim == 2:
         lat2d, lon2d = lat_arr, lon_arr
     else:
@@ -71,33 +123,18 @@ def _axes(root: str):
     return time_us, lat2d, lon2d
 
 
-def _chunk_rows(path, ds, variable, meta, time_us, lat2d, lon2d):
+def _chunk_rows(path, ds, variable, meta_t, time_us, lat2d, lon2d):
     """Decode one chunk object → the long-cube pandas frame (shared
     semantics with ingest_zarr_store: edge trim, fill→NULL via NaN,
     non-finite coordinates dropped)."""
     import numpy as np
     import pandas as pd
 
-    from netcdf_olap_spark.sources.zarr import decode_chunk
-
-    chunks, shape, dtype, compressed, fill = meta
+    chunks, _shape, _dtype, _compressed, fill = meta_t
     cidx = tuple(int(p) for p in os.path.basename(path).split("."))
     with open(path, "rb") as fh:
         content = fh.read()
-    block = decode_chunk(
-        {
-            "chunks": list(chunks),
-            "shape": list(shape),
-            "dtype": dtype,
-            "compressor": {"id": "zlib"} if compressed else None,
-            "fill_value": fill,
-            "zarr_format": 2,
-            "order": "C",
-            "filters": None,
-        },
-        content,
-        cidx,
-    ).astype(np.float64)
+    block = _decode_block(meta_t, content, cidx).astype(np.float64)
     if fill is not None:
         block = np.where(block == np.float64(fill), np.nan, block)
     bt, by, bx = block.shape
@@ -126,6 +163,19 @@ def _chunk_rows(path, ds, variable, meta, time_us, lat2d, lon2d):
     return pdf
 
 
+# --- the DataSource ---------------------------------------------------------
+
+
+class ZarrChunkPartition(InputPartition):
+    """One (variable, chunk object) decode unit."""
+
+    def __init__(self, path: str, ds: str, variable: str, meta: tuple):
+        self.path = path
+        self.ds = ds
+        self.variable = variable
+        self.meta = meta  # (chunks, shape, dtype, compressed, fill)
+
+
 class ZarrCubeDataSource(DataSource):
     """Options: ``path`` (store root), ``ds`` (dataset id, default
     dir name), ``variables`` (comma allowlist — partition pruning)."""
@@ -134,17 +184,14 @@ class ZarrCubeDataSource(DataSource):
     def name(cls) -> str:
         return "zarr_cube"
 
-    def schema(self):
-        return GRID_SCHEMA
+    def schema(self) -> str:
+        return GRID_DDL
 
     def reader(self, schema) -> "ZarrCubeReader":
         return ZarrCubeReader(self.options)
 
     def simpleStreamReader(self, schema) -> "ZarrCubeStreamReader":
         return ZarrCubeStreamReader(self.options)
-
-
-_COORDS = ("time", "lat", "lon")
 
 
 class ZarrCubeReader(DataSourceReader):
@@ -159,16 +206,23 @@ class ZarrCubeReader(DataSourceReader):
         )
         # planning-time metadata + coordinate axes: tiny, pickled to
         # tasks with the reader (the mapInPandas closure-capture rule)
-        from netcdf_olap_spark.sources.zarr import store_arrays
-
-        metas = store_arrays(self.path)
         self.time_us, self.lat2d, self.lon2d = _axes(self.path)
-        self.metas = {
-            n: (tuple(m["chunks"]), tuple(m["shape"]), m["dtype"],
-                bool(m.get("compressor")), m.get("fill_value"))
-            for n, m in metas.items()
-            if n not in _COORDS and len(m["shape"]) == 3
-        }
+        self.metas = {}
+        for name in sorted(os.listdir(self.path)):
+            adir = os.path.join(self.path, name)
+            if name in _COORDS or not os.path.isdir(adir):
+                continue
+            if not os.path.exists(os.path.join(adir, ".zarray")):
+                continue
+            m = _meta(adir)
+            if len(m["shape"]) == 3:
+                self.metas[name] = (
+                    tuple(m["chunks"]),
+                    tuple(m["shape"]),
+                    m["dtype"],
+                    bool(m.get("compressor")),
+                    m.get("fill_value"),
+                )
 
     def _chunk_files(self, var: str) -> list[str]:
         return sorted(
@@ -267,8 +321,19 @@ class ZarrCubeStreamReader(SimpleDataSourceStreamReader):
 
 
 def register(spark) -> None:
-    """Idempotent format registration; ships the package so workers
-    can import the decode path (the pickled-by-reference rule)."""
+    """Idempotent format registration.  Marks THIS module for
+    cloudpickle by-value serialization so the streaming planner
+    runner and executors never need the package importable (the
+    module is deliberately free of netcdf_olap_spark imports); also
+    ships the package for everything else in the session."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    try:
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:  # older cloudpickle: fall back to the pyFiles path
+        pass
     from netcdf_olap_spark.sources.netcdf import ensure_package_on_workers
 
     ensure_package_on_workers(spark)
