@@ -172,6 +172,26 @@ class NetCDFCubeReader(DataSourceReader):
             yield from table.to_batches(max_chunksize=10_000)
 
 
+def _ensure_importable(pkg_parent: str) -> None:
+    """Make ``netcdf_olap_spark`` importable in the CURRENT process.
+
+    The streaming Python source planner runner deserializes and runs
+    the stream reader in its own process, where ``addPyFile`` does
+    not reach (found via stream_zarr_ingest's driver-sim failure;
+    the zarr source went fully self-contained, but the NetCDF
+    decoders are far too large to inline).  The runner always runs
+    on the DRIVER NODE, where the package files exist at the path
+    the driver imported them from — captured at construction and
+    injected here before the decode imports."""
+    import importlib
+    import sys
+
+    try:
+        importlib.import_module("netcdf_olap_spark")
+    except ImportError:
+        sys.path.insert(0, pkg_parent)
+
+
 class NetCDFCubeStreamReader(SimpleDataSourceStreamReader):
     """Live cube-arrival stream: ``spark.readStream.format("netcdf_cube")``
     over a directory, each micro-batch = the cube files that appeared
@@ -191,6 +211,11 @@ class NetCDFCubeStreamReader(SimpleDataSourceStreamReader):
 
     def __init__(self, options: dict):
         self.inner = NetCDFCubeReader(options)
+        # repo/site-packages dir that makes the package importable —
+        # valid on the driver node, where the planner runner lives
+        self.pkg_parent = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
 
     def initialOffset(self) -> dict:
         return {"files": []}
@@ -201,6 +226,7 @@ class NetCDFCubeStreamReader(SimpleDataSourceStreamReader):
         return sorted(_glob.glob(os.path.join(self.inner.path, self.inner.pattern)))
 
     def _rows_for(self, files: list[str]):
+        _ensure_importable(self.pkg_parent)
         from netcdf_olap_spark.sources.netcdf import resolve_decoder
 
         import numpy as np
@@ -249,7 +275,19 @@ def register(spark) -> None:
     """Idempotent format registration for the current session. Also
     ships the package to Python workers — the reader decodes with
     ``netcdf_olap_spark`` imports worker-side, which otherwise fail
-    when the driver wasn't launched from the repo."""
+    when the driver wasn't launched from the repo.  This module is
+    additionally marked for cloudpickle BY-VALUE serialization so
+    the streaming planner runner (no addPyFile, no package) can
+    deserialize the reader class; its decode imports then go through
+    ``_ensure_importable``'s driver-node path injection."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    try:
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:
+        pass
     from netcdf_olap_spark.sources.netcdf import ensure_package_on_workers
 
     ensure_package_on_workers(spark)
