@@ -286,7 +286,93 @@ ORDER BY diff_class
 """
 
 
+def maintenance_forget_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT-TO-BE-FORGOTTEN deletion audit: given a deterministic
+    forget set (customers whose md5-hex leads with '0' — ~1/16 of
+    accounts, the daily GDPR/CCPA batch shape), propagate the
+    deletion through the relational graph (orders via o_custkey,
+    lineitem via those orders' keys, events via user_id matching a
+    forgotten account) and report, per table, rows before / deleted /
+    after plus the distinct principals touched — the audit record a
+    compliance pipeline must emit alongside the deletes.
+
+    100 TB shape: the forget set and its order keys are semi-join
+    probes (broadcast when small, shuffle otherwise — Catalyst's
+    call); each table is scanned once; no row data moves anywhere,
+    only counts.  The actual rewrite would be the same anti-joins
+    feeding the table writers."""
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    ev = load_events(spark, sf_dir)
+
+    forget = cust.where(
+        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 1) == "0"
+    ).select(F.col("c_custkey").alias("fk")).localCheckpoint(eager=True)
+    fo = orders.join(forget, orders.o_custkey == forget.fk, "left_semi")
+    fo_keys = fo.select(F.col("o_orderkey").alias("fok")).localCheckpoint(eager=True)
+
+    def audit(name: str, total_df: DataFrame, deleted_df: DataFrame, principals) -> DataFrame:
+        t = total_df.agg(F.count(F.lit(1)).cast("long").alias("n_before"))
+        d = deleted_df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_deleted"),
+            F.countDistinct(principals).cast("long").alias("n_principals"),
+        )
+        return t.crossJoin(d).select(
+            F.lit(name).alias("table_name"),
+            "n_before",
+            "n_deleted",
+            (F.col("n_before") - F.col("n_deleted")).cast("long").alias("n_after"),
+            "n_principals",
+        )
+
+    fl = li.join(fo_keys, li.l_orderkey == fo_keys.fok, "left_semi")
+    fe = ev.join(forget, ev.user_id == forget.fk, "left_semi")
+    out = (
+        audit("customer", cust, cust.join(forget, cust.c_custkey == forget.fk, "left_semi"), "c_custkey")
+        .unionByName(audit("orders", orders, fo, "o_custkey"))
+        .unionByName(audit("lineitem", li, fl, "l_orderkey"))
+        .unionByName(audit("events", ev.select("event_id", "user_id"), fe, "user_id"))
+    )
+    return out.orderBy("table_name")
+
+
+MAINT_FORGET_SQL = """
+WITH forget AS (
+  SELECT c_custkey AS fk FROM customer
+  WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) = '0'),
+fo AS (SELECT * FROM orders WHERE o_custkey IN (SELECT fk FROM forget)),
+fl AS (SELECT * FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM fo)),
+fe AS (SELECT * FROM events WHERE user_id IN (SELECT fk FROM forget))
+SELECT 'customer' AS table_name,
+       CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS n_before,
+       CAST((SELECT COUNT(*) FROM forget) AS BIGINT) AS n_deleted,
+       CAST((SELECT COUNT(*) FROM customer) - (SELECT COUNT(*) FROM forget) AS BIGINT) AS n_after,
+       CAST((SELECT COUNT(*) FROM forget) AS BIGINT) AS n_principals
+UNION ALL
+SELECT 'events',
+       CAST((SELECT COUNT(*) FROM events) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM fe) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM events) - (SELECT COUNT(*) FROM fe) AS BIGINT),
+       CAST((SELECT COUNT(DISTINCT user_id) FROM fe) AS BIGINT)
+UNION ALL
+SELECT 'lineitem',
+       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM fl) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM lineitem) - (SELECT COUNT(*) FROM fl) AS BIGINT),
+       CAST((SELECT COUNT(DISTINCT l_orderkey) FROM fl) AS BIGINT)
+UNION ALL
+SELECT 'orders',
+       CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM fo) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM orders) - (SELECT COUNT(*) FROM fo) AS BIGINT),
+       CAST((SELECT COUNT(DISTINCT o_custkey) FROM fo) AS BIGINT)
+ORDER BY table_name
+"""
+
+
 QUERIES = {
+    "maintenance_forget_users": (maintenance_forget_users, MAINT_FORGET_SQL),
     "maintenance_snapshot_diff": (snapshot_diff, SNAPSHOT_DIFF_SQL),
     "cdc_merge_orders": (cdc_merge_orders, CDC_MERGE_SQL),
     "scd2_user_history": (scd2_user_history, SCD2_SQL),
