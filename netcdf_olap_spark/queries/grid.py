@@ -2332,6 +2332,114 @@ ORDER BY variable, day
 """
 
 
+def grid_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-KENDALL trend test per cell — the significance companion
+    to grid_theil_sen's slope (the pairing every climate trend atlas
+    publishes): S = Σ_{i<j} sgn(x_j − x_i) over the cell's time
+    order, the tie-corrected variance as the INTEGER 18·Var =
+    n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5), and the normal-approx
+    z = (S∓1)/√(Var) with the ±1.96 trend verdict.
+
+    Exactness: S and 18·Var are pure integers; z divides and roots
+    int64-backed exact values (√ and ÷ are correctly rounded IEEE
+    ops — deterministic on identical inputs, the profile_correlations
+    rule), and the verdict compares that deterministic z.
+
+    100 TB shape: the sign sum is the Theil-Sen pair join (cell-keyed
+    self-join, O(d²/2) per cell where d = days — bounded by the time
+    axis, never by cell count); ties come from one (cell, value)
+    aggregation; everything joins back on the cell key."""
+    g = load_grid(spark).where(
+        (F.col("variable") == "LST_LWST_avg_daily") & F.col("value").isNotNull()
+    )
+    t = F.datediff(F.col("time"), F.lit("1990-01-01").cast("date")).cast("long")
+    base = g.select("y", "x", t.alias("t"), "value").localCheckpoint(eager=False)
+    a = base.select("y", "x", F.col("t").alias("t1"), F.col("value").alias("v1"))
+    b = base.select("y", "x", F.col("t").alias("t2"), F.col("value").alias("v2"))
+    s = (
+        a.join(b, ["y", "x"])
+        .where(F.col("t1") < F.col("t2"))
+        .groupBy("y", "x")
+        .agg(
+            F.sum(F.signum(F.col("v2") - F.col("v1")).cast("long")).alias("s_stat"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        )
+    )
+    nstats = base.groupBy("y", "x").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ties = (
+        base.groupBy("y", "x", "value")
+        .agg(F.count(F.lit(1)).cast("long").alias("tg"))
+        .where(F.col("tg") > 1)
+        .groupBy("y", "x")
+        .agg(F.sum(F.expr("tg * (tg - 1) * (2 * tg + 5)")).cast("long").alias("tie_corr"))
+    )
+    j = (
+        s.join(nstats, ["y", "x"])
+        .join(ties, ["y", "x"], "left")
+        .select(
+            "y",
+            "x",
+            "n",
+            "s_stat",
+            (
+                F.expr("n * (n - 1) * (2 * n + 5)") - F.coalesce("tie_corr", F.lit(0))
+            )
+            .cast("long")
+            .alias("var18"),
+        )
+    )
+    z = F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1).cast("double")).when(
+        F.col("s_stat") < 0, (F.col("s_stat") + 1).cast("double")
+    ).otherwise(F.lit(0.0)) / F.sqrt(F.col("var18").cast("double") / F.lit(18.0))
+    return j.select(
+        "y",
+        "x",
+        "n",
+        "s_stat",
+        "var18",
+        z.alias("z"),
+        F.when(z > 1.96, F.lit("increasing"))
+        .when(z < -1.96, F.lit("decreasing"))
+        .otherwise(F.lit("none"))
+        .alias("trend"),
+    ).orderBy("y", "x")
+
+
+GRID_MANN_KENDALL_SQL = f"""
+WITH base AS (
+  SELECT y, x, date_diff('day', DATE '1990-01-01', CAST(time AS DATE)) AS t, value
+  FROM {GRID}
+  WHERE variable = 'LST_LWST_avg_daily' AND value IS NOT NULL),
+s AS (
+  SELECT a.y, a.x,
+         CAST(SUM(CAST(SIGN(b.value - a.value) AS BIGINT)) AS BIGINT) AS s_stat
+  FROM base a JOIN base b ON a.y = b.y AND a.x = b.x AND a.t < b.t
+  GROUP BY a.y, a.x),
+nstats AS (SELECT y, x, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY y, x),
+ties AS (
+  SELECT y, x, CAST(SUM(tg * (tg - 1) * (2 * tg + 5)) AS BIGINT) AS tie_corr
+  FROM (SELECT y, x, value, CAST(COUNT(*) AS BIGINT) AS tg
+        FROM base GROUP BY y, x, value)
+  WHERE tg > 1 GROUP BY y, x),
+j AS (
+  SELECT s.y, s.x, n, s_stat,
+         CAST(n * (n - 1) * (2 * n + 5) - COALESCE(tie_corr, 0) AS BIGINT) AS var18
+  FROM s JOIN nstats USING (y, x) LEFT JOIN ties USING (y, x)),
+zs AS (
+  SELECT y, x, n, s_stat, var18,
+         (CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+               WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+               ELSE 0.0 END) / SQRT(CAST(var18 AS DOUBLE) / 18.0) AS z
+  FROM j)
+SELECT y, x, n, s_stat, var18, z,
+       CASE WHEN z > 1.96 THEN 'increasing'
+            WHEN z < -1.96 THEN 'decreasing'
+            ELSE 'none' END AS trend
+FROM zs
+ORDER BY y, x
+"""
+
+
 def grid_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PETTITT CHANGE-POINT test per cell — the rank-based
     homogeneity test climate QC runs to find undocumented sensor /
@@ -2555,4 +2663,5 @@ QUERIES = {
     "grid_area_weighted_mean": (grid_area_weighted_mean, GRID_AREA_WMEAN_SQL),
     "grid_heatwave_events": (grid_heatwave_events, GRID_HEATWAVE_SQL),
     "grid_pettitt_changepoint": (grid_pettitt_changepoint, GRID_PETTITT_SQL),
+    "grid_mann_kendall": (grid_mann_kendall, GRID_MANN_KENDALL_SQL),
 }

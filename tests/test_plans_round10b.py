@@ -154,3 +154,36 @@ def test_pettitt_matches_bruteforce(spark):
         cp = ts[min(i for i, v in enumerate(u) if abs(v) == k)]
         assert out[key]["k_stat"] == k, key
         assert out[key]["cp_day"] == cp, key
+
+
+def test_mann_kendall_matches_bruteforce(spark):
+    """grid_mann_kendall's pair-join S and tie-corrected 18·Var must
+    equal the textbook formulas — brute-forced in numpy for a
+    handful of cells."""
+    import numpy as np
+
+    from netcdf_olap_spark.queries.grid import grid_mann_kendall
+    from netcdf_olap_spark.session import load_grid
+
+    out = {
+        (r["y"], r["x"]): r
+        for r in grid_mann_kendall(spark, SF_SMALL).where("y < 2 AND x < 2").collect()
+    }
+    g = (
+        load_grid(spark)
+        .where("variable = 'LST_LWST_avg_daily' AND value IS NOT NULL AND y < 2 AND x < 2")
+        .collect()
+    )
+    cells: dict[tuple, list] = {}
+    for r in g:
+        cells.setdefault((r["y"], r["x"]), []).append((r["time"], r["value"]))
+    for key, series in cells.items():
+        series.sort()
+        xs = np.array([v for _, v in series])
+        n = len(xs)
+        s = int(np.sign(xs[None, :] - xs[:, None])[np.triu_indices(n, 1)].sum())
+        _, counts = np.unique(xs, return_counts=True)
+        var18 = n * (n - 1) * (2 * n + 5) - int(
+            sum(t * (t - 1) * (2 * t + 5) for t in counts if t > 1)
+        )
+        assert out[key]["s_stat"] == s and out[key]["var18"] == var18, key
