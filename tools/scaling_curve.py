@@ -148,6 +148,8 @@ GRID_QUERIES = [
     # r10 second cohort
     "grid_area_weighted_mean",  # one-scan weighted rollup
     "grid_heatwave_events",     # rank window + islands per cell
+    "grid_pettitt_changepoint",  # two rank windows per cell
+    "grid_mann_kendall",        # theil-sen pair join + tie rollup
 ]
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
