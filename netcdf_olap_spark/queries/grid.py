@@ -2388,9 +2388,15 @@ def grid_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("var18"),
         )
     )
-    z = F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1).cast("double")).when(
-        F.col("s_stat") < 0, (F.col("s_stat") + 1).cast("double")
-    ).otherwise(F.lit(0.0)) / F.sqrt(F.col("var18").cast("double") / F.lit(18.0))
+    # var18 == 0 (every value in the cell tied) would give 0/0 —
+    # NaN in Spark but NULL in DuckDB (verified: 0.0/0.0 differs),
+    # so the all-tied cell is defined to z = 0 explicitly
+    z = F.when(F.col("var18") == 0, F.lit(0.0)).otherwise(
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1).cast("double"))
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1).cast("double"))
+        .otherwise(F.lit(0.0))
+        / F.sqrt(F.col("var18").cast("double") / F.lit(18.0))
+    )
     return j.select(
         "y",
         "x",
@@ -2427,9 +2433,10 @@ j AS (
   FROM s JOIN nstats USING (y, x) LEFT JOIN ties USING (y, x)),
 zs AS (
   SELECT y, x, n, s_stat, var18,
-         (CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
-               WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
-               ELSE 0.0 END) / SQRT(CAST(var18 AS DOUBLE) / 18.0) AS z
+         CASE WHEN var18 = 0 THEN 0.0
+              ELSE (CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+                         WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+                         ELSE 0.0 END) / SQRT(CAST(var18 AS DOUBLE) / 18.0) END AS z
   FROM j)
 SELECT y, x, n, s_stat, var18, z,
        CASE WHEN z > 1.96 THEN 'increasing'

@@ -86,6 +86,12 @@ def export_zarr_store(
             f"({MAX_CELL_COORDS}); export a spatial subset per call"
         )
     variables = sorted(r[0] for r in df.select("variable").distinct().collect())
+    for var in variables:
+        # hostile names escape the store root; coordinate names would
+        # overwrite the just-written time/lat/lon arrays (the GeoTIFF
+        # sink's guard, extended with the reserved axis names)
+        if "/" in var or ".." in var or var in ("time", "lat", "lon"):
+            raise ValueError(f"hostile or reserved variable name {var!r}")
     ys = sorted({r["y"] for r in cells})
     xs = sorted({r["x"] for r in cells})
     nt, ny, nx = len(times), len(ys), len(xs)
@@ -98,9 +104,13 @@ def export_zarr_store(
     for r in cells:
         lat2d[y_pos[r["y"]], x_pos[r["x"]]] = r["lat"]
         lon2d[y_pos[r["y"]], x_pos[r["x"]]] = r["lon"]
-    hours = np.array(
-        [int((t - _EPOCH_1990).total_seconds()) // 3600 for t in times], dtype="<i4"
-    )
+    secs = [int((t - _EPOCH_1990).total_seconds()) for t in times]
+    if any(s % 3600 for s in secs):
+        # the NetCDF sink's guard (sinks/netcdf.py): the store's time
+        # axis is integer hours-since-1990 — silently flooring a
+        # sub-hour timestamp would corrupt the round-trip
+        raise ValueError("time values are not hour-aligned; cannot encode hours-since-1990")
+    hours = np.array([s // 3600 for s in secs], dtype="<i4")
 
     zarr_src.write_zarr_group(root)
     zarr_src.write_zarr_array(os.path.join(root, "time"), hours, compressor=None)

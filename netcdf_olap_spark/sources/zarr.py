@@ -234,6 +234,20 @@ def ingest_zarr_store(spark: SparkSession, root: str, ds: str) -> DataFrame:
     }
     ds_ = ds
 
+    # spec: an ABSENT chunk object means every cell holds fill_value
+    # (zarr-python's write_empty_chunks=False omits all-fill chunks) —
+    # binaryFile only lists existing objects, so the missing keys are
+    # diffed driver-side (metadata-scale: chunk-grid size, no data
+    # read) and their fill rows synthesized distributed below
+    missing: list[tuple[str, str]] = []
+    for name, m in data_vars.items():
+        grid = [range(math.ceil(s / c)) for s, c in zip(m["shape"], m["chunks"])]
+        have = {f for f in os.listdir(os.path.join(root, name)) if not f.startswith(".")}
+        for cidx in product(*grid):
+            key = ".".join(str(i) for i in cidx)
+            if key not in have:
+                missing.append((name, key))
+
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import zlib as _zlib
 
@@ -287,4 +301,51 @@ def ingest_zarr_store(spark: SparkSession, root: str, ds: str) -> DataFrame:
                     out = out[_np.tile(placed, bt)].reset_index(drop=True)
                 yield out
 
-    return files.select("path", "content").mapInPandas(_decode, schema=GRID_SCHEMA)
+    decoded = files.select("path", "content").mapInPandas(_decode, schema=GRID_SCHEMA)
+    if not missing:
+        return decoded
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            for var, key in zip(pdf["variable"], pdf["ck"]):
+                chunks, shape, _dtype, _comp, fill = meta_by_var[var]
+                cidx = tuple(int(p) for p in key.split("."))
+                valid = tuple(
+                    min((i + 1) * c, s) - i * c for i, c, s in zip(cidx, chunks, shape)
+                )
+                bt, by, bx = valid
+                # absent chunk ≡ every cell at fill_value: fill→NULL
+                # when a fill is declared, literal 0 otherwise (spec)
+                val = _np.nan if fill is not None else 0.0
+                block = _np.full((bt, by, bx), val)
+                t0, y0, x0 = (i * c for i, c in zip(cidx, chunks))
+                ys = _np.arange(y0, y0 + by, dtype=_np.int32)
+                xs = _np.arange(x0, x0 + bx, dtype=_np.int32)
+                yy, xx = _np.meshgrid(ys, xs, indexing="ij")
+                cell = _np.ix_(ys, xs)
+                lats = lat2d[cell].ravel()
+                lons = lon2d[cell].ravel()
+                out = _pd.DataFrame(
+                    {
+                        "ds": ds_,
+                        "variable": var,
+                        "time": _np.repeat(time_us[t0 : t0 + bt], by * bx),
+                        "y": _np.tile(yy.ravel(), bt),
+                        "x": _np.tile(xx.ravel(), bt),
+                        "lat": _np.tile(lats, bt),
+                        "lon": _np.tile(lons, bt),
+                        "value": block.ravel(),
+                    }
+                )
+                placed = _np.isfinite(lats) & _np.isfinite(lons)
+                if not placed.all():
+                    out = out[_np.tile(placed, bt)].reset_index(drop=True)
+                yield out
+
+    mdf = spark.createDataFrame(missing, "variable string, ck string").repartition(
+        min(32, len(missing))
+    )
+    return decoded.unionByName(mdf.mapInPandas(_synth, schema=GRID_SCHEMA))

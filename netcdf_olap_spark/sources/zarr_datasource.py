@@ -123,20 +123,26 @@ def _axes(root: str):
     return time_us, lat2d, lon2d
 
 
-def _chunk_rows(path, ds, variable, meta_t, time_us, lat2d, lon2d):
+def _chunk_rows(path, ds, variable, meta_t, time_us, lat2d, lon2d, absent=False):
     """Decode one chunk object → the long-cube pandas frame (shared
     semantics with ingest_zarr_store: edge trim, fill→NULL via NaN,
-    non-finite coordinates dropped)."""
+    non-finite coordinates dropped).  ``absent=True`` synthesizes the
+    spec's missing-chunk semantics (every cell at fill) without
+    touching the filesystem."""
     import numpy as np
     import pandas as pd
 
-    chunks, _shape, _dtype, _compressed, fill = meta_t
+    chunks, shape, _dtype, _compressed, fill = meta_t
     cidx = tuple(int(p) for p in os.path.basename(path).split("."))
-    with open(path, "rb") as fh:
-        content = fh.read()
-    block = _decode_block(meta_t, content, cidx).astype(np.float64)
-    if fill is not None:
-        block = np.where(block == np.float64(fill), np.nan, block)
+    if absent:
+        valid = tuple(min((i + 1) * c, s) - i * c for i, c, s in zip(cidx, chunks, shape))
+        block = np.full(valid, np.nan if fill is not None else 0.0)
+    else:
+        with open(path, "rb") as fh:
+            content = fh.read()
+        block = _decode_block(meta_t, content, cidx).astype(np.float64)
+        if fill is not None:
+            block = np.where(block == np.float64(fill), np.nan, block)
     bt, by, bx = block.shape
     t0, y0, x0 = (i * c for i, c in zip(cidx, chunks))
     ys = np.arange(y0, y0 + by, dtype=np.int32)
@@ -167,13 +173,16 @@ def _chunk_rows(path, ds, variable, meta_t, time_us, lat2d, lon2d):
 
 
 class ZarrChunkPartition(InputPartition):
-    """One (variable, chunk object) decode unit."""
+    """One (variable, chunk object) decode unit.  ``absent=True``
+    marks a chunk the store omits (spec: all-fill) — the reader
+    synthesizes its rows instead of opening a file."""
 
-    def __init__(self, path: str, ds: str, variable: str, meta: tuple):
+    def __init__(self, path: str, ds: str, variable: str, meta: tuple, absent: bool = False):
         self.path = path
         self.ds = ds
         self.variable = variable
         self.meta = meta  # (chunks, shape, dtype, compressed, fill)
+        self.absent = absent
 
 
 class ZarrCubeDataSource(DataSource):
@@ -236,8 +245,20 @@ class ZarrCubeReader(DataSourceReader):
         for var, meta in sorted(self.metas.items()):
             if self.variables is not None and var not in self.variables:
                 continue  # partition-level variable pruning
-            for f in self._chunk_files(var):
-                parts.append(ZarrChunkPartition(f, self.ds, var, meta))
+            chunks, shape = meta[0], meta[1]
+            have = {os.path.basename(f) for f in self._chunk_files(var)}
+            grid = [range(math.ceil(s / c)) for s, c in zip(shape, chunks)]
+            for cidx in product(*grid):
+                key = ".".join(str(i) for i in cidx)
+                parts.append(
+                    ZarrChunkPartition(
+                        os.path.join(self.path, var, key),
+                        self.ds,
+                        var,
+                        meta,
+                        absent=key not in have,  # spec: omitted = all fill
+                    )
+                )
         if not parts:
             raise FileNotFoundError(f"zarr_cube: no data chunks under {self.path}")
         return parts
@@ -253,6 +274,7 @@ class ZarrCubeReader(DataSourceReader):
             self.time_us,
             self.lat2d,
             self.lon2d,
+            absent=partition.absent,
         )
         table = pa.Table.from_pandas(pdf, preserve_index=False)
         yield from table.to_batches(max_chunksize=10_000)
@@ -260,9 +282,27 @@ class ZarrCubeReader(DataSourceReader):
 
 class ZarrCubeStreamReader(SimpleDataSourceStreamReader):
     """Arriving chunk objects become micro-batches.  The offset is
-    the sorted chunk-file list already ingested (exactly-once replay
-    via readBetweenOffsets); the coordinate axes and array metadata
-    are re-read per batch because appends EXTEND them."""
+    the sorted chunk-file list already ingested PLUS the time-axis
+    length at consumption (exactly-once replay via
+    readBetweenOffsets decodes against that pinned length, so a
+    later shape bump cannot change what a committed batch contained);
+    the coordinate axes and array metadata are re-read per batch
+    because appends EXTEND them.
+
+    Append-race rule: a chunk object that lies ENTIRELY beyond the
+    current ``.zarray`` shape (the conventional commit order writes
+    chunk objects first, bumps the shape last) is left OUT of the
+    offset — it is consumed by a later batch once the shape bump
+    lands, instead of being silently swallowed as zero rows.  Edge
+    chunks partially covered by the current shape are consumed
+    trimmed; if an append later REWRITES such a chunk in place
+    (non-slab-aligned appends), the file-set offset cannot see the
+    rewrite — publish slab-aligned appends (whole new chunk objects,
+    as sinks/zarr.export_zarr_store emits) for streaming consumers.
+    Offsets grow with the chunk count of the store — bounded by
+    chunk-grid metadata, not data, but long-lived streams over
+    ever-growing stores should compact checkpoints periodically (the
+    netcdf_cube file-set offset has the same property)."""
 
     def __init__(self, options: dict):
         self.options = dict(options)
@@ -281,7 +321,7 @@ class ZarrCubeStreamReader(SimpleDataSourceStreamReader):
             out.extend(rd._chunk_files(var))
         return sorted(out)
 
-    def _rows_for(self, rd: ZarrCubeReader, files: list[str]):
+    def _rows_for(self, rd: ZarrCubeReader, files: list[str], nt_cap: int):
         import numpy as np
         import pandas as pd
 
@@ -302,22 +342,45 @@ class ZarrCubeStreamReader(SimpleDataSourceStreamReader):
             var = os.path.basename(os.path.dirname(f))
             if var not in rd.metas:
                 continue
-            pdf = _chunk_rows(f, rd.ds, var, rd.metas[var], rd.time_us, rd.lat2d, rd.lon2d)
+            chunks, shape, dtype, comp, fill = rd.metas[var]
+            # pin the time axis to the offset's length: replay must
+            # decode what the ORIGINAL batch saw, not a later bump
+            shape = (min(shape[0], nt_cap),) + tuple(shape[1:])
+            meta_t = (chunks, shape, dtype, comp, fill)
+            pdf = _chunk_rows(
+                f, rd.ds, var, meta_t, rd.time_us[:nt_cap], rd.lat2d, rd.lon2d
+            )
             for t in pdf.itertuples(index=False, name=None):
                 out.append(tuple(_py(x) for x in t))
         return iter(out)
 
+    def _ready(self, rd: ZarrCubeReader, f: str, nt: int) -> bool:
+        """Consumable now = at least one time step of the chunk lies
+        within the current shape (see class docstring's append-race
+        rule)."""
+        var = os.path.basename(os.path.dirname(f))
+        if var not in rd.metas:
+            return True  # unknown dirs are consumed (and ignored) once
+        chunks = rd.metas[var][0]
+        t0 = int(os.path.basename(f).split(".")[0]) * chunks[0]
+        return t0 < nt
+
     def read(self, start: dict):
         rd = self._reader()
+        nt = len(rd.time_us)
         seen = set(start.get("chunks", []))
-        now = self._list(rd)
-        new = [f for f in now if f not in seen]
-        return self._rows_for(rd, new), {"chunks": now}
+        new = [f for f in self._list(rd) if f not in seen]
+        ready = [f for f in new if self._ready(rd, f, nt)]
+        consumed = sorted(seen | set(ready))
+        return self._rows_for(rd, ready, nt), {"chunks": consumed, "nt": nt}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         rd = self._reader()
         seen = set(start.get("chunks", []))
-        return self._rows_for(rd, [f for f in end.get("chunks", []) if f not in seen])
+        nt_cap = int(end.get("nt") or len(rd.time_us))
+        return self._rows_for(
+            rd, [f for f in end.get("chunks", []) if f not in seen], nt_cap
+        )
 
 
 def register(spark) -> None:

@@ -260,3 +260,87 @@ def test_zarr_stream_ingests_arriving_chunks(spark, tmp_path):
         assert out.select(F.countDistinct("time")).first()[0] == 6
     finally:
         q.stop()
+
+
+def test_absent_chunk_ingests_as_fill_rows(spark, tmp_path):
+    """Spec: an omitted chunk object means all-fill (zarr-python's
+    write_empty_chunks=False) — BOTH distributed paths must emit its
+    cells as NULL rows, matching the driver-side reader, instead of
+    silently dropping them (review finding)."""
+    from netcdf_olap_spark.sources.zarr_datasource import register
+
+    root = str(tmp_path / "store")
+    _mini_store(root)
+    os.remove(os.path.join(root, "v", "1.0.1"))  # t 2-3, x 2
+
+    back = zr.ingest_zarr_store(spark, root, ds="t")
+    assert back.count() == 24  # full 4×2×3 grid, nothing dropped
+    nulls = back.where("value IS NULL").collect()
+    # the planted fill cell + the 4 cells of the removed chunk
+    assert len(nulls) == 5
+    assert {(r["time"].day, r["y"], r["x"]) for r in nulls} >= {
+        (3, 0, 2),
+        (3, 1, 2),
+        (4, 0, 2),
+        (4, 1, 2),
+    }
+
+    register(spark)
+    via_ds = spark.read.format("zarr_cube").options(path=root, ds="t").load()
+    assert via_ds.count() == 24
+    assert via_ds.where("value IS NULL").count() == 5
+
+
+def test_stream_defers_chunk_until_shape_bump(spark, tmp_path):
+    """Append race (review finding): a chunk object landing BEFORE
+    the .zarray shape bump must NOT be consumed as zero rows — it
+    stays out of the offset and arrives after the bump."""
+    import json as _json
+    import zlib as _zlib
+
+    import numpy as np
+
+    from netcdf_olap_spark.sources.zarr_datasource import register
+
+    root = str(tmp_path / "store")
+    cube = _mini_store(root, nt=4)
+    register(spark)
+    stream = spark.readStream.format("zarr_cube").options(path=root, ds="live").load()
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("zarr_race")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table("zarr_race").count() == cube.size
+
+        # conventional commit order: chunk objects FIRST...
+        new = np.arange(100, 112, dtype="<f8").reshape(2, 2, 3)
+        adir = os.path.join(root, "v")
+        with open(os.path.join(adir, "2.0.0"), "wb") as fh:
+            fh.write(_zlib.compress(np.ascontiguousarray(new[:, :, 0:2]).tobytes(), 6))
+        blk = np.full((2, 2, 2), -9.0)
+        blk[:, :, 0] = new[:, :, 2]
+        with open(os.path.join(adir, "2.0.1"), "wb") as fh:
+            fh.write(_zlib.compress(blk.tobytes(), 6))
+        q.processAllAvailable()
+        # not yet visible, and crucially NOT swallowed
+        assert spark.table("zarr_race").count() == cube.size
+
+        # ...shape bump + time extension LAST
+        t6 = np.arange(6)
+        zr.write_zarr_array(
+            os.path.join(root, "time"), (t6 * 24).astype("<i4"), compressor=None
+        )
+        meta = _json.load(open(os.path.join(adir, ".zarray")))
+        meta["shape"][0] = 6
+        _json.dump(meta, open(os.path.join(adir, ".zarray"), "w"), sort_keys=True)
+        q.processAllAvailable()
+        out = spark.table("zarr_race")
+        assert out.count() == cube.size + new.size
+        assert out.select(F.countDistinct("time")).first()[0] == 6
+    finally:
+        q.stop()
