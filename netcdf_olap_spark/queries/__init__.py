@@ -252,7 +252,15 @@ _PRIORITY: tuple[str, ...] = (
     # chunk hashing, and cross-doc dedup all behind the value hash)
     # and per-source boilerplate removal (CDC template detection +
     # md5-verified cleaned-text reconstruction).
-    "doc_shift_dedup",
+    # r10 third rotation (same-round): doc_shift_dedup OUT — its CDC
+    # cutpoint/chunk-hash machinery is also behind the window's value
+    # hashes via doc_delta_dedup_indexed (same chunking definition,
+    # operators/corpusindex.doc_chunk_hashes) and doc_boilerplate's
+    # template detection; stays registered + parity-checked.  IN:
+    # grid_export_zarr_roundtrip — the window's first SINK-identity
+    # row (export∘ingest ≡ closed form through the Zarr chunk-object
+    # writer), a capability class no other window row represents.
+    "grid_export_zarr_roundtrip",
     "doc_boilerplate",
     "doc_source_pagerank",
     # similarity / ANN (N2).  r9 rotation: emb_knn_ivf_exact left the
@@ -261,7 +269,14 @@ _PRIORITY: tuple[str, ...] = (
     # window carried the same value signal twice; the IVF machinery
     # stays registered + parity-checked, and the index-path family's
     # window representation moves to emb_knn_graph below.
-    "emb_knn_brute",
+    # r10 third rotation: emb_knn_brute OUT — exact cosine top-k
+    # arithmetic is also value-checked through emb_knn_graph (whose
+    # oracle re-derives the full similarity matrix inline) and
+    # emb_hard_negatives; stays registered + parity-checked.  IN:
+    # join_bloom_pruned — the optimization-transparency class: its
+    # oracle is the UNPRUNED join, so a green row each round proves
+    # the Bloom pre-filter never drops a true row.
+    "join_bloom_pruned",
     # r10 rotation: emb_centroids left the window — per-label decimal
     # centroid means, a value surface already carried by emb_knn_brute
     # (cosine arithmetic) and emb_centroid_shift / emb_pq_portable's
@@ -291,7 +306,15 @@ _PRIORITY: tuple[str, ...] = (
     # are epoch-aligned integer µs and the sum rides a decimal
     # accumulator, so the drained sink hash-matches the batch SQL;
     # r8 adds the near-dup ingest gate — bounded-state band ownership)
-    "stream_tumbling_stats",
+    # r10 third rotation: stream_tumbling_stats OUT — epoch-aligned
+    # tumbling aggregation stays parity-checked and its batch twin
+    # (ev_tumbling_stats) covers the bucket semantics; the streaming
+    # family keeps the stateful near-dup gate below.  IN:
+    # stream_zarr_ingest — the first registry-checked STREAMING
+    # CUSTOM SOURCE (chunk-arrival micro-batches through the Python
+    # DataSource planner runner, the deployment path that silently
+    # broke before this round's fix).
+    "stream_zarr_ingest",
     "stream_near_dup_filter",
     # multimodal (N4 — oracle-checked since round 5: the planted
     # near-dup groups are id arithmetic, media_image_features' pixel
