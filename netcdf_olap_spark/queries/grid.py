@@ -2332,6 +2332,115 @@ ORDER BY variable, day
 """
 
 
+def grid_forecast_skill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORECAST-SKILL backtest per cell — the evaluation table every
+    operational forecast pipeline maintains: score the PERSISTENCE
+    forecast (tomorrow = today) against the CLIMATOLOGY forecast
+    (tomorrow = the cell's mean) on squared error, and report the
+    skill as 1 − SSE_pers/SSE_clim in integer basis points (positive
+    = persistence beats climatology, the standard skill-score
+    orientation).
+
+    Exactness: errors ride decimal(18,6); their squares and sums are
+    exact decimals; climatology is the exact decimal mean scaled to
+    micro-units (so the reference forecast is integer-defined, not a
+    rounded double); the skill is integer bp via DIV.  Cells need ≥2
+    observed days; the all-constant cell (SSE_clim = 0) is defined
+    to skill_bp = 0 rather than dividing by zero (the Mann-Kendall
+    all-tied rule).
+
+    100 TB shape: one LAG window per cell for persistence errors,
+    one cell aggregate for climatology, one joined rollup — all
+    keyed on the cell."""
+    g = load_grid(spark).where(
+        (F.col("variable") == "LST_LWST_avg_daily") & F.col("value").isNotNull()
+    )
+    t = F.datediff(F.col("time"), F.lit("1990-01-01").cast("date")).cast("long")
+    # every quantity in integer MICRO-kelvin from here on: per-day
+    # squared errors fit int64 (d² ≤ ~9e16 for |d| ≤ 300 K), the
+    # per-cell SUMS ride decimal(38,0) (int128 — day counts cannot
+    # overflow them), and the reported per-day MSEs come back under
+    # int64 by construction (mean of int64-bounded terms)
+    vm = (F.col("value").cast("decimal(18,6)") * 1000000).cast("long")
+    base = g.select("y", "x", t.alias("t"), vm.alias("vm"))
+    clim = base.groupBy("y", "x").agg(
+        F.expr("CAST(SUM(CAST(vm AS DECIMAL(20,0))) DIV COUNT(*) AS BIGINT)").alias(
+            "clim_micro"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    w = Window.partitionBy("y", "x").orderBy("t")
+    lagged = base.select(
+        "y", "x", "vm", F.lag("vm", 1).over(w).alias("vm_prev")
+    ).where(F.col("vm_prev").isNotNull())
+    joined = lagged.join(clim, ["y", "x"]).select(
+        "y",
+        "x",
+        "n_days",
+        F.expr("CAST((vm - vm_prev) * (vm - vm_prev) AS DECIMAL(38,0))").alias("e_pers"),
+        F.expr("CAST((vm - clim_micro) * (vm - clim_micro) AS DECIMAL(38,0))").alias(
+            "e_clim"
+        ),
+    )
+    agg = joined.groupBy("y", "x", "n_days").agg(
+        F.sum("e_pers").alias("sse_pers"),
+        F.sum("e_clim").alias("sse_clim"),
+        F.count(F.lit(1)).cast("long").alias("n_scored"),
+    )
+    skill = F.when(F.col("sse_clim") == 0, F.lit(0).cast("long")).otherwise(
+        (F.lit(10000) - F.expr("(sse_pers * 10000) DIV sse_clim")).cast("long")
+    )
+    return (
+        agg.select(
+            "y",
+            "x",
+            "n_days",
+            F.expr("sse_pers DIV n_scored").cast("long").alias("mse_pers_micro2"),
+            F.expr("sse_clim DIV n_scored").cast("long").alias("mse_clim_micro2"),
+            skill.alias("skill_bp"),
+        )
+        .orderBy("y", "x")
+    )
+
+
+GRID_FORECAST_SKILL_SQL = f"""
+WITH base AS (
+  SELECT y, x, date_diff('day', DATE '1990-01-01', CAST(time AS DATE)) AS t,
+         CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vm
+  FROM {GRID}
+  WHERE variable = 'LST_LWST_avg_daily' AND value IS NOT NULL),
+clim AS (
+  SELECT y, x,
+         CAST(SUM(CAST(vm AS HUGEINT)) // COUNT(*) AS BIGINT) AS clim_micro,
+         CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM base GROUP BY y, x),
+lagged AS (
+  SELECT y, x, t, vm,
+         LAG(vm) OVER (PARTITION BY y, x ORDER BY t) AS vm_prev
+  FROM base),
+joined AS (
+  SELECT l.y, l.x, n_days,
+         CAST((vm - vm_prev) * (vm - vm_prev) AS HUGEINT) AS e_pers,
+         CAST((vm - clim_micro) * (vm - clim_micro) AS HUGEINT) AS e_clim
+  FROM lagged l JOIN clim USING (y, x)
+  WHERE vm_prev IS NOT NULL),
+agg AS (
+  SELECT y, x, n_days,
+         SUM(e_pers) AS sse_pers,
+         SUM(e_clim) AS sse_clim,
+         CAST(COUNT(*) AS BIGINT) AS n_scored
+  FROM joined GROUP BY y, x, n_days)
+SELECT y, x, n_days,
+       CAST(sse_pers // n_scored AS BIGINT) AS mse_pers_micro2,
+       CAST(sse_clim // n_scored AS BIGINT) AS mse_clim_micro2,
+       CASE WHEN sse_clim = 0 THEN 0
+            ELSE CAST(10000 - (sse_pers * 10000) // sse_clim AS BIGINT)
+       END AS skill_bp
+FROM agg
+ORDER BY y, x
+"""
+
+
 def grid_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MANN-KENDALL trend test per cell — the significance companion
     to grid_theil_sen's slope (the pairing every climate trend atlas
@@ -2671,4 +2780,5 @@ QUERIES = {
     "grid_heatwave_events": (grid_heatwave_events, GRID_HEATWAVE_SQL),
     "grid_pettitt_changepoint": (grid_pettitt_changepoint, GRID_PETTITT_SQL),
     "grid_mann_kendall": (grid_mann_kendall, GRID_MANN_KENDALL_SQL),
+    "grid_forecast_skill": (grid_forecast_skill, GRID_FORECAST_SKILL_SQL),
 }

@@ -150,6 +150,7 @@ GRID_QUERIES = [
     "grid_heatwave_events",     # rank window + islands per cell
     "grid_pettitt_changepoint",  # two rank windows per cell
     "grid_mann_kendall",        # theil-sen pair join + tie rollup
+    "grid_forecast_skill",      # LAG window + clim join per cell
 ]
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
