@@ -38,7 +38,15 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """NaN-safe cosine: a zero vector has no direction — its
+    similarity is DEFINED as 0.0 (ranks last), because the raw
+    0.0/0.0 would be NaN, which Spark's descending sort places ABOVE
+    every real similarity and would put zero vectors at the top of
+    every k-NN result (review finding).  The registry's checked
+    embeddings contain no zero vectors, so oracle results are
+    unchanged; this defines the library behavior for corpora that do."""
+    denom = _norm(a) * _norm(b)
+    return F.when(denom == 0.0, F.lit(0.0)).otherwise(_dot(a, b) / denom)
 
 
 def knn_brute(
@@ -546,7 +554,12 @@ def ivf_train(
     reach the driver, so training scales to any corpus size. Empty
     clusters keep their previous centroid."""
     init = df.orderBy(id_col).limit(n_lists).select(vec_col).collect()
-    centroids = [np.asarray(r[0], dtype=np.float64) for r in init]
+    if not init:
+        raise ValueError("ivf_train: empty input")
+    # fewer rows than lists: clamp (lloyd_local's rule) — without it
+    # the rebuild below KeyErrors on the never-assigned list ids
+    n_lists = min(n_lists, len(init))
+    centroids = [np.asarray(r[0], dtype=np.float64) for r in init[:n_lists]]
     for _ in range(n_iters):
         assigned = df.select(
             assign_nearest_col(F.col(vec_col), centroids).alias("list_id"),

@@ -140,26 +140,32 @@ def band_owner_stream(rows: DataFrame, watermark: str, state_ttl_ms: int = 7_200
             state.remove()
             return
         batch = pd.concat(list(pdfs))
-        batch = batch.sort_values(["ts", "doc_id"])
-        # normalize to ns first: pandas may deliver datetime64[ns] or
-        # [us] depending on the Arrow round-trip, and the timeout API
-        # below wants absolute MILLISECONDS
-        ts_ns = batch["ts"].astype("datetime64[ns]").astype("int64")
-        ts_us = ts_ns // 1000
+        batch = batch.sort_values(["ts_epoch_us", "doc_id"])
+        # TRUE epoch µs, computed JVM-side (unix_micros) before the
+        # stateful operator: the pandas `ts` column arrives localized
+        # to the SESSION time zone and tz-stripped, so deriving epoch
+        # from it shifts by the tz offset — west-of-UTC sessions could
+        # then set a timeout BEHIND the (true-epoch) watermark and
+        # kill the query, east-of-UTC ones silently stretch the
+        # horizon (review finding).  The long column dodges both; it
+        # also avoids the pandas ns-domain ceiling that far-future
+        # stamps overflow (the r10 stream-staging lesson).
+        ts_us = batch["ts_epoch_us"].astype("int64")
         if state.exists:
             owner_us, owner_id = state.get
         else:
             owner_us, owner_id = int(ts_us.iloc[0]), int(batch["doc_id"].iloc[0])
             state.update((owner_us, owner_id))
-        state.setTimeoutTimestamp(int(ts_ns.max() // 1_000_000) + ttl)
+        state.setTimeoutTimestamp(int(ts_us.max() // 1000) + ttl)
         out = batch[["doc_id", "ts", "band", "key"]].copy()
         out["owned"] = (batch["doc_id"].astype("int64") == owner_id) & (
-            ts_us.astype("int64") == owner_us
+            ts_us == owner_us
         )
         yield out
 
     return (
-        rows.withWatermark("ts", watermark)
+        rows.withColumn("ts_epoch_us", F.unix_micros("ts"))
+        .withWatermark("ts", watermark)
         .groupBy("band", "key")
         .applyInPandasWithState(
             update,

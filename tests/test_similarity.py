@@ -395,3 +395,36 @@ def test_int8_quantize_matches_scalar_replay_and_is_shuffle_free(spark):
     assert "Exchange" not in plan
     for n in ("ArrowEvalPython", "BatchEvalPython"):
         assert n not in plan
+
+
+def test_zero_vector_ranks_last_not_first(spark):
+    """cosine() defines a zero vector's similarity as 0.0 — the raw
+    0/0 NaN would sort ABOVE every real similarity in a descending
+    top-k and put direction-less vectors at the head of every result
+    (review finding)."""
+    from netcdf_olap_spark.operators.similarity import knn_brute
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.6, 0.8])],
+        "vec_id long, embedding array<float>",
+    )
+    top = knn_brute(df, [1.0, 0.0], k=3).collect()
+    assert top[0]["vec_id"] == 1 and top[0]["cos_sim"] == 1.0
+    assert top[-1]["vec_id"] == 2 and top[-1]["cos_sim"] == 0.0
+
+
+def test_ivf_train_clamps_small_inputs(spark):
+    """Fewer rows than lists must clamp (lloyd_local's rule), not
+    KeyError on never-assigned list ids (review finding)."""
+    from netcdf_olap_spark.operators.similarity import ivf_train
+
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i % 2)]) for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = ivf_train(df, n_lists=8, n_iters=1)
+    assert len(cents) == 5
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty"):
+        ivf_train(df.where("vec_id < 0"), n_lists=4)

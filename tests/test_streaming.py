@@ -625,3 +625,39 @@ def test_compact_dedupes_within_one_survivors_batch(spark, tmp_path):
     assert {(r.doc_id, r.fp) for r in kept.collect()} == {(1, "aa11"), (2, "bb22")}
     idx_df = spark.read.parquet(idx)
     assert idx_df.count() == idx_df.select("fp").distinct().count() == 2
+
+
+def test_rollup_store_replay_idempotent_and_post_compaction_append(spark, staged, tmp_path):
+    """The two review-found failure modes: (a) a REPLAYED micro-batch
+    (foreachBatch is at-least-once) must not double-count — the
+    batch_id partition overwrite makes the rerun a no-op; (b) a fresh
+    append AFTER compaction must read back cleanly (one parquet
+    schema) and merge with the compacted row."""
+    from netcdf_olap_spark.operators.rollup import build_rollup
+    from netcdf_olap_spark.streaming.rollup_maint import (
+        compact_rollup_store,
+        read_rollup_store,
+        write_rollup_batch,
+    )
+
+    _directory, rebatch = staged
+    with_us = rebatch.withColumn("ts_us", F.unix_micros("ts"))
+    half_a = with_us.where("event_id % 2 = 0")
+    half_b = with_us.where("event_id % 2 = 1")
+    out = str(tmp_path / "store")
+
+    write_rollup_batch(half_a, out, 0)
+    write_rollup_batch(half_b, out, 1)
+    want = _rows(build_rollup(with_us), "bucket_us", "event_type")
+    assert _rows(read_rollup_store(spark, out), "bucket_us", "event_type") == want
+
+    # (a) replay batch 1 — identical result, no double count
+    write_rollup_batch(half_b, out, 1)
+    assert _rows(read_rollup_store(spark, out), "bucket_us", "event_type") == want
+
+    # (b) compact, then append a new batch: readable + correct
+    compact_rollup_store(spark, out)
+    write_rollup_batch(half_b, out, 2)  # half_b arrives again as NEW data
+    with_twice = with_us.unionByName(half_b)
+    want2 = _rows(build_rollup(with_twice), "bucket_us", "event_type")
+    assert _rows(read_rollup_store(spark, out), "bucket_us", "event_type") == want2
