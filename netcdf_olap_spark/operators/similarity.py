@@ -240,6 +240,19 @@ def graph_pair_candidates(b: DataFrame, id_col: str = "vec_id", vec_col: str = "
     )
 
 
+def _topk_per_src(pairs: DataFrame, k: int, rank_name: str) -> DataFrame:
+    """Shared per-source top-k cut over (src_id, dst_id, cos_sim)
+    pairs — ONE definition of the (cos DESC, dst) tie-break contract
+    for the graph, delta, and hard-negative paths (review finding:
+    three verbatim copies could drift)."""
+    w = Window.partitionBy("src_id").orderBy(F.col("cos_sim").desc(), F.col("dst_id"))
+    return (
+        pairs.withColumn(rank_name, F.row_number().over(w))
+        .where(F.col(rank_name) <= k)
+        .select("src_id", "dst_id", "cos_sim", rank_name)
+    )
+
+
 def delta_knn(
     corpus: DataFrame,
     batch: DataFrame,
@@ -274,22 +287,12 @@ def delta_knn(
             "cos_sim"
         ),
     )
-    w = Window.partitionBy("src_id").orderBy(F.col("cos_sim").desc(), F.col("dst_id"))
-    return (
-        pairs.withColumn("nbr_rank", F.row_number().over(w))
-        .where(F.col("nbr_rank") <= k)
-        .select("src_id", "dst_id", "cos_sim", "nbr_rank")
-    )
+    return _topk_per_src(pairs, k, "nbr_rank")
 
 
 def _graph_edges(b: DataFrame, k: int, id_col: str, vec_col: str) -> DataFrame:
     pairs = graph_pair_candidates(b, id_col, vec_col)
-    w = Window.partitionBy("src_id").orderBy(F.col("cos_sim").desc(), F.col("dst_id"))
-    return (
-        pairs.withColumn("nbr_rank", F.row_number().over(w))
-        .where(F.col("nbr_rank") <= k)
-        .select("src_id", "dst_id", "cos_sim", "nbr_rank")
-    )
+    return _topk_per_src(pairs, k, "nbr_rank")
 
 
 def hard_negatives(
@@ -338,11 +341,8 @@ def hard_negatives(
             / (F.col("a.nrm") * F.col("c.nrm"))
         ).alias("cos_sim"),
     )
-    w = Window.partitionBy("src_id").orderBy(F.col("cos_sim").desc(), F.col("dst_id"))
     return (
-        pairs.withColumn("neg_rank", F.row_number().over(w))
-        .where(F.col("neg_rank") <= k)
-        .select("src_id", "dst_id", "cos_sim", "neg_rank")
+        _topk_per_src(pairs, k, "neg_rank")
     )
 
 
