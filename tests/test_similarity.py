@@ -413,6 +413,44 @@ def test_zero_vector_ranks_last_not_first(spark):
     assert top[-1]["vec_id"] == 2 and top[-1]["cos_sim"] == 0.0
 
 
+def test_zero_vector_guard_in_precomputed_norm_paths(spark):
+    """The precomputed-norm pair paths (graph / delta / hard-negative)
+    must carry cosine()'s zero-vector guard too: dot/(a.nrm*c.nrm) is
+    0/0 = NaN for a zero vector, and the descending top-k would rank
+    it FIRST (r11 advice — the guard existed only in cosine())."""
+    import math
+
+    from netcdf_olap_spark.operators.similarity import (
+        delta_knn,
+        hard_negatives,
+        knn_graph_lsh,
+    )
+
+    # n_planes small enough that everything lands in few buckets; the
+    # zero vector must pair with same-bucket rows at cos_sim=0.0.
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.6, 0.8]), (4, [0.9, 0.1])],
+        "vec_id long, embedding array<float>",
+    )
+    edges = knn_graph_lsh(df, k=3, n_planes=1, dim=2).collect()
+    assert edges, "expected same-bucket edges"
+    assert all(not math.isnan(r["cos_sim"]) for r in edges)
+    assert all(r["cos_sim"] == 0.0 for r in edges if 2 in (r["src_id"], r["dst_id"]))
+    # a zero-vector dst never outranks a real similarity
+    for r in edges:
+        if r["nbr_rank"] == 1 and r["dst_id"] == 2:
+            sims = [e["cos_sim"] for e in edges if e["src_id"] == r["src_id"]]
+            assert max(sims) == 0.0
+
+    batch = spark.createDataFrame([(10, [0.0, 0.0])], "vec_id long, embedding array<float>")
+    d = delta_knn(df, batch, n_rows=4, k=3, dim=2).collect()
+    assert all(not math.isnan(r["cos_sim"]) for r in d)
+
+    lab = df.withColumn("label", (F.col("vec_id") % 2).cast("long"))
+    h = hard_negatives(lab, n_rows=4, k=3, dim=2).collect()
+    assert all(not math.isnan(r["cos_sim"]) for r in h)
+
+
 def test_ivf_train_clamps_small_inputs(spark):
     """Fewer rows than lists must clamp (lloyd_local's rule), not
     KeyError on never-assigned list ids (review finding)."""

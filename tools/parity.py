@@ -42,7 +42,17 @@ def _canon(v):
     if isinstance(v, bool):
         return v
     if isinstance(v, decimal.Decimal):
-        return float(v)
+        # DIGIT-EXACT: keep the Decimal (round-10 lesson — float(v)
+        # here masked the grid_morans_i failure: errors past the
+        # 53-bit mantissa are invisible to float64 but fatal to the
+        # driver).  Python's Decimal __eq__/__hash__ are numerically
+        # EXACT, including against int/float — so a decimal-vs-decimal
+        # compare catches 1-ulp-at-scale-12 diffs, while a float
+        # column matching a DECIMAL oracle column still compares equal
+        # exactly when the values are equal (Decimal('42.0') == 42.0),
+        # which is what the driver's hash observably does
+        # (CORRECTNESS_r10: grid_ingest_nc pass, grid_morans_i fail).
+        return v
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -61,7 +71,19 @@ def _canon(v):
 
 
 def _sort_key(row):
-    return tuple((x is None, str(type(x)), str(x)) for x in row)
+    # Numeric cells sort in one shared order regardless of concrete
+    # type (int/float/Decimal all interoperate exactly in Python), so
+    # a float column on one engine and a DECIMAL column on the other
+    # still pair up row-for-row; everything else sorts by type+str.
+    key = []
+    for x in row:
+        if x is None:
+            key.append((True, "", ""))
+        elif isinstance(x, (int, float, decimal.Decimal)) and not isinstance(x, bool):
+            key.append((False, "num", x))
+        else:
+            key.append((False, str(type(x)), str(x)))
+    return tuple(key)
 
 
 def normalize(cols: list[str], rows: list[tuple]) -> tuple[list[str], list[tuple]]:
