@@ -87,11 +87,20 @@ _PRIORITY: tuple[str, ...] = (
     # strict subset of grid_polygon_stats' (coarse bbox → fine mask),
     # and P5's hemisphere-safe window arithmetic also rides the
     # polygon path's envelope; stays registered + parity-checked.
-    # IN: grid_ingest_zarr — the SECOND hash-checked source format
+    # IN r10: grid_ingest_zarr — the SECOND hash-checked source format
     # (Zarr v2 chunk-object store: zlib+raw chunks, f8/f4/i4, edge
     # trimming, fill→NULL, distributed chunk-level decode), a
-    # capability class no other window row represents.
-    "grid_ingest_zarr",
+    # capability class no other window row represented then.
+    # r11 rotation (judge ask #4): grid_ingest_zarr OUT — the Zarr
+    # decode path stays hash-checked through TWO other window rows
+    # (grid_export_zarr_roundtrip re-ingests its own export through
+    # the same reader; stream_zarr_ingest decodes the same chunks via
+    # the streaming source); stays registered + parity-checked.  IN:
+    # grid_ingest_geotiff — the THIRD format stack (TIFF 6.0/GeoTIFF
+    # 1.1: strip/tile x raw/deflate x f4/i4, affine grid
+    # reconstruction), parity-only since r10 and a §2 S1c capability
+    # no window row carried.
+    "grid_ingest_geotiff",
     "grid_nearest_cell",
     "grid_hyperslab",
     "grid_time_extent",
@@ -105,6 +114,13 @@ _PRIORITY: tuple[str, ...] = (
     # grid_streak_runs / grid_gdd_accumulate stay parity-checked
     # siblings.  It takes emb_centroids' slot (see below).
     "grid_trend_ols",
+    # r11 (judge ask #4): grid_mann_kendall — the r10 second cohort's
+    # nonparametric-statistics family (integer S statistic +
+    # tie-corrected 18·Var, all-integer exactness) gets its first
+    # window row; grid_pettitt_changepoint / grid_theil_sen stay
+    # parity-checked siblings of the same per-cell pair-join shape.
+    # Takes lateral_topk_per_nation's slot (see below).
+    "grid_mann_kendall",
     # relational core (A5, A7, J1-J7, W1-W3, O1-O2, U1-U3, F1-F4).
     # A1's slot carries agg_hll_portable (hash-checkable md5-register
     # HLL) since round 5 — the DataSketches twin agg_approx_sketches /
@@ -161,7 +177,11 @@ _PRIORITY: tuple[str, ...] = (
     # events_json_extract's map extraction), each ceding a slot to an
     # r8 hard-oracle operator below.
     "join_outer_custdist",
-    "lateral_topk_per_nation",
+    # r11 rotation: lateral_topk_per_nation OUT — its per-group rank
+    # window plan is a strict subset of window_rank_topk's, and the
+    # correlated/lateral family keeps q4_priority_exists (correlated
+    # EXISTS) and join_outer_custdist; stays registered +
+    # parity-checked.  Slot went to grid_mann_kendall above.
     "window_range_30d",
     "unpivot_part_measures",
     "scalar_array_funcs",
@@ -192,8 +212,16 @@ _PRIORITY: tuple[str, ...] = (
     # registry's first Bloom-filter operator (auto-sized 63-bit-word
     # bitmap over corpus chunk hashes, probe with exact
     # false-positive accounting), the membership-sketch class nothing
-    # else in the window represents.
-    "doc_bloom_probe",
+    # else in the window represented then.
+    # r11 rotation: doc_bloom_probe OUT — the window carried TWO
+    # value-checked Bloom rows; the family keeps join_bloom_pruned
+    # below (same bitmap arithmetic, plus the transparency proof: its
+    # oracle is the UNPRUNED join); stays registered + parity-checked.
+    # IN: maintenance_forget_users — the right-to-be-forgotten
+    # semi-join cascade (compliance erasure across orders/lineitem/
+    # events/documents with exact survivor accounting), the
+    # maintenance family's FIRST window row.
+    "maintenance_forget_users",
     # r10 (judge ask #1 called it the single highest-information row
     # available): the
     # incremental daily-batch dedup probing the AT-REST nibble-
@@ -231,7 +259,13 @@ _PRIORITY: tuple[str, ...] = (
     #   grid_morans_i — spatial autocorrelation over the cube
     #   (decimal-exact num/den), the reference's own domain and the
     #   registry's first spatial STATISTIC.
-    "doc_intra_dedup",
+    # r11 rotation: doc_intra_dedup OUT — the md5-verified-rewrite
+    # class moves to doc_dup_rewrite (strictly harder: CROSS-doc span
+    # islands + doc-level HOF rewrite vs intra-doc fold; the r10
+    # bench's heaviest entrant, which the judge asked be put behind
+    # the hash gate); intra-doc removal stays registered +
+    # parity-checked.
+    "doc_dup_rewrite",
     "grid_morans_i",
     "grid_midhinge",
     # corpus-hygiene pipeline (decontamination: the broadcast
@@ -245,7 +279,15 @@ _PRIORITY: tuple[str, ...] = (
     # n_epochs upsampling), and the streaming near-dup gate's batch
     # twin (md5-52 band min-owner reduction).
     "doc_pii_scrub",
-    "doc_temperature_mix",
+    # r11 rotation: doc_temperature_mix OUT — the pipeline
+    # mixing/sampling family keeps doc_adaptive_quality_filter_auto
+    # (the histogram-gate member) and the exact integer-acceptance
+    # arithmetic stays parity-checked (plus doc_quota_alloc's
+    # Σquota≡B exactness).  IN: ev_k_anonymity — privacy risk
+    # accounting (quasi-identifier grouping with k-threshold
+    # suppression and exact survivor counts), the r10 analytics
+    # cohort's class nothing else in the window represents.
+    "ev_k_anonymity",
     # r8 LLM-pipeline operators, hard-oracle from birth, rotated into
     # the checked window in r9 (judge ask #2): shift-robust CDC chunk
     # dedup (the content-defined-chunking family head — cutpoints,

@@ -143,15 +143,22 @@ def write_geotiff(
     def short(tag: int, v: int) -> None:
         entries.append((tag, 3, 1, v))
 
-    short(T_WIDTH, nx)
-    short(T_LENGTH, ny)
+    def dim(tag: int, v: int) -> None:
+        # TIFF 6.0 allows SHORT or LONG for the dimension tags; a
+        # >65535-pixel raster needs LONG (r11 advice: packing it as
+        # SHORT raised an opaque struct.error) — readers, including
+        # ours, accept either type
+        entries.append((tag, 3, 1, v) if v <= 0xFFFF else (tag, 4, 1, v))
+
+    dim(T_WIDTH, nx)
+    dim(T_LENGTH, ny)
     short(T_COMP, comp_code)
     short(T_PHOTO, 1)
     short(T_SPP, 1)
     short(T_SAMPLE_FMT, fmt)
     if tile:
-        short(T_TILE_W, tile[1])
-        short(T_TILE_L, tile[0])
+        dim(T_TILE_W, tile[1])
+        dim(T_TILE_L, tile[0])
     else:
         short(T_ROWS_PER_STRIP, 8)
 

@@ -89,6 +89,26 @@ def test_big_endian_mm_strip_file_reads():
     assert (g["lat0"], g["lon0"]) == (20.0, 10.0)
 
 
+def test_wide_raster_uses_long_dim_tags():
+    """ImageWidth > 65535 must be written as a LONG tag (TIFF 6.0
+    allows SHORT or LONG; packing as SHORT raised struct.error — r11
+    advice), and round-trip through our reader."""
+    nx = 70_000
+    data = np.arange(nx, dtype=np.float32).reshape(1, nx)
+    blob = gt.write_geotiff(data, 50.0, -100.0, 0.5, 0.5)
+    # the width tag (256) in the IFD must be type 4 (LONG)
+    (ifd_off,) = struct.unpack_from("<I", blob, 4)
+    (n,) = struct.unpack_from("<H", blob, ifd_off)
+    types = {}
+    for i in range(n):
+        tag, typ, _cnt = struct.unpack_from("<HHI", blob, ifd_off + 2 + i * 12)
+        types[tag] = typ
+    assert types[256] == 4  # ImageWidth LONG
+    assert types[257] == 3  # ImageLength still SHORT (1 row)
+    g = gt.read_geotiff(blob)
+    np.testing.assert_array_equal(g["data"], data.astype(np.float64))
+
+
 def test_unsupported_shapes_raise():
     data = _data()
     with pytest.raises(gt.GeoTiffError, match="multiples of 16"):
