@@ -34,6 +34,19 @@ machine noise); the committed ``PLAN_FP_r{N}.json`` snapshots hold
 each round's fingerprint map, so a digest change in any future BENCH
 record is attributable by diffing against the last committed
 snapshot even when that round's detail file is gone.
+
+Protocol (round 11, judge ask r10#7): a fixed CALIBRATION probe — a
+synthetic, I/O-free, codegen-heavy aggregation over ``spark.range``
+whose work is identical every round by construction — runs at the
+start and after each third of the headline list; ``calib_sec`` (the
+median) lands in the summary line and the full series in
+bench_detail.json.  Cross-round, the calibration ratio IS the
+machine/JVM contention band for that run: a query whose median moved
+with the calibration (and whose ``plan_fp`` is unchanged) is
+environment noise; a query that moved beyond it names a real change.
+This makes movers decidable from the JSON record alone as the
+headline set keeps growing (the r5/r10 uniform-inflation signature no
+longer needs cross-round archaeology).
 """
 
 from __future__ import annotations
@@ -161,6 +174,17 @@ EXTRA_R10 = [
 ]
 HEADLINE += EXTRA_R10
 
+# Round-11 additions: the rows rotated into the checked window this
+# round, benched from birth (doc_dup_rewrite already entered with
+# EXTRA_R10) — excluded from shared16, present from BENCH_r11 on.
+EXTRA_R11 = [
+    "grid_mann_kendall",
+    "grid_ingest_geotiff",
+    "maintenance_forget_users",
+    "ev_k_anonymity",
+]
+HEADLINE += EXTRA_R11
+
 
 def plan_fingerprint(df) -> str:
     """Stable fingerprint of a DataFrame's physical plan: the
@@ -230,13 +254,35 @@ def main() -> None:
     tiny = spark.range(100).withColumnRenamed("id", "l_orderkey")
     warm.limit(5000).join(F.broadcast(tiny), "l_orderkey").count()
 
+    def calibration() -> float:
+        """Fixed synthetic probe: no parquet I/O, no Python workers —
+        pure JVM codegen + one shuffle, identical work every run, so
+        its round-over-round ratio isolates machine/JVM contention
+        from query changes."""
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 20_000_000, 1, 32)
+            .select(F.xxhash64("id").alias("h"))
+            .groupBy((F.col("h") % 1024).alias("b"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum(F.abs(F.col("h") % 1000)).alias("s"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return round(time.perf_counter() - t0, 3)
+
+    calibration()  # its own codegen warmup, unbilled
+
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     plan_fp: dict[str, str] = {}
-    for name in HEADLINE:
-        if name not in registry:
-            continue
+    present = [n for n in HEADLINE if n in registry]
+    calib_at = {0, len(present) // 3, 2 * len(present) // 3, len(present) - 1}
+    calib_runs: list[float] = []
+    for pos, name in enumerate(present):
+        if pos in calib_at:
+            calib_runs.append(calibration())
         fn = registry[name]
         samples = []
         df = None
@@ -266,6 +312,7 @@ def main() -> None:
         *EXTRA_R8,
         *EXTRA_R9,
         *EXTRA_R10,
+        *EXTRA_R11,
     }
     shared16 = round(sum(v for k, v in timings.items() if k not in late), 3)
 
@@ -282,10 +329,17 @@ def main() -> None:
     fp_digest = hashlib.md5(
         json.dumps(plan_fp, sort_keys=True).encode()
     ).hexdigest()[:12]
+    calib_sec = sorted(calib_runs)[len(calib_runs) // 2]
     detail_path = os.path.join(REPO, "bench_detail.json")
     with open(detail_path, "w") as f:
         json.dump(
-            {"sf": sf, "reps": reps, "runs": runs, "plan_fp": plan_fp},
+            {
+                "sf": sf,
+                "reps": reps,
+                "runs": runs,
+                "plan_fp": plan_fp,
+                "calib_runs": calib_runs,
+            },
             f,
             indent=1,
             sort_keys=True,
@@ -300,6 +354,7 @@ def main() -> None:
                 "sf": sf,
                 "reps": reps,
                 "shared16_total": shared16,
+                "calib_sec": calib_sec,
                 "plan_fp_digest": fp_digest,
             }
         )
