@@ -182,6 +182,12 @@ EXTRA_R11 = [
     "grid_ingest_geotiff",
     "maintenance_forget_users",
     "ev_k_anonymity",
+    # second r11 pass: the union-growth rotation's read-only entrants
+    # (grid_export_roundtrip is side-effecting and stays un-benched,
+    # like every other export roundtrip; emb_delta_knn already entered
+    # with EXTRA_R10)
+    "join_asof_tolerance",
+    "grid_heatwave_events",
 ]
 HEADLINE += EXTRA_R11
 

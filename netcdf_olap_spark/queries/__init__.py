@@ -105,7 +105,15 @@ _PRIORITY: tuple[str, ...] = (
     "grid_hyperslab",
     "grid_time_extent",
     "grid_null_stats",
-    "grid_histogram",
+    # r11 second pass (growing the union of ever-driver-checked rows,
+    # the r10 multi-pass pattern): grid_histogram OUT — A1's checked
+    # representation keeps agg_hll_portable (the sketch member) and
+    # bucketed-count arithmetic also rides ev_rfm_segments' histogram
+    # windows; stays registered + parity-checked.  IN:
+    # grid_heatwave_events — the r10 climate cohort's run-length event
+    # extraction (≥3 consecutive exceedance days → event spans with
+    # severity), never driver-checked before.
+    "grid_heatwave_events",
     "grid_quantile_breaks",
     # r10 rotation (judge ask #1): the climate-index family — the
     # reference's own domain (per-cell time-series statistics over the
@@ -153,7 +161,13 @@ _PRIORITY: tuple[str, ...] = (
     # plan family's checked member) below; the theta form stays
     # registered + parity-checked — ceding its slot to an r9
     # hard-oracle operator.
-    "join_asof_last_order",
+    # r11 second pass: join_asof_last_order OUT after nine green
+    # rounds — J5 keeps the STRICTLY HARDER family member
+    # join_asof_tolerance (as-of plus a max-staleness window, the
+    # production sensor-join shape; its curve is on record at α=0.22),
+    # never driver-checked before; the plain as-of stays registered +
+    # parity-checked.
+    "join_asof_tolerance",
     # r9 rotation (judge ask #2): window_lag_delta left the window —
     # LAG/analytic functions keep window_rank_topk (ranking) and
     # window_range_30d (RANGE frame) as checked members, and the
@@ -301,8 +315,14 @@ _PRIORITY: tuple[str, ...] = (
     # template detection; stays registered + parity-checked.  IN:
     # grid_export_zarr_roundtrip — the window's first SINK-identity
     # row (export∘ingest ≡ closed form through the Zarr chunk-object
-    # writer), a capability class no other window row represents.
-    "grid_export_zarr_roundtrip",
+    # writer).
+    # r11 second pass: the sink-identity slot moves to
+    # grid_export_roundtrip — the NETCDF sink (the flagship format's
+    # writer, fill-value inversion + hours-since-1990 re-encode),
+    # never driver-checked before; the Zarr roundtrip stays registered
+    # + parity-checked, and the Zarr READ path keeps a checked row via
+    # stream_zarr_ingest below.
+    "grid_export_roundtrip",
     "doc_boilerplate",
     "doc_source_pagerank",
     # similarity / ANN (N2).  r9 rotation: emb_knn_ivf_exact left the
@@ -336,7 +356,12 @@ _PRIORITY: tuple[str, ...] = (
     # adaptive gate's monster-source histogram form (its oracle is
     # the window form's SQL, so the checked row proves the
     # frontier-equivalence claim every round).
-    "emb_hard_negatives",
+    # r11 second pass: emb_hard_negatives OUT — it is the knn-graph
+    # bucket join with a label residual, and the family keeps
+    # emb_knn_graph; its slot carries emb_delta_knn — the INCREMENTAL
+    # daily-batch ANN shape (batch probes the at-rest corpus, corpus
+    # never self-paired; curve α=0.28), never driver-checked before.
+    "emb_delta_knn",
     "doc_adaptive_quality_filter_auto",
     # events (ST2 sessionize + interval join; ev_tumbling_stats left
     # the window in r8 — it duplicates stream_tumbling_stats'
