@@ -188,6 +188,12 @@ EXTRA_R11 = [
     # with EXTRA_R10)
     "join_asof_tolerance",
     "grid_heatwave_events",
+    # r11 new operators, benched from birth: the local hotspot
+    # statistic (neighbor join + owner rollup) and quantile-mapping
+    # bias correction (two per-cell rank windows + two order-index
+    # joins)
+    "grid_getis_gi",
+    "grid_quantile_map",
 ]
 HEADLINE += EXTRA_R11
 

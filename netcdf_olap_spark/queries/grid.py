@@ -1848,6 +1848,223 @@ ORDER BY time
 """
 
 
+def grid_getis_gi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GETIS-ORD Gi* LOCAL hotspot statistic, per day — the local
+    companion to grid_morans_i's global autocorrelation (the pairing
+    every spatial-statistics toolbox ships): for each cell, the sum of
+    the field over its rook neighborhood INCLUDING itself, standardized
+    against the day's global moments, flags hot/cold spots the global I
+    averages away.
+
+    Exactness (the morans trick, n-scaled): u_i = n·x_i − S is exact
+    decimal(18,6), and Σ_{j∈N(i)∪{i}} u_j = n·(local sum) − W_i·S — the
+    Gi* numerator scaled by n.  The checked output is therefore
+    components only: ``local_u`` (exact decimal 18,6), ``w_i``,
+    ``n_cells``, and the day's ``sum_u2`` = Σu² (decimal 38,12 — exact
+    (18,6)×(18,6) products, identical digits in both engines; the
+    decimal_audit fence verifies precision ≤ 38).  z itself =
+    local_u / (√(sum_u2/n) · √((n·w_i − w_i²)/(n−1))) is computed by
+    callers (pytest cross-checks it against a pure-python reference) —
+    emitting it would need the int128→double cast the house rules ban.
+
+    100 TB shape: per-day stats broadcast onto the cells; the
+    neighborhood sum is the offset-explode pattern (each cell emits 5
+    probe coordinates) keyed on (time, y, x) — one equi-join, work ∝
+    5·cells, never an all-pairs product; the per-owner groupBy is on
+    the cube's natural cell key."""
+    g = load_grid(spark).where(
+        (F.col("variable") == "LST_LWST_avg_daily") & F.col("value").isNotNull()
+    )
+    v = F.col("value").cast("decimal(18,6)")
+    cells0 = g.select("time", "y", "x", v.alias("v"))
+    per_day = cells0.groupBy("time").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("v").alias("s"),
+    )
+    u = deterministic.narrow_checked(
+        F.col("n_cells").cast("decimal(19,0)") * F.col("v") - F.col("s"),
+        "decimal(18,6)",
+        "grid_getis_gi u",
+    )
+    cells = cells0.join(F.broadcast(per_day), "time").select(
+        "time", "y", "x", "n_cells", u.alias("u")
+    )
+    off = F.explode(
+        F.array(
+            F.struct(F.lit(0).alias("dy"), F.lit(0).alias("dx")),
+            F.struct(F.lit(0).alias("dy"), F.lit(1).alias("dx")),
+            F.struct(F.lit(0).alias("dy"), F.lit(-1).alias("dx")),
+            F.struct(F.lit(1).alias("dy"), F.lit(0).alias("dx")),
+            F.struct(F.lit(-1).alias("dy"), F.lit(0).alias("dx")),
+        )
+    ).alias("o")
+    probes = cells.select("time", "y", "x", off).select(
+        "time",
+        "y",
+        "x",
+        (F.col("y") + F.col("o.dy")).alias("ny"),
+        (F.col("x") + F.col("o.dx")).alias("nx"),
+    )
+    dst = cells.select(
+        "time", F.col("y").alias("ny"), F.col("x").alias("nx"), F.col("u").alias("u_t")
+    )
+    nb = (
+        probes.join(dst, ["time", "ny", "nx"])
+        .groupBy("time", "y", "x")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("w_i"),
+            # ≤5 terms of |u| ≤ ~1e10 — comfortably inside (18,6)
+            deterministic.narrow_checked(
+                F.sum("u_t"), "decimal(18,6)", "grid_getis_gi local_u"
+            ).alias("local_u"),
+        )
+    )
+    su2 = cells.groupBy("time", "n_cells").agg(
+        F.sum((F.col("u") * F.col("u")).cast("decimal(38,12)")).alias("sum_u2")
+    )
+    return (
+        nb.join(su2, "time")
+        .select("time", "y", "x", "n_cells", "w_i", "local_u", "sum_u2")
+        .orderBy("time", "y", "x")
+    )
+
+
+GRID_GETIS_GI_SQL = f"""
+WITH cells0 AS (
+  SELECT time, y, x, CAST(value AS DECIMAL(18,6)) AS v
+  FROM {GRID}
+  WHERE variable = 'LST_LWST_avg_daily' AND value IS NOT NULL),
+per_day AS (
+  SELECT time, CAST(COUNT(*) AS BIGINT) AS n_cells, SUM(v) AS s
+  FROM cells0 GROUP BY time),
+cells AS (
+  SELECT c.time, y, x, n_cells,
+         CAST(CAST(n_cells AS DECIMAL(19,0)) * v - s AS DECIMAL(19,6)) AS u
+  FROM cells0 c JOIN per_day USING (time)),
+probes AS (
+  SELECT time, y, x, y + dy AS ny, x + dx AS nx
+  FROM cells CROSS JOIN (VALUES (0, 0), (0, 1), (0, -1), (1, 0), (-1, 0)) AS o(dy, dx)),
+nb AS (
+  SELECT p.time, p.y, p.x, CAST(COUNT(*) AS BIGINT) AS w_i,
+         CAST(SUM(d.u) AS DECIMAL(18,6)) AS local_u
+  FROM probes p JOIN cells d ON p.time = d.time AND p.ny = d.y AND p.nx = d.x
+  GROUP BY p.time, p.y, p.x),
+su2 AS (
+  SELECT time, n_cells, SUM(CAST(u * u AS DECIMAL(38,12))) AS sum_u2
+  FROM cells GROUP BY time, n_cells)
+SELECT time, y, x, n_cells, w_i, local_u, sum_u2
+FROM nb JOIN su2 USING (time)
+ORDER BY time, y, x
+"""
+
+
+def grid_quantile_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTILE-MAPPING bias correction, per cell — THE standard
+    climate-model downscaling operator (empirical CDF matching): each
+    day-variable value is mapped to the observation variable's value
+    at the same per-cell empirical quantile, via linear interpolation
+    between the observation's order statistics.  The reference's
+    per-day means can't express distribution matching at all.
+
+    Exactness: the plotting position h = (rank−½)/n_a·(n_b−1) is the
+    RATIONAL ((2·rank−1)(n_b−1)) / (2·n_a) — its floor and remainder
+    are pure INTEGER ops (never a float floor, which could round the
+    boundary differently per engine), and the interpolation
+    b_lo + frac·(b_hi − b_lo) is two correctly-rounded IEEE ops on
+    identical operands (the grid_trend_ols rule; frac is one exact
+    division).  Rank ties break on the time key, so both engines rank
+    identically.
+
+    100 TB shape: two per-cell window sorts (the cube's natural key —
+    never a global sort), one tiny per-cell count join, and two
+    equi-joins on (cell, order-index); work ∝ rows, all key-local."""
+    g = load_grid(spark)
+    a = g.where(
+        (F.col("variable") == "LST_LWST_avg_day") & F.col("value").isNotNull()
+    ).select("y", "x", "time", F.col("value").cast("double").alias("v"))
+    b = g.where(
+        (F.col("variable") == "avg_night_temp") & F.col("value").isNotNull()
+    ).select("y", "x", "time", F.col("value").cast("double").alias("w"))
+    cell = Window.partitionBy("y", "x")
+    a2 = a.select(
+        "y",
+        "x",
+        "time",
+        "v",
+        F.row_number().over(cell.orderBy("v", "time")).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(cell).cast("long").alias("na"),
+    )
+    bstat = b.select(
+        "y",
+        "x",
+        "w",
+        (F.row_number().over(cell.orderBy("w", "time")) - F.lit(1)).cast("long").alias("k"),
+    )
+    nbs = b.groupBy("y", "x").agg(F.count(F.lit(1)).cast("long").alias("nb"))
+    j = (
+        a2.join(nbs, ["y", "x"])
+        .where(F.col("nb") >= 2)
+        .select(
+            "y",
+            "x",
+            "time",
+            "v",
+            F.expr("((2 * rn - 1) * (nb - 1)) DIV (2 * na)").alias("k"),
+            (
+                F.expr("((2 * rn - 1) * (nb - 1)) % (2 * na)").cast("double")
+                / (F.lit(2) * F.col("na")).cast("double")
+            ).alias("frac"),
+        )
+    )
+    lo = bstat.select("y", "x", "k", F.col("w").alias("b_lo"))
+    hi = bstat.select("y", "x", (F.col("k") - F.lit(1)).alias("k"), F.col("w").alias("b_hi"))
+    return (
+        j.join(lo, ["y", "x", "k"])
+        .join(hi, ["y", "x", "k"])
+        .select(
+            "y",
+            "x",
+            "time",
+            F.col("v").alias("value"),
+            (F.col("b_lo") + F.col("frac") * (F.col("b_hi") - F.col("b_lo"))).alias("mapped"),
+        )
+        .orderBy("y", "x", "time")
+    )
+
+
+GRID_QUANTILE_MAP_SQL = f"""
+WITH a AS (
+  SELECT y, x, time, CAST(value AS DOUBLE) AS v
+  FROM {GRID} WHERE variable = 'LST_LWST_avg_day' AND value IS NOT NULL),
+b AS (
+  SELECT y, x, time, CAST(value AS DOUBLE) AS w
+  FROM {GRID} WHERE variable = 'avg_night_temp' AND value IS NOT NULL),
+arank AS (
+  SELECT y, x, time, v,
+         CAST(ROW_NUMBER() OVER (PARTITION BY y, x ORDER BY v, time) AS BIGINT) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY y, x) AS BIGINT) AS na
+  FROM a),
+bstat AS (
+  SELECT y, x, w,
+         CAST(ROW_NUMBER() OVER (PARTITION BY y, x ORDER BY w, time) - 1 AS BIGINT) AS k
+  FROM b),
+nbs AS (SELECT y, x, CAST(COUNT(*) AS BIGINT) AS nb FROM b GROUP BY y, x),
+j AS (
+  SELECT ar.y, ar.x, ar.time, ar.v,
+         ((2 * rn - 1) * (nb - 1)) // (2 * na) AS k,
+         CAST(((2 * rn - 1) * (nb - 1)) % (2 * na) AS DOUBLE)
+           / CAST(2 * na AS DOUBLE) AS frac
+  FROM arank ar JOIN nbs USING (y, x)
+  WHERE nb >= 2)
+SELECT j.y, j.x, j.time, j.v AS value,
+       lo.w + j.frac * (hi.w - lo.w) AS mapped
+FROM j
+JOIN bstat lo ON j.y = lo.y AND j.x = lo.x AND j.k = lo.k
+JOIN bstat hi ON j.y = hi.y AND j.x = hi.x AND j.k + 1 = hi.k
+ORDER BY j.y, j.x, j.time
+"""
+
+
 def grid_gdd_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative exceedance index per cell — growing-degree-days
     (GDD) shape: for every cell and day, the running Σ max(value −
@@ -2753,6 +2970,8 @@ QUERIES = {
     "grid_gdd_accumulate": (grid_gdd_accumulate, GRID_GDD_SQL),
     "grid_percent_of_record": (grid_percent_of_record, GRID_PCT_RECORD_SQL),
     "grid_morans_i": (grid_morans_i, GRID_MORANS_I_SQL),
+    "grid_getis_gi": (grid_getis_gi, GRID_GETIS_GI_SQL),
+    "grid_quantile_map": (grid_quantile_map, GRID_QUANTILE_MAP_SQL),
     "grid_cross_corr": (grid_cross_corr, GRID_CROSS_CORR_SQL),
     "grid_ewma_dyadic": (grid_ewma_dyadic, GRID_EWMA_SQL),
     "grid_theil_sen": (grid_theil_sen, GRID_THEIL_SEN_SQL),

@@ -151,6 +151,9 @@ GRID_QUERIES = [
     "grid_pettitt_changepoint",  # two rank windows per cell
     "grid_mann_kendall",        # theil-sen pair join + tie rollup
     "grid_forecast_skill",      # LAG window + clim join per cell
+    # r11 additions
+    "grid_getis_gi",            # 5-offset neighbor join + owner rollup
+    "grid_quantile_map",        # two per-cell rank windows + 2 k-joins
 ]
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
