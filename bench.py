@@ -194,6 +194,8 @@ EXTRA_R11 = [
     # joins)
     "grid_getis_gi",
     "grid_quantile_map",
+    # the warehouse contract audit (two big-table joins + five scans)
+    "maintenance_dq_audit",
 ]
 HEADLINE += EXTRA_R11
 

