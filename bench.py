@@ -196,6 +196,10 @@ EXTRA_R11 = [
     "grid_quantile_map",
     # the warehouse contract audit (two big-table joins + five scans)
     "maintenance_dq_audit",
+    # third r11 pass window entrants
+    "scalar_bitwise_funcs",
+    "ev_survival_hazard",
+    "media_audio_dedup",
 ]
 HEADLINE += EXTRA_R11
 

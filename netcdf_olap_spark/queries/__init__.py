@@ -138,7 +138,14 @@ _PRIORITY: tuple[str, ...] = (
     # frame family's slot; the ROWS frame also rides ev_sessionize) to
     # make room for the ANN index-path hash check (emb_knn_ivf_exact).
     "q1_pricing_summary",
-    "agg_rollup",
+    # r11 third pass: agg_rollup OUT — A7 keeps TWO checked members
+    # (q1_pricing_summary's grouped aggregate, unpivot_part_measures'
+    # reshaping) and the rollup/grouping-sets values stay
+    # parity-checked (plus agg_grouping_sets/agg_cube siblings).  IN:
+    # scalar_bitwise_funcs — the F2/F3 family's parity-only member
+    # (shifts/xor/popcount over the 63-bit range), never
+    # driver-checked before.
+    "scalar_bitwise_funcs",
     # r10 second-cohort rotation: agg_conditional_extrema OUT — A5's
     # filtered min_by/max_by values also ride grid_nearest_cell's
     # argmin (A4) and the q1/rollup conditional aggregates; stays
@@ -367,7 +374,12 @@ _PRIORITY: tuple[str, ...] = (
     # the window in r8 — it duplicates stream_tumbling_stats'
     # tumbling-window semantics, which stays below and exercises the
     # real streaming path; the batch twin remains parity-checked)
-    "ev_sessionize",
+    # r11 third pass: ev_sessionize OUT after ten green rounds — gap
+    # sessionization stays parity-checked AND pinned equal to its
+    # streaming twin (stream_sessionize) in tests/test_streaming.py.
+    # IN: ev_survival_hazard — the weekly life-table (discrete
+    # survival/hazard) class, never driver-checked before.
+    "ev_survival_hazard",
     "ev_interval_join",
     # streaming (ST1 — oracle-checked since round 5: window() buckets
     # are epoch-aligned integer µs and the sum rides a decimal
@@ -386,7 +398,12 @@ _PRIORITY: tuple[str, ...] = (
     # multimodal (N4 — oracle-checked since round 5: the planted
     # near-dup groups are id arithmetic, media_image_features' pixel
     # stats are not; the latter stays registered + pytest-pinned)
-    "media_phash_dedup",
+    # r11 third pass: media_phash_dedup OUT after six green rounds —
+    # pHash Hamming dedup stays parity-checked.  IN: media_audio_dedup
+    # — the spectral-fingerprint audio near-dup family, never
+    # driver-checked before, keeping multimodal represented by a
+    # value-checked member.
+    "media_audio_dedup",
 )
 
 
