@@ -941,7 +941,10 @@ def semantic_pair_candidates(assigned: DataFrame, threshold: float) -> DataFrame
     return (
         a.join(b, "cluster")
         .where(F.col("id1") < F.col("id2"))
-        .where(_dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")) >= threshold)
+        # _pair_cos, not raw dot/(n1*n2): a zero vector's 0/0 NaN
+        # satisfies `NaN >= threshold` in Spark and would mass-dedup
+        # every pair involving it (r11 review finding)
+        .where(_pair_cos(F.col("v1"), F.col("v2"), F.col("n1"), F.col("n2")) >= threshold)
         .select(F.col("id2").alias("id"))
     )
 

@@ -1740,6 +1740,40 @@ ORDER BY y, x
 """
 
 
+def _cells_with_exact_u(spark: SparkSession, label: str) -> DataFrame:
+    """Shared prelude of the spatial statistics (Moran's I, Getis-Ord
+    Gi*): the day's cells with u = n·v − S, EXACT at decimal(18,6).
+
+    GUARDED (narrow_checked): u must stay decimal(18,6) — an (18,6)
+    x (18,6) product is precision 37 (exact); at (19,6) Spark's
+    default allowPrecisionLoss silently rounds the precision-39
+    product to (38,11), diverging from DuckDB's exact multiply in
+    the last digits (the round-10 driver failure).  |u| = |n.v - S|
+    <= 2.n.max|v| ~ 1e10 even on the amp100 cube — comfortably
+    inside (18,6)'s 12 integer digits; the guard raises loudly
+    (tagged ``label``) if a future cube violates that bound.
+
+    Output: (time, y, x, n_cells, u) — per-day stats broadcast back
+    onto the cells, the 100 TB shape both statistics share."""
+    g = load_grid(spark).where(
+        (F.col("variable") == "LST_LWST_avg_daily") & F.col("value").isNotNull()
+    )
+    v = F.col("value").cast("decimal(18,6)")
+    cells0 = g.select("time", "y", "x", v.alias("v"))
+    per_day = cells0.groupBy("time").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("v").alias("s"),
+    )
+    u = deterministic.narrow_checked(
+        F.col("n_cells").cast("decimal(19,0)") * F.col("v") - F.col("s"),
+        "decimal(18,6)",
+        label,
+    )
+    return cells0.join(F.broadcast(per_day), "time").select(
+        "time", "y", "x", "n_cells", u.alias("u")
+    )
+
+
 def grid_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MORAN'S I spatial autocorrelation, per day — the standard
     "is this field spatially clustered?" statistic (rook 4-neighbor
@@ -1756,35 +1790,13 @@ def grid_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
     output; I itself = (n/W)·num/den, computed by callers (pytest
     cross-checks it against numpy in float).
 
-    100 TB shape: per-day stats broadcast back onto the cells; the
-    neighbor join is the offset-explode pattern (each cell emits its
-    4 rook-neighbor coordinates once) keyed on (time, y, x) — one
-    equi-join, work ∝ 4·cells, never an all-pairs product."""
-    g = load_grid(spark).where(
-        (F.col("variable") == "LST_LWST_avg_daily") & F.col("value").isNotNull()
-    )
-    v = F.col("value").cast("decimal(18,6)")
-    cells0 = g.select("time", "y", "x", v.alias("v"))
-    per_day = cells0.groupBy("time").agg(
-        F.count(F.lit(1)).cast("long").alias("n_cells"),
-        F.sum("v").alias("s"),
-    )
-    # GUARDED (narrow_checked): u must stay decimal(18,6) — an (18,6)
-    # x (18,6) product is precision 37 (exact); at (19,6) Spark's
-    # default allowPrecisionLoss silently rounds the precision-39
-    # product to (38,11), diverging from DuckDB's exact multiply in
-    # the last digits (the round-10 driver failure).  |u| = |n.v - S|
-    # <= 2.n.max|v| ~ 1e10 even on the amp100 cube — comfortably
-    # inside (18,6)'s 12 integer digits; the guard raises loudly if a
-    # future cube violates that bound.
-    u = deterministic.narrow_checked(
-        F.col("n_cells").cast("decimal(19,0)") * F.col("v") - F.col("s"),
-        "decimal(18,6)",
-        "grid_morans_i u",
-    )
-    cells = cells0.join(F.broadcast(per_day), "time").select(
-        "time", "y", "x", "n_cells", u.alias("u")
-    )
+    100 TB shape: per-day stats broadcast back onto the cells
+    (_cells_with_exact_u — shared with grid_getis_gi, including the
+    round-10 decimal(18,6) exactness guard); the neighbor join is the
+    offset-explode pattern (each cell emits its 4 rook-neighbor
+    coordinates once) keyed on (time, y, x) — one equi-join, work ∝
+    4·cells, never an all-pairs product."""
+    cells = _cells_with_exact_u(spark, "grid_morans_i u")
     off = F.explode(
         F.array(
             F.struct(F.lit(0).alias("dy"), F.lit(1).alias("dx")),
@@ -1867,28 +1879,14 @@ def grid_getis_gi(spark: SparkSession, sf_dir: str) -> DataFrame:
     callers (pytest cross-checks it against a pure-python reference) —
     emitting it would need the int128→double cast the house rules ban.
 
-    100 TB shape: per-day stats broadcast onto the cells; the
-    neighborhood sum is the offset-explode pattern (each cell emits 5
-    probe coordinates) keyed on (time, y, x) — one equi-join, work ∝
-    5·cells, never an all-pairs product; the per-owner groupBy is on
-    the cube's natural cell key."""
-    g = load_grid(spark).where(
-        (F.col("variable") == "LST_LWST_avg_daily") & F.col("value").isNotNull()
-    )
-    v = F.col("value").cast("decimal(18,6)")
-    cells0 = g.select("time", "y", "x", v.alias("v"))
-    per_day = cells0.groupBy("time").agg(
-        F.count(F.lit(1)).cast("long").alias("n_cells"),
-        F.sum("v").alias("s"),
-    )
-    u = deterministic.narrow_checked(
-        F.col("n_cells").cast("decimal(19,0)") * F.col("v") - F.col("s"),
-        "decimal(18,6)",
-        "grid_getis_gi u",
-    )
-    cells = cells0.join(F.broadcast(per_day), "time").select(
-        "time", "y", "x", "n_cells", u.alias("u")
-    )
+    100 TB shape: per-day stats broadcast onto the cells
+    (_cells_with_exact_u — shared with grid_morans_i, including the
+    round-10 decimal(18,6) exactness guard); the neighborhood sum is
+    the offset-explode pattern (each cell emits 5 probe coordinates)
+    keyed on (time, y, x) — one equi-join, work ∝ 5·cells, never an
+    all-pairs product; the per-owner groupBy is on the cube's natural
+    cell key."""
+    cells = _cells_with_exact_u(spark, "grid_getis_gi u")
     off = F.explode(
         F.array(
             F.struct(F.lit(0).alias("dy"), F.lit(0).alias("dx")),

@@ -433,9 +433,11 @@ def _near_dup_pairs(e: DataFrame) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("id1"),
             F.col("b.vec_id").alias("id2"),
-            (
-                similarity._dot(F.col("a.embedding"), F.col("b.embedding"))
-                / (F.col("a.nrm") * F.col("b.nrm"))
+            # _pair_cos, not raw dot/(na*nb): a zero vector's 0/0 NaN
+            # passes `NaN > 0.3` in Spark and would near-dup-match it
+            # to every same-label row (r11 review finding)
+            similarity._pair_cos(
+                F.col("a.embedding"), F.col("b.embedding"), F.col("a.nrm"), F.col("b.nrm")
             ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") > 0.3)

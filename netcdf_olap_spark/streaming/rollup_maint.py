@@ -19,14 +19,24 @@ partition with DYNAMIC partition overwrite.  Two properties fall out:
   foreachBatch sinks.
 
 An optional compaction rewrites fragments into one row per key;
-queries are correct before and after it — see
-``compact_rollup_store`` for its (single-writer) contract and the
-manifest protocol that closes the crash-double-count window (r11
-advice): a compaction first publishes an epoch-stamped manifest of
-the partitions it will consume, then commits the merged data carrying
-that epoch — readers honor the manifest ONLY when the compacted
-partition's epoch matches, so a crash at any point leaves a store
-that reads back exactly once (never doubled, never missing).
+queries are correct before and after it.  The protocol (r11; hardened
+by the r11 review) is the snapshot pattern in miniature:
+
+- each compaction writes its merge to a FRESH partition
+  ``batch_id=-<epoch>`` — it never overwrites the previous compacted
+  partition, so a torn write can only produce an ORPHAN directory no
+  reader ever addresses;
+- the atomically-renamed store-root manifest is THE commit record: it
+  names the epoch (→ which negative partition is live) and, per
+  consumed fragment, the exact DATA FILE NAMES consumed.  Readers
+  address ``batch_id=-<manifest.epoch>`` plus every fragment whose
+  current files are NOT all in the consumed record — so a fragment
+  id reused by a restarted stream (fresh checkpoint ⇒ batch ids
+  restart at 0; Spark part-file names are UUID-unique) is read
+  normally instead of silently blacklisted, and a crash between the
+  merge commit and the cleanup never double-counts;
+- cleanup (and the next compaction's repair step) deletes exactly the
+  recorded files, never a directory that has since been rewritten.
 
 At scale: each micro-batch shuffles only its own events (one
 aggregation), the store grows by O(batch buckets) rows per trigger,
@@ -48,106 +58,18 @@ from netcdf_olap_spark.operators.rollup import US_10MIN, build_rollup
 # the vectorized reader on the next scan (a review finding)
 _SUM_DEC = "decimal(28,2)"
 
-COMPACTED_BATCH_ID = -1  # the compaction output's partition
-
-#: store-root manifest naming the partitions a compaction consumed;
-#: the leading underscore hides it from Spark's file index
+#: store-root manifest: the compaction COMMIT RECORD (epoch + the
+#: exact files each consumed fragment contributed); the leading
+#: underscore hides it from Spark's file index
 MANIFEST_NAME = "_compaction_manifest.json"
 
-#: fragment schema, pinned: the main read must NOT infer (the
-#: compacted partition's files carry an extra compaction_epoch column,
-#: and inference could sample either file shape)
+#: one uniform schema for fragments and compacted partitions; the
+#: read never infers (and never needs to — compacted files carry no
+#: extra columns under this protocol)
 _STORE_SCHEMA = (
     "bucket_us long, event_type string, p_count long, "
     f"p_sum {_SUM_DEC}, p_min double, p_max double, batch_id int"
 )
-
-
-def _fs_for(spark: SparkSession, out_dir: str):
-    """(Hadoop FileSystem, Path class) for the store — listing and
-    deletes go through the FS API so non-local stores (s3a/hdfs) work
-    the same as local paths (r11 advice)."""
-    jvm = spark._jvm
-    path_cls = jvm.org.apache.hadoop.fs.Path
-    fs = path_cls(out_dir).getFileSystem(spark._jsc.hadoopConfiguration())
-    return fs, path_cls
-
-
-def _read_manifest(spark: SparkSession, out_dir: str) -> dict | None:
-    import json
-
-    fs, path_cls = _fs_for(spark, out_dir)
-    target = path_cls(out_dir, MANIFEST_NAME)
-    if not fs.exists(target):
-        return None
-    stream = fs.open(target)
-    try:
-        text = spark._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
-    finally:
-        stream.close()
-    return json.loads(text)
-
-
-def _write_manifest(spark: SparkSession, out_dir: str, manifest: dict) -> None:
-    """Atomic publish: write to a temp name, then rename over the
-    target (single-writer contract makes the delete+rename safe)."""
-    import json
-
-    fs, path_cls = _fs_for(spark, out_dir)
-    target = path_cls(out_dir, MANIFEST_NAME)
-    tmp = path_cls(out_dir, MANIFEST_NAME + ".tmp")
-    out = fs.create(tmp, True)
-    try:
-        out.write(bytearray(json.dumps(manifest).encode("utf-8")))
-    finally:
-        out.close()
-    fs.delete(target, False)
-    if not fs.rename(tmp, target):
-        raise IOError(f"could not publish {target}")
-
-
-def _list_fragment_partitions(spark: SparkSession, out_dir: str) -> list[int]:
-    """batch_id values of the non-compacted partition directories."""
-    fs, path_cls = _fs_for(spark, out_dir)
-    ids = []
-    for status in fs.listStatus(path_cls(out_dir)):
-        name = status.getPath().getName()
-        if name.startswith("batch_id=") and status.isDirectory():
-            bid = int(name.split("=", 1)[1])
-            if bid != COMPACTED_BATCH_ID:
-                ids.append(bid)
-    return sorted(ids)
-
-
-def _effective_consumed(spark: SparkSession, out_dir: str) -> list[int]:
-    """Partitions a reader must SKIP: the manifest's consumed list,
-    honored only when the compacted partition carries the manifest's
-    epoch — i.e. only when the compaction that wrote the manifest
-    actually committed its merged data.  A manifest whose merged
-    write never landed (crash between publish and commit) is inert."""
-    manifest = _read_manifest(spark, out_dir)
-    if not manifest:
-        return []
-    fs, path_cls = _fs_for(spark, out_dir)
-    cdir = f"{out_dir}/batch_id={COMPACTED_BATCH_ID}"
-    if not fs.exists(path_cls(cdir)):
-        return []
-    from pyspark.errors import AnalysisException
-
-    try:
-        compacted = spark.read.parquet(cdir)
-    except AnalysisException as e:
-        # an empty/uncommitted -1 directory means the merged write
-        # never landed → the manifest is inert; anything else is real
-        if (e.getCondition() or "") in ("UNABLE_TO_INFER_SCHEMA", "PATH_NOT_FOUND"):
-            return []
-        raise
-    if "compaction_epoch" not in compacted.columns:
-        return []
-    epoch = compacted.agg(F.max("compaction_epoch")).first()[0]
-    if epoch != manifest.get("epoch"):
-        return []
-    return [int(b) for b in manifest.get("consumed", [])]
 
 
 def write_rollup_batch(
@@ -155,7 +77,10 @@ def write_rollup_batch(
 ) -> None:
     """One micro-batch's partials → the ``batch_id=<id>`` partition,
     dynamic-overwritten: running this twice for the same id (the
-    foreachBatch replay case) leaves exactly one copy."""
+    foreachBatch replay case) leaves exactly one copy.  Negative ids
+    are reserved for compaction output."""
+    if int(batch_id) < 0:
+        raise ValueError("negative batch_id values are reserved for compaction output")
     (
         build_rollup(batch, bucket_us)
         .withColumn("p_sum", F.col("p_sum").cast(_SUM_DEC))
@@ -190,23 +115,130 @@ def start_rollup_maintenance(
     )
 
 
+# ---------------------------------------------------------------------------
+# store filesystem helpers (Hadoop FS API so s3a/hdfs behave like local)
+# ---------------------------------------------------------------------------
+
+
+def _fs_for(spark: SparkSession, out_dir: str):
+    jvm = spark._jvm
+    path_cls = jvm.org.apache.hadoop.fs.Path
+    fs = path_cls(out_dir).getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, path_cls
+
+
+def _read_manifest(spark: SparkSession, out_dir: str) -> dict | None:
+    import json
+
+    fs, path_cls = _fs_for(spark, out_dir)
+    target = path_cls(out_dir, MANIFEST_NAME)
+    if not fs.exists(target):
+        return None
+    stream = fs.open(target)
+    try:
+        text = spark._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return json.loads(text)
+
+
+def _write_manifest(spark: SparkSession, out_dir: str, manifest: dict) -> None:
+    """Atomic publish — THE compaction commit: write to a temp name,
+    then rename over the target (single-writer contract makes the
+    delete+rename safe)."""
+    import json
+
+    fs, path_cls = _fs_for(spark, out_dir)
+    target = path_cls(out_dir, MANIFEST_NAME)
+    tmp = path_cls(out_dir, MANIFEST_NAME + ".tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps(manifest).encode("utf-8")))
+    finally:
+        out.close()
+    fs.delete(target, False)
+    if not fs.rename(tmp, target):
+        raise IOError(f"could not publish {target}")
+
+
+def _is_data_file(name: str) -> bool:
+    return not (name.startswith("_") or name.startswith("."))
+
+
+def _list_partitions(spark: SparkSession, out_dir: str) -> dict[int, list[str]]:
+    """{batch_id: [data file names]} for every partition directory."""
+    fs, path_cls = _fs_for(spark, out_dir)
+    root = path_cls(out_dir)
+    if not fs.exists(root):
+        return {}
+    out: dict[int, list[str]] = {}
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        if name.startswith("batch_id=") and status.isDirectory():
+            bid = int(name.split("=", 1)[1])
+            files = [
+                f.getPath().getName()
+                for f in fs.listStatus(status.getPath())
+                if f.isFile() and _is_data_file(f.getPath().getName())
+            ]
+            out[bid] = sorted(files)
+    return out
+
+
+def _live_dirs(
+    out_dir: str, manifest: dict | None, parts: dict[int, list[str]]
+) -> list[str]:
+    """The partition directories a reader must address: the
+    manifest's compacted partition (if any) plus every non-negative
+    fragment whose CURRENT files are not all consumed.  Orphan
+    negative partitions (a compaction that died before its manifest
+    commit) are never addressed."""
+    dirs: list[str] = []
+    epoch = int(manifest["epoch"]) if manifest else 0
+    consumed: dict[str, list[str]] = manifest.get("consumed", {}) if manifest else {}
+    if manifest:
+        if -epoch not in parts:
+            raise IOError(
+                f"rollup store corrupted: manifest epoch {epoch} but "
+                f"batch_id={-epoch} is missing under {out_dir}"
+            )
+        dirs.append(f"{out_dir}/batch_id={-epoch}")
+    for bid, files in sorted(parts.items()):
+        if bid < 0:
+            continue
+        recorded = set(consumed.get(str(bid), ()))
+        if files and recorded and set(files) <= recorded:
+            continue  # exactly the consumed data (cleanup pending) — skip
+        if files:
+            dirs.append(f"{out_dir}/batch_id={bid}")
+    return dirs
+
+
 def read_rollup_store(spark: SparkSession, out_dir: str) -> DataFrame:
-    """Merge the appended fragments back to one row per (bucket,
+    """Merge the live partitions back to one row per (bucket,
     event_type) — exact (decimal/long/min/max merges are
     order-independent).  The merged sum keeps the FRAGMENT precision
     (decimal(28,2)) so compaction output and fresh fragments always
     share one parquet schema.
 
-    Partitions named by an EFFECTIVE compaction manifest are excluded:
-    if a compaction committed its merged data (epoch match) but died
-    before removing the consumed source partitions, those partitions
-    are redundant with batch_id=-1 and summing both would silently
-    double-count (r11 advice) — the manifest makes the survivor set
-    explicit instead of trusting the cleanup to have finished."""
-    skip = _effective_consumed(spark, out_dir)
-    df = spark.read.schema(_STORE_SCHEMA).parquet(out_dir)
-    if skip:
-        df = df.where(~F.col("batch_id").isin(skip))
+    Reads by EXPLICIT partition-directory list (see _live_dirs): the
+    manifest-addressed compacted partition plus unconsumed fragments.
+    A consumed fragment that still exists (cleanup crashed) is skipped
+    by its recorded file names — and a REUSED fragment id (restarted
+    stream, fresh checkpoint) is read normally because its part-file
+    names differ from the record (r11 review: a bare id blacklist
+    silently lost reused ids)."""
+    manifest = _read_manifest(spark, out_dir)
+    parts = _list_partitions(spark, out_dir)
+    dirs = _live_dirs(out_dir, manifest, parts)
+    if not dirs:
+        df = spark.createDataFrame([], _STORE_SCHEMA)
+    else:
+        df = (
+            spark.read.schema(_STORE_SCHEMA)
+            .option("basePath", out_dir)
+            .parquet(*dirs)
+        )
     return df.groupBy("bucket_us", "event_type").agg(
         F.sum("p_count").alias("p_count"),
         F.sum("p_sum").cast(_SUM_DEC).alias("p_sum"),
@@ -215,62 +247,98 @@ def read_rollup_store(spark: SparkSession, out_dir: str) -> DataFrame:
     )
 
 
-def _delete_partitions(spark: SparkSession, out_dir: str, batch_ids: list[int]) -> None:
+def _delete_recorded(
+    spark: SparkSession,
+    out_dir: str,
+    consumed: dict[str, list[str]],
+    parts: dict[int, list[str]],
+) -> None:
+    """Delete exactly the recorded consumed files (never a directory
+    that has since been rewritten under a reused id), then any
+    emptied fragment directory."""
     fs, path_cls = _fs_for(spark, out_dir)
-    for bid in batch_ids:
-        fs.delete(path_cls(out_dir, f"batch_id={bid}"), True)
+    for bid_str, files in consumed.items():
+        bid = int(bid_str)
+        current = set(parts.get(bid, ()))
+        for name in files:
+            if name in current:
+                fs.delete(path_cls(f"{out_dir}/batch_id={bid}", name), False)
+        left = [
+            f.getPath().getName()
+            for f in (
+                fs.listStatus(path_cls(out_dir, f"batch_id={bid}"))
+                if fs.exists(path_cls(out_dir, f"batch_id={bid}"))
+                else []
+            )
+            if _is_data_file(f.getPath().getName())
+        ]
+        if not left and fs.exists(path_cls(out_dir, f"batch_id={bid}")):
+            fs.delete(path_cls(out_dir, f"batch_id={bid}"), True)
 
 
 def compact_rollup_store(spark: SparkSession, out_dir: str) -> None:
-    """Rewrite fragments to one row per key — crash-safe exactly-once
-    via the manifest protocol (every step is individually restartable
-    and the store reads back correctly between any two steps):
+    """Rewrite the live partitions to one row per key — crash-safe
+    exactly-once (every step individually restartable; the store
+    reads back correctly between any two steps):
 
-    1. REPAIR: if the previous compaction's manifest is effective but
-       its consumed partitions still exist (crash before cleanup),
-       delete them now — they are redundant with batch_id=-1 and must
-       be gone before the manifest is replaced.
-    2. Publish a NEW manifest (epoch+1, the partitions about to be
-       consumed) by atomic rename.  Inert until step 3 commits: the
-       compacted partition does not carry this epoch yet, so readers
-       ignore it — a crash here changes nothing.
-    3. Commit the merged data into ``batch_id=-1`` (dynamic partition
-       overwrite) with every row stamped ``compaction_epoch`` = the
-       manifest's epoch.  The moment this commits, the manifest turns
-       effective and readers skip the consumed partitions even though
-       their directories still exist — the old double-count window.
-    4. Delete the consumed partition directories (Hadoop FS API, so
-       s3a/hdfs stores behave like local paths).  A crash mid-delete
-       leaves extra directories the manifest already excludes.
+    1. REPAIR: finish the previous compaction's cleanup if it died
+       mid-delete (remove its recorded consumed files), and remove
+       orphan negative partitions (a merge that died before its
+       manifest commit).
+    2. Write the merge of the CURRENT live view (previous compacted
+       partition + unconsumed fragments) into the FRESH partition
+       ``batch_id=-(epoch+1)``.  Nothing addresses it yet — a torn
+       write here is an orphan, invisible to readers (r11 review:
+       overwriting the live compacted partition in place made a torn
+       dynamic-overwrite commit readable as complete).
+    3. Atomically publish the manifest naming the new epoch and the
+       exact files of each consumed fragment — THE commit: from this
+       instant readers address the new compacted partition and skip
+       exactly those files.
+    4. Delete the consumed files and the previous compacted
+       partition.  A crash mid-delete leaves only data the manifest
+       already excludes.
 
     CONTRACT (documented, not enforced): run compaction from a single
     writer while the maintenance stream is STOPPED — plain parquet
     directories have no transaction log, so concurrent appends during
     the swap can be consumed-and-kept or missed-and-kept; a table
     format (Delta/Iceberg) is the real answer at warehouse scale."""
+    fs, path_cls = _fs_for(spark, out_dir)
     manifest = _read_manifest(spark, out_dir)
-    leftovers = _effective_consumed(spark, out_dir)
-    if leftovers:
-        _delete_partitions(spark, out_dir, leftovers)
+    parts = _list_partitions(spark, out_dir)
+    prev_epoch = int(manifest["epoch"]) if manifest else 0
 
-    consumed = _list_fragment_partitions(spark, out_dir)
+    # 1. repair: prior cleanup + orphan merges
+    if manifest:
+        _delete_recorded(spark, out_dir, manifest.get("consumed", {}), parts)
+    for bid in list(parts):
+        if bid < 0 and bid != -prev_epoch:
+            fs.delete(path_cls(out_dir, f"batch_id={bid}"), True)
+    parts = _list_partitions(spark, out_dir)
+
+    consumed = {
+        str(bid): files for bid, files in sorted(parts.items()) if bid >= 0 and files
+    }
     if not consumed:
         return
-    epoch = int(manifest["epoch"]) + 1 if manifest else 1
-    # merged totals are computed BEFORE the new manifest is published
-    # (a plan built now reads the pre-compaction file set; collectors
-    # run inside the write below, after the manifest flips — but the
-    # new manifest is inert until that very write commits, and the
-    # file listing was already resolved at plan time)
+    epoch = prev_epoch + 1
+
+    # 2. merge the live view into the fresh negative partition;
+    # localCheckpoint freezes the inputs before the store mutates
     merged = (
         read_rollup_store(spark, out_dir)
-        .withColumn("compaction_epoch", F.lit(epoch).cast("long"))
-        .withColumn("batch_id", F.lit(COMPACTED_BATCH_ID))
-        .localCheckpoint()  # materialize pre-publish: the write must
-        # not re-list the store after the manifest/overwrite mutate it
+        .withColumn("batch_id", F.lit(-epoch))
+        .localCheckpoint()
     )
-    _write_manifest(spark, out_dir, {"epoch": epoch, "consumed": consumed})
     merged.write.mode("overwrite").option("partitionOverwriteMode", "dynamic").partitionBy(
         "batch_id"
     ).parquet(out_dir)
-    _delete_partitions(spark, out_dir, consumed)
+
+    # 3. the commit
+    _write_manifest(spark, out_dir, {"epoch": epoch, "consumed": consumed})
+
+    # 4. cleanup
+    _delete_recorded(spark, out_dir, consumed, parts)
+    if prev_epoch and fs.exists(path_cls(out_dir, f"batch_id={-prev_epoch}")):
+        fs.delete(path_cls(out_dir, f"batch_id={-prev_epoch}"), True)

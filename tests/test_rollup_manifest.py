@@ -1,9 +1,14 @@
-"""Compaction manifest protocol (streaming/rollup_maint.py, r11
-advice): a crash between the merged batch_id=-1 commit and the
-consumed-partition cleanup used to DOUBLE-COUNT silently on the next
-merge-on-read.  The manifest closes the window — these tests simulate
-every crash point and assert the store reads back exactly-once at
-each of them."""
+"""Compaction snapshot protocol (streaming/rollup_maint.py; r11
+advice + r11 review hardening): a crash between the merged commit and
+the consumed-partition cleanup used to DOUBLE-COUNT silently, an
+in-place overwrite of the compacted partition made a torn commit
+readable as complete, and a bare batch-id blacklist silently LOST
+fragments whose id a restarted stream reused.  The protocol now
+writes each merge to a fresh ``batch_id=-<epoch>`` partition,
+commits via an atomically-renamed manifest recording the exact
+consumed FILES, and reads by explicit live-partition addressing.
+These tests simulate every crash point plus id reuse and assert the
+store reads back exactly-once at each of them."""
 
 from __future__ import annotations
 
@@ -42,58 +47,105 @@ def _write_batches(spark, events, out):
         rm.write_rollup_batch(events.where(pred), out, bid)
 
 
+def _fragment_ids(spark, out):
+    return sorted(b for b in rm._list_partitions(spark, out) if b >= 0)
+
+
 def test_compaction_roundtrip_and_cleanup(spark, events, tmp_path):
     out = str(tmp_path / "store")
     _write_batches(spark, events, out)
     want = _snapshot(spark, out)
     rm.compact_rollup_store(spark, out)
     assert _snapshot(spark, out) == want
-    assert rm._list_fragment_partitions(spark, out) == []
+    assert _fragment_ids(spark, out) == []
     m = rm._read_manifest(spark, out)
-    assert m == {"epoch": 1, "consumed": [0, 1, 2]}
+    assert m["epoch"] == 1 and sorted(m["consumed"]) == ["0", "1", "2"]
+    assert -1 in rm._list_partitions(spark, out)  # the live compacted partition
 
 
 def test_crash_before_cleanup_does_not_double_count(spark, events, tmp_path, monkeypatch):
-    """THE advice scenario: merged write committed, process died
-    before deleting the consumed partitions — both copies exist on
-    disk, the read must count one."""
+    """THE advice scenario: manifest committed, process died before
+    deleting the consumed files — both copies exist on disk, the read
+    must count one."""
     out = str(tmp_path / "store")
     _write_batches(spark, events, out)
     want = _snapshot(spark, out)
-    monkeypatch.setattr(rm, "_delete_partitions", lambda *a, **k: None)
+    monkeypatch.setattr(rm, "_delete_recorded", lambda *a, **k: None)
     rm.compact_rollup_store(spark, out)  # dies before cleanup
     monkeypatch.undo()
-    assert rm._list_fragment_partitions(spark, out) == [0, 1, 2]  # survivors
+    assert _fragment_ids(spark, out) == [0, 1, 2]  # survivors
     assert _snapshot(spark, out) == want  # NOT doubled
     # next compaction repairs: leftovers removed, store unchanged
     rm.compact_rollup_store(spark, out)
-    assert rm._list_fragment_partitions(spark, out) == []
+    assert _fragment_ids(spark, out) == []
     assert _snapshot(spark, out) == want
 
 
-def test_crash_between_manifest_and_commit_is_inert(spark, events, tmp_path):
-    """Manifest published, merged write never landed: the manifest's
-    epoch is nowhere in batch_id=-1, so readers ignore it (skipping
-    would LOSE the named partitions)."""
+def test_crash_between_merge_and_commit_is_invisible(spark, events, tmp_path, monkeypatch):
+    """The merge landed in its fresh negative partition but the
+    manifest commit never happened: readers never address the orphan,
+    and the next compaction removes it and retries cleanly."""
     out = str(tmp_path / "store")
     _write_batches(spark, events, out)
     want = _snapshot(spark, out)
-    rm._write_manifest(spark, out, {"epoch": 7, "consumed": [0, 1, 2]})
-    assert rm._effective_consumed(spark, out) == []
+
+    def boom(*a, **k):
+        raise RuntimeError("crash before commit")
+
+    monkeypatch.setattr(rm, "_write_manifest", boom)
+    with pytest.raises(RuntimeError):
+        rm.compact_rollup_store(spark, out)
+    monkeypatch.undo()
+    parts = rm._list_partitions(spark, out)
+    assert -1 in parts  # the orphan merge exists on disk...
+    assert rm._read_manifest(spark, out) is None
+    assert _snapshot(spark, out) == want  # ...but is never read
+    rm.compact_rollup_store(spark, out)  # removes the orphan, retries
     assert _snapshot(spark, out) == want
+    assert rm._read_manifest(spark, out)["epoch"] == 1
+
+
+def test_reused_batch_id_is_not_blacklisted(spark, events, tmp_path):
+    """The r11 review finding: a restarted stream (fresh checkpoint)
+    reuses batch_id=0.  The consumed record names FILES, and Spark
+    part-file names are unique per write — so the reused fragment is
+    read normally and the next compaction merges it instead of
+    deleting it unmerged."""
+    out = str(tmp_path / "store")
+    _write_batches(spark, events, out)
+    rm.compact_rollup_store(spark, out)
+    base = _snapshot(spark, out)
+    # restarted stream: new data lands under the already-consumed id 0
+    late = events.withColumn("value", F.col("value") + 100.0)
+    rm.write_rollup_batch(late, out, 0)
+    got = _snapshot(spark, out)
+    assert got != base  # the reused fragment is READ
+    # exactly-once: equals a direct rollup of both event sets
+    both = events.unionAll(late)
+    want = sorted(
+        tuple(r)
+        for r in rm.build_rollup(both)
+        .withColumn("p_sum", F.col("p_sum").cast(rm._SUM_DEC))
+        .collect()
+    )
+    assert got == want
+    rm.compact_rollup_store(spark, out)  # merges, never deletes unmerged
+    assert _snapshot(spark, out) == want
+    assert rm._read_manifest(spark, out)["epoch"] == 2
+    parts = rm._list_partitions(spark, out)
+    assert -2 in parts and -1 not in parts and _fragment_ids(spark, out) == []
 
 
 def test_second_compaction_with_fresh_fragments(spark, events, tmp_path):
     out = str(tmp_path / "store")
     _write_batches(spark, events, out)
     rm.compact_rollup_store(spark, out)
-    # late fragments arrive after the first compaction
     rm.write_rollup_batch(events.where(F.col("value") > 3.0), out, 3)
     want = _snapshot(spark, out)
     rm.compact_rollup_store(spark, out)
     assert _snapshot(spark, out) == want
     assert rm._read_manifest(spark, out)["epoch"] == 2
-    assert rm._list_fragment_partitions(spark, out) == []
+    assert _fragment_ids(spark, out) == []
 
 
 def test_compact_noop_when_no_fragments(spark, events, tmp_path):
@@ -104,3 +156,8 @@ def test_compact_noop_when_no_fragments(spark, events, tmp_path):
     rm.compact_rollup_store(spark, out)  # nothing to consume
     assert _snapshot(spark, out) == want
     assert rm._read_manifest(spark, out)["epoch"] == 1  # unchanged
+
+
+def test_negative_batch_id_rejected(spark, events, tmp_path):
+    with pytest.raises(ValueError, match="reserved"):
+        rm.write_rollup_batch(events, str(tmp_path / "s"), -1)

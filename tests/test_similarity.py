@@ -451,6 +451,38 @@ def test_zero_vector_guard_in_precomputed_norm_paths(spark):
     assert all(not math.isnan(r["cos_sim"]) for r in h)
 
 
+def test_zero_vector_guard_in_pair_filters(spark):
+    """The two thresholded pair paths found unguarded in the r11
+    review: a zero vector's 0/0 NaN passes `NaN > threshold` in Spark
+    and would near-dup-match it to everything."""
+    import math
+
+    from netcdf_olap_spark.operators.similarity import semantic_pair_candidates
+
+    assigned = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 1.0, 0),
+            (2, [0.0, 0.0], 0.0, 0),  # zero vector, same cluster
+            (3, [1.0, 0.0], 1.0, 0),
+        ],
+        "id long, v array<float>, nrm double, cluster int",
+    )
+    dropped = {r["id"] for r in semantic_pair_candidates(assigned, 0.9).collect()}
+    # only the genuine duplicate (id 3 of id 1) drops — never the
+    # pairs involving the zero vector
+    assert dropped == {3}
+
+    from netcdf_olap_spark.queries.similarity import _near_dup_pairs
+
+    e = spark.createDataFrame(
+        [(1, 0, [1.0, 0.0]), (2, 0, [0.0, 0.0]), (3, 0, [1.0, 0.0])],
+        "vec_id long, label int, embedding array<float>",
+    )
+    pairs = _near_dup_pairs(e).collect()
+    assert all(not math.isnan(r["cos_sim"]) for r in pairs)
+    assert {(r.id1, r.id2) for r in pairs} == {(1, 3)}
+
+
 def test_ivf_train_clamps_small_inputs(spark):
     """Fewer rows than lists must clamp (lloyd_local's rule), not
     KeyError on never-assigned list ids (review finding)."""

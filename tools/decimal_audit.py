@@ -100,11 +100,13 @@ def audit_query(spark, fn, sf_dir: str) -> list[str]:
 
 #: Side-effecting registry queries (write a store/export dir on every
 #: invocation) — building them twice doubles the side effect; they are
-#: swept too, just listed so the CLI can say why they are slower.
+#: swept too, annotated in the CLI output so the slower rows are
+#: explainable (r11 review: this set previously went unused and named
+#: a nonexistent query).
 SIDE_EFFECTING = {
     "doc_delta_dedup_indexed",
     "grid_export_zarr_roundtrip",
-    "grid_export_nc_roundtrip",
+    "grid_export_roundtrip",
     "grid_export_geotiff_roundtrip",
 }
 
@@ -127,11 +129,12 @@ def main() -> int:
             failed += 1
             print(f"  ✗ {name}: audit errored: {e}")
             continue
+        note = " (side-effecting: built twice, wrote its store twice)" if name in SIDE_EFFECTING else ""
         if diffs:
             failed += 1
-            print(f"  ✗ {name}: precision-loss site(s): {'; '.join(diffs)}")
+            print(f"  ✗ {name}: precision-loss site(s): {'; '.join(diffs)}{note}")
         else:
-            print(f"  ✓ {name}")
+            print(f"  ✓ {name}{note}")
     print(f"{'PASS' if failed == 0 else 'FAIL'} ({failed} failing)")
     return 1 if failed else 0
 
