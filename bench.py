@@ -200,6 +200,10 @@ EXTRA_R11 = [
     "scalar_bitwise_funcs",
     "ev_survival_hazard",
     "media_audio_dedup",
+    # r11 time-series pair: trapezoid TWA (one window + aggregate) and
+    # irregular->regular linear resampling (union + one window pass)
+    "ev_time_weighted_avg",
+    "ev_resample_linear",
 ]
 HEADLINE += EXTRA_R11
 

@@ -166,3 +166,72 @@ def test_dq_audit_report(spark):
     n_li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").count()
     assert rows["lineitem_fk_orders"].checked == n_li
     assert rows["lineitem_ship_after_order"].checked == n_li  # FK is total
+
+
+def test_time_weighted_avg_matches_numpy(spark):
+    """integral2_vus / (2 * span_us) equals numpy's trapezoidal
+    time-weighted average of the user's raw series."""
+    import numpy as np
+
+    from netcdf_olap_spark.queries.events import _ev, ev_time_weighted_avg
+
+    rows = {r.user_id: r for r in ev_time_weighted_avg(spark, SF_SMALL).collect()}
+    assert rows
+    e = (
+        _ev(spark, SF_SMALL)
+        .where(F.col("value").isNotNull())
+        .select("user_id", "event_id", "ts_us", "value")
+        .collect()
+    )
+    by_user = {}
+    for r in e:
+        by_user.setdefault(r.user_id, []).append((r.ts_us, r.event_id, r.value))
+    for uid, r in rows.items():
+        pts = sorted(by_user[uid])
+        t = np.array([p[0] for p in pts], dtype=np.float64)
+        v = np.array([p[2] for p in pts], dtype=np.float64)
+        trapz = getattr(np, "trapezoid", None) or np.trapz  # numpy <2 names it trapz
+        want = trapz(v, t) / (t[-1] - t[0])
+        got = float(r.integral2_vus) / 2.0 / r.span_us
+        assert abs(got - want) < 1e-6 * max(1.0, abs(want)), (uid, got, want)
+        assert r.n_obs == len(pts) and r.span_us == int(t[-1] - t[0])
+
+
+def test_resample_linear_matches_numpy(spark):
+    """Interpolated grid values equal numpy.interp over the raw
+    series; exactly-hit samples return their own value."""
+    import numpy as np
+
+    from netcdf_olap_spark.queries.events import _ev, ev_resample_linear
+
+    out = ev_resample_linear(spark, SF_SMALL)
+    uid = out.select("user_id").first()[0]
+    got = {
+        r.grid_ts_us: r.value_interp
+        for r in out.where(F.col("user_id") == uid).collect()
+    }
+    pts = sorted(
+        (r.ts_us, r.event_id, r.value)
+        for r in _ev(spark, SF_SMALL)
+        .where((F.col("user_id") == uid) & F.col("value").isNotNull())
+        .select("ts_us", "event_id", "value")
+        .collect()
+    )
+    # numpy.interp wants strictly usable xp: collapse duplicate ts to
+    # the LAST event at that ts (the window's bracketing choice:
+    # prev = last obs ordered (t, event_id), next = first obs)
+    t = np.array([p[0] for p in pts], dtype=np.float64)
+    v = np.array([p[2] for p in pts], dtype=np.float64)
+    assert got, "expected grid points"
+    for gt, gv in got.items():
+        lo = max(p[2] for p in pts if p[0] <= gt or p[0] == t[0])
+        # bracketing reference without numpy.interp's duplicate-x
+        # ambiguity: find prev (max ts <= gt, last event) and next
+        prev = max((p for p in pts if p[0] <= gt), key=lambda p: (p[0], p[1]))
+        nxt = min((p for p in pts if p[0] >= gt), key=lambda p: (p[0], p[1]))
+        if nxt[0] == prev[0]:
+            want = prev[2]
+        else:
+            frac = (gt - prev[0]) / (nxt[0] - prev[0])
+            want = prev[2] + frac * (nxt[2] - prev[2])
+        assert abs(gv - want) < 1e-9, (gt, gv, want)
