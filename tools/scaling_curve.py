@@ -116,6 +116,9 @@ QUERIES = [
     # tables.
     "ev_rfm_segments",
     "ev_survival_hazard",
+    # r11 time-series pair (per-user window passes; output ∝ span)
+    "ev_time_weighted_avg",
+    "ev_resample_linear",
     "doc_bloom_probe",
     "doc_dup_span_extents",
     "doc_rake_keywords",
