@@ -293,7 +293,24 @@ def main() -> None:
         )
         return round(time.perf_counter() - t0, 3)
 
-    calibration()  # its own codegen warmup, unbilled
+    def calibration_scan() -> float:
+        """Second probe flavor: a fixed parquet scan+aggregate over
+        lineitem — covers the I/O/page-cache band the CPU probe is
+        blind to (observed: a run with calib_sec at its record value
+        and UNIFORM 1.3x inflation on scan-heavy queries)."""
+        t0 = time.perf_counter()
+        (
+            spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("s"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return round(time.perf_counter() - t0, 3)
+
+    calibration()  # their own codegen warmup, unbilled
+    calibration_scan()
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
@@ -302,9 +319,11 @@ def main() -> None:
     present = [n for n in HEADLINE if n in registry]
     calib_at = {0, len(present) // 3, 2 * len(present) // 3, len(present) - 1}
     calib_runs: list[float] = []
+    calib_scan_runs: list[float] = []
     for pos, name in enumerate(present):
         if pos in calib_at:
             calib_runs.append(calibration())
+            calib_scan_runs.append(calibration_scan())
         fn = registry[name]
         samples = []
         df = None
@@ -352,6 +371,7 @@ def main() -> None:
         json.dumps(plan_fp, sort_keys=True).encode()
     ).hexdigest()[:12]
     calib_sec = sorted(calib_runs)[len(calib_runs) // 2]
+    calib_scan_sec = sorted(calib_scan_runs)[len(calib_scan_runs) // 2]
     detail_path = os.path.join(REPO, "bench_detail.json")
     with open(detail_path, "w") as f:
         json.dump(
@@ -361,6 +381,7 @@ def main() -> None:
                 "runs": runs,
                 "plan_fp": plan_fp,
                 "calib_runs": calib_runs,
+                "calib_scan_runs": calib_scan_runs,
             },
             f,
             indent=1,
@@ -377,6 +398,7 @@ def main() -> None:
                 "reps": reps,
                 "shared16_total": shared16,
                 "calib_sec": calib_sec,
+                "calib_scan_sec": calib_scan_sec,
                 "plan_fp_digest": fp_digest,
             }
         )
