@@ -204,6 +204,7 @@ EXTRA_R11 = [
     # irregular->regular linear resampling (union + one window pass)
     "ev_time_weighted_avg",
     "ev_resample_linear",
+    "ev_lttb_downsample",
 ]
 HEADLINE += EXTRA_R11
 

@@ -235,3 +235,56 @@ def test_resample_linear_matches_numpy(spark):
             frac = (gt - prev[0]) / (nxt[0] - prev[0])
             want = prev[2] + frac * (nxt[2] - prev[2])
         assert abs(gv - want) < 1e-9, (gt, gv, want)
+
+
+def test_lttb_downsample_properties(spark):
+    """Per user: exactly LTTB_BUCKETS+2 output points, the endpoints
+    preserved, every output point a real observation — and a planted
+    extreme spike SURVIVES downsampling (the property naive
+    striding/averaging destroys)."""
+    from netcdf_olap_spark.queries.events import (
+        LTTB_BUCKETS,
+        _ev,
+        ev_lttb_downsample,
+    )
+
+    out = ev_lttb_downsample(spark, SF_SMALL).collect()
+    raw = (
+        _ev(spark, SF_SMALL)
+        .where(F.col("value").isNotNull())
+        .select("user_id", "ts_us", "value")
+        .collect()
+    )
+    by_user = {}
+    for r in raw:
+        by_user.setdefault(r.user_id, []).append((r.ts_us, float(r.value)))
+    got = {}
+    for r in out:
+        got.setdefault(r.user_id, []).append((r.ts_us, float(r.value)))
+    assert got
+    for uid, pts in got.items():
+        series = sorted(by_user[uid])
+        assert len(pts) == LTTB_BUCKETS + 2
+        pts = sorted(pts)
+        assert pts[0] == series[0] and pts[-1] == series[-1]  # endpoints
+        rawset = set(series)
+        assert all(p in rawset for p in pts)  # real observations only
+
+    # planted spike: a flat series with one huge excursion
+    flat = [(900, i * 60_000_000, 1.0 + (0.001 * (i % 7))) for i in range(200)]
+    flat[97] = (900, flat[97][1], 500.0)  # the spike
+    df = spark.createDataFrame(
+        [(uid, i, t, v) for i, (uid, t, v) in enumerate(flat)],
+        "user_id long, event_id long, ts_us long, value double",
+    )
+    from netcdf_olap_spark.queries import events as EV
+
+    import netcdf_olap_spark.queries.events as evmod
+
+    orig = evmod._ev
+    try:
+        evmod._ev = lambda spark, sf_dir: df.withColumn("ts_ns", F.col("ts_us") * 1000)
+        down = {r.ts_us: r.value for r in EV.ev_lttb_downsample(spark, "") .collect()}
+    finally:
+        evmod._ev = orig
+    assert 500.0 in down.values(), "the spike must survive LTTB downsampling"

@@ -119,6 +119,7 @@ QUERIES = [
     # r11 time-series pair (per-user window passes; output ∝ span)
     "ev_time_weighted_avg",
     "ev_resample_linear",
+    "ev_lttb_downsample",
     "doc_bloom_probe",
     "doc_dup_span_extents",
     "doc_rake_keywords",
