@@ -20,11 +20,19 @@ from netcdf_olap_spark.functions import deterministic
 from netcdf_olap_spark.operators import similarity
 
 # DuckDB twin of the double-fold cosine between columns a and b.
+# Zero-vector guard mirrors operators/similarity._pair_cos (score 0.0,
+# never 0/0 = NaN — NaN sorts GREATEST in DuckDB, silently diverging
+# from Spark's 0.0 in top-k order; an r11 advisor finding); the ELSE
+# branch is the unchanged dot/(sqrt·sqrt) fold, bitwise-equal to the
+# Spark expression on every non-zero vector.
 def _duck_cos(a: str, b: str) -> str:
     dot = f"list_sum([CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) FOR i IN generate_series(1, len({a}))])"
-    na = f"sqrt(list_sum([CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE) FOR i IN generate_series(1, len({a}))]))"
-    nb = f"sqrt(list_sum([CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) FOR i IN generate_series(1, len({b}))]))"
-    return f"{dot} / ({na} * {nb})"
+    na2 = f"list_sum([CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE) FOR i IN generate_series(1, len({a}))])"
+    nb2 = f"list_sum([CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) FOR i IN generate_series(1, len({b}))])"
+    return (
+        f"CASE WHEN {na2} = 0 OR {nb2} = 0 THEN 0.0 "
+        f"ELSE {dot} / (sqrt({na2}) * sqrt({nb2})) END"
+    )
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -420,7 +428,9 @@ def _near_dup_pairs(e: DataFrame) -> DataFrame:
     pair join (N folds, not N·block — the r8 knn-graph lesson);
     dot/(na·nb) is the same IEEE expression tree as cosine(), so
     values are bitwise unchanged and the oracles still replay the
-    inline-cosine form (measured here: 13.5 → 2.8 s at sf0.1)."""
+    inline-cosine form — including the zero-vector 0.0 branch, which
+    _duck_cos now mirrors with an explicit CASE guard (measured here:
+    13.5 → 2.8 s at sf0.1)."""
     v = e.select(
         "vec_id", "label", "embedding", similarity._norm(F.col("embedding")).alias("nrm")
     )

@@ -26,8 +26,10 @@ by the r11 review) is the snapshot pattern in miniature:
   ``batch_id=-<epoch>`` — it never overwrites the previous compacted
   partition, so a torn write can only produce an ORPHAN directory no
   reader ever addresses;
-- the atomically-renamed store-root manifest is THE commit record: it
-  names the epoch (→ which negative partition is live) and, per
+- the atomically-renamed EPOCH-NAMED store-root manifest is THE
+  commit record (readers address the max committed epoch, so the
+  publish never opens a no-manifest window to a concurrent reader):
+  it names the epoch (→ which negative partition is live) and, per
   consumed fragment, the exact DATA FILE NAMES consumed.  Readers
   address ``batch_id=-<manifest.epoch>`` plus every fragment whose
   current files are NOT all in the consumed record — so a fragment
@@ -60,8 +62,19 @@ _SUM_DEC = "decimal(28,2)"
 
 #: store-root manifest: the compaction COMMIT RECORD (epoch + the
 #: exact files each consumed fragment contributed); the leading
-#: underscore hides it from Spark's file index
-MANIFEST_NAME = "_compaction_manifest.json"
+#: underscore hides it from Spark's file index.  Manifests are
+#: EPOCH-NAMED (``_compaction_manifest.<epoch>.json``) and readers
+#: address the max epoch — publishing a new manifest never opens a
+#: no-manifest window for a concurrent reader (the r11 advisor
+#: finding against the old delete-then-rename of one fixed name,
+#: which made a racing read_rollup_store skip the live compacted
+#: partition and silently undercount); stale lower-epoch manifests
+#: are deleted only AFTER the new one is visible.
+MANIFEST_PREFIX = "_compaction_manifest."
+
+
+def _manifest_name(epoch: int) -> str:
+    return f"{MANIFEST_PREFIX}{int(epoch)}.json"
 
 #: one uniform schema for fragments and compacted partitions; the
 #: read never infers (and never needs to — compacted files carry no
@@ -127,14 +140,35 @@ def _fs_for(spark: SparkSession, out_dir: str):
     return fs, path_cls
 
 
+def _manifest_epochs(spark: SparkSession, out_dir: str) -> list[int]:
+    """Epochs of every committed manifest at the store root,
+    ascending (normally one; two transiently if the previous
+    compaction crashed between publish and stale-manifest cleanup)."""
+    fs, path_cls = _fs_for(spark, out_dir)
+    root = path_cls(out_dir)
+    if not fs.exists(root):
+        return []
+    epochs: list[int] = []
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        if status.isFile() and name.startswith(MANIFEST_PREFIX) and name.endswith(".json"):
+            mid = name[len(MANIFEST_PREFIX) : -len(".json")]
+            if mid.isdigit():
+                epochs.append(int(mid))
+    return sorted(epochs)
+
+
 def _read_manifest(spark: SparkSession, out_dir: str) -> dict | None:
+    """The LIVE manifest = the max committed epoch (epoch-named
+    files, so a reader racing a compaction always sees either the old
+    or the new commit record — never neither)."""
     import json
 
-    fs, path_cls = _fs_for(spark, out_dir)
-    target = path_cls(out_dir, MANIFEST_NAME)
-    if not fs.exists(target):
+    epochs = _manifest_epochs(spark, out_dir)
+    if not epochs:
         return None
-    stream = fs.open(target)
+    fs, path_cls = _fs_for(spark, out_dir)
+    stream = fs.open(path_cls(out_dir, _manifest_name(epochs[-1])))
     try:
         text = spark._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
     finally:
@@ -144,21 +178,25 @@ def _read_manifest(spark: SparkSession, out_dir: str) -> dict | None:
 
 def _write_manifest(spark: SparkSession, out_dir: str, manifest: dict) -> None:
     """Atomic publish — THE compaction commit: write to a temp name,
-    then rename over the target (single-writer contract makes the
-    delete+rename safe)."""
+    rename to the FRESH epoch-named target (no delete window —
+    concurrent readers keep resolving the previous epoch until the
+    rename lands), then drop stale lower-epoch manifests."""
     import json
 
     fs, path_cls = _fs_for(spark, out_dir)
-    target = path_cls(out_dir, MANIFEST_NAME)
-    tmp = path_cls(out_dir, MANIFEST_NAME + ".tmp")
+    epoch = int(manifest["epoch"])
+    target = path_cls(out_dir, _manifest_name(epoch))
+    tmp = path_cls(out_dir, _manifest_name(epoch) + ".tmp")
     out = fs.create(tmp, True)
     try:
         out.write(bytearray(json.dumps(manifest).encode("utf-8")))
     finally:
         out.close()
-    fs.delete(target, False)
     if not fs.rename(tmp, target):
         raise IOError(f"could not publish {target}")
+    for old in _manifest_epochs(spark, out_dir):
+        if old < epoch:
+            fs.delete(path_cls(out_dir, _manifest_name(old)), False)
 
 
 def _is_data_file(name: str) -> bool:
@@ -302,8 +340,13 @@ def compact_rollup_store(spark: SparkSession, out_dir: str) -> None:
     CONTRACT (documented, not enforced): run compaction from a single
     writer while the maintenance stream is STOPPED — plain parquet
     directories have no transaction log, so concurrent appends during
-    the swap can be consumed-and-kept or missed-and-kept; a table
-    format (Delta/Iceberg) is the real answer at warehouse scale."""
+    the swap can be consumed-and-kept or missed-and-kept.  Concurrent
+    READERS are safe at the commit point (epoch-named manifests: a
+    racing read resolves the old or the new epoch, never neither) but
+    can still hit a deleted-file read error if step 4's cleanup
+    overtakes a read that resolved the old epoch — loud, never an
+    undercount; a table format (Delta/Iceberg) is the real answer at
+    warehouse scale."""
     fs, path_cls = _fs_for(spark, out_dir)
     manifest = _read_manifest(spark, out_dir)
     parts = _list_partitions(spark, out_dir)

@@ -161,3 +161,34 @@ def test_compact_noop_when_no_fragments(spark, events, tmp_path):
 def test_negative_batch_id_rejected(spark, events, tmp_path):
     with pytest.raises(ValueError, match="reserved"):
         rm.write_rollup_batch(events, str(tmp_path / "s"), -1)
+
+
+def test_stale_manifest_after_publish_crash_is_shadowed_then_reaped(
+    spark, events, tmp_path
+):
+    """r11 advisor finding: the old fixed-name protocol DELETED the
+    manifest before renaming its replacement — a reader in that window
+    saw no manifest, skipped the live compacted partition, and
+    silently undercounted.  Epoch-named manifests close it: publish is
+    a rename to a FRESH name, so the crash window leaves TWO manifests
+    (old + new) and readers resolve the max epoch; the next publish
+    reaps the stale one."""
+    import json
+    import os
+
+    out = str(tmp_path / "store")
+    _write_batches(spark, events, out)
+    want = _snapshot(spark, out)
+    rm.compact_rollup_store(spark, out)
+    # simulate a crash between epoch-2's publish and its stale-manifest
+    # cleanup: both epoch files on disk
+    m1 = json.load(open(os.path.join(out, rm._manifest_name(1))))
+    rm.write_rollup_batch(events, out, 7)
+    with open(os.path.join(out, rm._manifest_name(0)), "w") as f:
+        json.dump({"epoch": 0, "consumed": {}}, f)  # the stale survivor
+    assert rm._manifest_epochs(spark, out) == [0, 1]
+    assert rm._read_manifest(spark, out) == m1  # max epoch wins
+    rm.compact_rollup_store(spark, out)  # next publish reaps epoch 0
+    assert rm._manifest_epochs(spark, out) == [2]
+    assert _snapshot(spark, out) != want  # fragment 7 was merged
+    assert rm._read_manifest(spark, out)["epoch"] == 2
