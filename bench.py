@@ -208,6 +208,20 @@ EXTRA_R11 = [
 ]
 HEADLINE += EXTRA_R11
 
+# Round-12 additions: the remaining rows rotated into the checked
+# window this round, benched from birth (getis/quantile_map/dq_audit/
+# TWA/resample/LTTB already entered with EXTRA_R11) — excluded from
+# shared16, present from BENCH_r12 on.
+EXTRA_R12 = [
+    "grid_theil_sen",
+    "ev_cohort_ltv",
+    "agg_quantile_sketch_portable",
+    "doc_rake_keywords",
+    "emb_matryoshka_recall",
+    "profile_footer_stats_distributed",
+]
+HEADLINE += EXTRA_R12
+
 
 def plan_fingerprint(df) -> str:
     """Stable fingerprint of a DataFrame's physical plan: the
@@ -355,6 +369,7 @@ def main() -> None:
         *EXTRA_R9,
         *EXTRA_R10,
         *EXTRA_R11,
+        *EXTRA_R12,
     }
     shared16 = round(sum(v for k, v in timings.items() if k not in late), 3)
 

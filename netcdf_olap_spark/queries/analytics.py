@@ -493,6 +493,10 @@ def part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("p_size").over(w_loc).alias("lm"),
     ).where(F.col("lm").isNull() | (F.col("lm") > F.col("p_size")))
     per_bk = b.groupBy("_bk").agg(F.min("p_size").alias("bmin"))
+    # unpartitioned running-min over PER-BUCKET aggregates — row count
+    # bounded by #distinct integer price buckets (~2k at any SF), a
+    # deliberate tiny single-partition pass; Spark's "No Partition
+    # Defined for Window" warning is expected here, not a scale bug
     w_carry = Window.orderBy("_bk").rowsBetween(Window.unboundedPreceding, -1)
     carry = per_bk.select("_bk", F.min("bmin").over(w_carry).alias("cm"))
     return (
@@ -894,6 +898,10 @@ def ev_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def thresholds(key: str) -> DataFrame:
         hist = keyed.groupBy(key).agg(F.count(F.lit(1)).cast("long").alias("c"))
+        # unpartitioned cumsum over the HISTOGRAM, not the events —
+        # bounded by the metric's integer domain (#days / #distinct
+        # counts / #monetary units); the single-partition warning on
+        # this tiny pass is expected
         w = Window.orderBy(key).rowsBetween(Window.unboundedPreceding, Window.currentRow)
         cum = hist.select(F.col(key).alias("k"), F.sum("c").over(w).alias("cum"))
         return cum.crossJoin(F.broadcast(ref.select("n_cust"))).agg(
@@ -1027,6 +1035,9 @@ def ev_survival_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_churned", F.lit(0)).cast("long").alias("n_churned"),
         )
     )
+    # unpartitioned running-sum over the WEEKLY life table — bounded
+    # by #weeks of history (dozens); the single-partition warning on
+    # this tiny pass is expected
     w = Window.orderBy(F.col("wk").desc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

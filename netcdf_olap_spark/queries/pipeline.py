@@ -1055,6 +1055,8 @@ def doc_quota_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("((n_total * 3) DIV 5 * n_docs) DIV n_total").alias("base"),
         F.expr("((n_total * 3) DIV 5 * n_docs) % n_total").alias("rem"),
     )
+    # unpartitioned ranking over PER-SOURCE allocations — bounded by
+    # #sources (dozens); the single-partition warning is expected
     w_rem = Window.orderBy(F.col("rem").desc(), F.col("source").asc())
     w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     alloc = alloc.select(

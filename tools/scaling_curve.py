@@ -123,6 +123,16 @@ QUERIES = [
     "doc_bloom_probe",
     "doc_dup_span_extents",
     "doc_rake_keywords",
+    # r12 window entrants without a recorded curve: the cohort LTV
+    # triangle (week-keyed rollup + running window — must track
+    # events, not users×weeks), the Matryoshka recall audit (prefix
+    # vs full-width brute force over the fixed 20-query sample; work
+    # ∝ vectors), and the contract audit (single scans + dimension
+    # joins).  profile_footer_stats_distributed is absent like
+    # profile_footer_stats: footers only, no data pages.
+    "ev_cohort_ltv",
+    "emb_matryoshka_recall",
+    "maintenance_dq_audit",
 ]
 
 # The grid family (r10 judge ask #2): these run ONLY on dirs that
