@@ -219,6 +219,9 @@ EXTRA_R12 = [
     "doc_rake_keywords",
     "emb_matryoshka_recall",
     "profile_footer_stats_distributed",
+    # second r12 pass window entrants
+    "grid_pettitt_changepoint",
+    "ev_ab_lift",
 ]
 HEADLINE += EXTRA_R12
 

@@ -127,13 +127,15 @@ _PRIORITY: tuple[str, ...] = (
     # IN r12: grid_theil_sen — robust Theil-Sen trend, never
     # driver-checked before (r11 ask #4's first climate-depth pick).
     "grid_theil_sen",
-    # r11 (judge ask #4): grid_mann_kendall — the r10 second cohort's
-    # nonparametric-statistics family (integer S statistic +
-    # tie-corrected 18·Var, all-integer exactness) gets its first
-    # window row; grid_pettitt_changepoint / grid_theil_sen stay
-    # parity-checked siblings of the same per-cell pair-join shape.
-    # Takes lateral_topk_per_nation's slot (see below).
-    "grid_mann_kendall",
+    # r11 (judge ask #4): grid_mann_kendall gave the nonparametric
+    # pair-join family its first window row.  r12 second pass: it
+    # cedes the slot after its one green round — the family keeps
+    # grid_theil_sen (same per-cell pair-join shape, IN this round)
+    # and mann_kendall stays registered + parity-checked — to
+    # grid_pettitt_changepoint: the rank-based CHANGEPOINT statistic
+    # (two per-cell rank windows, the r11 verdict's next-named
+    # climate-depth candidate), never driver-checked before.
+    "grid_pettitt_changepoint",
     # relational core (A5, A7, J1-J7, W1-W3, O1-O2, U1-U3, F1-F4).
     # A1's slot carries agg_hll_portable (hash-checkable md5-register
     # HLL) since round 5 — the DataSketches twin agg_approx_sketches /
@@ -374,7 +376,13 @@ _PRIORITY: tuple[str, ...] = (
     # + parity-checked, and the Zarr READ path keeps a checked row via
     # stream_zarr_ingest below.
     "grid_export_roundtrip",
-    "doc_boilerplate",
+    # r12 second pass: doc_boilerplate OUT after three green rounds —
+    # the md5-verified-reconstruction class keeps doc_dup_rewrite and
+    # the text family keeps doc_rake_keywords; stays registered +
+    # parity-checked.  IN: ev_ab_lift — A/B experiment lift with
+    # exact integer conversion accounting (the r11 verdict's
+    # next-named analytics candidate), never driver-checked before.
+    "ev_ab_lift",
     "doc_source_pagerank",
     # similarity / ANN (N2).  r9 rotation: emb_knn_ivf_exact left the
     # window — it shares emb_knn_brute's oracle AND output (the IVF
