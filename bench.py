@@ -219,9 +219,10 @@ EXTRA_R12 = [
     "doc_rake_keywords",
     "emb_matryoshka_recall",
     "profile_footer_stats_distributed",
-    # second r12 pass window entrants
+    # second/third r12 pass window entrants
     "grid_pettitt_changepoint",
     "ev_ab_lift",
+    "ev_attribution_credit",
 ]
 HEADLINE += EXTRA_R12
 

@@ -433,9 +433,15 @@ _PRIORITY: tuple[str, ...] = (
     # r11 third pass: ev_sessionize OUT after ten green rounds — gap
     # sessionization stays parity-checked AND pinned equal to its
     # streaming twin (stream_sessionize) in tests/test_streaming.py.
-    # IN: ev_survival_hazard — the weekly life-table (discrete
-    # survival/hazard) class, never driver-checked before.
-    "ev_survival_hazard",
+    # IN r11: ev_survival_hazard (weekly life table).  r12 third pass:
+    # it cedes the slot after its one green round — the analytics
+    # family carries FOUR checked members this round (k_anonymity,
+    # cohort_ltv, ab_lift, attribution below); stays registered +
+    # parity-checked.  IN: ev_attribution_credit — linear multi-touch
+    # attribution with exact integer credit conservation (10000 bp
+    # largest-remainder split per conversion), the last of the r11
+    # verdict's named analytics candidates, never driver-checked.
+    "ev_attribution_credit",
     "ev_interval_join",
     # streaming (ST1 — oracle-checked since round 5: window() buckets
     # are epoch-aligned integer µs and the sum rides a decimal

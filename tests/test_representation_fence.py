@@ -90,3 +90,45 @@ def test_fence_fires_on_the_morans_class(spark):
     assert not _float64_roundtrips(wide)
     assert _float64_roundtrips(decimal.Decimal("123.450000"))
     assert _float64_roundtrips(decimal.Decimal("0.100000"))
+
+
+# the digit-string escape hatch's load-bearing assumption, pinned:
+# both engines must render a decimal to the SAME full-scale string
+_RENDER_CASES = [
+    ("1.5", "decimal(38,12)"),
+    ("-1.5", "decimal(38,12)"),
+    ("0", "decimal(38,12)"),
+    ("-0.000000000001", "decimal(38,12)"),  # |v| < 1: leading zero + sign
+    ("3400000000.123456789012", "decimal(38,12)"),  # the morans width
+    ("99999999999999999999999999.123456789012", "decimal(38,12)"),  # full 38
+    ("1.5", "decimal(18,6)"),
+    ("-0.25", "decimal(18,6)"),
+    ("0", "decimal(18,6)"),
+    ("243555184975673.31", "decimal(38,6)"),  # the TWA width
+]
+
+
+def test_decimal_to_string_renders_identically_cross_engine(spark):
+    """grid_morans_i / grid_getis_gi / ev_time_weighted_avg emit
+    wide exact decimals as digit strings; that only works while
+    Spark's CAST(x AS STRING) and DuckDB's CAST(x AS VARCHAR) render
+    byte-identically (full scale, plain notation, same sign/zero
+    handling).  Pin it across the shapes the engines could plausibly
+    diverge on."""
+    import duckdb
+
+    exprs = [
+        f"CAST(CAST('{v}' AS {t}) AS STRING) AS c{i}"
+        for i, (v, t) in enumerate(_RENDER_CASES)
+    ]
+    srow = spark.sql("SELECT " + ", ".join(exprs)).collect()[0]
+    con = duckdb.connect()
+    dexprs = [
+        f"CAST(CAST('{v}' AS {t.replace('decimal', 'DECIMAL')}) AS VARCHAR)"
+        for (v, t) in _RENDER_CASES
+    ]
+    drow = con.execute("SELECT " + ", ".join(dexprs)).fetchone()
+    con.close()
+    for (v, t), s_val, d_val in zip(_RENDER_CASES, srow, drow):
+        assert s_val == d_val, (v, t, s_val, d_val)
+        assert "e" not in s_val.lower(), (v, t, s_val)  # plain notation only
