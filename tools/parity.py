@@ -208,7 +208,14 @@ def main() -> int:
     spark = get_spark("parity")
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    checked_window = set(list(qs)[:50])  # the driver's correctness window
+    # The driver's correctness window — plus any explicitly requested
+    # names: a query being parity-run by name is usually a window
+    # ROTATION CANDIDATE, and the hazard/representation audits must
+    # gate it BEFORE it takes a slot (r12 lesson: ev_ab_lift's
+    # HUGEINT oracle columns passed the targeted pre-rotation run —
+    # the audits only covered in-window rows — and were caught a
+    # sweep later).
+    checked_window = set(list(qs)[:50]) | only
     failed = 0
     for name, fn in qs.items():
         if only and name not in only:
