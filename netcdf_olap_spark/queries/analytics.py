@@ -217,7 +217,10 @@ runs AS (
   FROM islands GROUP BY 1, 2
 )
 SELECT user_id,
-       SUM(run_len) AS n_active_days,
+       -- CAST: SUM(BIGINT) widens to HUGEINT, which a hash gate
+       -- canonicalizes differently from Spark's bigint (the
+       -- ev_ab_lift class, swept registry-wide in r12)
+       CAST(SUM(run_len) AS BIGINT) AS n_active_days,
        COUNT(*) AS n_streaks,
        MAX(run_len) AS max_streak
 FROM runs GROUP BY user_id

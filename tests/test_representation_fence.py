@@ -108,6 +108,42 @@ _RENDER_CASES = [
 ]
 
 
+def test_no_oracle_output_type_hazards_registry_wide():
+    """Every oracle's OUTPUT types, swept in one DESCRIBE pass (bind
+    only, no execution): no HUGEINT (DuckDB's silent SUM-over-integer
+    widening — hashes differently from Spark's bigint at the external
+    gate even when values match) and no nested types anywhere in the
+    registry, not just the current window — so a future rotation can
+    never inherit the ev_ab_lift r12 trap."""
+    import os
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_SMALL
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings".split()
+    ):
+        p = os.path.join(SF_SMALL, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
+    bad = []
+    for name, sql in entrymod.oracle_sql().items():
+        for col, typ, *_ in con.execute(f"DESCRIBE {sql}").fetchall():
+            tu = str(typ).upper()
+            if "HUGEINT" in tu or tu.endswith("[]") or tu.startswith(
+                ("STRUCT", "MAP", "LIST")
+            ):
+                bad.append(f"{name}.{col}: {typ}")
+    con.close()
+    assert not bad, f"oracle output-type hazards: {bad}"
+
+
 def test_decimal_to_string_renders_identically_cross_engine(spark):
     """grid_morans_i / grid_getis_gi / ev_time_weighted_avg emit
     wide exact decimals as digit strings; that only works while
