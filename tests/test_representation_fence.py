@@ -144,6 +144,49 @@ def test_no_oracle_output_type_hazards_registry_wide():
     assert not bad, f"oracle output-type hazards: {bad}"
 
 
+def _random_decimal_cases(seed: int, n: int) -> list[tuple[str, str]]:
+    """Deterministic random (value, type) cases built as DIGIT STRINGS
+    (never through float, so the cases themselves are exact): random
+    sign × integer-digit count × fractional digits, across the scales
+    the engine actually emits."""
+    import random
+
+    rng = random.Random(seed)
+    cases = []
+    for _ in range(n):
+        prec, scale = rng.choice([(38, 12), (38, 6), (18, 6), (20, 0)])
+        int_digits = rng.randint(0, prec - scale)
+        ip = "".join(rng.choice("0123456789") for _ in range(int_digits)) or "0"
+        ip = ip.lstrip("0") or "0"
+        fp = "".join(rng.choice("0123456789") for _ in range(rng.randint(0, scale)))
+        v = ("-" if rng.random() < 0.5 else "") + ip + ("." + fp if fp else "")
+        if v in ("-0", "-0."):
+            v = "0"
+        cases.append((v, f"decimal({prec},{scale})"))
+    return cases
+
+
+def test_decimal_to_string_rendering_random_sweep(spark):
+    """120 seeded-random exact decimals across the emitted scales:
+    Spark CAST-AS-STRING must equal DuckDB CAST-AS-VARCHAR on every
+    one (the generative companion to the pinned shapes below)."""
+    import duckdb
+
+    cases = _random_decimal_cases(20260816, 120)
+    exprs = [
+        f"CAST(CAST('{v}' AS {t}) AS STRING) AS c{i}" for i, (v, t) in enumerate(cases)
+    ]
+    srow = spark.sql("SELECT " + ", ".join(exprs)).collect()[0]
+    con = duckdb.connect()
+    drow = con.execute(
+        "SELECT " + ", ".join(f"CAST(CAST('{v}' AS {t}) AS VARCHAR)" for v, t in cases)
+    ).fetchone()
+    con.close()
+    for (v, t), s_val, d_val in zip(cases, srow, drow):
+        assert s_val == d_val, (v, t, s_val, d_val)
+        assert "e" not in s_val.lower(), (v, t, s_val)
+
+
 def test_decimal_to_string_renders_identically_cross_engine(spark):
     """grid_morans_i / grid_getis_gi / ev_time_weighted_avg emit
     wide exact decimals as digit strings; that only works while
