@@ -1102,7 +1102,16 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("qid").alias("hqid"), F.col("vec_id").alias("hvec"))
     )
     hits = (
-        full.join(half, (F.col("qid") == F.col("hqid")) & (F.col("vec_id") == F.col("hvec")), "left")
+        # both sides are queries×10 rows, but their lineage is the
+        # corpus scan so the static planner estimates them large and
+        # picks a sort-merge join; the hint makes the tiny broadcast
+        # explicit (r12 plan audit — at 100 TB the sides are STILL
+        # queries×10, so this is always right)
+        full.join(
+            F.broadcast(half),
+            (F.col("qid") == F.col("hqid")) & (F.col("vec_id") == F.col("hvec")),
+            "left",
+        )
         .groupBy("qid")
         .agg(F.count(F.when(F.col("hvec").isNotNull(), F.lit(1))).cast("long").alias("n_hits"))
     )
