@@ -2,7 +2,13 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total_sec>, "unit": "sec",
-   "queries": {"q1": sec, ...}, "sf": <sf>}
+   "queries": {<5 slowest medians only>}, "n_queries": N, "sf": <sf>}
+
+Protocol (round 13, judge ask r12#2): the final line's ``queries``
+map holds ONLY the 5 slowest per-query medians — the full 67-query
+map overflowed the driver's 2,000-char stdout capture in round 12
+(BENCH_r12 ``parsed: null``). The complete medians map is written to
+``bench_detail.json`` under ``"medians"``.
 
 Each query is forced end-to-end with the ``noop`` sink (full
 computation, zero collect/serialization overhead) after a warm-up of
@@ -226,6 +232,26 @@ EXTRA_R12 = [
 ]
 HEADLINE += EXTRA_R12
 
+# Round-13 additions: the rows rotated into the checked window this
+# round, benched from birth (the whole pre-validated r12 queue plus
+# the union-repair sketch row) — excluded from shared16, present from
+# BENCH_r13 on.
+EXTRA_R13 = [
+    "grid_forecast_skill",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "rcte_month_spine",
+    "window_analytic_suite",
+    "ev_funnel",
+    "doc_bm25_topk",
+    "stream_heavy_hitters",
+    "maintenance_snapshot_diff",
+    "agg_robust_stats",
+    "profile_correlations",
+    "agg_approx_sketches",
+]
+HEADLINE += EXTRA_R13
+
 
 def plan_fingerprint(df) -> str:
     """Stable fingerprint of a DataFrame's physical plan: the
@@ -374,6 +400,7 @@ def main() -> None:
         *EXTRA_R10,
         *EXTRA_R11,
         *EXTRA_R12,
+        *EXTRA_R13,
     }
     shared16 = round(sum(v for k, v in timings.items() if k not in late), 3)
 
@@ -399,6 +426,7 @@ def main() -> None:
                 "sf": sf,
                 "reps": reps,
                 "runs": runs,
+                "medians": timings,
                 "plan_fp": plan_fp,
                 "calib_runs": calib_runs,
                 "calib_scan_runs": calib_scan_runs,
@@ -407,13 +435,25 @@ def main() -> None:
             indent=1,
             sort_keys=True,
         )
+    # Round-13 output contract (judge ask r12#2): BENCH_r12.json came
+    # back `parsed: null` AGAIN — the r9 compact line kept the FULL
+    # per-query medians map, and at 67 queries it outgrew the
+    # driver's 2,000-char stdout capture (~2,150 chars, truncated
+    # mid-line). The final line now carries only the 5 slowest
+    # medians under "queries" (a bounded-size sample naming the
+    # queries that dominate `value`) plus `n_queries`; the complete
+    # medians map lives in bench_detail.json ("medians") and the raw
+    # runs/fingerprints beside it, as before. Line size is now
+    # O(1) in registry size — <600 chars at any future query count.
+    top5 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": top5,
+                "n_queries": len(timings),
                 "sf": sf,
                 "reps": reps,
                 "shared16_total": shared16,

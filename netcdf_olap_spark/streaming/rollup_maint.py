@@ -161,19 +161,35 @@ def _manifest_epochs(spark: SparkSession, out_dir: str) -> list[int]:
 def _read_manifest(spark: SparkSession, out_dir: str) -> dict | None:
     """The LIVE manifest = the max committed epoch (epoch-named
     files, so a reader racing a compaction always sees either the old
-    or the new commit record — never neither)."""
+    or the new commit record — never neither).
+
+    The open is RETRIED on a missing file (r12 advisor finding): a
+    reader that listed epoch N−1 as the max just before epoch N's
+    rename landed can find N−1 already reaped by the writer's
+    post-publish cleanup.  Re-listing then finds epoch N (the reaper
+    only runs after the new manifest is visible), so one fresh
+    list+open per attempt restores the 'old or new, never neither'
+    guarantee; three attempts bound the pathological case of racing
+    several back-to-back compactions."""
     import json
 
-    epochs = _manifest_epochs(spark, out_dir)
-    if not epochs:
-        return None
     fs, path_cls = _fs_for(spark, out_dir)
-    stream = fs.open(path_cls(out_dir, _manifest_name(epochs[-1])))
-    try:
-        text = spark._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
-    finally:
-        stream.close()
-    return json.loads(text)
+    last_err: Exception | None = None
+    for _ in range(3):
+        epochs = _manifest_epochs(spark, out_dir)
+        if not epochs:
+            return None
+        try:
+            stream = fs.open(path_cls(out_dir, _manifest_name(epochs[-1])))
+        except Exception as e:  # JVM FileNotFoundException via py4j
+            last_err = e
+            continue
+        try:
+            text = spark._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+        return json.loads(text)
+    raise last_err  # three consecutive list→reap races: surface it
 
 
 def _write_manifest(spark: SparkSession, out_dir: str, manifest: dict) -> None:

@@ -192,3 +192,41 @@ def test_stale_manifest_after_publish_crash_is_shadowed_then_reaped(
     assert rm._manifest_epochs(spark, out) == [2]
     assert _snapshot(spark, out) != want  # fragment 7 was merged
     assert rm._read_manifest(spark, out)["epoch"] == 2
+
+
+def test_reader_retries_when_listed_manifest_is_reaped(
+    spark, events, tmp_path, monkeypatch
+):
+    """r12 advisor finding: a reader that listed epoch N-1 as max
+    just before epoch N's publish can find N-1 already deleted by the
+    writer's post-publish cleanup — the open must re-list and find N,
+    not throw FileNotFoundException."""
+    out = str(tmp_path / "store")
+    _write_batches(spark, events, out)
+    rm.compact_rollup_store(spark, out)  # publishes epoch 1 (only file)
+    live = rm._read_manifest(spark, out)
+    assert live["epoch"] == 1
+    # simulate the stale listing: first call reports the reaped epoch
+    # 0, later calls the truth
+    real = rm._manifest_epochs
+    calls = {"n": 0}
+
+    def stale_once(s, d):
+        calls["n"] += 1
+        return [0] if calls["n"] == 1 else real(s, d)
+
+    monkeypatch.setattr(rm, "_manifest_epochs", stale_once)
+    assert rm._read_manifest(spark, out) == live
+    assert calls["n"] == 2  # one failed open, one successful retry
+
+
+def test_reader_raises_after_three_reap_races(spark, events, tmp_path, monkeypatch):
+    """Pathological case: every re-list keeps naming an already-reaped
+    epoch — the reader surfaces the error loudly after 3 attempts
+    instead of looping."""
+    out = str(tmp_path / "store")
+    _write_batches(spark, events, out)
+    rm.compact_rollup_store(spark, out)
+    monkeypatch.setattr(rm, "_manifest_epochs", lambda s, d: [999])
+    with pytest.raises(Exception):
+        rm._read_manifest(spark, out)
