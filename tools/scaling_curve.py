@@ -133,6 +133,23 @@ QUERIES = [
     "ev_cohort_ltv",
     "emb_matryoshka_recall",
     "maintenance_dq_audit",
+    # r13 window entrants without a recorded curve: the two deep
+    # TPC-H join trees (broadcast-dim chains — must track the fact
+    # scans), the analytic battery and robust-stats order statistics
+    # (per-key window passes), the funnel's per-user ordered match,
+    # BM25 (postings join ∝ tokens), the sketch contract audit (two
+    # fact scans + broadcast quantile verify), and the streaming
+    # heavy-hitters drain.  rcte_month_spine is absent like
+    # profile_footer_stats: a constant-depth month spine reads no sf
+    # tables' data pages at scale (rows ∝ months, not sf).
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "window_analytic_suite",
+    "agg_robust_stats",
+    "ev_funnel",
+    "doc_bm25_topk",
+    "agg_approx_sketches",
+    "stream_heavy_hitters",
 ]
 
 # The grid family (r10 judge ask #2): these run ONLY on dirs that
