@@ -224,7 +224,14 @@ def main() -> None:
         grid_sizes[sf] = load_grid(spark, register=False).count()
         # warm the session on this dir (JIT/codegen, not results)
         registry["q1_pricing_summary"](spark, d).write.format("noop").mode("overwrite").save()
+        # SPARK_GRAFT_CURVE_ONLY=a,b,c runs a subset (new-entrant
+        # curves without re-running the whole official list)
+        only = {
+            s for s in os.environ.get("SPARK_GRAFT_CURVE_ONLY", "").split(",") if s
+        }
         for name in QUERIES + GRID_QUERIES:
+            if only and name not in only:
+                continue
             samples = []
             for _ in range(REPS):
                 t0 = time.perf_counter()
