@@ -284,56 +284,59 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, exact distinct count, min/max — for numeric and string
     columns of ``lineitem``, in ONE scan.
 
-    All per-column metrics are aggregates of a single groupBy-less
-    aggregation (Catalyst computes the 6×N aggregates partial+final
-    in one pass); the row-per-column shape is a map-side explode of
-    the 1-row result. At 100 TB this is exactly one read of the
-    table; swap exact ``count_distinct`` for
-    ``approx_count_distinct`` to collapse the multi-distinct
-    expansion. Min/max stay typed per column family (doubles for
-    numerics, strings for strings) — no double→string formatting,
-    which is engine-dependent.
+    Plan (r13 rework): explode each row map-side into (col_name,
+    value) and run a TWO-LEVEL hash aggregation — (col_name, value)
+    counts, then the per-column rollup.  The old shape (one
+    groupBy-less agg with N ``countDistinct``s) planned the
+    multi-distinct Expand (7× rows) through a row-at-a-time
+    SortAggregate, because the string min/max buffers disqualify
+    HashAggregate — measured 7.1 s vs 1.6 s warm at sf0.1 for
+    identical values.  The two-level form stays in whole-stage
+    codegen end to end, map-side combine shrinks the exchange to
+    Σ per-column distincts, and at 100 TB per-column skew (one
+    high-cardinality column) spreads over (col, value) keys instead
+    of serializing in one sort.  Min/max stay typed per column
+    family (doubles for numerics, strings for strings) — no
+    double→string formatting, which is engine-dependent.
     """
     li = _t(spark, sf_dir, "lineitem")
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for c in _NUM_COLS + _STR_COLS:
-        aggs += [
-            F.count(c).alias(f"{c}__n"),
-            F.countDistinct(c).alias(f"{c}__d"),
-            F.min(c).alias(f"{c}__min"),
-            F.max(c).alias(f"{c}__max"),
-        ]
-    one = li.agg(*aggs)
-    rows = []
-    for c in _NUM_COLS:
-        rows.append(
-            F.struct(
-                F.lit(c).alias("col_name"),
-                F.col(f"{c}__n").alias("n_nonnull"),
-                (F.col("n_rows") - F.col(f"{c}__n")).alias("n_null"),
-                F.col(f"{c}__d").alias("n_distinct"),
-                F.col(f"{c}__min").cast("double").alias("min_num"),
-                F.col(f"{c}__max").cast("double").alias("max_num"),
-                F.lit(None).cast("string").alias("min_str"),
-                F.lit(None).cast("string").alias("max_str"),
-            )
+    structs = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col(c).cast("double").alias("nv"),  # already double in the data
+            F.lit(None).cast("string").alias("sv"),
         )
-    for c in _STR_COLS:
-        rows.append(
-            F.struct(
-                F.lit(c).alias("col_name"),
-                F.col(f"{c}__n").alias("n_nonnull"),
-                (F.col("n_rows") - F.col(f"{c}__n")).alias("n_null"),
-                F.col(f"{c}__d").alias("n_distinct"),
-                F.lit(None).cast("double").alias("min_num"),
-                F.lit(None).cast("double").alias("max_num"),
-                F.col(f"{c}__min").alias("min_str"),
-                F.col(f"{c}__max").alias("max_str"),
-            )
+        for c in _NUM_COLS
+    ] + [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.lit(None).cast("double").alias("nv"),
+            F.col(c).alias("sv"),
         )
+        for c in _STR_COLS
+    ]
+    long = li.select(F.explode(F.array(*structs)).alias("p")).select(
+        "p.col_name", "p.nv", "p.sv"
+    )
+    per_value = long.groupBy("col_name", "nv", "sv").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    nonnull = F.col("nv").isNotNull() | F.col("sv").isNotNull()
     return (
-        one.select(F.explode(F.array(*rows)).alias("p"))
-        .select("p.*")
+        per_value.groupBy("col_name")
+        .agg(
+            F.sum(F.when(nonnull, F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("n_nonnull"),
+            F.sum(F.when(~nonnull, F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("n_null"),
+            F.count(F.when(nonnull, F.lit(1))).alias("n_distinct"),
+            F.min("nv").alias("min_num"),
+            F.max("nv").alias("max_num"),
+            F.min("sv").alias("min_str"),
+            F.max("sv").alias("max_str"),
+        )
         .orderBy("col_name")
     )
 

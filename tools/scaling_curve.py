@@ -92,6 +92,10 @@ QUERIES = [
     "agg_quantile_sketch_portable",
     "profile_correlations",
     "profile_join_skew",
+    # r13: reworked two-level (col,value) profiling — curve recorded
+    # at rework time (the old multi-distinct Expand→SortAggregate
+    # shape was never curved)
+    "profile_lineitem",
     # r10 operators (token-linear HOF intra-dedup; batch-blocked
     # incremental ANN; apportionment window; winnowing's doc window;
     # register-table HLL set algebra)
