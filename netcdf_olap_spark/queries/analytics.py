@@ -669,8 +669,14 @@ def profile_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: one groupBy-less aggregation (partial+final
     map-side combine), 4+2·C(4,2)=16 decimal aggregates in one pass;
     the 6-row matrix is a driver-side literal explode."""
-    li = _t(spark, sf_dir, "lineitem")
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    # spread the single-task scan AFTER projecting to the four measure
+    # columns (guide §2/§2.3): the 16 decimal multiply-accumulates per
+    # row are the hot loop and otherwise run on one core; no-op at
+    # cluster scale (spread_scan)
+    from netcdf_olap_spark.session import spread_scan
+
+    li = spread_scan(_t(spark, sf_dir, "lineitem").select(*cols))
     dec = "decimal(18,6)"
     aggs = [F.count(F.lit(1)).cast("long").alias("n")]
     for c in cols:
@@ -902,24 +908,35 @@ def ev_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
 
-    def thresholds(key: str) -> DataFrame:
-        hist = keyed.groupBy(key).agg(F.count(F.lit(1)).cast("long").alias("c"))
-        # unpartitioned cumsum over the HISTOGRAM, not the events —
-        # bounded by the metric's integer domain (#days / #distinct
-        # counts / #monetary units); the single-partition warning on
-        # this tiny pass is expected
-        w = Window.orderBy(key).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        cum = hist.select(F.col(key).alias("k"), F.sum("c").over(w).alias("cum"))
-        return cum.crossJoin(F.broadcast(ref.select("n_cust"))).agg(
-            *[
-                F.min(F.when(F.col("cum") * 5 >= i * F.col("n_cust"), F.col("k"))).alias(
-                    f"{key}_t{i}"
+    # ONE unpivoted histogram pass for all three metrics instead of
+    # three separate groupBy→window→agg chains (same break arithmetic
+    # per metric, now partitioned by the metric tag): one shuffle +
+    # one window + one aggregate where there were three of each, and
+    # the two threshold crossJoins disappear.  The per-metric cumsum
+    # stays bounded by the metric's integer domain, exactly as before
+    # — the window partition key just carries the metric tag.
+    metrics = ("rk", "fk", "mk")
+    ke = keyed.select(
+        F.explode(
+            F.array(*[F.struct(F.lit(m).alias("m"), F.col(m).alias("k")) for m in metrics])
+        ).alias("e")
+    ).select("e.m", "e.k")
+    hist = ke.groupBy("m", "k").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = Window.partitionBy("m").orderBy("k").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select("m", "k", F.sum("c").over(w).alias("cum"))
+    th = cum.crossJoin(F.broadcast(ref.select("n_cust"))).agg(
+        *[
+            F.min(
+                F.when(
+                    (F.col("m") == m) & (F.col("cum") * 5 >= i * F.col("n_cust")), F.col("k")
                 )
-                for i in (1, 2, 3, 4)
-            ]
-        )
-
-    th = thresholds("rk").crossJoin(thresholds("fk")).crossJoin(thresholds("mk"))
+            ).alias(f"{m}_t{i}")
+            for m in metrics
+            for i in (1, 2, 3, 4)
+        ]
+    )
 
     def score(key: str):
         s = F.lit(1)

@@ -20,7 +20,14 @@ from netcdf_olap_spark.operators import multimodal as mm
 
 
 def _doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select("doc_id")
+    # spread_scan: the synthesize/decode pixel pipelines above this
+    # scan are the package's heaviest per-row compute (guide §2;
+    # no-op at cluster scale)
+    from netcdf_olap_spark.session import spread_scan
+
+    return spread_scan(
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select("doc_id")
+    )
 
 
 def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:

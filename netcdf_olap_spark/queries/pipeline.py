@@ -44,7 +44,10 @@ _EN_STOP_SQL = ", ".join(f"'{w}'" for w in text.EN_STOPWORDS)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    # spread_scan: see queries/text.py _docs (guide §2; no-op at scale)
+    from netcdf_olap_spark.session import spread_scan
+
+    return spread_scan(spark.read.parquet(os.path.join(sf_dir, "documents.parquet")))
 
 
 # --- decontamination --------------------------------------------------------
@@ -513,7 +516,16 @@ def doc_curriculum_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     # quality mass reuses the adaptive gate's integer score (shared
     # definition — the two operators can never disagree on "quality")
-    toks = _adaptive_scores(d).join(d.select("doc_id", "n_chars"), "doc_id")
+    # materialize the scored table ONCE: it feeds both the per-source
+    # weight aggregation and the final (doc × epoch) rollup, and
+    # Exchange reuse does not fire across consumers under AQE — the
+    # cut keeps the tokenize+stopword-count pass single. Four narrow
+    # columns per doc.
+    toks = (
+        _adaptive_scores(d)
+        .join(d.select("doc_id", "n_chars"), "doc_id")
+        .localCheckpoint(eager=True)
+    )
     counts = (
         toks.groupBy("source")
         .agg(

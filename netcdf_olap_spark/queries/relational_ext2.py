@@ -751,11 +751,20 @@ def agg_hll_intersect_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01"))
         ).select("o_custkey")
 
-    a = c.join(year_keys(1995), c.c_custkey == F.col("o_custkey"), "left_semi").select(
-        "c_mktsegment", "c_custkey"
+    # materialize each tagged set ONCE: `a` feeds est_a, the union
+    # sketch AND the exact intersect (3 consumers; same for `b`), and
+    # Exchange reuse does not fire across consumers under AQE — the
+    # cut runs each customer⋉orders semi-join once instead of three
+    # times. Two narrow (segment, custkey) columns per member row.
+    a = (
+        c.join(year_keys(1995), c.c_custkey == F.col("o_custkey"), "left_semi")
+        .select("c_mktsegment", "c_custkey")
+        .localCheckpoint(eager=True)
     )
-    b = c.join(year_keys(1996), c.c_custkey == F.col("o_custkey"), "left_semi").select(
-        "c_mktsegment", "c_custkey"
+    b = (
+        c.join(year_keys(1996), c.c_custkey == F.col("o_custkey"), "left_semi")
+        .select("c_mktsegment", "c_custkey")
+        .localCheckpoint(eager=True)
     )
 
     h = F.md5(F.col("c_custkey").cast("string"))
@@ -976,12 +985,21 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     combine into ≤m/63 words, collected bounded by m — never by
     keys), one fact-scan filter in whole-stage codegen, then the
     usual shuffled equi-join on the ~10× smaller survivor set."""
-    o = _t(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= "1996-01-01")
-        & (F.col("o_orderdate") < "1997-01-01")
-        & (F.col("o_orderpriority") == "1-URGENT")
+    # project the dimension side to the two columns the query needs
+    # BEFORE materializing (guide §2.3), and materialize ONCE: the
+    # filtered orders feed the key collect, the bitmap build, and the
+    # final join — previously the orders scan+filter ran per consumer
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+            & (F.col("o_orderpriority") == "1-URGENT")
+        )
+        .select("o_orderkey", "o_orderdate")
+        .localCheckpoint(eager=True)
     )
-    keys = o.select(F.col("o_orderkey").alias("k")).localCheckpoint(eager=True)
+    keys = o.select(F.col("o_orderkey").alias("k"))
     n_keys = keys.count()
     m_words = max(1, (n_keys * 10 + 62) // 63)
     if m_words > MAX_BLOOM_LITERAL_WORDS:
@@ -1006,7 +1024,15 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = [sparse.get(i, 0) for i in range(m_words)]
     warr = F.lit(words)
 
-    li = _t(spark, sf_dir, "lineitem")
+    # spread the single-task fact scan AFTER projecting to the three
+    # needed columns (guide §2/§2.3): the 3-md5-per-row Bloom probe is
+    # the query's per-row hot loop and otherwise runs on one core;
+    # no-op at cluster scale (spread_scan)
+    from netcdf_olap_spark.session import spread_scan
+
+    li = spread_scan(
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    )
     proj = li.select(
         "l_orderkey",
         "l_extendedprice",

@@ -36,7 +36,12 @@ def _duck_cos(a: str, b: str) -> str:
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    # spread_scan: the single-file embeddings scan otherwise feeds
+    # every plane-fold/pair-cosine pipeline from ONE task (guide §2 —
+    # scale-adaptive partitioning; no-op at cluster scale)
+    from netcdf_olap_spark.session import spread_scan
+
+    return spread_scan(spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")))
 
 
 def emb_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:

