@@ -53,6 +53,19 @@ environment noise; a query that moved beyond it names a real change.
 This makes movers decidable from the JSON record alone as the
 headline set keeps growing (the r5/r10 uniform-inflation signature no
 longer needs cross-round archaeology).
+
+Protocol (round 14, judge asks r13#2a/b): (a) a LIGHT per-query
+ambient probe (a ~5× smaller flavor of the CPU probe) plus a loadavg
+snapshot runs before EVERY query — BENCH_r13's medians swung up to
+3.9× on byte-identical plans and the per-third probes could not
+attribute individual movers; the per-query series lands in
+bench_detail.json ("ambient"), queries measured under ≥1.5× the run's
+median probe are named in "ambient_flagged", and the summary line
+carries the probe median + flag count.  The per-third probe pair is
+UNCHANGED (cross-round comparable).  (b) all persistent
+RDD/localCheckpoint blocks are unpersisted after each query's reps —
+late queries in a 79-query single-session run previously executed
+under block-manager pressure the early ones didn't have.
 """
 
 from __future__ import annotations
@@ -354,13 +367,46 @@ def main() -> None:
         )
         return round(time.perf_counter() - t0, 3)
 
+    def calibration_quick() -> float:
+        """Per-query ambient probe (round 14, judge ask r13#2a): a
+        ~5× lighter flavor of the CPU probe, cheap enough to run
+        before EVERY query so each mover carries its own ambient
+        certificate — BENCH_r13's medians swung up to 3.9× on
+        byte-identical plans and only judge-side re-runs could rule
+        out regressions, because the per-third probes couldn't
+        attribute individual queries. The full per-third probe pair
+        stays, unchanged, as the cross-round comparable series."""
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 4_000_000, 1, 32)
+            .select(F.xxhash64("id").alias("h"))
+            .groupBy((F.col("h") % 1024).alias("b"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum(F.abs(F.col("h") % 1000)).alias("s"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return round(time.perf_counter() - t0, 3)
+
+    def unpersist_all() -> None:
+        """Free accumulated localCheckpoint/persist blocks between
+        queries (round 14, judge ask r13#2b): queries cut repeated
+        subtrees with eager localCheckpoints, and in a 79-query × reps
+        single-session run those blocks were never freed — late
+        queries ran under block-manager pressure the early ones didn't
+        have, a protocol confound independent of the machine."""
+        for _, rdd in spark.sparkContext._jsc.getPersistentRDDs().items():
+            rdd.unpersist()
+
     calibration()  # their own codegen warmup, unbilled
     calibration_scan()
+    calibration_quick()
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     plan_fp: dict[str, str] = {}
+    ambient: dict[str, dict[str, float]] = {}
     present = [n for n in HEADLINE if n in registry]
     calib_at = {0, len(present) // 3, 2 * len(present) // 3, len(present) - 1}
     calib_runs: list[float] = []
@@ -369,6 +415,10 @@ def main() -> None:
         if pos in calib_at:
             calib_runs.append(calibration())
             calib_scan_runs.append(calibration_scan())
+        ambient[name] = {
+            "probe": calibration_quick(),
+            "load1": round(os.getloadavg()[0], 2),
+        }
         fn = registry[name]
         samples = []
         df = None
@@ -377,6 +427,7 @@ def main() -> None:
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             samples.append(round(time.perf_counter() - t0, 3))
+        unpersist_all()
         runs[name] = samples
         timings[name] = sorted(samples)[len(samples) // 2]  # median
         try:
@@ -419,6 +470,14 @@ def main() -> None:
     ).hexdigest()[:12]
     calib_sec = sorted(calib_runs)[len(calib_runs) // 2]
     calib_scan_sec = sorted(calib_scan_runs)[len(calib_scan_runs) // 2]
+    # per-query ambient flag (round 14): a query whose pre-query probe
+    # ran ≥1.5× the run's median probe was measured under elevated
+    # ambient contention — its median is suspect on its own record,
+    # no cross-round archaeology needed
+    probe_med = sorted(a["probe"] for a in ambient.values())[len(ambient) // 2]
+    flagged = sorted(
+        n for n, a in ambient.items() if probe_med > 0 and a["probe"] >= 1.5 * probe_med
+    )
     detail_path = os.path.join(REPO, "bench_detail.json")
     with open(detail_path, "w") as f:
         json.dump(
@@ -430,6 +489,9 @@ def main() -> None:
                 "plan_fp": plan_fp,
                 "calib_runs": calib_runs,
                 "calib_scan_runs": calib_scan_runs,
+                "ambient": ambient,
+                "ambient_probe_median": probe_med,
+                "ambient_flagged": flagged,
             },
             f,
             indent=1,
@@ -459,6 +521,8 @@ def main() -> None:
                 "shared16_total": shared16,
                 "calib_sec": calib_sec,
                 "calib_scan_sec": calib_scan_sec,
+                "ambient_probe_med": probe_med,
+                "n_ambient_flagged": len(flagged),
                 "plan_fp_digest": fp_digest,
             }
         )

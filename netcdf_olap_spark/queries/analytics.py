@@ -298,6 +298,13 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     of serializing in one sort.  Min/max stay typed per column
     family (doubles for numerics, strings for strings) — no
     double→string formatting, which is engine-dependent.
+
+    PRECONDITION (r13 advisor): non-empty ``lineitem``.  On an empty
+    scan this explode-based shape returns 0 rows, while the oracle's
+    UNION ALL of groupBy-less aggregates returns one zero-count row
+    per column — an edge divergence the registry accepts because the
+    driver's tables are never empty; a library caller profiling
+    possibly-empty inputs should right-join the column spine first.
     """
     li = _t(spark, sf_dir, "lineitem")
     structs = [

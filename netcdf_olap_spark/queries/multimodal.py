@@ -20,14 +20,13 @@ from netcdf_olap_spark.operators import multimodal as mm
 
 
 def _doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # spread_scan: the synthesize/decode pixel pipelines above this
-    # scan are the package's heaviest per-row compute (guide §2;
-    # no-op at cluster scale)
-    from netcdf_olap_spark.session import spread_scan
-
-    return spread_scan(
-        spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select("doc_id")
-    )
+    # NOT spread_scan'd (r14 interleaved A/B): the media pipelines'
+    # Arrow-batched synthesize/decode stages LOSE under the extra
+    # exchange (media_audio_bands regressed pathologically — 32 tiny
+    # Arrow batches per 5 k rows defeat the per-batch vectorization),
+    # unlike the interpreted-HOF text/similarity winners (see
+    # queries/text.py _docs).
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select("doc_id")
 
 
 def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:

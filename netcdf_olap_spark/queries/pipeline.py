@@ -44,10 +44,12 @@ _EN_STOP_SQL = ", ".join(f"'{w}'" for w in text.EN_STOPWORDS)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # spread_scan: see queries/text.py _docs (guide §2; no-op at scale)
-    from netcdf_olap_spark.session import spread_scan
-
-    return spread_scan(spark.read.parquet(os.path.join(sf_dir, "documents.parquet")))
+    # NOT spread_scan'd (r14 interleaved A/B): every pipeline-module
+    # query is cheap codegen column work (sampling draws, quota
+    # arithmetic, packing) where the extra exchange measured a +0.1 to
+    # +0.9 s loss — spread pays only above interpreted-HOF pipelines
+    # (see queries/text.py _docs).
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
 # --- decontamination --------------------------------------------------------

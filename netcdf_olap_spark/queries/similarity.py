@@ -35,13 +35,21 @@ def _duck_cos(a: str, b: str) -> str:
     )
 
 
-def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # spread_scan: the single-file embeddings scan otherwise feeds
-    # every plane-fold/pair-cosine pipeline from ONE task (guide §2 —
-    # scale-adaptive partitioning; no-op at cluster scale)
-    from netcdf_olap_spark.session import spread_scan
+def _emb(spark: SparkSession, sf_dir: str, spread: bool = False) -> DataFrame:
+    """Embeddings read; ``spread=True`` fans the single-task scan out
+    to the session's parallelism (session.spread_scan — guide §2,
+    scale-adaptive, no-op at cluster scale).  OPT-IN PER QUERY from a
+    full interleaved A/B at sf0.1 (r14): pays off above the
+    interpreted plane-fold/pair-cosine pipelines (−0.2 to −5.1 s on
+    the winners) and is a small loss under cheap scans feeding
+    driver-side training or single-vector scoring (+0.1 to +1.2 s),
+    so the default stays off."""
+    df = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    if spread:
+        from netcdf_olap_spark.session import spread_scan
 
-    return spread_scan(spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")))
+        df = spread_scan(df)
+    return df
 
 
 def emb_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -213,7 +221,7 @@ def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from netcdf_olap_spark.operators import pq
     from netcdf_olap_spark.sources.stats import parquet_num_rows
 
-    e = _emb(spark, sf_dir)
+    e = _emb(spark, sf_dir, spread=True)
     qvec = [r[0] for r in e.where(F.col("vec_id") == 0).select(F.explode("embedding")).collect()]
     corpus = e.where(F.col("vec_id") != 0)
     n = parquet_num_rows(os.path.join(sf_dir, "embeddings.parquet"))
@@ -302,7 +310,7 @@ def emb_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from netcdf_olap_spark.operators import pq
 
     cbs = pq.md5_codebooks(m=4, k=8, subdim=16)
-    e = _emb(spark, sf_dir)
+    e = _emb(spark, sf_dir, spread=True)
     units = F.floor(
         pq.pq_distortion_col(F.col("embedding"), cbs) * F.lit(1_000_000.0) + F.lit(0.5)
     ).cast("long")
@@ -402,7 +410,7 @@ def emb_label_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked all-pairs cosine (same-label blocks) with per-vector
     top-3 — embedding-cosine near-dup detection shape. Subset to
     labels 0-2 to bound the pair count."""
-    e = _emb(spark, sf_dir).where(F.col("label") < 3)
+    e = _emb(spark, sf_dir, spread=True).where(F.col("label") < 3)
     return similarity.pairwise_topk_per_label(e, k=3).select(
         "lbl", "id1", "id2", "cos_sim", "rk"
     ).orderBy("lbl", "id1", "rk")
@@ -469,7 +477,7 @@ def doc_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     at the p99 tail — the operator shape, blocking strategy, and
     metadata join are what scale: at 100 TB, blocks come from
     LSH/IVF buckets instead of labels (operators/similarity.py)."""
-    e = _emb(spark, sf_dir)
+    e = _emb(spark, sf_dir, spread=True)
     d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
         "doc_id", "lang"
     )
@@ -514,7 +522,7 @@ def emb_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineage truncated per round, O(diameter) rounds."""
     from netcdf_olap_spark.operators.components import dedup_clusters
 
-    e = _emb(spark, sf_dir)
+    e = _emb(spark, sf_dir, spread=True)
     return (
         dedup_clusters(_near_dup_pairs(e), e.select("vec_id"), id_col="vec_id")
         .withColumnRenamed("doc_id", "vec_id")
@@ -561,7 +569,7 @@ def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank-1-update fold (NOT BLAS — see mmr_rerank), and the MMR
     combine uses the literal 1−λ double (0.30000000000000004, not
     0.3) in both engines."""
-    e = _emb(spark, sf_dir)
+    e = _emb(spark, sf_dir, spread=True)
     qvec = [r[0] for r in e.where(F.col("vec_id") == 0).select(F.explode("embedding")).collect()]
     return similarity.mmr_rerank(
         e.where(F.col("vec_id") != 0), qvec, k=10, pool=50, lam=0.7
@@ -695,7 +703,7 @@ def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n = parquet_num_rows(os.path.join(sf_dir, "embeddings.parquet"))
     return (
-        similarity.knn_graph_auto(_emb(spark, sf_dir), n_rows=n, k=3, dim=64)
+        similarity.knn_graph_auto(_emb(spark, sf_dir, spread=True), n_rows=n, k=3, dim=64)
         .orderBy("src_id", "nbr_rank")
     )
 
@@ -897,7 +905,7 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from netcdf_olap_spark.sources.stats import parquet_num_rows
 
     n = parquet_num_rows(os.path.join(sf_dir, "embeddings.parquet"))
-    return similarity.hard_negatives(_emb(spark, sf_dir), n_rows=n, k=3, dim=64).orderBy(
+    return similarity.hard_negatives(_emb(spark, sf_dir, spread=True), n_rows=n, k=3, dim=64).orderBy(
         "src_id", "neg_rank"
     )
 
@@ -967,7 +975,7 @@ def emb_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n = parquet_num_rows(os.path.join(sf_dir, "embeddings.parquet"))
     planes = similarity.md5_sign_planes(similarity.auto_n_planes(n), 64)
-    e = _emb(spark, sf_dir)
+    e = _emb(spark, sf_dir, spread=True)
     corpus = e.select(
         "vec_id",
         "embedding",
@@ -1074,7 +1082,7 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Truncation is a zero-copy array slice (no re-embedding)."""
     from pyspark.sql.window import Window
 
-    e = _emb(spark, sf_dir)
+    e = _emb(spark, sf_dir, spread=True)
     q = F.broadcast(
         e.where((F.col("vec_id") >= 1) & (F.col("vec_id") <= 20)).select(
             F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
@@ -1257,7 +1265,7 @@ def emb_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-dimension cosine.  Hash-checkable end to end — the sign
     matrix derives from the md5-hex family (no RNG), and every dot
     product on both engines is the sequential double fold."""
-    e = _emb(spark, sf_dir)
+    e = _emb(spark, sf_dir, spread=True)
     qvec = [r[0] for r in e.where(F.col("vec_id") == 0).select(F.explode("embedding")).collect()]
     return similarity.knn_rp(e.where(F.col("vec_id") != 0), qvec, k=10, pool=100, d_out=16)
 

@@ -32,13 +32,22 @@ DUCK_CUTS = """[0] || [p FOR p IN generate_series(1, len(t))
 DUCK_CHUNKS = "[array_to_string(t[c[i]+1:c[i+1]], ' ') FOR i IN generate_series(1, len(c) - 1)]"
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # spread_scan: the single-file corpus scan otherwise feeds every
-    # HOF-heavy chunking/tokenization pipeline from ONE task (guide
-    # §2 — scale-adaptive partitioning; no-op at cluster scale)
-    from netcdf_olap_spark.session import spread_scan
+def _docs(spark: SparkSession, sf_dir: str, spread: bool = False) -> DataFrame:
+    """Corpus read; ``spread=True`` fans the single-task scan out to
+    the session's parallelism (session.spread_scan — guide §2,
+    scale-adaptive, no-op at cluster scale).  OPT-IN PER QUERY from a
+    full interleaved A/B at sf0.1 (r14): the shuffle pays off only
+    above genuinely heavy per-row work — interpreted-HOF chunking,
+    shingling, per-row folds, pair self-joins (measured −0.14 to
+    −5.1 s on the winners) — and is a small LOSS under cheap codegen
+    column work (+0.1 to +0.9 s on fingerprint/sampling/stats-shaped
+    queries), so the default stays off."""
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    if spread:
+        from netcdf_olap_spark.session import spread_scan
 
-    return spread_scan(spark.read.parquet(os.path.join(sf_dir, "documents.parquet")))
+        df = spread_scan(df)
+    return df
 
 
 def doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -168,7 +177,7 @@ ORDER BY doc_id
 def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID (stopword-hit argmax, first-wins ties)
     aggregated to (guess, n_docs)."""
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=True)
     return (
         d.select(text.lang_id_expr("text").alias("lang_guess"))
         .groupBy("lang_guess")
@@ -234,7 +243,7 @@ def doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram-Jaccard near-dup pairs (inverted-index join, no
     cross product). Integer cross-multiplication threshold → no float
     boundary between engines."""
-    return dedup.jaccard_pairs(_docs(spark, sf_dir), threshold=0.12, n=3).orderBy("id1", "id2")
+    return dedup.jaccard_pairs(_docs(spark, sf_dir, spread=True), threshold=0.12, n=3).orderBy("id1", "id2")
 
 
 DOC_JACCARD_SQL = f"""
@@ -266,7 +275,7 @@ def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive formulations agree exactly."""
     from netcdf_olap_spark.operators.components import dedup_clusters
 
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=True)
     pairs = dedup.jaccard_pairs(d, threshold=0.12, n=3)
     return dedup_clusters(pairs, d).orderBy("doc_id")
 
@@ -322,7 +331,7 @@ def doc_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     build already tokenizes for."""
     from netcdf_olap_spark.operators.components import dedup_clusters
 
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=True)
     pairs = dedup.jaccard_pairs(d, threshold=0.12, n=3)
     # dedup_clusters' min-label keeper_id IS this query's cluster id —
     # reusing the shared closure (like doc_dedup_clusters and
@@ -380,7 +389,7 @@ def doc_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     the split itself is one map-side hash — no additional shuffle."""
     from netcdf_olap_spark.operators.components import dedup_clusters
 
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=True)
     pairs = dedup.jaccard_pairs(d, threshold=0.12, n=3)
     cl = dedup_clusters(pairs, d)
     bucket = (
@@ -434,7 +443,7 @@ def doc_shift_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence, no UDF); dup detection is one shuffle on the chunk hash
     + one join back on the same key (AQE co-partitions) + the per-doc
     agg — never all-pairs, work ∝ corpus tokens."""
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=True)
     toks = d.select("doc_id", text.tokens("text").alias("t")).where(F.size("t") > 0)
     cuts = toks.select("doc_id", "t", text.content_cutpoints(F.col("t")).alias("c"))
     # materialize the chunk table ONCE: it feeds the per-hash doc-count
@@ -643,7 +652,7 @@ def doc_intra_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     key in the registry.  The DuckDB twin states the same semantics
     relationally (per-(doc, chunk) window rank > 1) — two independent
     formulations, one answer."""
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=True)
     toks = d.select("doc_id", text.tokens("text").alias("t")).where(F.size("t") > 0)
     cuts = toks.select("doc_id", "t", text.content_cutpoints(F.col("t")).alias("c"))
     # materialize the chunk array ONCE (expr-in-lambda inlining:
@@ -731,7 +740,7 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     one doc-keyed window sort (the cube's analog of the per-cell
     windows); output is one row per doc."""
     w = 4
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=True)
     toks = d.select("doc_id", text.tokens("text").alias("t")).where(F.size("t") >= 3)
     sh = toks.select(
         "doc_id",
@@ -852,7 +861,7 @@ def doc_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast side carried their own FileScan+Generate subtree).
     # The materialized table is at most (#sources × distinct chunks)
     # narrow rows.
-    ch = _source_chunk_hashes(_docs(spark, sf_dir)).localCheckpoint(eager=True)
+    ch = _source_chunk_hashes(_docs(spark, sf_dir, spread=True)).localCheckpoint(eager=True)
     a, b = ch.alias("a"), ch.alias("b")
     return (
         a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.source") < F.col("b.source")))
@@ -903,7 +912,7 @@ def doc_source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-aggregate) with the dangling mass a 1-row broadcast; the
     unrolled 3-iteration plan keeps every stage key-partitioned on
     source, never all-pairs."""
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=True)
     # materialize the chunk-hash table ONCE before the self-join —
     # same cut as doc_source_overlap: without it the tokenize+CDC+md5
     # +distinct pipeline runs on BOTH join sides (Exchange reuse does
@@ -1052,7 +1061,7 @@ def doc_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery itself behind a hash check; the xxhash64 variant stays
     registered as the production-speed form."""
     return dedup.minhash_lsh_pairs_portable(
-        _docs(spark, sf_dir), k=16, bands=8, threshold=0.12
+        _docs(spark, sf_dir, spread=True), k=16, bands=8, threshold=0.12
     ).orderBy("id1", "id2")
 
 
@@ -1259,7 +1268,7 @@ def doc_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator for the text-sketch side, like emb_ann_recall_report for
     ANN."""
     return dedup.minhash_calibration_portable(
-        _docs(spark, sf_dir), k=16, bands=8
+        _docs(spark, sf_dir, spread=True), k=16, bands=8
     ).orderBy("id1", "id2")
 
 
@@ -1567,7 +1576,7 @@ def doc_span_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed 100 TB path is exercised by doc_span_contamination and
     tests/test_spandedup.py."""
     dup = spandedup.duplicate_spans(
-        _docs(spark, sf_dir), w=6, min_docs=2, hashed=False
+        _docs(spark, sf_dir, spread=True), w=6, min_docs=2, hashed=False
     )
     return (
         dup.select("span", "n_docs", "n_occ", "example_doc")
@@ -1800,7 +1809,7 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     bottleneck); that one computes distributional bigram/trigram
     counts via two-level aggregation (best when single documents are
     huge and need cross-core spreading)."""
-    return text.repetition_metrics(_docs(spark, sf_dir)).orderBy("doc_id")
+    return text.repetition_metrics(_docs(spark, sf_dir, spread=True)).orderBy("doc_id")
 
 
 DOC_REPETITION_STATS_SQL = f"""
@@ -1860,7 +1869,7 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final per-source aggregate (partial+final)."""
     from netcdf_olap_spark.operators import pii
 
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=True)
     did = F.col("doc_id")
 
     def plant(mod: int, *parts):
@@ -2223,7 +2232,7 @@ def doc_dup_span_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-agg impossible to beat since positions must survive); the
     merge is ONE per-doc window (lag + running sum — gaps-and-
     islands), never a self-join on positions."""
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=True)
     w = 6
     toks = d.select("doc_id", text.tokens("text").alias("t")).where(F.size("t") >= w)
     keyed = toks.select(
@@ -2309,7 +2318,7 @@ def doc_dup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rewrite itself is ONE doc-level HOF pass (token array ×
     ≤extents interval tests — no position explode survives to the
     rewrite side)."""
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=True)
     w = 6
     toks = d.select("doc_id", text.tokens("text").alias("t")).where(F.size("t") >= w)
     # materialize the span-key table ONCE: it feeds the ownership

@@ -189,6 +189,13 @@ def load_grid(spark: SparkSession, register: bool = True) -> DataFrame:
     curve harness flips it between scale dirs inside one session.
     """
     path = os.environ.get("SPARK_GRAFT_GRID_PATH") or os.path.join(FIXTURES_DIR, "grid.parquet")
+    # NOT spread_scan'd (measured r14): unlike the documents/embeddings
+    # scans, the cube's per-row map work is cheap codegen (filters +
+    # arithmetic) and every grid query shuffles on its cell/window key
+    # anyway — an interleaved A/B showed the extra full-row exchange is
+    # a 1.3-2× LOSS (grid_getis_gi 1.5→2.9 s, grid_quantile_map
+    # 1.2→2.5 s). Spread pays only above HOF-heavy/interpreted
+    # pipelines.
     df = spark.read.parquet(path)
     if register:
         df.createOrReplaceTempView("grid")

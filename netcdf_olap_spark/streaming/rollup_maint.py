@@ -181,7 +181,15 @@ def _read_manifest(spark: SparkSession, out_dir: str) -> dict | None:
             return None
         try:
             stream = fs.open(path_cls(out_dir, _manifest_name(epochs[-1])))
-        except Exception as e:  # JVM FileNotFoundException via py4j
+        except Exception as e:
+            # ONLY the list→reap race (the file vanished between the
+            # listing and the open) warrants a retry; anything else —
+            # permission denied, corrupt FS config — must surface
+            # immediately, not after three blind retries (r13 advisor
+            # finding). py4j wraps the JVM FileNotFoundException, so
+            # match on the Java class name in the rendered message.
+            if "FileNotFoundException" not in str(e):
+                raise
             last_err = e
             continue
         try:
@@ -189,7 +197,12 @@ def _read_manifest(spark: SparkSession, out_dir: str) -> dict | None:
         finally:
             stream.close()
         return json.loads(text)
-    raise last_err  # three consecutive list→reap races: surface it
+    # three consecutive list→reap races: surface with the retry context
+    raise RuntimeError(
+        "_read_manifest: manifest open failed after 3 list->open retries "
+        "(each attempt re-listed and found a manifest that was reaped "
+        "before the open)"
+    ) from last_err
 
 
 def _write_manifest(spark: SparkSession, out_dir: str, manifest: dict) -> None:

@@ -124,7 +124,17 @@ def run_to_memory(
     partial aggregation still uses every input core; only the
     final merge into state narrows).  Leave None for state that
     grows with keys (sessionization, per-user dedup ownership),
-    where the default width is the scale-out path."""
+    where the default width is the scale-out path.
+
+    CONCURRENCY CAVEAT (r13 advisor): the narrowed partition count is
+    applied by temporarily setting the session-global
+    ``spark.sql.shuffle.partitions`` for the set→start window (Spark
+    clones session state into the stream at start; there is no
+    per-stream option for this conf).  A batch/stream query STARTED
+    concurrently on the same session during that window would inherit
+    the narrowed width — callers must not race query starts against
+    ``run_to_memory`` with ``state_partitions`` set.  All current
+    callers are serial registry queries."""
     name = f"sink_{uuid.uuid4().hex[:12]}"
     spark = stream_df.sparkSession
     old = spark.conf.get("spark.sql.shuffle.partitions")

@@ -14,8 +14,6 @@ import json
 
 from pyspark.sql import functions as F
 
-from tests.conftest import SF_SMALL
-
 US_1H = 3_600_000_000
 
 
@@ -68,6 +66,8 @@ def test_bench_final_line_is_bounded():
             "shared16_total": 9999.999,
             "calib_sec": 99.999,
             "calib_scan_sec": 99.999,
+            "ambient_probe_med": 99.999,
+            "n_ambient_flagged": 9999,
             "plan_fp_digest": "a" * 12,
         }
     )

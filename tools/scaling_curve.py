@@ -233,6 +233,13 @@ def main() -> None:
         only = {
             s for s in os.environ.get("SPARK_GRAFT_CURVE_ONLY", "").split(",") if s
         }
+        # r13 advisor: a typo'd name silently measured nothing and the
+        # output was indistinguishable from an official full-curve run
+        unknown = only - set(QUERIES + GRID_QUERIES)
+        if unknown:
+            raise SystemExit(
+                f"SPARK_GRAFT_CURVE_ONLY names not in the curve lists: {sorted(unknown)}"
+            )
         for name in QUERIES + GRID_QUERIES:
             if only and name not in only:
                 continue
@@ -258,17 +265,21 @@ def main() -> None:
                 alpha[name] = round(math.log(t[b] / t[a]) / math.log(ratio_n), 2)
             else:
                 alpha[name] = None
-    print(
-        json.dumps(
-            {
-                "sizes": sizes,
-                "grid_sizes": grid_sizes,
-                "queries": out,
-                "alpha_last_step": alpha,
-                "reps": REPS,
-            }
-        )
+    record = {
+        "sizes": sizes,
+        "grid_sizes": grid_sizes,
+        "queries": out,
+        "alpha_last_step": alpha,
+        "reps": REPS,
+    }
+    # r13 advisor: a subset run's output must be distinguishable from
+    # an official full-curve record
+    subset = sorted(
+        s for s in os.environ.get("SPARK_GRAFT_CURVE_ONLY", "").split(",") if s
     )
+    if subset:
+        record["subset"] = subset
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
