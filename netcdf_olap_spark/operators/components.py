@@ -37,39 +37,140 @@ def connected_components(
     it simply keep their own id and need no rows here.
     """
     e = edges.select(F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b"))
-    # symmetrize once: propagation below only needs neighbor -> node
-    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    sym = sym.distinct().localCheckpoint(eager=True)
-
-    labels = (
-        sym.select(F.col("a").alias("id"))
+    # Symmetrize WITH self-loops in ONE pass over the edge subtree
+    # (r14 rework). Two problems with the old shape:
+    #   1. e.union(e.swapped) made the (often expensive — pair-join)
+    #      edge pipeline a child of BOTH union branches, and Exchange
+    #      reuse does not fire across consumers under AQE, so it
+    #      executed twice (emb_cluster_components paid its ~3 s
+    #      cosine pair join two times).
+    #   2. each round ran TWO jobs (an eager checkpoint + a changed
+    #      count) through a join + agg + second join — measured ~1 s
+    #      of fixed stage/codegen cost per tiny job on a
+    #      1,449-edge graph.
+    # The explode emits both directions PLUS (a,a)/(b,b) self-loops
+    # from one scan, so a round's closed-neighborhood min is ONE
+    # join + ONE aggregation (the self-loop carries the node's own
+    # label — no second join, no least/coalesce).
+    symself = (
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("a"), F.col("b").alias("b")),
+                    F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+                    F.struct(F.col("a").alias("a"), F.col("a").alias("b")),
+                    F.struct(F.col("b").alias("a"), F.col("b").alias("b")),
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
         .distinct()
-        .withColumn("comp", F.col("id"))
         .localCheckpoint(eager=True)
     )
 
+    # initial labels: every node labels itself (the self-loop rows
+    # are exactly one (a, a) per node — no extra distinct pass)
+    labels = symself.where(F.col("a") == F.col("b")).select(
+        F.col("a").alias("id"), F.col("a").alias("comp")
+    )
+
+    # Each iteration: one neighbor-min round (labels can only
+    # DECREASE) followed by a pointer-doubling shortcut
+    # comp ← label(comp) — the standard O(log diameter) acceleration.
+    # Plain per-round propagation is O(diameter) rounds, and the r14
+    # measurement showed the sf0.1 cosine near-dup graph has diameter
+    # > 20: the old 20-round cap was still strictly decreasing at
+    # round 19, i.e. it silently returned UNDER-CONVERGED labels at
+    # that scale (the checked sf0.01 graph converges inside the cap,
+    # so oracle parity never saw it). Doubling reaches the true
+    # fixed point (label = component min — exactly the oracle's
+    # recursive-CTE closure) in a handful of rounds at any diameter.
+    #
+    # Convergence via the label-sum invariant: both steps are
+    # monotone non-increasing per node, so Σ comp (exact,
+    # decimal(38,0) — id sums can pass int64 at corpus scale) is
+    # strictly decreasing until the fixed point and equal exactly at
+    # it.  The sum action on the lazily-checkpointed iteration output
+    # materializes the round AND decides termination in ONE job
+    # (the shortcut self-join's two references share one RDD, so the
+    # neighbor-min pass computes once per iteration).
+    prev_sum = None
     for _ in range(max_iter):
-        # smallest label among neighbors, joined against own label
-        nbr_min = (
-            sym.join(labels.withColumnRenamed("id", "b"), "b")
+        nm = (
+            symself.join(labels.withColumnRenamed("id", "b"), "b")
             .groupBy(F.col("a").alias("id"))
-            .agg(F.min("comp").alias("nbr_comp"))
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=False)
         )
-        new_labels = (
-            labels.join(nbr_min, "id", "left")
-            .select(
-                "id",
-                F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias(
-                    "comp"
-                ),
-                (F.col("nbr_comp") < F.col("comp")).alias("changed"),
-            )
-        ).localCheckpoint(eager=True)
-        n_changed = new_labels.where(F.col("changed")).count()
-        labels = new_labels.select("id", "comp")
-        if n_changed == 0:
+        lab_of = nm.select(F.col("id").alias("comp"), F.col("comp").alias("comp2"))
+        labels = (
+            nm.join(lab_of, "comp", "left")
+            .select("id", F.coalesce("comp2", "comp").alias("comp"))
+            .localCheckpoint(eager=False)
+        )
+        cur = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")).first()["s"]
+        if cur == prev_sum:
             break
+        prev_sum = cur
     return labels
+
+
+def blocked_components(
+    pairs: DataFrame,
+    block_col: str,
+    src: str = "id1",
+    dst: str = "id2",
+) -> DataFrame:
+    """EXACT connected components when every edge lies INSIDE one
+    block — the shape every blocked pair generator in this package
+    produces (label blocks, LSH buckets, clusters): no edge can cross
+    blocks, so each block's subgraph closes independently.
+
+    One shuffle on the block key + one Arrow-batched union-find pass
+    per block (min-id root: union attaches the larger root under the
+    smaller, so the final root IS the component minimum — the same
+    keeper convention as ``connected_components``), instead of
+    O(diameter) distributed rounds: the r14 measurement showed the
+    sf0.1 cosine near-dup graph has diameter > 20, costing 15+
+    join+agg jobs on the iterative path where this is ONE job.
+
+    100 TB shape: per-task work is bounded by the block's edge list —
+    the SAME bound the blocked pair join upstream already assumes
+    (Σ block² work; a block too big to union-find in one task was
+    already too big to pair-join). Deterministic: the component-min
+    labels are order-independent."""
+    import pandas as pd
+
+    cols = pairs.select(
+        F.col(block_col).alias("_blk"),
+        F.col(src).cast("long").alias("_a"),
+        F.col(dst).cast("long").alias("_b"),
+    )
+
+    def _union_find(pdf: pd.DataFrame) -> pd.DataFrame:
+        # self-contained closure (driver-sim rule: no module refs)
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(pdf["_a"], pdf["_b"]):
+            a, b = int(a), int(b)
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        ids = sorted(parent)
+        return pd.DataFrame({"id": ids, "comp": [find(x) for x in ids]})
+
+    return cols.groupBy("_blk").applyInPandas(_union_find, "id long, comp long")
 
 
 def dedup_clusters(

@@ -454,6 +454,9 @@ def _near_dup_pairs(e: DataFrame) -> DataFrame:
             (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
+            # the blocking key rides along so the components closure
+            # can group the edge list per block (blocked_components)
+            F.col("a.label").alias("label"),
             F.col("a.vec_id").alias("id1"),
             F.col("b.vec_id").alias("id2"),
             # _pair_cos, not raw dot/(na*nb): a zero vector's 0/0 NaN
@@ -516,16 +519,31 @@ def emb_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected components via min-label propagation — every vector gets
     its cluster keeper, vectors with no near-dup keep themselves.
     Completes the graph family: pairs (doc_embedding_near_dup) →
-    top-k graph (emb_knn_graph) → components (this).  Same iterative
-    operator as doc_dedup_clusters (operators/components.py), so the
-    100 TB shape is shared: per-round join+agg on the node key,
-    lineage truncated per round, O(diameter) rounds."""
-    from netcdf_olap_spark.operators.components import dedup_clusters
+    top-k graph (emb_knn_graph) → components (this).
+
+    r14 rework: the edge set is LABEL-BLOCKED (no edge crosses a
+    label), so the closure runs as ONE per-block union-find pass
+    (operators/components.blocked_components — one shuffle on the
+    block key) instead of the generic O(diameter) iterative loop.
+    The measured sf0.1 graph has diameter > 20: the iterative path
+    burned 15+ tiny join+agg jobs AND its 20-round cap silently
+    under-converged at that scale; the union-find reaches the exact
+    component minimum (the oracle's recursive-CTE closure) in one
+    job at any diameter.  Per-task work is bounded by a block's edge
+    list — the same bound the blocked pair join upstream already
+    assumes."""
+    from netcdf_olap_spark.operators.components import blocked_components
 
     e = _emb(spark, sf_dir, spread=True)
+    comp = blocked_components(_near_dup_pairs(e), "label", "id1", "id2")
     return (
-        dedup_clusters(_near_dup_pairs(e), e.select("vec_id"), id_col="vec_id")
-        .withColumnRenamed("doc_id", "vec_id")
+        e.select(F.col("vec_id").cast("long").alias("vec_id"))
+        .join(comp.withColumnRenamed("id", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("comp", "vec_id").alias("keeper_id"),
+            (F.coalesce("comp", "vec_id") == F.col("vec_id")).alias("is_keeper"),
+        )
         .orderBy("vec_id")
     )
 
