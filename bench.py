@@ -66,6 +66,33 @@ UNCHANGED (cross-round comparable).  (b) all persistent
 RDD/localCheckpoint blocks are unpersisted after each query's reps —
 late queries in a 79-query single-session run previously executed
 under block-manager pressure the early ones didn't have.
+
+Protocol (round 15, judge asks r14#1/#3 — ADDITIONS ONLY; every
+existing field, the timed region, and the query set are unchanged):
+(a) contention-robust totals: the summary line adds ``value_min``
+(sum of per-query MINIMA) and ``shared16_min`` next to the unchanged
+median-based ``value``/``shared16_total``, and bench_detail.json adds
+the per-query ``mins`` map — two consecutive rounds of driver records
+were ambient-dominated (r14: the plan-unchanged shared16 set inflated
+3.57× while 21/79 per-query probes self-flagged), and a median of a
+few reps does not survive sustained steal where a minimum does.
+(b) fixed-key scaling panel: ``panel`` (per-query median) and
+``panel_min`` (per-query min) carry FIVE pinned representative
+queries — one per family, the same keys at every core count — so the
+driver's low-core/high-core comparator always has common keys
+(PERF_r14's ``scaling.per_query`` was empty because the two runs'
+top-5 sets were disjoint).  (c) default reps raised 3 → 5 when
+``SPARK_GRAFT_BENCH_REPS`` is unset (judge ask r14#1): more reps is
+what makes the min robust; the env knob and the median fields keep
+every prior-round comparison well-defined.
+
+Plan-fp caveat (r14 advisor): queries that eagerly materialize
+subtrees via localCheckpoint expose only the post-checkpoint tail to
+``explain`` — an unchanged ``plan_fp`` for those queries does NOT
+certify the upstream strategy is unchanged.  The committed
+``plans/r{N}/<query>_{before,after}.txt`` dumps (which include the
+pre-checkpoint build plans) are the authoritative strategy evidence
+for checkpointed queries.
 """
 
 from __future__ import annotations
@@ -402,8 +429,9 @@ def main() -> None:
     calibration_scan()
     calibration_quick()
 
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
     timings: dict[str, float] = {}
+    mins: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     plan_fp: dict[str, str] = {}
     ambient: dict[str, dict[str, float]] = {}
@@ -430,6 +458,7 @@ def main() -> None:
         unpersist_all()
         runs[name] = samples
         timings[name] = sorted(samples)[len(samples) // 2]  # median
+        mins[name] = min(samples)
         try:
             # fingerprint the last rep's DataFrame (its own
             # QueryExecution is never executed by the write, so this
@@ -454,6 +483,25 @@ def main() -> None:
         *EXTRA_R13,
     }
     shared16 = round(sum(v for k, v in timings.items() if k not in late), 3)
+    # round-15 contention-robust twins (judge ask r14#1): same sums
+    # over per-query MINIMA — a median of a few reps inflates under
+    # sustained host steal, the minimum of the same reps does not
+    total_min = round(sum(mins.values()), 3)
+    shared16_min = round(sum(v for k, v in mins.items() if k not in late), 3)
+    # round-15 fixed-key scaling panel (judge ask r14#3): five pinned
+    # representative queries — one per family — present at EVERY core
+    # count so the driver's scaling comparator always has common keys
+    # (the r14 32c/8c top-5 sets were disjoint and scaling.per_query
+    # came back empty). Keys are pinned; never rotate them.
+    PANEL = [
+        "q1_pricing_summary",
+        "doc_minhash_dedup_pairs",
+        "emb_knn_graph",
+        "grid_polygon_stats",
+        "ev_rollup_hybrid",
+    ]
+    panel = {q: timings[q] for q in PANEL if q in timings}
+    panel_min = {q: mins[q] for q in PANEL if q in mins}
 
     # Round-9 output contract (judge ask r8#1): BENCH_r08.json came
     # back `parsed: null` because the single summary line had grown
@@ -486,6 +534,7 @@ def main() -> None:
                 "reps": reps,
                 "runs": runs,
                 "medians": timings,
+                "mins": mins,
                 "plan_fp": plan_fp,
                 "calib_runs": calib_runs,
                 "calib_scan_runs": calib_scan_runs,
@@ -519,6 +568,10 @@ def main() -> None:
                 "sf": sf,
                 "reps": reps,
                 "shared16_total": shared16,
+                "value_min": total_min,
+                "shared16_min": shared16_min,
+                "panel": panel,
+                "panel_min": panel_min,
                 "calib_sec": calib_sec,
                 "calib_scan_sec": calib_scan_sec,
                 "ambient_probe_med": probe_med,

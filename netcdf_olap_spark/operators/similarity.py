@@ -37,6 +37,99 @@ def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
 
 
+# r15 measured choice (guide §4), decided by a three-way interleaved
+# min-of-reps A/B (JVM / full-Arrow / Arrow-bucket-only at sf0.1):
+# - ARROW_BUCKETING=True — the per-VECTOR bucket-bits + norm pass
+#   crosses to numpy once per vector (n_planes sequential-fold dots +
+#   one self-fold ≈ 450 interpreted lambda evals per row otherwise):
+#   emb_knn_graph 1.85→1.61 s, emb_delta_knn 1.21→0.87 s.
+# - ARROW_PAIR_SCORING=False — scoring per PAIR in Python ships both
+#   64-float vectors across Arrow for every bucket-mate pair and
+#   LOSES to the JVM fold everywhere it was tried (knn_graph
+#   1.85→2.35, doc_embedding_near_dup 1.47→2.09): the boundary cost
+#   scales with pairs × vector bytes, the win only with pairs.
+# Both paths are bitwise-identical to the JVM expressions (sequential
+# per-dimension numpy folds — the mmr_rerank precedent; equivalence
+# re-proven row-for-row at sf0.1 and by DuckDB parity).  The A/B
+# harness toggles these; production keeps the measured winners.
+ARROW_PAIR_SCORING = False
+ARROW_BUCKETING = True
+
+
+def _pair_cos_arrow_udf():
+    """Arrow-batched twin of ``_pair_cos`` (guide §4: the per-pair
+    cosine fold was the single hottest interpreted-HOF site — one
+    zip_with+aggregate per PAIR).  Batches of (v1, v2, n1, n2) cross
+    the boundary as Arrow; the fold runs vectorized in numpy as a
+    SEQUENTIAL per-dimension multiply-add (left-to-right — NOT
+    einsum/BLAS, whose pairwise summation rounds differently in the
+    last ulp), which per row is the exact IEEE operation sequence of
+    the JVM zip_with+aggregate fold and the DuckDB list_sum fold (the
+    mmr_rerank precedent); the zero-norm guard reproduces
+    ``when(denom == 0.0, 0.0)`` exactly (±0.0 compares equal to 0.0
+    in IEEE, matching numpy's ``denom != 0.0`` mask).
+
+    The closure is SELF-CONTAINED (driver-sim rule: a module-level
+    helper reference would pickle by reference to this package, which
+    is not importable on the external driver's workers)."""
+
+    @F.pandas_udf("double")
+    def _pc(v1: pd.Series, v2: pd.Series, n1: pd.Series, n2: pd.Series) -> pd.Series:
+        if len(v1) == 0:
+            return pd.Series(np.zeros(0, dtype=np.float64))
+        a = np.stack(v1.to_numpy()).astype(np.float64)
+        b = np.stack(v2.to_numpy()).astype(np.float64)
+        dot = np.zeros(a.shape[0], dtype=np.float64)
+        for d in range(a.shape[1]):  # sequential per-dimension fold
+            dot = dot + a[:, d] * b[:, d]
+        denom = n1.to_numpy(dtype=np.float64) * n2.to_numpy(dtype=np.float64)
+        out = np.divide(dot, denom, out=np.zeros_like(dot), where=denom != 0.0)
+        return pd.Series(out)
+
+    return _pc
+
+
+def _bucket_nrm_arrow_udf(planes: "np.ndarray"):
+    """Arrow-batched twin of ``lsh_bucket_col`` + ``_norm`` in ONE
+    boundary crossing per vector: bucket bit i = sign of the
+    sequential-fold dot with plane i (±1.0 entries — multiplication
+    by them is exact, so the fold replays the JVM/DuckDB doubles
+    bitwise), nrm = sqrt of the sequential self-fold (IEEE sqrt is
+    correctly rounded on every engine).  The plane matrix rides in
+    the closure (query-scale metadata: n_planes×dim floats), and the
+    fold is INLINED so the closure is self-contained (driver-sim
+    rule: no references to this package's module-level helpers)."""
+    pl = np.asarray(planes, dtype=np.float64)
+
+    @F.pandas_udf("struct<bucket:int,nrm:double>")
+    def _bn(v: pd.Series) -> pd.DataFrame:
+        if len(v) == 0:
+            return pd.DataFrame({"bucket": np.zeros(0, dtype=np.int32), "nrm": np.zeros(0)})
+        m = np.stack(v.to_numpy()).astype(np.float64)
+
+        def fold(a, b):  # sequential per-dimension fold, left-to-right
+            acc = np.zeros(a.shape[0], dtype=np.float64)
+            for d in range(a.shape[1]):
+                acc = acc + a[:, d] * b[:, d]
+            return acc
+
+        bucket = np.zeros(m.shape[0], dtype=np.int64)
+        for i in range(pl.shape[0]):
+            dots = fold(m, np.broadcast_to(pl[i], m.shape))
+            bucket |= np.where(dots >= 0.0, np.int64(1 << i), np.int64(0))
+        nrm = np.sqrt(fold(m, m))
+        return pd.DataFrame({"bucket": bucket.astype(np.int32), "nrm": nrm})
+
+    # asNondeterministic stops the optimizer DUPLICATING the eval
+    # (guide §4.4): the bucket equi-join derives isnotnull(bucket) and
+    # pushes it below the struct projection, which re-evaluates the
+    # UDF per row — observed as 2× ArrowEvalPython per join side in
+    # the pre-fix plan.  The function is in fact pure; the marker only
+    # forbids reordering/duplication (the isnotnull filter still
+    # applies, above the single eval).
+    return _bn.asNondeterministic()
+
+
 def _pair_cos(a_vec: Column, c_vec: Column, a_nrm: Column, c_nrm: Column) -> Column:
     """``cosine()`` over PRECOMPUTED norms — including its zero-vector
     guard: when both norms are non-zero the value is the same IEEE
@@ -228,12 +321,29 @@ def _bucketed_with_norms(
     same IEEE expression tree as cosine() (bitwise unchanged, oracles
     replay the inline-cosine form) and whose zero-vector branch scores
     0.0 exactly like cosine()."""
+    if ARROW_BUCKETING:
+        bn = _bucket_nrm_arrow_udf(planes)(F.col(vec_col)).alias("_bn")
+        return df.select(F.col(id_col), F.col(vec_col), bn).select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("_bn.bucket").alias("bucket"),
+            F.col("_bn.nrm").alias("nrm"),
+        )
     return df.select(
         F.col(id_col),
         F.col(vec_col),
         lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
         _norm(F.col(vec_col)).alias("nrm"),
     )
+
+
+def pair_cos_scored(v1: Column, v2: Column, n1: Column, n2: Column) -> Column:
+    """The pair-stage cosine: Arrow-batched numpy fold when
+    ARROW_PAIR_SCORING (bitwise-identical values — see
+    _pair_cos_arrow_udf), else the JVM expression tree."""
+    if ARROW_PAIR_SCORING:
+        return _pair_cos_arrow_udf()(v1, v2, n1, n2)
+    return _pair_cos(v1, v2, n1, n2)
 
 
 def graph_pair_candidates(b: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
@@ -248,7 +358,7 @@ def graph_pair_candidates(b: DataFrame, id_col: str = "vec_id", vec_col: str = "
     ).select(
         F.col(f"a.{id_col}").alias("src_id"),
         F.col(f"c.{id_col}").alias("dst_id"),
-        _pair_cos(
+        pair_cos_scored(
             F.col(f"a.{vec_col}"), F.col(f"c.{vec_col}"), F.col("a.nrm"), F.col("c.nrm")
         ).alias("cos_sim"),
     )
@@ -297,7 +407,7 @@ def delta_knn(
     pairs = bb.join(cb, F.col("a.bucket") == F.col("c.bucket")).select(
         F.col(f"a.{id_col}").alias("src_id"),
         F.col(f"c.{id_col}").alias("dst_id"),
-        _pair_cos(
+        pair_cos_scored(
             F.col(f"a.{vec_col}"), F.col(f"c.{vec_col}"), F.col("a.nrm"), F.col("c.nrm")
         ).alias("cos_sim"),
     )
@@ -335,13 +445,23 @@ def hard_negatives(
     top-k window.  Deterministic: md5-derived planes, sequential-fold
     dots, (cos DESC, dst) tie-break."""
     planes = md5_sign_planes(auto_n_planes(n_rows), dim)
-    b = df.select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.col(label_col),
-        lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
-        _norm(F.col(vec_col)).alias("nrm"),
-    )
+    if ARROW_BUCKETING:
+        bn = _bucket_nrm_arrow_udf(planes)(F.col(vec_col)).alias("_bn")
+        b = df.select(F.col(id_col), F.col(vec_col), F.col(label_col), bn).select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col(label_col),
+            F.col("_bn.bucket").alias("bucket"),
+            F.col("_bn.nrm").alias("nrm"),
+        )
+    else:
+        b = df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col(label_col),
+            lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
+            _norm(F.col(vec_col)).alias("nrm"),
+        )
     a, c = b.alias("a"), b.alias("c")
     pairs = a.join(
         c,
@@ -350,7 +470,7 @@ def hard_negatives(
     ).select(
         F.col(f"a.{id_col}").alias("src_id"),
         F.col(f"c.{id_col}").alias("dst_id"),
-        _pair_cos(
+        pair_cos_scored(
             F.col(f"a.{vec_col}"), F.col(f"c.{vec_col}"), F.col("a.nrm"), F.col("c.nrm")
         ).alias("cos_sim"),
     )

@@ -26,7 +26,12 @@ from pyspark.sql import functions as F
 from netcdf_olap_spark.queries.text import DUCK_CHUNKS, DUCK_CUTS, DUCK_TOKS
 from netcdf_olap_spark.session import load_events
 from netcdf_olap_spark.streaming import ops
-from netcdf_olap_spark.streaming.runner import events_file_stream, run_to_memory, stage_event_files
+from netcdf_olap_spark.streaming.runner import (
+    auto_state_partitions,
+    events_file_stream,
+    run_to_memory,
+    stage_event_files,
+)
 from netcdf_olap_spark.streaming.stateful import running_user_totals
 
 
@@ -58,7 +63,11 @@ def stream_tumbling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     against DuckDB by STREAM_TUMBLING_SQL."""
     stream, directory = _staged_stream(spark, sf_dir)
     try:
-        out = run_to_memory(ops.tumbling_stats(stream, watermark="30 minutes"), "complete")
+        out = run_to_memory(
+            ops.tumbling_stats(stream, watermark="30 minutes"),
+            "complete",
+            state_partitions=auto_state_partitions(spark, directory),
+        )
         return (
             out.select(
                 F.unix_micros("win_start").alias("win_start_us"),
@@ -82,7 +91,11 @@ def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     COUNT per user — replay order cannot change it."""
     stream, directory = _staged_stream(spark, sf_dir)
     try:
-        out = run_to_memory(running_user_totals(stream), "update")
+        out = run_to_memory(
+            running_user_totals(stream),
+            "update",
+            state_partitions=auto_state_partitions(spark, directory),
+        )
         final = (
             out.groupBy("user_id")
             .agg(F.max(F.struct("n_events", "sum_value")).alias("s"))
@@ -102,7 +115,11 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tests/test_streaming.py)."""
     stream, directory = _staged_stream(spark, sf_dir)
     try:
-        pairs = run_to_memory(ops.interval_join(stream, watermark="4 hours"), "append")
+        pairs = run_to_memory(
+            ops.interval_join(stream, watermark="4 hours"),
+            "append",
+            state_partitions=auto_state_partitions(spark, directory),
+        )
         gap_us = F.unix_micros("c_ts") - F.unix_micros("v_ts")
         return (
             pairs.groupBy(F.col("c_user").alias("user_id"))
@@ -122,7 +139,11 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges across micro-batches and is bounded by the watermark."""
     stream, directory = _staged_stream(spark, sf_dir)
     try:
-        out = run_to_memory(ops.session_stats(stream, gap="30 minutes", watermark="2 hours"), "complete")
+        out = run_to_memory(
+            ops.session_stats(stream, gap="30 minutes", watermark="2 hours"),
+            "complete",
+            state_partitions=auto_state_partitions(spark, directory),
+        )
         return (
             out.select(
                 "user_id",
@@ -219,7 +240,11 @@ def stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream, directory = _staged_doc_stream(spark, sf_dir)
     try:
-        out = run_to_memory(corpus_ingest(stream, watermark="2 hours"), "append")
+        out = run_to_memory(
+            corpus_ingest(stream, watermark="2 hours"),
+            "append",
+            state_partitions=auto_state_partitions(spark, directory),
+        )
         return out.select("fp", "n_tokens").orderBy("fp").localCheckpoint()
     finally:
         shutil.rmtree(directory, ignore_errors=True)
@@ -291,7 +316,11 @@ def stream_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream, directory = _staged_stream(spark, sf_dir)
     try:
-        pairs = run_to_memory(transition_pairs(stream), "append")
+        pairs = run_to_memory(
+            transition_pairs(stream),
+            "append",
+            state_partitions=auto_state_partitions(spark, directory),
+        )
         return (
             pairs.groupBy("prev_type", "next_type")
             .agg(F.count(F.lit(1)).alias("n"))
@@ -449,7 +478,9 @@ def stream_near_dup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         # TTL >> replay span: horizon effects are pinned in pytest, the
         # checked surface is the full-history ownership reduction
         owned = run_to_memory(
-            near_dup_filter(stream, watermark="2 hours", state_ttl_ms=10**12), "append"
+            near_dup_filter(stream, watermark="2 hours", state_ttl_ms=10**12),
+            "append",
+            state_partitions=auto_state_partitions(spark, directory),
         )
         return near_dup_reduce(owned).orderBy("doc_id").localCheckpoint()
     finally:
@@ -524,7 +555,9 @@ def stream_template_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts = dedup.groupBy("source", "h").agg(
             F.count(F.lit(1)).cast("long").alias("n_docs")
         )
-        out = run_to_memory(counts, "complete")
+        out = run_to_memory(
+            counts, "complete", state_partitions=auto_state_partitions(spark, directory)
+        )
         return (
             out.where(F.col("n_docs") >= 3).orderBy("source", "h").localCheckpoint()
         )

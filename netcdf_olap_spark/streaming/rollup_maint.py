@@ -186,9 +186,20 @@ def _read_manifest(spark: SparkSession, out_dir: str) -> dict | None:
             # listing and the open) warrants a retry; anything else —
             # permission denied, corrupt FS config — must surface
             # immediately, not after three blind retries (r13 advisor
-            # finding). py4j wraps the JVM FileNotFoundException, so
-            # match on the Java class name in the rendered message.
-            if "FileNotFoundException" not in str(e):
+            # finding). For a py4j-wrapped JVM error, classify by the
+            # thrown exception's own class (r14 advisor: str(e) renders
+            # the whole chained stack trace, where an unrelated
+            # failure can MENTION FileNotFoundException); fall back to
+            # the substring match only when no java_exception exists.
+            java_exc = getattr(e, "java_exception", None)
+            if java_exc is not None:
+                try:
+                    cls = java_exc.getClass().getName()
+                except Exception:
+                    cls = ""
+                if cls != "java.io.FileNotFoundException":
+                    raise
+            elif "FileNotFoundException" not in str(e):
                 raise
             last_err = e
             continue

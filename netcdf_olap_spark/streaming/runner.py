@@ -102,6 +102,40 @@ def stage_files(
     return paths
 
 
+def auto_state_partitions(
+    spark: SparkSession,
+    staged_dir: str,
+    target_bytes: int = 32 << 20,
+    floor: int = 8,
+) -> int:
+    """SCALE-ADAPTIVE state width for a staged-replay drain (guide §2:
+    derive partitioning from input size, never a constant tuned to one
+    machine): one state partition per ``target_bytes`` of staged input,
+    clamped to [floor, session shuffle width].
+
+    Why: streaming state commits cost one store open+commit PER
+    PARTITION PER TRIGGER (×4 stores for a stream-stream join), so a
+    multi-trigger drain over megabytes of replay at the cluster-wide
+    shuffle width is almost pure fixed cost — the r13 heavy-hitters
+    measurement (64→8 partitions: 7-8.6 s → 2.5-2.9 s, values
+    identical) generalized.  At real scale the staged volume pushes
+    the width back to the session default, so this never caps a
+    cluster.  Results are partition-count-invariant (all drained
+    reductions are batching- and partitioning-deterministic — pinned
+    by the stream≡batch tests and the DuckDB oracles)."""
+    import math
+
+    total = 0
+    for root, _dirs, files in os.walk(staged_dir):
+        for fn in files:
+            try:
+                total += os.path.getsize(os.path.join(root, fn))
+            except OSError:
+                continue
+    cluster = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(floor, min(cluster, math.ceil(total / float(target_bytes))))
+
+
 def run_to_memory(
     stream_df: DataFrame,
     output_mode: str = "append",
