@@ -81,10 +81,18 @@ few reps does not survive sustained steal where a minimum does.
 queries — one per family, the same keys at every core count — so the
 driver's low-core/high-core comparator always has common keys
 (PERF_r14's ``scaling.per_query`` was empty because the two runs'
-top-5 sets were disjoint).  (c) default reps raised 3 → 5 when
-``SPARK_GRAFT_BENCH_REPS`` is unset (judge ask r14#1): more reps is
-what makes the min robust; the env knob and the median fields keep
-every prior-round comparison well-defined.
+top-5 sets were disjoint).  (c) the judge's optional "raise reps to
+5" was tried and REVERTED after measurement: higher-order-function
+lambda variables embed a session-global counter in their NAMES
+(``lambda x_1`` vs ``lambda x_15``) which the r8 normalization does
+not strip, so every HOF query's ``plan_fp`` depends on how many
+expressions earlier queries allocated — same code at reps=5 produced
+~12 phantom fingerprint diffs vs the reps=3 baseline.  Default reps
+stays 3 (bit-comparable medians AND fingerprints vs every prior
+round); (d) ``plan_fp2``/``plan_fp2_digest`` added as the
+counter-proof fingerprint (same normalization + lambda-counter
+strip, verified context-stable) so FUTURE rounds can change reps
+without losing plan comparability.
 
 Plan-fp caveat (r14 advisor): queries that eagerly materialize
 subtrees via localCheckpoint expose only the post-checkpoint tail to
@@ -312,6 +320,29 @@ def plan_fingerprint(df) -> str:
     return hashlib.md5(s.encode()).hexdigest()[:12]
 
 
+def plan_fingerprint2(df) -> str:
+    """``plan_fingerprint`` plus the lambda-counter strip (round 15):
+    higher-order-function lambda variables are NAMED with a
+    session-global expression counter (``lambda x_1`` / ``lambda
+    x_15``) that the r8 normalization cannot see — it lives BEFORE
+    the ``#id`` suffix — so any HOF query's fp depends on how many
+    expressions the session allocated earlier (query order, reps,
+    warmups).  Normalizing ``name_N#x`` → ``name_n#x`` makes the
+    fingerprint a pure function of the plan (verified stable across
+    fresh/burned sessions); kept as a SECOND field so every committed
+    PLAN_FP_r{N} map stays diffable under the original rule."""
+    s = df._jdf.queryExecution().executedPlan().toString()
+    s = re.sub(r"#\d+[A-Z]*", "#x", s)
+    s = re.sub(r"\[id=#?\d+\]", "[id=x]", s)
+    s = re.sub(r"plan_id=\d+", "plan_id=x", s)
+    s = re.sub(r"(file|s3a?|hdfs):[^\s,\]\)]+", "path", s)
+    s = re.sub(r"\d+(\.\d+)?\s*(B|KiB|MiB|GiB|TiB)\b", "sz", s)
+    s = re.sub(r"\b\d+ paths?\b", "n paths", s)
+    s = re.sub(r"\b([A-Za-z]+)_\d+#x", r"\1_n#x", s)  # lambda counters
+    s = re.sub(r"\s+", " ", s).strip()
+    return hashlib.md5(s.encode()).hexdigest()[:12]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
@@ -429,11 +460,12 @@ def main() -> None:
     calibration_scan()
     calibration_quick()
 
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     mins: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     plan_fp: dict[str, str] = {}
+    plan_fp2: dict[str, str] = {}
     ambient: dict[str, dict[str, float]] = {}
     present = [n for n in HEADLINE if n in registry]
     calib_at = {0, len(present) // 3, 2 * len(present) // 3, len(present) - 1}
@@ -465,8 +497,10 @@ def main() -> None:
             # is the pre-execution plan) — re-invoking fn() would
             # redo driver-side work like PQ training for nothing
             plan_fp[name] = plan_fingerprint(df)
+            plan_fp2[name] = plan_fingerprint2(df)
         except Exception:
             plan_fp[name] = "error"
+            plan_fp2[name] = "error"
 
     total = round(sum(timings.values()), 3)
     # every post-r7 addition is excluded from the shared16 subtotal —
@@ -516,6 +550,9 @@ def main() -> None:
     fp_digest = hashlib.md5(
         json.dumps(plan_fp, sort_keys=True).encode()
     ).hexdigest()[:12]
+    fp2_digest = hashlib.md5(
+        json.dumps(plan_fp2, sort_keys=True).encode()
+    ).hexdigest()[:12]
     calib_sec = sorted(calib_runs)[len(calib_runs) // 2]
     calib_scan_sec = sorted(calib_scan_runs)[len(calib_scan_runs) // 2]
     # per-query ambient flag (round 14): a query whose pre-query probe
@@ -536,6 +573,7 @@ def main() -> None:
                 "medians": timings,
                 "mins": mins,
                 "plan_fp": plan_fp,
+                "plan_fp2": plan_fp2,
                 "calib_runs": calib_runs,
                 "calib_scan_runs": calib_scan_runs,
                 "ambient": ambient,
@@ -577,6 +615,7 @@ def main() -> None:
                 "ambient_probe_med": probe_med,
                 "n_ambient_flagged": len(flagged),
                 "plan_fp_digest": fp_digest,
+                "plan_fp2_digest": fp2_digest,
             }
         )
     )

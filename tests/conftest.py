@@ -24,5 +24,14 @@ def spark():
 
     spark = get_spark("tests", cpus=8)
     spark.sparkContext.setLogLevel("ERROR")
+    # Test-env shuffle width = the session's core count (r15): the
+    # factory default (max(32, 2*cpus)) is a cluster-headroom knob; at
+    # sf0.001/0.01 test scale it only multiplies per-task scheduling
+    # and state-store fixed cost (a streaming drain commits one store
+    # per STATE partition per trigger).  Every checked result is
+    # partition-count-invariant — pinned by the 3-core parity gate —
+    # and no test asserts a shuffle width.  Wall-clock: the streaming
+    # files alone measured 2-3x faster at width 8 vs 32.
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     yield spark
     spark.stop()
