@@ -84,13 +84,18 @@ def test_bloom_bitmap_broadcasts(spark):
     """doc_bloom_probe: the word bitmap and the size row ride
     broadcasts (≥3 BroadcastExchange: size×2 + bitmap + batch list);
     the corpus-sized structures never broadcast — hash exchanges stay
-    ≤4 (corpus chunk distinct, bitmap groupBy, per-chunk rollup,
-    exact-verify join)."""
+    ≤5 (corpus chunk distinct, bitmap groupBy, per-chunk rollup,
+    exact-verify join, per-doc rollup).  r15: the BATCH chunk table
+    streams into the probe join (its eager checkpoint was a whole
+    blocking job buying nothing — single consumer), so the batch
+    pipeline's exchange is now VISIBLE in this one plan instead of
+    hidden inside the checkpoint's separate job; total exchanges
+    across jobs went down by the checkpoint materialization."""
     from netcdf_olap_spark.queries.text import doc_bloom_probe
 
     c = _counts(doc_bloom_probe(spark, SF_SMALL))
     assert c["bcast"] >= 3
-    assert c["hash"] <= 4 and c["single"] <= 2
+    assert c["hash"] <= 5 and c["single"] <= 2
 
 
 def test_dup_extents_one_key_shuffle_one_window(spark):
